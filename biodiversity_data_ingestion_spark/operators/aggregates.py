@@ -1,0 +1,53 @@
+"""Grouped / global aggregation patterns (reference parity).
+
+- A1 global combine (occurrences_pipeline.py:50-77)
+- A2 per-key count (cleaning_summary_pipeline.py:54-70)
+- A3 numeric distribution stats — POPULATION sd, linear-interpolated
+  percentiles, rounded 2 (transforms.py:646-744, stats at :720-730)
+- A4 distinct-set summary: count + sorted values (transforms.py:804-886)
+- A10-A13 SQL multi-dimension aggregates (biodiversity_metadata_dag.py:
+  330-575) — see plans/views.py for the SQL layer
+- A14 terms-agg summaries (update_summary_index.py:4-100)
+
+Determinism notes for oracle parity: the reference's numpy `std` is
+population sd and `numpy.percentile` is linearly interpolated — Spark
+`stddev_pop` and `percentile` (NOT percentile_approx) match exactly;
+BigQuery STRING_AGG order is unspecified, so set outputs are sorted
+before joining (SURVEY.md A12 note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def distribution_stats(
+    df: DataFrame, keys: list[str], value: str, ndigits: int = 2
+) -> DataFrame:
+    """A3: {mean, sd(pop), median, p5, p95, min, max} rounded, per key."""
+    v = F.col(value)
+    return df.groupBy(*keys).agg(
+        F.round(F.avg(v), ndigits).alias("mean"),
+        F.round(F.stddev_pop(v), ndigits).alias("sd"),
+        F.round(F.percentile(v, F.lit(0.5)), ndigits).alias("median"),
+        F.round(F.percentile(v, F.lit(0.05)), ndigits).alias("p5"),
+        F.round(F.percentile(v, F.lit(0.95)), ndigits).alias("p95"),
+        F.round(F.min(v), ndigits).alias("min"),
+        F.round(F.max(v), ndigits).alias("max"),
+        F.count(v).alias("n"),
+    )
+
+
+def distinct_set_summary(df: DataFrame, key: str, value: str) -> DataFrame:
+    """A4/O3: per key, #distinct values + sorted values joined ',' (the
+    deterministic STRING_AGG-DISTINCT form used for oracle hashing)."""
+    return df.groupBy(key).agg(
+        F.size(F.collect_set(value)).alias("n_distinct"),
+        F.array_join(F.array_sort(F.collect_set(value)), ",").alias("values"),
+    )
+
+
+def global_metrics(df: DataFrame, metric_cols: dict[str, Column]) -> DataFrame:
+    """A1: single-row global combine of named aggregate expressions."""
+    return df.agg(*[c.alias(name) for name, c in metric_cols.items()])

@@ -1,0 +1,258 @@
+"""Deduplication operators.
+
+Reference parity:
+- A5 dedup by composite key, min-by tiebreak
+  (data_ingestion/src/dependencies/cleaning_occs_pipeline.py:64-68,
+   utils/cleaning_occs.py:221-260)
+- A6 dedup by key, max-rank tiebreak, first-seen wins ties
+  (beam/src/dependencies/utils/common_functions.py:78-94)
+- A7 dedup keep-first by key (common_functions.py:97-104)
+
+Extensions (BASELINE.json north star — LLM-training-data pipeline ops):
+- exact content dedup (hash-groupBy)
+- n-gram Jaccard near-dup (inverted-index self-join; EXACT, scalable)
+- MinHash + LSH near-dup (banded signatures; approximate, 100 TB path)
+- SimHash near-dup (Hamming-close fingerprints)
+
+Scale notes: the window dedups shuffle once on their key. The near-dup
+ops never materialize the O(n^2) pair space — candidate pairs come from
+an inverted index (shingle -> docs) or LSH band buckets, both of which
+shuffle on high-cardinality keys that AQE can split if skewed. Hot
+shingles (stopword-only grams) explode candidate counts at scale, so
+`ngram_jaccard_pairs` drops shingles above a document-frequency cap —
+the standard trick used at web scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_min_hash, word_shingles
+from ..functions.textfn import tokenize
+
+
+def keep_min_by(df: DataFrame, keys: list[str], order: list[Column]) -> DataFrame:
+    """Top-1-per-group dedup: keep the row ranking first under `order`.
+
+    A5/A6/O4: a single hash-partition shuffle on `keys`; no global sort.
+    Deterministic — tie-break columns must make the order total.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_exact(df: DataFrame, content: str, id_col: str) -> DataFrame:
+    """Exact content dedup via hash-groupBy: one row per distinct content
+    hash, keeping the lowest id; reports group size.
+
+    Map-side partial aggregation makes this one shuffle of (hash, min_id,
+    count) partials — bytes shuffled ∝ distinct hashes, not input rows.
+    """
+    return (
+        df.select(F.md5(F.col(content).cast("string")).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("kept_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _doc_shingles(df: DataFrame, id_col: str, text: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(tokenize(F.lower(F.col(text))), n).alias("shingles"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-duplicate pairs via inverted-index join.
+
+    explode(shingles) -> self-join on shingle -> count shared -> jaccard =
+    shared / (|A| + |B| - shared). Only docs sharing >=1 shingle ever pair
+    up, so the pair space is bounded by the inverted index, not n^2.
+    `max_doc_freq` drops ubiquitous shingles (stop-gram suppression) —
+    essential at 100 TB where a hot shingle would quadratically blow up
+    one reducer.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sh = _doc_shingles(df, id_col, text, n)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    if max_doc_freq is not None:
+        inv = (
+            inv.withColumn(
+                "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+            )
+            .where(F.col("df") <= max_doc_freq)
+            .drop("df")
+        )
+    a = inv.alias("a")
+    b = inv.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text: str, n: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """Per-doc MinHash signature: num_hashes md5-min components.
+
+    Entirely per-row expressions (array_min over transform) — ZERO
+    shuffle; scales linearly and embarrassingly parallel.
+    """
+    sh = _doc_shingles(df, id_col, text, n)
+    sig_cols = [
+        portable_min_hash(F.col("shingles"), i).alias(f"mh{i}") for i in range(num_hashes)
+    ]
+    return sh.select("doc_id", F.col("shingles"), *sig_cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH candidate generation, then EXACT Jaccard
+    verification of candidates only. The 100 TB-scale near-dup path:
+
+      signature (no shuffle) -> band buckets (explode bands, shuffle on
+      band hash) -> pairs within a bucket -> verify with exact Jaccard on
+      the two shingle sets (array_intersect — per-row, no re-join).
+
+    Deterministic: hashes are md5-based (portable to the SQL oracle).
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded 6.
+    """
+    sig = minhash_signatures(df, id_col, text, n, num_hashes)
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.lit(str(b)),
+                    *[F.col(f"mh{b * band_size + j}") for j in range(band_size)],
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    buckets = sig.select("doc_id", "shingles", F.explode(bands).alias("bucket"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.withColumn("jaccard", F.round(inter / union, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document (Charikar 2002).
+
+    Token hash = first 8 hex chars of md5 -> 32-bit int (via conv); each
+    bit contributes +1/-1 weighted by token frequency; fingerprint bit =
+    sign of the sum. Pure expressions: explode tokens -> groupBy doc ->
+    per-bit conditional sums. One shuffle on doc_id.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(F.lower(F.col(text)))).alias("tok"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    toks = toks.withColumn("h", h)
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(32)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    fp = sum(
+        (F.when(F.col(f"b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0)) for i in range(32)),
+        F.lit(0).cast("long"),
+    )
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs whose SimHash fingerprints differ in <= max_hamming
+    bits. Candidate generation blocks on 4 x 8-bit bands (a pair within
+    Hamming distance 3 of 32 bits must agree exactly on >=1 of 4 bands) —
+    the standard pigeonhole trick, so no O(n^2) compare at scale.
+    """
+    fps = simhash64(df, id_col, text)
+    bands = F.array(
+        *[
+            F.concat_ws(
+                ":", F.lit(str(i)), (F.shiftright("simhash", i * 8).bitwiseAND(F.lit(255))).cast("string")
+            )
+            for i in range(4)
+        ]
+    )
+    blocked = fps.select("doc_id", "simhash", F.explode(bands).alias("block"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long")
+    return (
+        pairs.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Brute-force cosine top-k as the exact baseline, and an IVF-style
+(centroid-bucketed) variant as the 100 TB scale path.
+
+Vector math is done with native array expressions (zip_with + aggregate)
+— JVM-side, no Python. At scale the probe side is small (queries) and is
+broadcast; the corpus side streams through the scan, so the exact top-k
+is a single pass, no shuffle except the final per-query top-k (tiny).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    # left-to-right fold => deterministic, engine-portable summation order
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def as_double_vec(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: broadcast queries x corpus scan.
+
+    Ranking uses the cosine ROUNDED to 6 decimals with id tie-break, so
+    results are stable across engines/partitionings (float last-bit noise
+    can't reorder the cut).
+    Returns (query_id, neighbor_id, cos_sim, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def label_centroids(
+    corpus: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label mean vector, exploded to (label, dim, centroid_val).
+
+    The building block of IVF partitioning: posexplode -> two-level agg.
+    Map-side partial aggregation keeps the shuffle at |labels| x dims.
+    """
+    exploded = corpus.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(as_double_vec(F.col(vec_col))).alias("dim", "val"),
+    )
+    return exploded.groupBy("label", "dim").agg(
+        F.round(F.avg("val"), 6).alias("centroid_val"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 10,
+    n_probe: int = 3,
+) -> DataFrame:
+    """IVF-style ANN: route each query to its n_probe nearest label
+    centroids, then exact cosine only within those buckets.
+
+    At 100 TB the corpus is pre-partitioned by bucket (partitionBy on
+    write), so a probe touches n_probe partitions instead of the full
+    scan — the partition-pruning path. Recall < 1 by construction; the
+    exact `cosine_topk` is the correctness baseline.
+    """
+    cents = (
+        label_centroids(corpus, label_col, vec_col)
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid_val"))).alias("pairs"))
+        .select(
+            "label", F.transform("pairs", lambda p: p["centroid_val"]).alias("cvec")
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("qv")
+    )
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "qv",
+        "label",
+        F.round(cosine(F.col("qv"), F.col("cvec")), 6).alias("c_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("c_sim").desc(), F.col("label"))
+    probes = qc.withColumn("pr", F.row_number().over(wq)).where(F.col("pr") <= n_probe)
+    c = corpus.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("neighbor_id"),
+        as_double_vec(F.col(vec_col)).alias("cv"),
+    )
+    scored = c.join(
+        F.broadcast(probes.select("query_id", "qv", "label")), "label"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -1,0 +1,113 @@
+"""Text-analysis operators (BASELINE.json north-star extensions).
+
+language-ID, quality scoring, token counting, document fingerprinting —
+the per-document scoring stages of an LLM training-data pipeline. All
+pure Catalyst expressions (no Python in the hot path): at 100 TB these
+run inside whole-stage codegen directly over the parquet scan with full
+column pruning (only `text` + id are read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfn import tokenize
+
+# tiny per-language stopword markers; enough for a deterministic n-gram /
+# stopword-ratio heuristic (a real pipeline would swap in fastText — the
+# operator shape is identical).
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "los", "que"),
+    "fr": ("le", "la", "les", "des", "et"),
+    "de": ("der", "die", "das", "und", "ist"),
+}
+
+
+def _count_in(words: Column, vocab: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(w) for w in vocab])
+    return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+
+def token_stats(df: DataFrame, id_col: str, text: str) -> DataFrame:
+    """Whitespace + word-regex token counts, char count, mean token len."""
+    words = tokenize(F.col(text))
+    # BPE-ish pieces: runs of letters / digits / single other non-space chars.
+    # Plain regex (no lookaround) so it is portable to RE2-based engines.
+    bpe_ish = F.size(F.regexp_extract_all(F.col(text), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
+    return df.select(
+        F.col(id_col),
+        F.size(words).cast("long").alias("n_tokens"),
+        bpe_ish.cast("long").alias("n_subtokens"),
+        F.length(F.col(text)).cast("long").alias("n_chars_computed"),
+        F.round(F.length(F.col(text)) / F.size(words), 4).alias("chars_per_token"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text: str) -> DataFrame:
+    """Deterministic marker-word language ID with an 'und' fallback."""
+    words = tokenize(F.lower(F.col(text)))
+    counts = {lang: _count_in(words, vocab) for lang, vocab in _LANG_MARKERS.items()}
+    best = None
+    for lang, cnt in counts.items():
+        pair = F.struct(cnt.alias("score"), F.lit(lang).alias("lang"))
+        best = pair if best is None else F.when(pair["score"] > best["score"], pair).otherwise(best)
+    out = df.select(
+        F.col(id_col),
+        *[cnt.cast("long").alias(f"score_{lang}") for lang, cnt in counts.items()],
+        best["lang"].alias("best_lang"),
+        best["score"].alias("best_score"),
+    )
+    return out.withColumn(
+        "predicted_lang",
+        F.when(F.col("best_score") > 0, F.col("best_lang")).otherwise(F.lit("und")),
+    ).drop("best_lang", "best_score")
+
+
+def quality_score(df: DataFrame, id_col: str, text: str) -> DataFrame:
+    """Heuristic document-quality features + composite score.
+
+    length / punctuation ratio / stopword ratio / mean word length —
+    the classic C4/Gopher-style filters, re-expressed as codegen'd
+    column math.
+    """
+    t = F.col(text)
+    words = tokenize(F.lower(t))
+    n_words = F.size(words)
+    stop = _count_in(words, _LANG_MARKERS["en"])
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    mean_wlen = F.round(
+        F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w)) / n_words, 4
+    )
+    stop_ratio = F.round(stop / n_words, 4)
+    punct_ratio = F.round(n_punct / F.greatest(F.length(t), F.lit(1)), 4)
+    score = F.round(
+        F.when(n_words >= 5, F.lit(1.0)).otherwise(F.lit(0.0))
+        * (F.lit(1.0) - punct_ratio)
+        * F.when(stop_ratio > 0.01, F.lit(1.0)).otherwise(F.lit(0.5)),
+        4,
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        mean_wlen.alias("mean_word_len"),
+        score.alias("quality"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text: str) -> DataFrame:
+    """Content fingerprints: full-text md5 + a rolling min-gram hash
+    (min md5 over word 3-grams — robust to local edits)."""
+    words = tokenize(F.lower(F.trim(F.col(text))))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - F.lit(2), F.lit(1))),
+        lambda i: F.md5(F.array_join(F.slice(words, i, 3), " ")),
+    )
+    return df.select(
+        F.col(id_col),
+        F.md5(F.lower(F.trim(F.col(text)))).alias("exact_fp"),
+        F.array_min(grams).alias("min_gram_fp"),
+    )

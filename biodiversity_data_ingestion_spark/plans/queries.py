@@ -1,0 +1,1000 @@
+"""Declared query surface: every entry pairs a Spark DataFrame builder
+with an equivalent ANSI-SQL oracle (DuckDB-runnable) over the same
+parquet tables. This is the correctness contract from SURVEY.md §2 —
+each query exercises one operator-inventory row (cited per entry).
+
+Determinism rules (SURVEY.md §5, A12 note):
+- every aggregate / computed column is aliased identically on both sides;
+- set-valued outputs are sorted then joined to strings (BQ STRING_AGG
+  order is unspecified — the reference sorts sets, transforms.py:798);
+- doubles are rounded (2dp money, 4dp ratios, 6dp hashes/similarities);
+- int-typed Spark outputs are cast to long to match DuckDB's BIGINT;
+- rankings order by rounded values with id tie-breaks so float last-bit
+  noise cannot reorder a cut.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import aggregates, cleaning, dedup, joins, similarity, textops
+from ..operators.classify import classify
+from ..sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# helpers
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _sql_query(sql: str, tables: tuple[str, ...]):
+    """A query whose Spark side runs the SAME SQL text via spark.sql —
+    the engine's SQL view layer (reference's BigQuery views, SURVEY §3.3)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        for t in tables:
+            _t(spark, sf_dir, t).createOrReplaceTempView(t)
+        return spark.sql(sql)
+
+    return run, sql
+
+
+# shared text fragments -----------------------------------------------------
+
+# documents tokenization (lowercased, whitespace split) — DuckDB side
+_DD_WORDS = r"string_split_regex(lower(trim(text)), '\s+')"
+# word 3-gram distinct shingles — DuckDB side
+_DD_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 0)),"
+    " i -> array_to_string(w[i:i+2], ' ')))"
+)
+
+QUERIES: dict[str, dict] = {}
+
+
+def _register(name: str, builder: Callable, oracle: str | None, ref: str) -> None:
+    QUERIES[name] = {"builder": builder, "oracle": oracle, "ref": ref}
+
+
+# ---------------------------------------------------------------------------
+# 1. q1_pricing_summary — A1/A3 global+grouped aggregation (TPC-H Q1 shape)
+
+def _q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_register(
+    "q1_pricing_summary",
+    _q1,
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)       AS sum_qty,
+           round(sum(l_extendedprice), 2)  AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 2)       AS avg_qty,
+           round(avg(l_extendedprice), 2)  AS avg_price,
+           round(avg(l_discount), 4)       AS avg_disc,
+           count(*)                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "SURVEY §2.4 A1/A3; reference occurrences_pipeline.py:50-77",
+)
+
+# ---------------------------------------------------------------------------
+# 2. revenue_by_nation — J6 broadcast dimension joins + grouped agg
+
+def _revenue_by_nation(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+_register(
+    "revenue_by_nation",
+    _revenue_by_nation,
+    """
+    SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(DISTINCT o_orderkey) AS n_orders
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    "SURVEY §2.3 J6 broadcast lookups; my_pipeline.py:113-133",
+)
+
+# ---------------------------------------------------------------------------
+# 3. inactive_customers — J2/U3 incremental gate anti-join
+
+def _inactive_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return joins.gate_anti_join(c, recent, "c_custkey").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+
+
+_register(
+    "inactive_customers",
+    _inactive_customers,
+    """
+    SELECT c_custkey, c_name, c_nationkey
+    FROM customer
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01'
+    )
+    """,
+    "SURVEY §2.3 J2 gate anti-join; taxonomy_pipeline.py:39-62, helpers.py:237-271",
+)
+
+# ---------------------------------------------------------------------------
+# 4. dedup_min_by — A5 composite-key dedup, min-by tiebreak
+
+def _dedup_min_by(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return dedup.keep_min_by(
+        li, ["l_orderkey"], [F.col("l_quantity").asc(), F.col("l_linenumber").asc()]
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+_register(
+    "dedup_min_by",
+    _dedup_min_by,
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY l_quantity, l_linenumber) = 1
+    """,
+    "SURVEY §2.4 A5; cleaning_occs.py:221-260",
+)
+
+# ---------------------------------------------------------------------------
+# 5. dedup_rank_priority — A6 max-rank dedup with first-seen tiebreak
+
+_PRIORITY_RANK_SQL = """
+    CASE o_orderpriority
+        WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 WHEN '3-MEDIUM' THEN 3
+        WHEN '4-NOT SPECIFIED' THEN 4 WHEN '5-LOW' THEN 5 ELSE 6 END
+"""
+
+
+def _dedup_rank_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").withColumn("prio_rank", F.expr(_PRIORITY_RANK_SQL))
+    return dedup.keep_min_by(
+        o,
+        ["o_custkey"],
+        [F.col("prio_rank").asc(), F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+    ).select("o_custkey", "o_orderkey", "o_orderpriority")
+
+
+_register(
+    "dedup_rank_priority",
+    _dedup_rank_priority,
+    f"""
+    SELECT o_custkey, o_orderkey, o_orderpriority
+    FROM orders
+    QUALIFY row_number() OVER (
+        PARTITION BY o_custkey
+        ORDER BY {_PRIORITY_RANK_SQL}, o_orderdate, o_orderkey) = 1
+    """,
+    "SURVEY §2.4 A6; common_functions.py:78-94 (tracking-rank dedup)",
+)
+
+# ---------------------------------------------------------------------------
+# 6. first_order_per_customer — A7 keep-first dedup (deterministic min_by)
+
+def _first_order(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.min("o_orderkey").alias("first_orderkey"),
+        F.min_by("o_orderstatus", "o_orderkey").alias("first_status"),
+    )
+
+
+_register(
+    "first_order_per_customer",
+    _first_order,
+    """
+    SELECT o_custkey, min(o_orderkey) AS first_orderkey,
+           arg_min(o_orderstatus, o_orderkey) AS first_status
+    FROM orders GROUP BY o_custkey
+    """,
+    "SURVEY §2.4 A7; common_functions.py:97-104",
+)
+
+# ---------------------------------------------------------------------------
+# 7. nation_cogroup — J1 co-group + A8/A9 sorted collections + O3
+
+def _nation_cogroup(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.col("c_mktsegment").alias("val")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.col("s_name").alias("val")
+    )
+    cg = joins.cogroup_collect(
+        {"customer": c, "supplier": s}, "nationkey", {"customer": "val", "supplier": "val"}
+    )
+    return (
+        F.broadcast(n)
+        .join(cg, n.n_nationkey == cg.nationkey, "left")
+        .select(
+            "n_name",
+            F.array_join(F.coalesce("customer_list", F.array()), ",").alias("customer_segments"),
+            F.array_join(F.coalesce("supplier_list", F.array()), ",").alias("supplier_names"),
+            F.coalesce(F.size("customer_list"), F.lit(0)).cast("long").alias("n_customers"),
+            F.coalesce(F.size("supplier_list"), F.lit(0)).cast("long").alias("n_suppliers"),
+        )
+    )
+
+
+_register(
+    "nation_cogroup",
+    _nation_cogroup,
+    """
+    SELECT n_name,
+           coalesce(cs.segs, '')  AS customer_segments,
+           coalesce(ss.names, '') AS supplier_names,
+           coalesce(cs.n, 0)      AS n_customers,
+           coalesce(ss.n, 0)      AS n_suppliers
+    FROM nation
+    LEFT JOIN (SELECT c_nationkey, string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segs,
+                      count(*) AS n FROM customer GROUP BY c_nationkey) cs
+           ON c_nationkey = n_nationkey
+    LEFT JOIN (SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS names,
+                      count(*) AS n FROM supplier GROUP BY s_nationkey) ss
+           ON s_nationkey = n_nationkey
+    """,
+    "SURVEY §2.3 J1 co-group; my_pipeline.py:96-100",
+)
+
+# ---------------------------------------------------------------------------
+# 8. order_priority_dims — A10 multi-dimension aggregated view (SQL layer)
+
+_ORDER_DIMS_SQL = """
+    SELECT o_orderstatus AS filter_status, CAST(NULL AS STRING) AS filter_priority,
+           count(*) AS n_orders, count(DISTINCT o_custkey) AS n_customers,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT CAST(NULL AS STRING), o_orderpriority,
+           count(*), count(DISTINCT o_custkey), round(sum(o_totalprice), 2)
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT o_orderstatus, o_orderpriority,
+           count(*), count(DISTINCT o_custkey), round(sum(o_totalprice), 2)
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+"""
+
+_register(
+    "order_priority_dims",
+    *_sql_query(_ORDER_DIMS_SQL, ("orders",)),
+    ref="SURVEY §2.4 A10; biodiversity_metadata_dag.py:391-438 (metadata_aggregated view)",
+)
+
+# ---------------------------------------------------------------------------
+# 9. orders_monthly — A11 time-series aggregate view (SQL layer)
+
+_ORDERS_MONTHLY_SQL = """
+    SELECT date_trunc('month', o_orderdate) AS month,
+           count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_customers,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY date_trunc('month', o_orderdate)
+"""
+
+_register(
+    "orders_monthly",
+    *_sql_query(_ORDERS_MONTHLY_SQL, ("orders",)),
+    ref="SURVEY §2.4 A11; biodiversity_metadata_dag.py:439-514 (rawdata time series)",
+)
+
+# ---------------------------------------------------------------------------
+# 10. lineitem_retention — A2/J5 cleaning summary (P7 inclusive bounds)
+
+def _lineitem_retention(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    kept = li.where(
+        F.col("l_discount").between(0.02, 0.08) & F.col("l_quantity").between(5.0, 45.0)
+    )
+    return cleaning.cleaning_summary(li, kept, "l_returnflag").select(
+        "l_returnflag", "total_records", "retained_records", "percent_retained"
+    )
+
+
+_register(
+    "lineitem_retention",
+    _lineitem_retention,
+    """
+    SELECT l_returnflag,
+           count(*) AS total_records,
+           count(*) FILTER (WHERE l_discount BETWEEN 0.02 AND 0.08
+                              AND l_quantity BETWEEN 5.0 AND 45.0) AS retained_records,
+           round(count(*) FILTER (WHERE l_discount BETWEEN 0.02 AND 0.08
+                                    AND l_quantity BETWEEN 5.0 AND 45.0)
+                 / count(*) * 100, 2) AS percent_retained
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "SURVEY §2.4 A2/J5 + §2.2 P7; cleaning_summary_pipeline.py:22-75, cleaning_occs.py:55-78",
+)
+
+# ---------------------------------------------------------------------------
+# 11. events_classified — P1 multi-way classification split
+
+def _events_classified(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    routed = classify(
+        ev,
+        [
+            (F.col("event_type") == "error", "dead_letter"),
+            (F.col("event_type").isin("purchase", "signup"), "conversion"),
+            (F.col("event_type").isin("click", "view"), "engagement"),
+        ],
+        default="other",
+    )
+    return routed.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+_register(
+    "events_classified",
+    _events_classified,
+    """
+    SELECT CASE WHEN event_type = 'error' THEN 'dead_letter'
+                WHEN event_type IN ('purchase', 'signup') THEN 'conversion'
+                WHEN event_type IN ('click', 'view') THEN 'engagement'
+                ELSE 'other' END AS category,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+    "SURVEY §2.2 P1 classify_samples; map_functions.py:20-59",
+)
+
+# ---------------------------------------------------------------------------
+# 12. events_json_extract — S1 schema-on-read JSON + P7 try_cast filters
+
+def _events_json(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.expr("try_cast(get_json_object(props, '$.k') AS INT)")
+    return (
+        ev.withColumn("k_val", k)
+        .where(F.col("k_val").isNotNull() & F.col("k_val").between(10, 90) & (F.col("event_type") == "purchase"))
+        .select("event_id", "k_val")
+    )
+
+
+_register(
+    "events_json_extract",
+    _events_json,
+    """
+    SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+    FROM events
+    WHERE TRY_CAST(json_extract_string(props, '$.k') AS INT) BETWEEN 10 AND 90
+      AND event_type = 'purchase'
+    """,
+    "SURVEY §2.2 P7 try_cast + §2.8 JSON; cleaning_occs.py:22-26, my_pipeline.py:42",
+)
+
+# ---------------------------------------------------------------------------
+# 13. price_stats_by_flag — A3 distribution stats (pop sd, interpolated pct)
+
+def _price_stats(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return aggregates.distribution_stats(li, ["l_returnflag"], "l_extendedprice")
+
+
+_register(
+    "price_stats_by_flag",
+    _price_stats,
+    """
+    SELECT l_returnflag,
+           round(avg(l_extendedprice), 2)            AS mean,
+           round(stddev_pop(l_extendedprice), 2)     AS sd,
+           round(quantile_cont(l_extendedprice, 0.5), 2)  AS median,
+           round(quantile_cont(l_extendedprice, 0.05), 2) AS p5,
+           round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+           round(min(l_extendedprice), 2)            AS min,
+           round(max(l_extendedprice), 2)            AS max,
+           count(l_extendedprice)                    AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "SURVEY §2.4 A3; transforms.py:646-744 (numpy population sd / linear percentiles)",
+)
+
+# ---------------------------------------------------------------------------
+# 14. segment_sets_by_region — A4 distinct-set summary + O3 sorted sets
+
+def _segment_sets(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    joined = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("r_name", "c_mktsegment")
+    )
+    return (
+        aggregates.distinct_set_summary(joined, "r_name", "c_mktsegment")
+        .withColumn("n_distinct", F.col("n_distinct").cast("long"))
+    )
+
+
+_register(
+    "segment_sets_by_region",
+    _segment_sets,
+    """
+    SELECT r_name,
+           count(DISTINCT c_mktsegment) AS n_distinct,
+           string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS values
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    "SURVEY §2.4 A4 + §2.6 O3; transforms.py:804-886",
+)
+
+# ---------------------------------------------------------------------------
+# 15. global_metrics_union — A1 global combine + U1/U2 union of metrics
+
+_GLOBAL_METRICS_SQL = """
+    SELECT 'lineitem' AS metric, count(*) AS n_rows, round(sum(l_extendedprice), 2) AS total
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders', count(*), round(sum(o_totalprice), 2) FROM orders
+    UNION ALL
+    SELECT 'events', count(*), round(sum(value), 2) FROM events
+"""
+
+_register(
+    "global_metrics_union",
+    *_sql_query(_GLOBAL_METRICS_SQL, ("lineitem", "orders", "events")),
+    ref="SURVEY §2.4 A1 + §2.7 U1/U2; occurrences_pipeline.py:50-77",
+)
+
+# ---------------------------------------------------------------------------
+# 16. top3_orders_per_customer — O2/O4 top-k per group
+
+def _top3_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+_register(
+    "top3_orders_per_customer",
+    _top3_orders,
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+    FROM orders
+    QUALIFY rk <= 3
+    """,
+    "SURVEY §2.6 O2/O4 top-k; transforms.py:269-276",
+)
+
+# ---------------------------------------------------------------------------
+# 17. part_urls — §2.8 string functions / S4 URL composition
+
+_PART_URLS_SQL = """
+    SELECT p_partkey,
+           concat('https://parts.example/', p_brand, '/', CAST(p_partkey AS STRING)) AS part_url,
+           regexp_extract(p_name, '^([A-Za-z0-9_]+)', 1) AS first_word,
+           coalesce(nullif(trim(p_type), ''), 'UNKNOWN') AS type_clean,
+           upper(p_brand) AS brand_uc
+    FROM part
+"""
+
+_register(
+    "part_urls",
+    *_sql_query(_PART_URLS_SQL, ("part",)),
+    ref="SURVEY §2.8 strings + §2.1 S4 URL composition; transforms.py:1048-1055",
+)
+
+# ---------------------------------------------------------------------------
+# 18. remote_customers — P9 haversine centroid anti-join (synthetic coords)
+
+_LAT = "(%(k)s %% 17) * 10.0 - 80.0 + %(off)s"
+_LON = "(%(k)s %% 36) * 10.0 - 175.0 + %(off)s"
+
+
+def _remote_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        f"{_LAT % {'k': 'c_custkey', 'off': '0.15'}} AS lat",
+        f"{_LON % {'k': 'c_custkey', 'off': '0.15'}} AS lon",
+    )
+    s = _t(spark, sf_dir, "supplier").selectExpr(
+        f"{_LAT % {'k': 's_suppkey', 'off': '0.0'}} AS c_lat",
+        f"{_LON % {'k': 's_suppkey', 'off': '0.0'}} AS c_lon",
+    )
+    return cleaning.centroid_distance_filter(
+        c, s, "lat", "lon", "c_lat", "c_lon", max_dist_m=300000.0
+    ).select("c_custkey", "lat", "lon")
+
+
+_HAVERSINE_SQL = """
+    2 * 6371000 * atan2(
+        sqrt(sin(radians(c_lat - lat) / 2) * sin(radians(c_lat - lat) / 2)
+             + cos(radians(lat)) * cos(radians(c_lat))
+               * sin(radians(c_lon - lon) / 2) * sin(radians(c_lon - lon) / 2)),
+        sqrt(1 - (sin(radians(c_lat - lat) / 2) * sin(radians(c_lat - lat) / 2)
+             + cos(radians(lat)) * cos(radians(c_lat))
+               * sin(radians(c_lon - lon) / 2) * sin(radians(c_lon - lon) / 2))))
+"""
+
+_register(
+    "remote_customers",
+    _remote_customers,
+    f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               {_LAT % {'k': 'c_custkey', 'off': '0.15'}} AS lat,
+               {_LON % {'k': 'c_custkey', 'off': '0.15'}} AS lon
+        FROM customer),
+    cents AS (
+        SELECT {_LAT % {'k': 's_suppkey', 'off': '0.0'}} AS c_lat,
+               {_LON % {'k': 's_suppkey', 'off': '0.0'}} AS c_lon
+        FROM supplier)
+    SELECT c_custkey, lat, lon FROM pts
+    WHERE NOT EXISTS (SELECT 1 FROM cents WHERE {_HAVERSINE_SQL} <= 300000)
+    """,
+    "SURVEY §2.2 P9 centroid filter; cleaning_occs.py:107-152 (R=6371000)",
+)
+
+# ---------------------------------------------------------------------------
+# 19-22. documents text analysis — north-star text ops
+
+def _doc_token_stats(spark, sf_dir):
+    return textops.token_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_register(
+    "doc_token_stats",
+    _doc_token_stats,
+    f"""
+    SELECT doc_id,
+           len({_DD_WORDS}) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_subtokens,
+           length(text) AS n_chars_computed,
+           round(length(text) / len({_DD_WORDS}), 4) AS chars_per_token
+    FROM documents
+    """,
+    "north star: token counting (BASELINE.json); SURVEY §7 phase E",
+)
+
+
+def _doc_language_id(spark, sf_dir):
+    return textops.language_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_register(
+    "doc_language_id",
+    _doc_language_id,
+    f"""
+    WITH w AS (SELECT doc_id, {_DD_WORDS} AS words FROM documents),
+    s AS (
+        SELECT doc_id,
+               len(list_filter(words, x -> x IN ('the','a','of','and','to')))   AS score_en,
+               len(list_filter(words, x -> x IN ('el','la','de','los','que')))  AS score_es,
+               len(list_filter(words, x -> x IN ('le','la','les','des','et')))  AS score_fr,
+               len(list_filter(words, x -> x IN ('der','die','das','und','ist'))) AS score_de
+        FROM w)
+    SELECT doc_id, score_en, score_es, score_fr, score_de,
+           CASE WHEN greatest(score_en, score_es, score_fr, score_de) = 0 THEN 'und'
+                WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_de THEN 'en'
+                WHEN score_es >= score_fr AND score_es >= score_de THEN 'es'
+                WHEN score_fr >= score_de THEN 'fr'
+                ELSE 'de' END AS predicted_lang
+    FROM s
+    """,
+    "north star: language-ID heuristic (BASELINE.json)",
+)
+
+
+def _doc_quality(spark, sf_dir):
+    return textops.quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_register(
+    "doc_quality",
+    _doc_quality,
+    f"""
+    WITH w AS (SELECT doc_id, text, {_DD_WORDS} AS words FROM documents),
+    b AS (
+        SELECT doc_id, text, words,
+               len(words) AS n_words,
+               len(list_filter(words, x -> x IN ('the','a','of','and','to'))) AS n_stop,
+               length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+        FROM w)
+    SELECT doc_id, n_words,
+           round(n_stop / n_words, 4) AS stopword_ratio,
+           round(n_punct / greatest(length(text), 1), 4) AS punct_ratio,
+           round(CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / n_words, 4) AS mean_word_len,
+           round((CASE WHEN n_words >= 5 THEN 1.0 ELSE 0.0 END)
+                 * (1.0 - round(n_punct / greatest(length(text), 1), 4))
+                 * (CASE WHEN round(n_stop / n_words, 4) > 0.01 THEN 1.0 ELSE 0.5 END), 4) AS quality
+    FROM b
+    """,
+    "north star: quality scoring (C4/Gopher-style filters)",
+)
+
+
+def _doc_fingerprints(spark, sf_dir):
+    return textops.fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_register(
+    "doc_fingerprints",
+    _doc_fingerprints,
+    f"""
+    WITH w AS (SELECT doc_id, text, {_DD_WORDS} AS words FROM documents)
+    SELECT doc_id,
+           md5(lower(trim(text))) AS exact_fp,
+           list_min(list_transform(generate_series(1, greatest(len(words) - 2, 1)),
+                                   i -> md5(array_to_string(words[i:i+2], ' ')))) AS min_gram_fp
+    FROM w
+    """,
+    "north star: document fingerprinting (rolling min-gram hash)",
+)
+
+# ---------------------------------------------------------------------------
+# 23. dedup_exact_prefix — exact dedup via hash-groupBy (north star)
+
+def _dedup_exact_prefix(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    from ..functions.textfn import tokenize
+
+    keyed = docs.select(
+        F.col("doc_id"),
+        F.array_join(F.slice(tokenize(F.lower(F.trim(F.col("text")))), 1, 2), " ").alias("prefix"),
+    )
+    return dedup.dedup_exact(keyed, "prefix", "doc_id")
+
+
+_register(
+    "dedup_exact_prefix",
+    _dedup_exact_prefix,
+    f"""
+    SELECT md5(array_to_string(({_DD_WORDS})[1:2], ' ')) AS content_hash,
+           min(doc_id) AS kept_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    "north star: exact dedup (hash-groupBy)",
+)
+
+# ---------------------------------------------------------------------------
+# 24. ngram_jaccard_dups — EXACT n-gram Jaccard near-dup pairs
+
+def _ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+    )
+
+
+_register(
+    "ngram_jaccard_dups",
+    _ngram_jaccard,
+    f"""
+    WITH sh AS (
+        SELECT doc_id, {_DD_SHINGLES} AS shingles
+        FROM (SELECT doc_id, {_DD_WORDS} AS w FROM documents))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.shingles, b.shingles))
+                 / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+    FROM sh a, sh b
+    WHERE a.doc_id < b.doc_id
+      AND round(len(list_intersect(a.shingles, b.shingles))
+                / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.5
+    """,
+    "north star: n-gram Jaccard near-dup (inverted-index join vs brute-force oracle)",
+)
+
+# ---------------------------------------------------------------------------
+# 25. minhash_lsh_dups — MinHash + banded LSH near-dup (the 100 TB path)
+
+def _minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        num_hashes=16,
+        band_size=4,
+        threshold=0.5,
+    )
+
+
+_register(
+    "minhash_lsh_dups",
+    _minhash_lsh,
+    f"""
+    WITH sh AS (
+        SELECT doc_id, {_DD_SHINGLES} AS shingles
+        FROM (SELECT doc_id, {_DD_WORDS} AS w FROM documents)),
+    sig AS (
+        SELECT doc_id, shingles,
+               list_transform(generate_series(0, 15),
+                   k -> list_min(list_transform(shingles, s -> md5(k::VARCHAR || ':' || s)))) AS mh
+        FROM sh),
+    bands AS (
+        SELECT doc_id, shingles,
+               unnest(list_transform(generate_series(0, 3),
+                   b -> md5(b::VARCHAR || ',' || mh[4*b+1] || ',' || mh[4*b+2]
+                            || ',' || mh[4*b+3] || ',' || mh[4*b+4]))) AS bucket
+        FROM sig),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.shingles AS sh_a, b.shingles AS sh_b
+        FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(sh_a, sh_b))
+                 / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6) AS jaccard
+    FROM cand
+    WHERE round(len(list_intersect(sh_a, sh_b))
+                / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6) >= 0.5
+    """,
+    "north star: MinHash+LSH near-dup (shingle->minhash->band->bucket-join)",
+)
+
+# ---------------------------------------------------------------------------
+# 26. ann_cosine_topk — exact brute-force cosine top-k (north star)
+
+def _ann_cosine(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(
+        emb.where(F.col("vec_id") >= 5), emb.where(F.col("vec_id") < 5), k=10
+    )
+
+
+_ANN_DOT = "list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * cv[i]))"
+
+_register(
+    "ann_cosine_topk",
+    _ann_cosine,
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
+    s AS (
+        SELECT query_id, neighbor_id,
+               round({_ANN_DOT}
+                     / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                        * sqrt(list_sum(list_transform(cv, x -> x * x)))), 6) AS cos_sim
+        FROM q, c)
+    SELECT query_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM s
+    QUALIFY rank <= 10
+    """,
+    "north star: similarity search — brute-force cosine top-k baseline",
+)
+
+# ---------------------------------------------------------------------------
+# 27. label_centroids — IVF building block: per-label mean vectors
+
+def _label_centroids(spark, sf_dir):
+    return similarity.label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+_register(
+    "label_centroids",
+    _label_centroids,
+    """
+    SELECT label, i - 1 AS dim,
+           round(avg(embedding[i]::DOUBLE), 6) AS centroid_val,
+           count(*) AS n_vecs
+    FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) dims
+    GROUP BY label, i
+    """,
+    "north star: IVF bucketing — per-label centroid aggregation",
+)
+
+# ---------------------------------------------------------------------------
+# 28. event_window_agg — tumbling-window aggregation (streaming-equivalent)
+
+def _event_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "sum_value",
+        )
+    )
+
+
+_register(
+    "event_window_agg",
+    _event_window,
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    "SURVEY §2.9 extension: tumbling windows (batch equivalence of streaming agg)",
+)
+
+# ---------------------------------------------------------------------------
+# 29. word_freq — J7 lateral explode + re-aggregation
+
+def _word_freq(spark, sf_dir):
+    from ..functions.textfn import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(tokenize(F.lower(F.trim(F.col("text"))))).alias("word"))
+        .groupBy("word")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+    )
+
+
+_register(
+    "word_freq",
+    _word_freq,
+    f"""
+    SELECT word, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+    FROM (SELECT doc_id, unnest({_DD_WORDS}) AS word FROM documents)
+    GROUP BY word
+    """,
+    "SURVEY §2.3 J7 lateral UNNEST; biodiversity_metadata_dag.py:342-344",
+)
+
+# ---------------------------------------------------------------------------
+# 30. order_lineitems_rollup — J8 aggregation join (children attached to parent)
+
+def _order_rollup(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ls = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.array_join(
+            F.array_sort(F.collect_list(F.col("l_linenumber").cast("string"))), ","
+        ).alias("line_numbers"),
+    )
+    return (
+        o.join(ls, o.o_orderkey == ls.l_orderkey, "left")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("line_numbers", F.lit("")).alias("line_numbers"),
+        )
+    )
+
+
+_register(
+    "order_lineitems_rollup",
+    _order_rollup,
+    """
+    SELECT o_orderkey, o_orderstatus,
+           coalesce(ls.n_lines, 0) AS n_lines,
+           coalesce(ls.line_numbers, '') AS line_numbers
+    FROM orders
+    LEFT JOIN (SELECT l_orderkey, count(*) AS n_lines,
+                      string_agg(CAST(l_linenumber AS STRING), ',' ORDER BY CAST(l_linenumber AS STRING)) AS line_numbers
+               FROM lineitem GROUP BY l_orderkey) ls
+           ON o_orderkey = l_orderkey
+    """,
+    "SURVEY §2.3 J8; collect_metadata_experiments_assemblies.py:69-199",
+)
+
+# ---------------------------------------------------------------------------
+# 31. simhash_near_dups — SimHash near-dup pairs (north star)
+
+def _simhash_pairs(spark, sf_dir):
+    return dedup.simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=6
+    )
+
+
+_register(
+    "simhash_near_dups",
+    _simhash_pairs,
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_DD_WORDS}) AS tok FROM documents),
+    th AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+    bits AS (
+        SELECT doc_id,
+               {', '.join(f"sum(CASE WHEN (h // {2**i}) % 2 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(32))}
+        FROM th GROUP BY doc_id),
+    fp AS (
+        SELECT doc_id,
+               CAST({' + '.join(f"(CASE WHEN b{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(32))} AS BIGINT) AS simhash
+        FROM bits),
+    blocked AS (
+        SELECT doc_id, simhash,
+               unnest(list_transform(generate_series(0, 3),
+                   i -> i::VARCHAR || ':' || ((simhash // CAST(256 ** i AS BIGINT)) % 256)::VARCHAR)) AS block
+        FROM fp),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS h_a, b.simhash AS h_b
+        FROM blocked a JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, bit_count(xor(h_a, h_b)) AS hamming
+    FROM pairs WHERE bit_count(xor(h_a, h_b)) <= 6
+    """,
+    "north star: SimHash near-dup (Charikar 2002; banded Hamming blocking)",
+)
+
+
+# ---------------------------------------------------------------------------
+# public API
+
+def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec["builder"] for name, spec in QUERIES.items()}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    return {
+        name: spec["oracle"] for name, spec in QUERIES.items() if spec["oracle"] is not None
+    }

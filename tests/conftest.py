@@ -1,0 +1,15 @@
+from __future__ import annotations
+
+import pytest
+
+from biodiversity_data_ingestion_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.01"
+SMOKE_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="bdi-tests", shuffle_partitions=8)
+    yield s
+    s.stop()

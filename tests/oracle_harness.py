@@ -1,0 +1,103 @@
+"""Local mirror of the driver's DuckDB-oracle correctness gate.
+
+Runs a declared Spark query and its oracle SQL side-by-side on the same
+parquet tables, canonicalizes both results (columns sorted by name, rows
+sorted by all values) and compares row count, column names and values —
+so every mismatch the driver would record is caught here first.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass, field
+
+import duckdb
+import pandas as pd
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            dt = df[c].dt
+            df[c] = dt.tz_localize(None) if getattr(dt, "tz", None) is not None else df[c]
+    df = df.sort_values(by=list(df.columns), ignore_index=True, kind="mergesort")
+    return df
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    spark_rows: int
+    oracle_rows: int
+    problems: list[str] = field(default_factory=list)
+
+
+def compare(name: str, spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> CompareResult:
+    sp = spark_df.toPandas()
+    oc = con.execute(sql).df()
+    res = CompareResult(name, True, len(sp), len(oc))
+
+    if sorted(sp.columns) != sorted(oc.columns):
+        res.ok = False
+        res.problems.append(f"columns differ: spark={sorted(sp.columns)} oracle={sorted(oc.columns)}")
+        return res
+    if len(sp) != len(oc):
+        res.ok = False
+        res.problems.append(f"row count differs: spark={len(sp)} oracle={len(oc)}")
+        return res
+
+    sp, oc = _canon(sp), _canon(oc)
+    for c in sp.columns:
+        sv, ov = sp[c].tolist(), oc[c].tolist()
+        for i, (a, b) in enumerate(zip(sv, ov)):
+            if _eq(a, b):
+                continue
+            res.ok = False
+            res.problems.append(f"col {c} row {i}: spark={a!r} oracle={b!r}")
+            if len(res.problems) > 5:
+                return res
+    return res
+
+
+def _eq(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            af, bf = float(a), float(b)
+        except (TypeError, ValueError):
+            return False
+        if math.isnan(af) and math.isnan(bf):
+            return True
+        return af == bf  # exact — the driver hashes values; catch ANY drift
+    if pd.isna(a) and pd.isna(b):
+        return True
+    if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
+        a = list(a) if a is not None else None
+        b = list(b) if b is not None else None
+        return a == b
+    return a == b
