@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark the engine's headline queries.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes fully (noop sink — measures scan+compute+shuffle,
+not driver collect). One warm-up run of a trivial action first so JVM /
+codegen startup isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from biodiversity_data_ingestion_spark.plans.queries import QUERIES
+from biodiversity_data_ingestion_spark.session import get_spark
+
+HEADLINE = (
+    "q1_pricing_summary",
+    "revenue_by_nation",
+    "price_stats_by_flag",
+    "top3_orders_per_customer",
+    "dedup_min_by",
+    "event_window_agg",
+    "word_freq",
+    "ngram_jaccard_dups",
+    "minhash_lsh_dups",
+    "simhash_near_dups",
+    "ann_cosine_topk",
+    "label_centroids",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="bdi-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm-up: JVM + parquet footer caches
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = QUERIES[name]["builder"](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall-clock (noop sink)",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

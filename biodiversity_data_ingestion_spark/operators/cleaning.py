@@ -43,7 +43,7 @@ def filter_uncertainty(
     """P7c: inclusive uncertainty bounds; non-numeric/missing drops the
     row (cleaning_occs.py:55-78 — bounds are INCLUSIVE, defaults
     1000..5000 m, cleaning_occs_launcher.py:16-17)."""
-    v = F.try_cast(F.col(col), "double")
+    v = F.col(col).try_cast("double")
     return df.where(v.isNotNull() & v.between(lo, hi))
 
 

@@ -69,6 +69,34 @@ def cosine_topk(
     )
 
 
+def cosine_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= t).
+
+    Exact all-pairs scoring — the correctness baseline for embedding
+    dedup. At 100 TB the same verification runs only on candidates from
+    a blocking stage (sign-LSH over random hyperplanes or the IVF label
+    buckets below) instead of the n^2 cross join; `ivf_topk` is the
+    blocked scale path. Returns (id_a, id_b, cos_sim) rounded 6.
+    """
+    a = corpus.select(
+        F.col(id_col).alias("id_a"), as_double_vec(F.col(vec_col)).alias("va")
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"), as_double_vec(F.col(vec_col)).alias("vb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def label_centroids(
     corpus: DataFrame,
     label_col: str = "label",

@@ -988,6 +988,494 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 32. points_in_region — P8 point-in-polygon filter (pandas-UDF kernel)
+
+# convex CCW polygons as (lon, lat) rings; vertices use .5 offsets so no
+# synthetic grid point (offset .15) ever sits on an edge.
+_REGION_POLYS: list[list[tuple[float, float]]] = [
+    [(-100.5, -50.5), (50.5, -60.5), (80.5, 40.5), (-120.5, 55.5)],
+    [(100.3, -20.7), (160.3, 10.7), (120.3, 60.7)],
+]
+
+
+def _half_plane_sql(poly: list[tuple[float, float]]) -> str:
+    """Inside-test for a convex CCW polygon as AND-of-half-planes (the
+    SQL-expressible oracle for the ray-casting kernel)."""
+    terms = []
+    k = len(poly)
+    for i in range(k):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % k]
+        terms.append(
+            f"(({x2} - {x1}) * (lat - {y1}) - ({y2} - {y1}) * (lon - {x1}) > 0)"
+        )
+    return "(" + " AND ".join(terms) + ")"
+
+
+def _points_in_region(spark, sf_dir):
+    from ..operators.geo import point_in_polygons_filter
+
+    pts = _t(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        f"{_LAT % {'k': 'c_custkey', 'off': '0.15'}} AS lat",
+        f"{_LON % {'k': 'c_custkey', 'off': '0.15'}} AS lon",
+    )
+    return point_in_polygons_filter(spark, pts, _REGION_POLYS)
+
+
+_register(
+    "points_in_region",
+    _points_in_region,
+    f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               {_LAT % {'k': 'c_custkey', 'off': '0.15'}} AS lat,
+               {_LON % {'k': 'c_custkey', 'off': '0.15'}} AS lon
+        FROM customer)
+    SELECT c_custkey, lat, lon FROM pts
+    WHERE {_half_plane_sql(_REGION_POLYS[0])} OR {_half_plane_sql(_REGION_POLYS[1])}
+    """,
+    "SURVEY §2.2 P8 sea filter; cleaning_occs.py:81-104 (ray-cast kernel vs half-plane oracle)",
+)
+
+# ---------------------------------------------------------------------------
+# 33. uncertainty_buffer_wkt — P10 buffer polygon -> WKT (pure expressions)
+
+_DEG = 180.0 / 3.141592653589793  # written out so Spark + DuckDB share the literal
+
+
+def _buffer_wkt_query(spark, sf_dir):
+    from ..operators.geo import buffer_wkt
+
+    pts = _t(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        f"{_LAT % {'k': 'c_custkey', 'off': '0.15'}} AS lat",
+        f"{_LON % {'k': 'c_custkey', 'off': '0.15'}} AS lon",
+        "CAST(c_custkey % 5000 AS DOUBLE) + 50.0 AS radius_m",
+    )
+    return buffer_wkt(pts, "lat", "lon", "radius_m").select(
+        "c_custkey", "uncertainty_geom_wkt"
+    )
+
+
+_BUF_VERTEX = f"""printf('%.6f %.6f',
+    lon + greatest(radius_m, 100.0) / 6371000.0 * {_DEG!r} * sin((i % 16) * 2 * pi() / 16) / cos(radians(lat)),
+    lat + greatest(radius_m, 100.0) / 6371000.0 * {_DEG!r} * cos((i % 16) * 2 * pi() / 16))"""
+
+_register(
+    "uncertainty_buffer_wkt",
+    _buffer_wkt_query,
+    f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               {_LAT % {'k': 'c_custkey', 'off': '0.15'}} AS lat,
+               {_LON % {'k': 'c_custkey', 'off': '0.15'}} AS lon,
+               CAST(c_custkey % 5000 AS DOUBLE) + 50.0 AS radius_m
+        FROM customer)
+    SELECT c_custkey,
+           'POLYGON ((' || array_to_string(
+               list_transform(generate_series(0, 16), i -> {_BUF_VERTEX}), ', ')
+           || '))' AS uncertainty_geom_wkt
+    FROM pts
+    """,
+    "SURVEY §2.2 P10 uncertainty buffer; transforms.py:364-459 (AEQD tangent-plane circle, floor 100 m)",
+)
+
+# ---------------------------------------------------------------------------
+# 34. climate_zonal_grid — P11 raster zonal stats (mapInPandas kernel)
+
+def _climate_zonal(spark, sf_dir):
+    from ..operators.geo import grid_zonal_stats
+
+    pts = _t(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        f"{_LAT % {'k': 'c_custkey', 'off': '0.15'}} AS lat",
+        f"{_LON % {'k': 'c_custkey', 'off': '0.15'}} AS lon",
+    )
+    return grid_zonal_stats(pts, "lat", "lon", "radius_m", ["bio1", "bio2", "bio3"]).select(
+        "c_custkey", "clim_bio1", "clim_bio2", "clim_bio3"
+    )
+
+
+_register(
+    "climate_zonal_grid",
+    _climate_zonal,
+    f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               {_LAT % {'k': 'c_custkey', 'off': '0.15'}} AS lat,
+               {_LON % {'k': 'c_custkey', 'off': '0.15'}} AS lon
+        FROM customer)
+    SELECT c_custkey,
+           round(sin(floor(lat) + 0) + cos(floor(lon) - 0), 2) AS clim_bio1,
+           round(sin(floor(lat) + 1) + cos(floor(lon) - 1), 2) AS clim_bio2,
+           round(sin(floor(lat) + 2) + cos(floor(lon) - 2), 2) AS clim_bio3
+    FROM pts
+    """,
+    "SURVEY §2.2 P11 CHELSA zonal stats; transforms.py:462-643 (mapInPandas kernel, stub grid raster)",
+)
+
+# ---------------------------------------------------------------------------
+# 35. ecoregion_zones — P12 polygon-zone annotation, sorted uniques
+
+_ZONES = [
+    {"value": "east", "polygon": [(100.5, -60.5), (170.5, -60.5), (170.5, 60.5), (100.5, 60.5)]},
+    {"value": "polar", "polygon": [(-170.5, 60.5), (170.5, 60.5), (170.5, 85.5), (-170.5, 85.5)]},
+    {"value": "tropics", "polygon": [(-170.5, -20.5), (170.5, -20.5), (170.5, 20.5), (-170.5, 20.5)]},
+]
+
+
+def _ecoregion_zones(spark, sf_dir):
+    from ..operators.geo import zone_annotation
+
+    pts = _t(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        f"{_LAT % {'k': 'c_custkey', 'off': '0.15'}} AS lat",
+        f"{_LON % {'k': 'c_custkey', 'off': '0.15'}} AS lon",
+    )
+    ann = zone_annotation(spark, pts, _ZONES)
+    # reference drops rows intersecting no zone (transforms.py:788-791)
+    return ann.where(F.size("zone_values") > 0).select(
+        "c_custkey", F.array_join("zone_values", ",").alias("zones")
+    )
+
+
+def _zone_case(z: dict) -> str:
+    xs = [p[0] for p in z["polygon"]]
+    ys = [p[1] for p in z["polygon"]]
+    return (
+        f"CASE WHEN lon > {min(xs)} AND lon < {max(xs)} "
+        f"AND lat > {min(ys)} AND lat < {max(ys)} THEN '{z['value']}' END"
+    )
+
+
+_register(
+    "ecoregion_zones",
+    _ecoregion_zones,
+    f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               {_LAT % {'k': 'c_custkey', 'off': '0.15'}} AS lat,
+               {_LON % {'k': 'c_custkey', 'off': '0.15'}} AS lon
+        FROM customer),
+    z AS (
+        SELECT c_custkey,
+               list_filter([{_zone_case(_ZONES[0])}, {_zone_case(_ZONES[1])}, {_zone_case(_ZONES[2])}],
+                           x -> x IS NOT NULL) AS zl
+        FROM pts)
+    SELECT c_custkey, array_to_string(zl, ',') AS zones
+    FROM z WHERE len(zl) > 0
+    """,
+    "SURVEY §2.2 P12 biogeo annotation; transforms.py:747-801 (sorted-unique zone values, row drop)",
+)
+
+# ---------------------------------------------------------------------------
+# 36. species_range_hull — convex hull area km^2 per group (applyInPandas)
+
+def _species_range_hull(spark, sf_dir):
+    from ..operators.geo import convex_hull_range_km2
+
+    pts = _t(spark, sf_dir, "customer").selectExpr(
+        "c_nationkey",
+        f"{_LAT % {'k': 'c_custkey', 'off': '0.15'}} AS lat",
+        f"{_LON % {'k': 'c_custkey', 'off': '0.15'}} AS lon",
+    )
+    return convex_hull_range_km2(pts, "c_nationkey")
+
+
+_register(
+    "species_range_hull",
+    _species_range_hull,
+    None,  # convex hull is not SQL-expressible in DuckDB core — verified
+    # against a pure-numpy reference in tests/test_operators.py instead
+    "SURVEY §2.10 convex hull kernel; transforms.py:889-934 (equal-area shoelace /1e6)",
+)
+
+# ---------------------------------------------------------------------------
+# 37. multimodal_features — binary payload plumbing (mapInPandas kernel)
+
+def _multimodal_features(spark, sf_dir):
+    from ..operators.multimodal import attach_payload, binary_features
+
+    docs = attach_payload(_t(spark, sf_dir, "documents"), "text")
+    return binary_features(docs, "doc_id")
+
+
+_register(
+    "multimodal_features",
+    _multimodal_features,
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5,
+           CAST(CASE WHEN length(text) > 0 THEN ascii(text) END AS BIGINT) AS first_byte
+    FROM documents
+    """,
+    "north star: multimodal binary columns (opaque payload + Arrow-batched feature kernel)",
+)
+
+# ---------------------------------------------------------------------------
+# 38. stream_event_window — REAL Structured Streaming execution
+
+def _stream_event_window(spark, sf_dir):
+    from ..streaming.windows import run_stream_over_events
+
+    return run_stream_over_events(spark, sf_dir)
+
+
+_register(
+    "stream_event_window",
+    _stream_event_window,
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    "engine extension §2.9: watermarked tumbling-window streaming agg == batch result",
+)
+
+# ---------------------------------------------------------------------------
+# 39. embedding_cosine_dups — embedding-cosine near-duplicate pairs
+
+def _embedding_cosine_dups(spark, sf_dir):
+    return similarity.cosine_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+_register(
+    "embedding_cosine_dups",
+    _embedding_cosine_dups,
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+    s AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_sum(list_transform(generate_series(1, len(a.ve)), i -> a.ve[i] * b.ve[i]))
+                     / (sqrt(list_sum(list_transform(a.ve, x -> x * x)))
+                        * sqrt(list_sum(list_transform(b.ve, x -> x * x)))), 6) AS cos_sim
+        FROM v a, v b WHERE a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= 0.4
+    """,
+    "north star: embedding-cosine near-dup (exact baseline; sign-LSH/IVF is the blocked path)",
+)
+
+# ---------------------------------------------------------------------------
+# 40. ivf_topk_probe — IVF-bucketed ANN (recall<1 by design; rows-only gate,
+# recall vs exact checked in tests/test_operators.py)
+
+def _ivf_topk_probe(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb.where(F.col("vec_id") >= 5), emb.where(F.col("vec_id") < 5), k=10, n_probe=3
+    )
+
+
+_register(
+    "ivf_topk_probe",
+    _ivf_topk_probe,
+    None,
+    "north star: IVF ANN scale path (centroid routing + bucket-pruned exact rerank)",
+)
+
+# ---------------------------------------------------------------------------
+# 41. order_dims_grouping_sets — A10 cross_filter via native GROUPING SETS
+
+_GROUPING_SETS_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_customers,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+"""
+
+_register(
+    "order_dims_grouping_sets",
+    *_sql_query(_GROUPING_SETS_SQL, ("orders",)),
+    ref="SURVEY §2.4 A10 dimension x cross_filter ≈ GROUPING SETS; biodiversity_metadata_dag.py:391-438",
+)
+
+# ---------------------------------------------------------------------------
+# 42. geotag_aggregation — A12 geo point aggregation (sampling_map views)
+
+def _geotag_aggregation(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        "c_mktsegment",
+        "c_nationkey",
+        f"{_LAT % {'k': 'c_custkey', 'off': '0.15'}} AS lat",
+        f"{_LON % {'k': 'c_custkey', 'off': '0.15'}} AS lon",
+    )
+    return (
+        c.where(F.col("lat").between(-90, 90) & F.col("lon").between(-180, 180))
+        .withColumn(
+            "geotag",
+            F.format_string(
+                "%.2f,%.2f", F.col("lat").cast("double"), F.col("lon").cast("double")
+            ),
+        )
+        .groupBy("geotag")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias("segments"),
+        )
+    )
+
+
+_register(
+    "geotag_aggregation",
+    _geotag_aggregation,
+    f"""
+    WITH pts AS (
+        SELECT c_custkey, c_mktsegment, c_nationkey,
+               {_LAT % {'k': 'c_custkey', 'off': '0.15'}} AS lat,
+               {_LON % {'k': 'c_custkey', 'off': '0.15'}} AS lon
+        FROM customer)
+    SELECT printf('%.2f,%.2f', lat, lon) AS geotag,
+           count(*) AS n_points,
+           count(DISTINCT c_custkey) AS n_customers,
+           count(DISTINCT c_nationkey) AS n_nations,
+           string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+    FROM pts
+    WHERE lat BETWEEN -90 AND 90 AND lon BETWEEN -180 AND 180
+    GROUP BY 1
+    """,
+    "SURVEY §2.4 A12 sampling_map geotag views; biodiversity_metadata_dag.py:330-368",
+)
+
+# ---------------------------------------------------------------------------
+# 43. table_data_distinct — A13 distinct flattened join
+
+_TABLE_DATA_SQL = """
+    SELECT DISTINCT r_name, n_name, c_mktsegment
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+"""
+
+_register(
+    "table_data_distinct",
+    *_sql_query(_TABLE_DATA_SQL, ("customer", "nation", "region")),
+    ref="SURVEY §2.4 A13 table_data view; biodiversity_metadata_dag.py:516-539",
+)
+
+# ---------------------------------------------------------------------------
+# 44. terms_summary_topk — A14 per-field terms aggregation (size 20)
+
+_TERMS_SUMMARY_SQL = """
+    SELECT field, term, n FROM (
+        SELECT 'order_status' AS field, o_orderstatus AS term, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, o_orderstatus) AS rk
+        FROM orders GROUP BY o_orderstatus
+        UNION ALL
+        SELECT 'order_priority', o_orderpriority, count(*),
+               row_number() OVER (ORDER BY count(*) DESC, o_orderpriority)
+        FROM orders GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 'mktsegment', c_mktsegment, count(*),
+               row_number() OVER (ORDER BY count(*) DESC, c_mktsegment)
+        FROM customer GROUP BY c_mktsegment
+    ) t WHERE rk <= 20
+"""
+
+_register(
+    "terms_summary_topk",
+    *_sql_query(_TERMS_SUMMARY_SQL, ("orders", "customer")),
+    ref="SURVEY §2.4 A14 ES terms aggregations (size 20); update_summary_index.py:4-100",
+)
+
+# ---------------------------------------------------------------------------
+# 45. nested_order_rollup — J7 nested build + explode_outer roundtrip
+
+def _nested_order_rollup(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("l_linenumber", "l_extendedprice")).alias("items")
+    )
+    # the nested "document" table (ArrayType(StructType) column) ...
+    nested = o.join(items, o.o_orderkey == items.l_orderkey, "left")
+    # ... then the view layer's correlated LEFT explode back to long form
+    ex = nested.select(
+        "o_orderpriority", "o_orderkey", F.explode_outer("items").alias("item")
+    )
+    return ex.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.count("item.l_linenumber").alias("n_items"),
+        F.round(F.sum("item.l_extendedprice"), 2).alias("total_price"),
+    )
+
+
+_register(
+    "nested_order_rollup",
+    _nested_order_rollup,
+    """
+    SELECT o_orderpriority,
+           count(DISTINCT o_orderkey) AS n_orders,
+           count(l_linenumber) AS n_items,
+           round(sum(l_extendedprice), 2) AS total_price
+    FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+    "SURVEY §2.3 J7 UNNEST + left explode; biodiversity_metadata_dag.py:342-344,448-450; §1.1 nested table",
+)
+
+# ---------------------------------------------------------------------------
+# 46. user_event_flatten — P2 struct-list flatten to joined strings
+
+def _user_event_flatten(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    entry = F.concat_ws(":", "event_type", F.col("event_id").cast("string"))
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_list(entry)), ", ").alias("event_log"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_register(
+    "user_event_flatten",
+    _user_event_flatten,
+    """
+    SELECT user_id,
+           string_agg(event_type || ':' || event_id, ', '
+                      ORDER BY event_type || ':' || event_id) AS event_log,
+           count(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    "SURVEY §2.2 P2 check_field_existence flatten; common_functions.py:8-22",
+)
+
+# ---------------------------------------------------------------------------
+# 47. gate_rows_projection — P13 gate-row projection with explicit casts
+
+def _gate_rows(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderkey").cast("string").alias("record_id"),
+        F.col("o_custkey").cast("int").alias("entity_key"),
+        F.lit("Validated").alias("status"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("date_seen"),
+    )
+
+
+_register(
+    "gate_rows_projection",
+    _gate_rows,
+    """
+    SELECT CAST(o_orderkey AS VARCHAR) AS record_id,
+           CAST(o_custkey AS INT) AS entity_key,
+           'Validated' AS status,
+           TIMESTAMP '2026-01-01 00:00:00' AS date_seen
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+    "SURVEY §2.2 P13 to_gate_row; helpers.py:274-333 (date_seen parametrized for determinism)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

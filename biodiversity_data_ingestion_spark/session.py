@@ -45,6 +45,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # testdata events.ts is parquet TIMESTAMP(NANOS); read as long and
+        # truncate to micros in the loaders (sources/tables.py, streaming/)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         # driver/local-mode memory headroom for the 32-thread test box
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

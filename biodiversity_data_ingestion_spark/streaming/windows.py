@@ -1,0 +1,87 @@
+"""Structured Streaming operators (engine extension beyond reference).
+
+The reference is purely bounded batch (SURVEY.md §2.9: no watermarks,
+no event-time windows anywhere); its "incremental" story is daily
+re-builds plus the gate anti-join. This module adds the Structured
+Streaming surface a modern large-scale pipeline needs, expressed so the
+STREAMING result is bit-identical to the batch aggregation over the
+same data — which is how it is oracle-checked.
+
+Scale notes: the windowed aggregation is stateful — state is keyed by
+(window, event_type), so state size is bounded by windows x types, not
+input rows. The watermark bounds how long state is retained; with a
+real unbounded source late rows beyond the watermark are dropped. No
+distinct aggregates in the stream (unsupported in streaming mode) —
+distinct users come from size(collect_set(...)), whose state is the
+per-key distinct set (bounded by the user cardinality per window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Tumbling event-time window aggregation (works on batch AND
+    streaming DataFrames — same logical plan, Catalyst picks the
+    stateful physical operator under readStream)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.size(F.collect_set("user_id")).cast("long").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_over_events(
+    spark: SparkSession, sf_dir: str, query_name: str = "bdi_stream_events"
+) -> DataFrame:
+    """Execute the windowed aggregation as a REAL streaming query over
+    the events parquet (file-stream source, memory sink, complete mode),
+    drain it, and return the final result table.
+
+    This is the engine's streaming smoke path: the bounded file source
+    replays the table as micro-batches; on a cluster the same plan runs
+    over Kafka/files unbounded with the watermark bounding state.
+    """
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", "1")
+        # file-stream sources take a directory; glob down to the events table
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # parquet TIMESTAMP(NANOS) comes in as long under nanosAsLong (see
+    # sources/tables.py) — normalize to micros exactly like the batch path
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    try:
+        spark.catalog.dropTempView(query_name)
+    except Exception:
+        pass
+    agg = windowed_event_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    return spark.table(query_name)

@@ -1,0 +1,237 @@
+"""Unit tests per operator-inventory row (SURVEY.md §5.1) — the harness
+the reference never had. Tiny in-memory DataFrames, exact expectations."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from biodiversity_data_ingestion_spark.operators import cleaning, dedup, joins, similarity
+from biodiversity_data_ingestion_spark.operators.classify import classify
+
+from .conftest import SF_DIR
+
+
+# ---------------------------------------------------------------------------
+# P1 classify — truth table incl. ordered-rule precedence and default
+
+
+def test_classify_truth_table(spark):
+    rows = [
+        Row(id=1, checklist="ERC000011", symbiont="N", accession="A1"),
+        Row(id=2, checklist="ERC000013", symbiont="N", accession="A2"),
+        Row(id=3, checklist="ERC000011", symbiont="Y", accession="A3"),
+        Row(id=4, checklist="ERC000011", symbiont="N", accession=None),
+        Row(id=5, checklist=None, symbiont="N", accession="A5"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = classify(
+        df,
+        [
+            (F.col("accession").isNull(), "errors"),
+            (F.col("symbiont") == "Y", "symbionts"),
+            (F.col("checklist").isin("ERC000013", "ERC000024"), "metagenomes"),
+        ],
+        default="specimens",
+    )
+    got = {r["id"]: r["category"] for r in out.collect()}
+    # first-matching-rule-wins + missing-checklist => default (P1 semantics,
+    # reference map_functions.py:20-59)
+    assert got == {1: "specimens", 2: "metagenomes", 3: "symbionts", 4: "errors", 5: "specimens"}
+
+
+# ---------------------------------------------------------------------------
+# P7 boundary values — inclusive bounds, null/non-numeric drops
+
+
+def test_filter_uncertainty_boundaries(spark):
+    df = spark.createDataFrame(
+        [(1, "1000"), (2, "5000"), (3, "999.999"), (4, "5000.001"), (5, None), (6, "abc")],
+        "id INT, unc STRING",
+    )
+    kept = {r["id"] for r in cleaning.filter_uncertainty(df, "unc").collect()}
+    assert kept == {1, 2}  # bounds INCLUSIVE (cleaning_occs.py:75); junk drops
+
+
+def test_coordinate_filters(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 0.0, 0.0),
+            (2, 90.0, 180.0),
+            (3, -90.0, -180.0),
+            (4, 90.0001, 0.0),
+            (5, 0.0, -180.0001),
+            (6, None, 10.0),
+            (7, 10.0, 0.0),
+        ],
+        "id INT, lat DOUBLE, lon DOUBLE",
+    )
+    out = cleaning.drop_out_of_range(cleaning.drop_zero_coords(df, "lat", "lon"), "lat", "lon")
+    assert {r["id"] for r in out.collect()} == {2, 3, 7}
+
+
+# ---------------------------------------------------------------------------
+# A5/A6 dedup — deterministic tie-breaks
+
+
+def test_keep_min_by_ties(spark):
+    df = spark.createDataFrame(
+        [("k", 1.0, 10), ("k", 1.0, 5), ("k", 2.0, 1), ("j", 9.0, 7)],
+        "key STRING, unc DOUBLE, seq INT",
+    )
+    out = dedup.keep_min_by(df, ["key"], [F.col("unc").asc(), F.col("seq").asc()])
+    got = {(r["key"], r["unc"], r["seq"]) for r in out.collect()}
+    assert got == {("k", 1.0, 5), ("j", 9.0, 7)}  # min unc, then min seq
+
+
+# ---------------------------------------------------------------------------
+# J2 gate anti-join — set-difference semantics + monotonicity property
+
+
+def test_gate_anti_join_monotone(spark):
+    new = spark.createDataFrame([(1,), (2,), (3,)], "tax_id INT")
+    gate = spark.createDataFrame([(2,), (None,)], "tax_id INT")
+    first = joins.gate_anti_join(new, gate, "tax_id")
+    assert {r["tax_id"] for r in first.collect()} == {1, 3}
+    # second run with the emitted keys appended to the gate emits nothing new
+    gate2 = gate.unionByName(first.select("tax_id"))
+    assert joins.gate_anti_join(new, gate2, "tax_id").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# J1 cogroup — empty sides become empty arrays
+
+
+def test_cogroup_collect_empty_sides(spark):
+    a = spark.createDataFrame([(1, "x"), (1, "y")], "k INT, v STRING")
+    b = spark.createDataFrame([(2, "z")], "k INT, v STRING")
+    out = joins.cogroup_collect({"a": a, "b": b}, "k", {"a": "v", "b": "v"})
+    got = {r["k"]: (r["a_list"], r["b_list"]) for r in out.collect()}
+    assert got == {1: (["x", "y"], []), 2: ([], ["z"])}
+
+
+# ---------------------------------------------------------------------------
+# P8 ray-cast kernel vs numpy half-plane reference
+
+
+def test_ray_cast_vs_half_plane():
+    from biodiversity_data_ingestion_spark.operators.geo import _ray_cast
+
+    rng = np.random.default_rng(7)
+    poly = np.array([(-10.5, -10.5), (10.5, -10.5), (10.5, 10.5), (-10.5, 10.5)])
+    lat = rng.uniform(-20, 20, 500)
+    lon = rng.uniform(-20, 20, 500)
+    got = _ray_cast(lat, lon, poly)
+    want = (lon > -10.5) & (lon < 10.5) & (lat > -10.5) & (lat < 10.5)
+    assert (got == want).all()
+
+
+# ---------------------------------------------------------------------------
+# convex hull kernel vs numpy shoelace reference (range estimation parity)
+
+
+def test_convex_hull_range_vs_numpy(spark):
+    from biodiversity_data_ingestion_spark.operators.geo import (
+        EARTH_RADIUS_M,
+        _convex_hull,
+        convex_hull_range_km2,
+    )
+
+    rng = np.random.default_rng(11)
+    pts = [(int(g), float(la), float(lo))
+           for g in range(3)
+           for la, lo in zip(rng.uniform(-60, 60, 40), rng.uniform(-150, 150, 40))]
+    df = spark.createDataFrame(pts, "grp INT, lat DOUBLE, lon DOUBLE")
+    got = {r["grp"]: r["range_km2"] for r in convex_hull_range_km2(df, "grp").collect()}
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(pts, columns=["grp", "lat", "lon"])
+    for g, sub in pdf.groupby("grp"):
+        x = EARTH_RADIUS_M * np.radians(sub.lon.to_numpy())
+        y = EARTH_RADIUS_M * np.sin(np.radians(sub.lat.to_numpy()))
+        hull = _convex_hull(np.column_stack([x, y]))
+        xs, ys = hull[:, 0], hull[:, 1]
+        area = 0.5 * abs(float(np.dot(xs, np.roll(ys, -1)) - np.dot(ys, np.roll(xs, -1))))
+        assert got[g] == round(area / 1e6, 2)
+    # degenerate groups: <3 distinct points => area 0
+    deg = spark.createDataFrame([(9, 1.0, 1.0), (9, 1.0, 1.0), (8, 1.0, 1.0), (8, 2.0, 2.0)],
+                                "grp INT, lat DOUBLE, lon DOUBLE")
+    got = {r["grp"]: r["range_km2"] for r in convex_hull_range_km2(deg, "grp").collect()}
+    assert got == {9: 0.0, 8: 0.0}
+
+
+# ---------------------------------------------------------------------------
+# LSH recall — every true near-dup pair above threshold must be found by
+# the banded-LSH path at these parameters on the fixture corpus
+
+
+def test_minhash_lsh_recall(spark):
+    from biodiversity_data_ingestion_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.7).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, num_hashes=16, band_size=4, threshold=0.7
+        ).collect()
+    }
+    assert lsh <= exact  # LSH verifies candidates exactly => no false positives
+    recall = len(lsh & exact) / max(len(exact), 1)
+    assert recall >= 0.9, f"LSH recall {recall} over {len(exact)} true pairs"
+
+
+# ---------------------------------------------------------------------------
+# IVF recall vs exact top-k
+
+
+def test_ivf_recall_vs_exact(spark):
+    from biodiversity_data_ingestion_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus, queries = emb.where(F.col("vec_id") >= 5), emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(corpus, queries, k=10).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(corpus, queries, k=10, n_probe=3).collect()
+    }
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall}"  # n_probe=3 of 10 buckets
+
+
+# ---------------------------------------------------------------------------
+# multimodal decode stub is explicit
+
+
+def test_decode_media_is_stub(spark):
+    from biodiversity_data_ingestion_spark.operators import multimodal
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(None)
+
+
+# ---------------------------------------------------------------------------
+# streaming == batch equivalence on the same bounded input
+
+
+def test_streaming_equals_batch(spark):
+    from biodiversity_data_ingestion_spark.sources.tables import load_table
+    from biodiversity_data_ingestion_spark.streaming.windows import (
+        run_stream_over_events,
+        windowed_event_counts,
+    )
+
+    batch = windowed_event_counts(load_table(spark, SF_DIR, "events"))
+    stream = run_stream_over_events(spark, SF_DIR, query_name="t_stream_eq")
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in stream.collect()}
+    assert b == s
