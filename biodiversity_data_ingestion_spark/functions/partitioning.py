@@ -1,0 +1,34 @@
+"""Fusion-breaking fan-out (the reference's Reshuffle pattern).
+
+The reference inserts ``beam.Reshuffle()`` before slow per-record work so
+the runner can parallelize past source fusion
+(data_ingestion/src/dependencies/taxonomy_pipeline.py:69,76;
+data_provenance_pipeline.py:21). The Spark analogue is a round-robin
+``repartition`` — needed when the scan has fewer splits than the cluster
+has cores (e.g. a single-row-group parquet file => ONE task no matter
+how many executors).
+
+``fan_out`` is a no-op when the scan already has enough splits, so at
+100 TB (thousands of files/row-groups) it costs nothing; on small or
+badly-laid-out inputs it buys full-cluster parallelism for CPU-bound
+kernels at the price of shuffling the (small) input once.
+
+IMPORTANT determinism caveat: only apply upstream of ORDER-INSENSITIVE
+computation (per-row transforms, integer counts, min/max over hashes).
+Floating-point SUMS/AVGS change with accumulation order — queries whose
+oracle parity depends on file-order summation must not fan out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
+    """Round-robin repartition to cluster parallelism iff the plan
+    currently has fewer partitions than that."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * multiplier
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_min_hash, word_shingles
+from ..functions.partitioning import fan_out
 from ..functions.textfn import tokenize
 
 
@@ -54,7 +55,7 @@ def dedup_exact(df: DataFrame, content: str, id_col: str) -> DataFrame:
     count) partials — bytes shuffled ∝ distinct hashes, not input rows.
     """
     return (
-        df.select(F.md5(F.col(content).cast("string")).alias("content_hash"), F.col(id_col))
+        fan_out(df).select(F.md5(F.col(content).cast("string")).alias("content_hash"), F.col(id_col))
         .groupBy("content_hash")
         .agg(
             F.min(id_col).alias("kept_id"),
@@ -64,7 +65,9 @@ def dedup_exact(df: DataFrame, content: str, id_col: str) -> DataFrame:
 
 
 def _doc_shingles(df: DataFrame, id_col: str, text: str, n: int) -> DataFrame:
-    return df.select(
+    # shingling + md5 minhashing is CPU-bound per-row and hash/int-valued
+    # (order-insensitive) => safe + profitable to break scan fusion
+    return fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         word_shingles(tokenize(F.lower(F.col(text))), n).alias("shingles"),
     )
@@ -100,6 +103,11 @@ def ngram_jaccard_pairs(
             .where(F.col("df") <= max_doc_freq)
             .drop("df")
         )
+    # the exploded inverted index is |docs| x |shingles| rows — Catalyst's
+    # file-based size estimate would broadcast it; force a shuffled join
+    # (co-partitioned on shingle), which is the only shape that survives
+    # scale-up
+    inv = inv.hint("shuffle_hash")
     a = inv.alias("a")
     b = inv.alias("b")
     shared = (
@@ -171,18 +179,28 @@ def minhash_lsh_pairs(
             for b in range(n_bands)
         ]
     )
-    buckets = sig.select("doc_id", "shingles", F.explode(bands).alias("bucket"))
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+    # candidate generation over (doc_id, bucket) ONLY — the shingle arrays
+    # never enter the bucket self-join (at scale they dominate the bytes;
+    # a bucket row is ~40 B vs ~KBs of shingles)
+    buckets = sig.select("doc_id", F.explode(bands).alias("bucket"))
+    a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact-Jaccard verification: join the shingle sets back by doc id, so
+    # array bytes shuffled ∝ docs appearing in candidate pairs, not buckets.
+    # shuffle_hash hint: Catalyst's size estimate derives from the (tiny)
+    # parquet file and would BROADCAST the computed shingle arrays — a
+    # single-threaded build of a many-MB hashed relation, and a
+    # non-starter at 100 TB. A shuffled hash join keeps the arrays
+    # partitioned and parallel.
+    sh = sig.select("doc_id", "shingles").hint("shuffle_hash")
+    cand = cand.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a"
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b"
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -201,7 +219,7 @@ def simhash64(df: DataFrame, id_col: str, text: str) -> DataFrame:
     sign of the sum. Pure expressions: explode tokens -> groupBy doc ->
     per-bit conditional sums. One shuffle on doc_id.
     """
-    toks = df.select(
+    toks = fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokenize(F.lower(F.col(text)))).alias("tok"),
     )

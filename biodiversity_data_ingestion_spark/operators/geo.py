@@ -36,6 +36,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..functions.partitioning import fan_out
 from pyspark.sql.types import (
     BooleanType,
     DoubleType,
@@ -99,6 +101,7 @@ def point_in_polygons_filter(
             acc |= _ray_cast(la, lo, poly)
         return pd.Series(acc)
 
+    df = fan_out(df)  # pandas-UDF kernels are CPU-bound, per-row
     pred = _inside(F.col(lat), F.col(lon))
     return df.where(pred if keep_inside else ~pred)
 
@@ -203,7 +206,7 @@ def grid_zonal_stats(
                 pdf[f"{out_prefix}{v}"] = np.round(_cell_value(la, lo, k), 2)
             yield pdf
 
-    return df.mapInPandas(kernel, schema=out_schema)
+    return fan_out(df).mapInPandas(kernel, schema=out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -239,7 +242,7 @@ def zone_annotation(
                 hits[idx].append(val)
         return pd.Series([sorted(set(h)) for h in hits])
 
-    return df.withColumn(out_col, _zones(F.col(lat), F.col(lon)))
+    return fan_out(df).withColumn(out_col, _zones(F.col(lat), F.col(lon)))
 
 
 # ---------------------------------------------------------------------------

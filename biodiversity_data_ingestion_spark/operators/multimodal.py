@@ -27,6 +27,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.partitioning import fan_out
 from pyspark.sql.types import (
     LongType,
     StringType,
@@ -89,7 +91,7 @@ def binary_features(df: DataFrame, id_col: str, payload_col: str = "payload") ->
                 }
             )
 
-    return df.select(id_name, payload_col).mapInPandas(kernel, schema=out_schema)
+    return fan_out(df.select(id_name, payload_col)).mapInPandas(kernel, schema=out_schema)
 
 
 def decode_media(df: DataFrame, payload_col: str = "payload"):

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import fan_out
+
 
 def _dot(a: Column, b: Column) -> Column:
     # left-to-right fold => deterministic, engine-portable summation order
@@ -51,7 +53,9 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("qv")
     )
-    c = corpus.select(
+    # per-row fold over the vector is CPU-bound; scores are per-row (no
+    # cross-partition float accumulation) => fan-out is determinism-safe
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cv")
     )
     scored = c.crossJoin(F.broadcast(q)).select(
@@ -83,7 +87,7 @@ def cosine_dup_pairs(
     buckets below) instead of the n^2 cross join; `ivf_topk` is the
     blocked scale path. Returns (id_a, id_b, cos_sim) rounded 6.
     """
-    a = corpus.select(
+    a = fan_out(corpus).select(
         F.col(id_col).alias("id_a"), as_double_vec(F.col(vec_col)).alias("va")
     )
     b = corpus.select(
@@ -153,7 +157,7 @@ def ivf_topk(
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("c_sim").desc(), F.col("label"))
     probes = qc.withColumn("pr", F.row_number().over(wq)).where(F.col("pr") <= n_probe)
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(label_col).alias("label"),
         F.col(id_col).alias("neighbor_id"),
         as_double_vec(F.col(vec_col)).alias("cv"),

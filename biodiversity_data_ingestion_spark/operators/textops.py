@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import fan_out
 from ..functions.textfn import tokenize
 
 # tiny per-language stopword markers; enough for a deterministic n-gram /
@@ -36,7 +37,7 @@ def token_stats(df: DataFrame, id_col: str, text: str) -> DataFrame:
     # BPE-ish pieces: runs of letters / digits / single other non-space chars.
     # Plain regex (no lookaround) so it is portable to RE2-based engines.
     bpe_ish = F.size(F.regexp_extract_all(F.col(text), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col),
         F.size(words).cast("long").alias("n_tokens"),
         bpe_ish.cast("long").alias("n_subtokens"),
@@ -53,7 +54,7 @@ def language_id(df: DataFrame, id_col: str, text: str) -> DataFrame:
     for lang, cnt in counts.items():
         pair = F.struct(cnt.alias("score"), F.lit(lang).alias("lang"))
         best = pair if best is None else F.when(pair["score"] > best["score"], pair).otherwise(best)
-    out = df.select(
+    out = fan_out(df).select(
         F.col(id_col),
         *[cnt.cast("long").alias(f"score_{lang}") for lang, cnt in counts.items()],
         best["lang"].alias("best_lang"),
@@ -88,7 +89,7 @@ def quality_score(df: DataFrame, id_col: str, text: str) -> DataFrame:
         * F.when(stop_ratio > 0.01, F.lit(1.0)).otherwise(F.lit(0.5)),
         4,
     )
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col),
         n_words.cast("long").alias("n_words"),
         stop_ratio.alias("stopword_ratio"),
@@ -106,7 +107,7 @@ def fingerprint(df: DataFrame, id_col: str, text: str) -> DataFrame:
         F.sequence(F.lit(1), F.greatest(F.size(words) - F.lit(2), F.lit(1))),
         lambda i: F.md5(F.array_join(F.slice(words, i, 3), " ")),
     )
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col),
         F.md5(F.lower(F.trim(F.col(text)))).alias("exact_fp"),
         F.array_min(grams).alias("min_gram_fp"),

@@ -883,9 +883,10 @@ _register(
 # 29. word_freq — J7 lateral explode + re-aggregation
 
 def _word_freq(spark, sf_dir):
+    from ..functions.partitioning import fan_out
     from ..functions.textfn import tokenize
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     return (
         docs.select("doc_id", F.explode(tokenize(F.lower(F.trim(F.col("text"))))).alias("word"))
         .groupBy("word")
