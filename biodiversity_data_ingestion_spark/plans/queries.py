@@ -1477,6 +1477,97 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 48/49. occurrence cleaning pipeline — the reference's flagship chain
+# (SURVEY §3.2 pipeline 3 + 6's summary), composed end-to-end:
+# P7a zero -> P7b range -> P7c uncertainty -> P9 centroid anti-join ->
+# A5 dedup -> A2/J5 summary. Synthetic occurrence records derived from
+# lineitem; admin-0 centroids from supplier.
+
+_OCC_SQL = """
+    SELECT l_orderkey * 10 + l_linenumber AS occurrence_id,
+           concat('sp_', l_suppkey % 50) AS species,
+           CASE WHEN l_orderkey % 100 = 0 THEN 0.0
+                WHEN l_orderkey % 97 = 0 THEN 95.0
+                ELSE (l_orderkey % 17) * 10.0 - 80.0 + 0.15 END AS lat,
+           CASE WHEN l_orderkey % 100 = 0 THEN 0.0
+                ELSE (l_orderkey % 36) * 10.0 - 175.0 + 0.15 END AS lon,
+           l_extendedprice % 7000 AS uncertainty_m
+    FROM lineitem
+"""
+
+_CENTS_SQL = """
+    SELECT (s_suppkey % 17) * 10.0 - 80.0 AS c_lat,
+           (s_suppkey % 36) * 10.0 - 175.0 AS c_lon
+    FROM supplier
+"""
+
+
+def _occ_inputs(spark, sf_dir):
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(_OCC_SQL), spark.sql(_CENTS_SQL)
+
+
+def _occurrence_cleaning(spark, sf_dir):
+    from .pipelines import clean_occurrence_records
+
+    occ, cents = _occ_inputs(spark, sf_dir)
+    return clean_occurrence_records(occ, cents, centroid_dist_m=300000.0)
+
+
+_OCC_CLEAN_ORACLE = f"""
+    WITH occ AS ({_OCC_SQL}),
+    cents AS ({_CENTS_SQL}),
+    f AS (
+        SELECT * FROM occ
+        WHERE NOT (lat = 0.0 AND lon = 0.0)
+          AND lat IS NOT NULL AND lon IS NOT NULL
+          AND lat BETWEEN -90 AND 90 AND lon BETWEEN -180 AND 180
+          AND uncertainty_m BETWEEN 1000 AND 5000
+          AND NOT EXISTS (SELECT 1 FROM cents WHERE {_HAVERSINE_SQL} <= 300000)
+    )
+    SELECT occurrence_id, species, lat, lon, uncertainty_m FROM f
+    QUALIFY row_number() OVER (
+        PARTITION BY species, lat, lon
+        ORDER BY uncertainty_m, occurrence_id) = 1
+"""
+
+_register(
+    "occurrence_cleaning_pipeline",
+    _occurrence_cleaning,
+    _OCC_CLEAN_ORACLE,
+    "SURVEY §3.2 cleaning chain end-to-end; cleaning_occs_pipeline.py:12-106 (P7/P9/A5 composed)",
+)
+
+
+def _occurrence_cleaning_summary(spark, sf_dir):
+    from .pipelines import cleaning_pipeline_with_summary
+
+    occ, cents = _occ_inputs(spark, sf_dir)
+    _, summary = cleaning_pipeline_with_summary(occ, cents, centroid_dist_m=300000.0)
+    return summary
+
+
+_register(
+    "occurrence_cleaning_summary",
+    _occurrence_cleaning_summary,
+    f"""
+    WITH occ AS ({_OCC_SQL}),
+    cleaned AS ({_OCC_CLEAN_ORACLE})
+    SELECT o.species,
+           count(*) AS total_records,
+           coalesce(any_value(c.retained), 0) AS retained_records,
+           round(coalesce(any_value(c.retained), 0) / count(*) * 100, 2) AS percent_retained
+    FROM occ o
+    LEFT JOIN (SELECT species, count(*) AS retained FROM cleaned GROUP BY species) c
+           ON o.species = c.species
+    GROUP BY o.species
+    """,
+    "SURVEY §3.2 pipeline 6 cleaning summary; cleaning_summary_pipeline.py:22-75 (A2/J5)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,115 @@
+"""Sinks (reference parity).
+
+- S7 single-file JSONL sink (WriteToText num_shards=1,
+  data_ingestion/src/dependencies/taxonomy_pipeline.py:124-145)
+- S8 per-group file sink (one file per species after GroupByKey,
+  utils/helpers.py:31-41, transforms.py:294-336 tmp+rename)
+- S9 append/truncate table sink (WriteToBigQuery FILE_LOADS,
+  taxonomy_pipeline.py:109-119; my_pipeline.py:151-156)
+- S10 search-index sink with last-writer-wins doc ids
+  (beam/src/dependencies/utils/write_to_elasticsearch.py:78-94 — ES
+  ``_id`` upsert semantics => dedup to one row per id before writing)
+- date-versioned output dirs + "current" pointer + N-2 cleanup — the
+  reference's index/alias swap (airflow/dags/biodiversity_metadata_dag
+  .py:246-329) re-expressed as directory versions.
+
+Scale notes: S8's manual tmp-then-rename disappears into Spark's task
+commit protocol. partitionBy(key) writes one directory per key — at
+100 TB pair it with repartition(key) first so each partition directory
+is written by few tasks (avoids the many-small-files explosion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from datetime import date
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import keep_min_by
+
+
+def write_jsonl_single(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S7: one output shard (the reference's num_shards=1 consolidated
+    JSONL). coalesce(1) — only for small edge outputs, never for bulk."""
+    df.coalesce(1).write.mode(mode).json(path)
+
+
+def write_per_group(df: DataFrame, path: str, group_col: str, mode: str = "overwrite") -> None:
+    """S8: one directory per group value. repartition on the group key
+    first: each group's rows land in one task => one file per group
+    (the reference's one-file-per-species contract)."""
+    df.repartition(F.col(group_col)).write.mode(mode).partitionBy(group_col).parquet(path)
+
+
+def append_table(df: DataFrame, path: str) -> None:
+    """S9 WRITE_APPEND."""
+    df.write.mode("append").parquet(path)
+
+
+def overwrite_table(df: DataFrame, path: str) -> None:
+    """S9 WRITE_TRUNCATE."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def write_index_table(
+    df: DataFrame, path: str, id_col: str, order: list[Column] | None = None
+) -> None:
+    """S10: ES-style document index as a parquet table. ES bulk upserts
+    are last-writer-wins per ``_id``; reproduce deterministically by
+    keeping the top row per id under ``order`` (callers pass the arrival
+    or version ordering; default keeps max of a monotonic ingest column
+    named '_seq' if present, else arbitrary-but-single row per id)."""
+    if order is None:
+        if "_seq" in df.columns:
+            order = [F.col("_seq").desc()]
+        else:
+            order = [F.lit(1).asc()]
+    deduped = keep_min_by(df, [id_col], order)
+    deduped.write.mode("overwrite").parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# date-versioned dirs + atomic "current" pointer (index/alias swap)
+
+CURRENT_POINTER = "_CURRENT"
+
+
+def write_versioned(
+    df: DataFrame,
+    base_dir: str,
+    name: str,
+    version: str | None = None,
+    keep_versions: int = 2,
+) -> str:
+    """Write ``{base_dir}/{version}_{name}`` then atomically swap the
+    ``_CURRENT`` pointer to it and delete versions older than the newest
+    ``keep_versions`` (the reference keeps today + yesterday and deletes
+    N-2, biodiversity_metadata_dag.py:304-329)."""
+    version = version or date.today().isoformat()
+    out = os.path.join(base_dir, f"{version}_{name}")
+    df.write.mode("overwrite").parquet(out)
+
+    os.makedirs(base_dir, exist_ok=True)
+    pointer = os.path.join(base_dir, CURRENT_POINTER)
+    tmp = pointer + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"name": name, "version": version, "path": out}, fh)
+    os.replace(tmp, pointer)  # atomic swap == alias flip
+
+    versions = sorted(
+        d for d in os.listdir(base_dir)
+        if d.endswith(f"_{name}") and os.path.isdir(os.path.join(base_dir, d))
+    )
+    for stale in versions[:-keep_versions]:
+        shutil.rmtree(os.path.join(base_dir, stale))
+    return out
+
+
+def read_current(spark, base_dir: str) -> DataFrame:
+    """Resolve the _CURRENT pointer and read the live version."""
+    with open(os.path.join(base_dir, CURRENT_POINTER)) as fh:
+        return spark.read.parquet(json.load(fh)["path"])

@@ -1,0 +1,93 @@
+"""Sources/sinks unit tests (SURVEY §2.1 rows S2/S7/S8/S10 + alias swap)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from biodiversity_data_ingestion_spark.sources import sinks
+from biodiversity_data_ingestion_spark.sources.jsonl import read_species_files
+
+
+def test_species_filename_capture(spark, tmp_path):
+    # S2: per-species JSONL files, species from filename
+    for sp, vals in [("Apis_mellifera", [1, 2]), ("Canis_lupus", [3])]:
+        with open(tmp_path / f"occ_{sp}.jsonl", "w") as fh:
+            for v in vals:
+                fh.write(json.dumps({"occurrence_id": v, "lat": 1.0}) + "\n")
+    df = read_species_files(spark, str(tmp_path / "occ_*.jsonl"))
+    got = {(r["occurrence_id"], r["species"]) for r in df.collect()}
+    assert got == {(1, "Apis mellifera"), (2, "Apis mellifera"), (3, "Canis lupus")}
+
+
+def test_write_per_group_one_dir_per_species(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "species STRING, v INT"
+    )
+    out = str(tmp_path / "by_species")
+    sinks.write_per_group(df, out, "species")
+    dirs = {d for d in os.listdir(out) if d.startswith("species=")}
+    assert dirs == {"species=a", "species=b"}
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+
+
+def test_write_index_table_last_writer_wins(spark, tmp_path):
+    # S10: ES _id upsert => one row per id, latest _seq wins
+    df = spark.createDataFrame(
+        [(1, "old", 1), (1, "new", 2), (2, "only", 1)],
+        "doc_id INT, payload STRING, _seq INT",
+    )
+    out = str(tmp_path / "index")
+    sinks.write_index_table(df, out, "doc_id")
+    got = {(r["doc_id"], r["payload"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "new"), (2, "only")}
+
+
+def test_versioned_write_swap_and_cleanup(spark, tmp_path):
+    base = str(tmp_path / "versions")
+    df1 = spark.createDataFrame([(1,)], "v INT")
+    df2 = spark.createDataFrame([(2,)], "v INT")
+    df3 = spark.createDataFrame([(3,)], "v INT")
+    sinks.write_versioned(df1, base, "idx", version="2026-01-01")
+    sinks.write_versioned(df2, base, "idx", version="2026-01-02")
+    sinks.write_versioned(df3, base, "idx", version="2026-01-03")
+    # N-2 cleanup: oldest version deleted, pointer at newest
+    left = sorted(d for d in os.listdir(base) if d.endswith("_idx"))
+    assert left == ["2026-01-02_idx", "2026-01-03_idx"]
+    assert [r["v"] for r in sinks.read_current(spark, base).collect()] == [3]
+
+
+def test_jsonl_single_shard(spark, tmp_path):
+    out = str(tmp_path / "single")
+    sinks.write_jsonl_single(spark.createDataFrame([(1,), (2,)], "v INT"), out)
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(parts) == 1  # num_shards=1 contract (S7)
+
+
+def test_cleaning_pipeline_composition(spark):
+    from biodiversity_data_ingestion_spark.plans.pipelines import (
+        cleaning_pipeline_with_summary,
+    )
+
+    occ = spark.createDataFrame(
+        [
+            # (id, species, lat, lon, unc)
+            (1, "a", 0.0, 0.0, 2000.0),     # zero coords -> drop
+            (2, "a", 95.0, 10.0, 2000.0),   # out of range -> drop
+            (3, "a", 10.0, 10.0, 999.0),    # uncertainty too low -> drop
+            (4, "a", 10.0, 10.0, 2000.0),   # survives, dedup winner
+            (5, "a", 10.0, 10.0, 3000.0),   # same coords, higher unc -> deduped
+            (6, "a", 50.0, 50.0, 1000.0),   # near centroid -> drop
+            (7, "b", -20.0, -20.0, 5000.0), # survives (inclusive hi bound)
+        ],
+        "occurrence_id INT, species STRING, lat DOUBLE, lon DOUBLE, uncertainty_m DOUBLE",
+    )
+    cents = spark.createDataFrame([(50.001, 50.001)], "c_lat DOUBLE, c_lon DOUBLE")
+    cleaned, summary = cleaning_pipeline_with_summary(occ, cents)
+    assert {r["occurrence_id"] for r in cleaned.collect()} == {4, 7}
+    s = {r["species"]: (r["total_records"], r["retained_records"], r["percent_retained"])
+         for r in summary.collect()}
+    assert s == {"a": (6, 1, 16.67), "b": (1, 1, 100.0)}
