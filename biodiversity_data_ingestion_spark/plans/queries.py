@@ -1568,6 +1568,154 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 50. derivation_chain_roots — P4 derived-from chain walk (iterative join)
+
+_CHAIN_EDGES_SQL = """
+    SELECT c_custkey AS child, c_custkey - 1 AS parent
+    FROM customer WHERE c_custkey % 10 <> 0
+"""
+
+
+def _derivation_chain(spark, sf_dir):
+    from ..operators.chains import resolve_chain
+
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    edges = spark.sql(_CHAIN_EDGES_SQL)
+    return resolve_chain(edges, max_depth=12).withColumn(
+        "depth", F.col("depth").cast("long")
+    )
+
+
+_register(
+    "derivation_chain_roots",
+    _derivation_chain,
+    f"""
+    WITH RECURSIVE edges AS ({_CHAIN_EDGES_SQL}),
+    walk AS (
+        SELECT child AS node, parent AS cur, 1 AS depth FROM edges
+        UNION ALL
+        SELECT w.node, e.parent, w.depth + 1
+        FROM walk w JOIN edges e ON w.cur = e.child
+    )
+    SELECT node, cur AS root, depth FROM walk
+    QUALIFY row_number() OVER (PARTITION BY node ORDER BY depth DESC) = 1
+    """,
+    "SURVEY §2.2 P4 derived-from host chain; map_functions.py:292-311 (per-record HTTP walk -> iterative self-join closure)",
+)
+
+# ---------------------------------------------------------------------------
+# 51. event_sliding_windows — sliding-window agg (streaming-equivalent)
+
+def _event_sliding(spark, sf_dir):
+    from ..streaming.windows import sliding_event_counts
+
+    return sliding_event_counts(_t(spark, sf_dir, "events"))
+
+
+_register(
+    "event_sliding_windows",
+    _event_sliding,
+    """
+    WITH x AS (SELECT date_trunc('hour', ts) AS h, event_type, value FROM events),
+    w AS (
+        SELECT h AS window_start, event_type, value FROM x
+        UNION ALL
+        SELECT h - INTERVAL 1 HOUR, event_type, value FROM x)
+    SELECT window_start, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM w GROUP BY 1, 2
+    """,
+    "engine extension §2.9: sliding windows (duration 2h slide 1h; epoch-aligned)",
+)
+
+# ---------------------------------------------------------------------------
+# 52. user_sessions — session-window agg (gap-based; streaming-capable)
+
+def _user_sessions(spark, sf_dir):
+    from ..streaming.windows import session_event_counts
+
+    return session_event_counts(_t(spark, sf_dir, "events"))
+
+
+_register(
+    "user_sessions",
+    _user_sessions,
+    """
+    WITH o AS (SELECT user_id, ts, value FROM events),
+    m AS (
+        SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                       THEN 1 ELSE 0 END AS new_sess
+        FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)),
+    s AS (
+        SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, value
+                                      ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM m)
+    SELECT min(ts) AS session_start, user_id,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM s GROUP BY user_id, sess_id
+    """,
+    "engine extension §2.9: session windows == gaps-and-islands oracle (gap 10 min)",
+)
+
+# ---------------------------------------------------------------------------
+# 53. latest_line_status — S3 latest-of-array semantics (element_at -1)
+
+def _latest_line_status(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    latest = F.element_at(
+        F.array_sort(
+            F.collect_list(F.struct("l_shipdate", "l_linenumber", "l_linestatus"))
+        ),
+        -1,
+    )
+    return li.groupBy("l_orderkey").agg(
+        latest["l_linestatus"].alias("latest_status"),
+        latest["l_shipdate"].alias("latest_shipdate"),
+    )
+
+
+_register(
+    "latest_line_status",
+    _latest_line_status,
+    """
+    SELECT l_orderkey, l_linestatus AS latest_status, l_shipdate AS latest_shipdate
+    FROM lineitem
+    QUALIFY row_number() OVER (
+        PARTITION BY l_orderkey
+        ORDER BY l_shipdate DESC, l_linenumber DESC) = 1
+    """,
+    "SURVEY §2.1 S3 latest-annotation (element_at(col,-1)); transforms.py:89-96",
+)
+
+# ---------------------------------------------------------------------------
+# 54. name_validation_split — P6 GBIF validation rule + routing
+
+_register(
+    "name_validation_split",
+    *_sql_query(
+        """
+        WITH backbone AS (
+            SELECT p_partkey, p_name,
+                   CASE p_partkey % 3 WHEN 0 THEN 'EXACT' WHEN 1 THEN 'FUZZY'
+                        ELSE 'NONE' END AS match_type,
+                   CASE p_partkey % 3 WHEN 0 THEN 99
+                        WHEN 1 THEN CAST(50 + p_partkey % 50 AS INT)
+                        ELSE 0 END AS confidence
+            FROM part)
+        SELECT p_partkey, match_type, confidence,
+               CASE WHEN match_type = 'EXACT'
+                      OR (match_type = 'FUZZY' AND confidence >= 95)
+                    THEN 'validated' ELSE 'to_check' END AS route
+        FROM backbone
+        """,
+        ("part",),
+    ),
+    ref="SURVEY §2.2 P6 ValidateNamesFn routing; transforms.py:182-211 (rule at :204)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

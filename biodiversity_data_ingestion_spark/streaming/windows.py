@@ -47,6 +47,42 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
     )
 
 
+def sliding_event_counts(events: DataFrame, duration: str = "2 hours",
+                         slide: str = "1 hour", watermark: str = "4 hours") -> DataFrame:
+    """Sliding event-time windows (each event lands in duration/slide
+    windows). State keyed by (window, type) — bounded by time range."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", duration, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def session_event_counts(events: DataFrame, gap: str = "10 minutes",
+                         watermark: str = "1 hour") -> DataFrame:
+    """Per-user session windows: a session extends while consecutive
+    events arrive within `gap`; state is one open session per user,
+    closed by the watermark in streaming mode."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def run_stream_over_events(
     spark: SparkSession, sf_dir: str, query_name: str = "bdi_stream_events"
 ) -> DataFrame:

@@ -91,3 +91,35 @@ def test_cleaning_pipeline_composition(spark):
     s = {r["species"]: (r["total_records"], r["retained_records"], r["percent_retained"])
          for r in summary.collect()}
     assert s == {"a": (6, 1, 16.67), "b": (1, 1, 100.0)}
+
+
+def test_gtf_parse(spark, tmp_path):
+    # P18: comment skip + tab split + col 1/3/9 projection
+    gtf = tmp_path / "ann.gtf"
+    gtf.write_text(
+        "#!genome-build x\n"
+        "ACC1\tsrc\tgene\t1\t100\t.\t+\t.\tgene_id \"g1\";\n"
+        "ACC1\tsrc\texon\t1\t50\t.\t+\t.\tgene_id \"g1\"; exon 1;\n"
+    )
+    from biodiversity_data_ingestion_spark.sources.text import read_gtf
+
+    got = {(r["accession"], r["record_type"], r["info"]) for r in read_gtf(spark, str(gtf)).collect()}
+    assert got == {
+        ("ACC1", "gene", 'gene_id "g1";'),
+        ("ACC1", "exon", 'gene_id "g1"; exon 1;'),
+    }
+
+
+def test_resolve_chain_depths_and_cycles(spark):
+    from biodiversity_data_ingestion_spark.operators.chains import resolve_chain
+
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 2), (4, 3), (10, 11), (11, 10)],  # chain 4->3->2->1 + a 2-cycle
+        "child INT, parent INT",
+    )
+    got = {r["node"]: (r["root"], r["depth"]) for r in resolve_chain(edges, max_depth=6).collect()}
+    assert got[2] == (1, 1)
+    assert got[3] == (1, 2)
+    assert got[4] == (1, 3)
+    # cycle rows bottom out at max_depth (dead-letter candidates)
+    assert got[10][1] == 6 and got[11][1] == 6
