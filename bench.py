@@ -34,6 +34,9 @@ HEADLINE = (
     "simhash_near_dups",
     "ann_cosine_topk",
     "label_centroids",
+    "occurrence_cleaning_pipeline",
+    "user_sessions",
+    "multimodal_features",
 )
 
 

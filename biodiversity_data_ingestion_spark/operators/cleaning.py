@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.textfn import haversine_m
+from ..functions.textfn import EARTH_RADIUS_M, haversine_m
 from .dedup import keep_min_by
 
 
@@ -56,18 +56,76 @@ def centroid_distance_filter(
     c_lon: str = "c_lon",
     max_dist_m: float = 5000.0,
 ) -> DataFrame:
-    """P9: drop a point if it lies within max_dist_m of ANY centroid.
-
-    Broadcast the (small) centroid table, compute native-SQL haversine,
-    and anti-join on the 'too close' matches — the whole predicate stays
-    in whole-stage codegen; no Python loop per record
+    """P9: drop a point if it lies within max_dist_m of ANY centroid
     (cleaning_occs.py:130-152 semantics, R=6371000 at :120).
+
+    A bare distance theta-join is a nested-loop (|points| x |centroids|
+    haversine evaluations — quadratic, a non-starter at scale). Instead:
+    GRID-BLOCKED spatial join. Both sides are keyed to lat/lon grid
+    cells sized so any pair within max_dist_m shares a candidate cell;
+    centroids are exploded to their reachable neighbor cells (latitude
+    span is exact: dphi <= d/R; longitude span uses the haversine bound
+    sin(dlambda/2) <= sin(d/2R)/sqrt(cos(phi_c) cos(phi_p)), capped at
+    the full circle near the poles). The anti-join is then HASH-based on
+    the cell key with the exact haversine as residual condition — no
+    false negatives, candidate count ~ density x neighborhood.
     """
-    return points.join(
-        F.broadcast(centroids),
-        haversine_m(F.col(lat), F.col(lon), F.col(c_lat), F.col(c_lon)) <= max_dist_m,
-        "left_anti",
+    import math as _math
+
+    cell_deg = max_dist_m / 111194.93  # 1 deg latitude in meters at R=6371000
+    n_lon = int(_math.ceil(360.0 / cell_deg))
+    half_d_rad = max_dist_m / (2.0 * EARTH_RADIUS_M)
+
+    def lat_cell(c: Column) -> Column:
+        return F.floor(c / F.lit(cell_deg)).cast("long")
+
+    def lon_cell(c: Column) -> Column:
+        idx = F.floor(c / F.lit(cell_deg)).cast("long")
+        return ((idx % n_lon) + n_lon) % n_lon
+
+    pts = points.withColumn("__plat_c", lat_cell(F.col(lat))).withColumn(
+        "__plon_c", lon_cell(F.col(lon))
     )
+
+    # explode each centroid to its +-1 latitude bands x reachable lon cells
+    cents = centroids.select(c_lat, c_lon).withColumn(
+        "__dl", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    )
+    band_lat = lat_cell(F.col(c_lat)) + F.col("__dl")
+    # worst-case |latitude| inside this band (degrees), for the cos bound
+    band_abs = F.least(
+        F.greatest(F.abs(band_lat * F.lit(cell_deg)), F.abs((band_lat + 1) * F.lit(cell_deg))),
+        F.lit(89.999),
+    )
+    cos_bound = F.sqrt(
+        F.greatest(
+            F.cos(F.radians(F.least(F.abs(F.col(c_lat)), F.lit(89.999))))
+            * F.cos(F.radians(band_abs)),
+            F.lit(1e-12),
+        )
+    )
+    dlam_rad = 2.0 * F.asin(F.least(F.lit(1.0), F.lit(_math.sin(half_d_rad)) / cos_bound))
+    span = F.least(
+        F.ceil(F.degrees(dlam_rad) / F.lit(cell_deg)).cast("long"), F.lit(n_lon // 2)
+    )
+    cents = cents.select(
+        c_lat,
+        c_lon,
+        band_lat.alias("__clat_c"),
+        F.explode(F.sequence(-span, span)).alias("__k"),
+    ).select(
+        c_lat,
+        c_lon,
+        "__clat_c",
+        (((lon_cell(F.col(c_lon)) + F.col("__k")) % n_lon + n_lon) % n_lon).alias("__clon_c"),
+    )
+
+    too_close = (
+        (F.col("__plat_c") == F.col("__clat_c"))
+        & (F.col("__plon_c") == F.col("__clon_c"))
+        & (haversine_m(F.col(lat), F.col(lon), F.col(c_lat), F.col(c_lon)) <= max_dist_m)
+    )
+    return pts.join(F.broadcast(cents), too_close, "left_anti").drop("__plat_c", "__plon_c")
 
 
 def dedup_best_coordinate(

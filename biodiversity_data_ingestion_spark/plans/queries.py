@@ -1716,6 +1716,106 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 55. annotation_merge — J3/J4 full-outer merge of two annotation summaries
+
+def _annotation_merge(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    climate = li.groupBy(F.col("l_orderkey").alias("accession")).agg(
+        F.round(F.avg("l_quantity"), 2).alias("clim_mean_qty")
+    )
+    biogeo = (
+        o.where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("accession"), F.col("o_orderpriority").alias("biogeo_realm"))
+    )
+    return joins.full_outer_merge(climate, biogeo, "accession")
+
+
+_register(
+    "annotation_merge",
+    _annotation_merge,
+    """
+    SELECT coalesce(c.accession, b.accession) AS accession,
+           c.clim_mean_qty, b.biogeo_realm
+    FROM (SELECT l_orderkey AS accession, round(avg(l_quantity), 2) AS clim_mean_qty
+          FROM lineitem GROUP BY l_orderkey) c
+    FULL OUTER JOIN
+         (SELECT o_orderkey AS accession, o_orderpriority AS biogeo_realm
+          FROM orders WHERE o_orderstatus = 'F') b
+      ON c.accession = b.accession
+    """,
+    "SURVEY §2.3 J3/J4 climate⋈biogeo full-outer merge; spatial_annotation_pipeline.py:62-69,98-104",
+)
+
+# ---------------------------------------------------------------------------
+# 56. customer_record_merge — A8 list-merge + set-union per parent
+
+def _customer_record_merge(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.col("l_linenumber").cast("string")).alias("lines")
+    )
+    joined = o.join(per_order, o.o_orderkey == per_order.l_orderkey, "left")
+    # A8: concat child lists across a parent's records; set + OR folds
+    return joined.groupBy("o_custkey").agg(
+        F.size(F.flatten(F.collect_list("lines"))).cast("long").alias("n_all_lines"),
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("statuses"),
+        F.max(F.col("o_totalprice") > 200000.0).alias("any_big_order"),
+    )
+
+
+_register(
+    "customer_record_merge",
+    _customer_record_merge,
+    """
+    SELECT o_custkey,
+           count(l_linenumber) AS n_all_lines,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+           bool_or(o_totalprice > 200000.0) AS any_big_order
+    FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_custkey
+    """,
+    "SURVEY §2.4 A8 list-merge/set-union/OR-fold per taxon; common_functions.py:38-75",
+)
+
+# ---------------------------------------------------------------------------
+# 57. article_lists_special_case — A16 per-key list w/ keep-first override
+
+def _article_lists(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_list(F.col("o_orderkey").cast("string"))).alias("articles")
+    )
+    # the reference pins taxon 1594315 to its first article only
+    # (biodiversity_metadata_dag.py:80-84) — same shape: custkey % 1000 == 7
+    return per_cust.select(
+        "o_custkey",
+        F.when(F.col("o_custkey") % 1000 == 7, F.slice("articles", 1, 1))
+        .otherwise(F.col("articles"))
+        .alias("articles"),
+    ).select("o_custkey", F.array_join("articles", ",").alias("articles"))
+
+
+_register(
+    "article_lists_special_case",
+    _article_lists,
+    """
+    WITH l AS (
+        SELECT o_custkey,
+               list_sort(list(CAST(o_orderkey AS VARCHAR))) AS articles
+        FROM orders GROUP BY o_custkey)
+    SELECT o_custkey,
+           array_to_string(
+               CASE WHEN o_custkey % 1000 = 7 THEN articles[1:1] ELSE articles END,
+               ',') AS articles
+    FROM l
+    """,
+    "SURVEY §2.4 A16 genome-notes per-taxon lists + slice special case; import_genome_notes.py:300-318",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

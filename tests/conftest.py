@@ -13,3 +13,11 @@ def spark():
     s = get_spark(app_name="bdi-tests", shuffle_partitions=8)
     yield s
     s.stop()
+
+
+@pytest.fixture(scope="session")
+def spark_prop():
+    # few-partition session for hypothesis property tests (many tiny jobs)
+    s = get_spark(app_name="bdi-props", shuffle_partitions=2)
+    yield s
+

@@ -1,0 +1,135 @@
+"""Property-based checks (SURVEY §5.4): invariants the reference relies
+on implicitly, verified over generated inputs."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from biodiversity_data_ingestion_spark.operators import cleaning, dedup
+from biodiversity_data_ingestion_spark.operators.classify import classify
+
+from .conftest import SF_DIR
+
+coord = st.one_of(
+    st.floats(min_value=-200, max_value=200, allow_nan=False),
+    st.just(0.0),
+)
+rows = st.lists(
+    st.tuples(st.integers(0, 99), coord, coord, st.floats(0, 9000, allow_nan=False)),
+    min_size=0,
+    max_size=30,
+)
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@given(data=rows)
+@settings(**_SETTINGS)
+def test_cleaning_filters_idempotent_and_order_free(spark_prop, data):
+    df = spark_prop.createDataFrame(
+        data or [(0, 1.0, 1.0, 2000.0)],
+        "id INT, lat DOUBLE, lon DOUBLE, unc DOUBLE",
+    )
+
+    def chain_a(d):
+        d = cleaning.drop_zero_coords(d, "lat", "lon")
+        d = cleaning.drop_out_of_range(d, "lat", "lon")
+        return cleaning.filter_uncertainty(d, "unc")
+
+    def chain_b(d):  # different order
+        d = cleaning.filter_uncertainty(d, "unc")
+        d = cleaning.drop_out_of_range(d, "lat", "lon")
+        return cleaning.drop_zero_coords(d, "lat", "lon")
+
+    once = {tuple(r) for r in chain_a(df).collect()}
+    twice = {tuple(r) for r in chain_a(chain_a(df)).collect()}
+    reordered = {tuple(r) for r in chain_b(df).collect()}
+    assert once == twice == reordered
+
+
+@given(data=st.lists(st.tuples(st.integers(0, 50), st.sampled_from("abcd")), max_size=30))
+@settings(**_SETTINGS)
+def test_classify_partitions_input(spark_prop, data):
+    df = spark_prop.createDataFrame(data or [(0, "a")], "id INT, kind STRING")
+    routed = classify(
+        df,
+        [(F.col("kind") == "a", "alpha"), (F.col("kind").isin("b", "c"), "bc")],
+        default="other",
+    )
+    # categories are exhaustive & disjoint: branch row counts sum to input
+    n = df.count()
+    counts = {r["category"]: r["count"] for r in routed.groupBy("category").count().collect()}
+    assert sum(counts.values()) == n
+    assert routed.where(F.col("category").isNull()).count() == 0
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5), st.integers(0, 1000)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_dedup_output_keys_unique_and_minimal(spark_prop, data):
+    df = spark_prop.createDataFrame(data, "k INT, unc INT, seq INT")
+    out = dedup.keep_min_by(df, ["k"], [F.col("unc").asc(), F.col("seq").asc()])
+    rows_ = out.collect()
+    keys = [r["k"] for r in rows_]
+    assert len(keys) == len(set(keys))  # one row per key
+    best = {}
+    for k, unc, seq in data:
+        if k not in best or (unc, seq) < best[k]:
+            best[k] = (unc, seq)
+    assert {(r["k"], (r["unc"], r["seq"])) for r in rows_} == set(best.items())
+
+
+def test_view_layer_registers_and_answers(spark):
+    from biodiversity_data_ingestion_spark.plans.views import register_all_views
+
+    names = register_all_views(spark, SF_DIR)
+    for v in names:
+        assert spark.sql(f"SELECT * FROM {v}").count() > 0
+    # views compose: SQL over a view
+    n = spark.sql(
+        "SELECT count(*) AS n FROM v_table_data WHERE r_name IS NOT NULL"
+    ).collect()[0]["n"]
+    assert n > 0
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 10_000),
+                  st.floats(-89, 89, allow_nan=False),
+                  st.floats(-179.9, 179.9, allow_nan=False)),
+        min_size=1, max_size=25,
+    ),
+    cents=st.lists(
+        st.tuples(st.floats(-89, 89, allow_nan=False),
+                  st.floats(-179.9, 179.9, allow_nan=False)),
+        min_size=1, max_size=6,
+    ),
+    dist=st.sampled_from([5_000.0, 300_000.0, 2_000_000.0]),
+)
+@settings(**_SETTINGS)
+def test_grid_centroid_filter_matches_brute_force(spark_prop, pts, cents, dist):
+    from biodiversity_data_ingestion_spark.functions.textfn import haversine_m
+
+    p = spark_prop.createDataFrame(pts, "id LONG, lat DOUBLE, lon DOUBLE")
+    c = spark_prop.createDataFrame(cents, "c_lat DOUBLE, c_lon DOUBLE")
+    grid = {r["id"] for r in cleaning.centroid_distance_filter(p, c, max_dist_m=dist).collect()}
+    brute = {
+        r["id"]
+        for r in p.join(
+            c,
+            haversine_m(F.col("lat"), F.col("lon"), F.col("c_lat"), F.col("c_lon")) <= dist,
+            "left_anti",
+        ).collect()
+    }
+    assert grid == brute
