@@ -168,6 +168,7 @@ def grid_zonal_stats(
     radius_m: str,
     variables: list[str],
     out_prefix: str = "clim_",
+    conversions: dict[str, str] | None = None,
 ) -> DataFrame:
     """P11: zonal mean of raster variables over the buffer disk.
 
@@ -198,12 +199,25 @@ def grid_zonal_stats(
         # (reference transforms.py:576-596) on a real deployment.
         return np.sin(np.floor(la) + k) + np.cos(np.floor(lo) - k)
 
+    conv = conversions or {}
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             la = pdf[lat].to_numpy(dtype=np.float64)
             lo = pdf[lon].to_numpy(dtype=np.float64)
             for v, k in var_ks.items():
-                pdf[f"{out_prefix}{v}"] = np.round(_cell_value(la, lo, k), 2)
+                raw = _cell_value(la, lo, k)
+                # CHELSA unit conversions (transforms.py:598-606): temp
+                # vars x0.1 - 273.15 round 2; precip x0.1 round 0 (int);
+                # raw vars round 2
+                kind = conv.get(v, "raw")
+                if kind == "temp":
+                    out = np.round(raw * 0.1 - 273.15, 2)
+                elif kind == "precip":
+                    out = np.round(raw * 0.1, 0)
+                else:
+                    out = np.round(raw, 2)
+                pdf[f"{out_prefix}{v}"] = out
             yield pdf
 
     return fan_out(df).mapInPandas(kernel, schema=out_schema)

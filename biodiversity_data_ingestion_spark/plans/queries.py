@@ -1093,9 +1093,14 @@ def _climate_zonal(spark, sf_dir):
         f"{_LAT % {'k': 'c_custkey', 'off': '0.15'}} AS lat",
         f"{_LON % {'k': 'c_custkey', 'off': '0.15'}} AS lon",
     )
-    return grid_zonal_stats(pts, "lat", "lon", "radius_m", ["bio1", "bio2", "bio3"]).select(
-        "c_custkey", "clim_bio1", "clim_bio2", "clim_bio3"
-    )
+    return grid_zonal_stats(
+        pts,
+        "lat",
+        "lon",
+        "radius_m",
+        ["bio1", "bio2", "bio3"],
+        conversions={"bio1": "temp", "bio2": "precip", "bio3": "raw"},
+    ).select("c_custkey", "clim_bio1", "clim_bio2", "clim_bio3")
 
 
 _register(
@@ -1108,8 +1113,8 @@ _register(
                {_LON % {'k': 'c_custkey', 'off': '0.15'}} AS lon
         FROM customer)
     SELECT c_custkey,
-           round(sin(floor(lat) + 0) + cos(floor(lon) - 0), 2) AS clim_bio1,
-           round(sin(floor(lat) + 1) + cos(floor(lon) - 1), 2) AS clim_bio2,
+           round((sin(floor(lat) + 0) + cos(floor(lon) - 0)) * 0.1 - 273.15, 2) AS clim_bio1,
+           round((sin(floor(lat) + 1) + cos(floor(lon) - 1)) * 0.1, 0) AS clim_bio2,
            round(sin(floor(lat) + 2) + cos(floor(lon) - 2), 2) AS clim_bio3
     FROM pts
     """,
@@ -1812,6 +1817,110 @@ _register(
     FROM l
     """,
     "SURVEY §2.4 A16 genome-notes per-taxon lists + slice special case; import_genome_notes.py:300-318",
+)
+
+
+# ---------------------------------------------------------------------------
+# 58. stream_first_seen — custom stateful streaming dedup (J2's streaming
+# analogue): first event per user, emitted once across micro-batches via
+# applyInPandasWithState; oracle is the batch top-1 window
+
+def _stream_first_seen(spark, sf_dir):
+    from ..streaming.stateful import run_first_seen_over_events
+
+    return run_first_seen_over_events(spark, sf_dir)
+
+
+_register(
+    "stream_first_seen",
+    _stream_first_seen,
+    """
+    SELECT user_id, ts AS first_ts, event_id AS first_event_id
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+    """,
+    "engine extension §2.9: applyInPandasWithState first-seen gate (J2 streaming analogue)",
+)
+
+# ---------------------------------------------------------------------------
+# 59. nested_customer_doc — §1.1 two-level nested document table roundtrip
+
+def _nested_customer_doc(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    line_agg = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_linenumber")).alias("line_nums")
+    )
+    order_docs = (
+        o.join(line_agg, o.o_orderkey == F.col("l_orderkey"), "left")
+        .select(
+            "o_custkey",
+            F.struct(
+                "o_orderkey",
+                "o_totalprice",
+                F.coalesce("line_nums", F.array().cast("array<int>")).alias("line_nums"),
+            ).alias("order_doc"),
+        )
+    )
+    # two-level nested document: customer -> array<struct{..., array<int>}>
+    docs = c.join(
+        order_docs.groupBy("o_custkey").agg(F.collect_list("order_doc").alias("orders")),
+        c.c_custkey == F.col("o_custkey"),
+        "left",
+    )
+    # view layer: double explode back to long form + rollup
+    ex = docs.select(
+        "c_custkey", F.explode_outer("orders").alias("od")
+    ).select("c_custkey", "od.o_orderkey", F.explode_outer("od.line_nums").alias("ln"))
+    return ex.groupBy("c_custkey").agg(
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.count("ln").alias("n_lines"),
+    )
+
+
+_register(
+    "nested_customer_doc",
+    _nested_customer_doc,
+    """
+    SELECT c_custkey,
+           count(DISTINCT o_orderkey) AS n_orders,
+           count(l_linenumber) AS n_lines
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey
+    LEFT JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY c_custkey
+    """,
+    "SURVEY §1.1/§7.3 nested metadata table ergonomics: build 2-level ArrayType(StructType(ArrayType)) then explode_outer x2",
+)
+
+# ---------------------------------------------------------------------------
+# 60. user_props_map — §1.2 MapType handling (the characteristics shape)
+
+def _user_props_map(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    exploded = ev.select("event_id", "event_type", F.explode_outer(m).alias("key", "value"))
+    return exploded.groupBy("event_type", "key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("value").alias("n_distinct_values"),
+    )
+
+
+_register(
+    "user_props_map",
+    _user_props_map,
+    """
+    WITH kv AS (
+        SELECT event_id, event_type,
+               unnest(json_keys(props::JSON)) AS key,
+               json_extract_string(props::JSON, '$.' || unnest(json_keys(props::JSON))) AS value
+        FROM events)
+    SELECT event_type, key, count(*) AS n,
+           count(DISTINCT value) AS n_distinct_values
+    FROM kv GROUP BY event_type, key
+    """,
+    "SURVEY §1.2 MapType characteristics shape -> exploded long format; common_functions.py:8-22, samples_schema.py:6-15",
 )
 
 
