@@ -16,7 +16,7 @@ collect_list. Skewed keys are handled by AQE skew-join splitting.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -52,3 +52,104 @@ def full_outer_merge(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
     """J3/J4: full outer join keeping either side when the other is
     absent — the reference's dict-merge with empty-dict defaults."""
     return left.join(right, key, "full_outer")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    tie_col: str,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward as-of join: attach to each left row the LATEST right row
+    of the same key with ``right_ts <= left_ts`` (ties on the timestamp
+    broken by max ``tie_col``); left rows with no match keep nulls.
+
+    Engine extension (no as-of operator exists in the reference). The
+    naive formulation is an inequality join — a nested-loop at scale.
+    Instead both sides are tagged and unioned, and one
+    ``last(payload, ignoreNulls)`` runs over a key-partitioned window
+    ordered by (ts, side, tie): a single shuffle on the key, linear in
+    input, with right rows sorted before left rows at equal timestamps
+    so the boundary is inclusive.
+    """
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(None).cast(right.schema[tie_col].dataType).alias("_tie"),
+        F.struct(*left.columns).alias("_l"),
+        F.lit(1).alias("_side"),
+    )
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.col(tie_col).alias("_tie"),
+        F.struct(*right.columns).alias("_r"),
+        F.lit(0).alias("_side"),
+    )
+    l = l.withColumn("_r", F.lit(None).cast(r.schema["_r"].dataType))
+    r = r.withColumn("_l", F.lit(None).cast(l.schema["_l"].dataType))
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_tie").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        l.unionByName(r)
+        .withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+        .where(F.col("_side") == 1)
+    )
+    return matched.select(
+        *[F.col(f"_l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in right.columns],
+    )
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    before_seconds: int,
+    after_seconds: int = 0,
+    bin_seconds: int | None = None,
+) -> DataFrame:
+    """Inner range join: all (left, right) pairs with equal ``key`` and
+    ``right_ts`` within ``[left_ts - before, left_ts + after]``. Right
+    columns come back prefixed ``r_``.
+
+    Engine extension. A raw interval predicate would plan as a
+    broadcast-nested-loop join (O(n*m) comparisons). Here each left row
+    is exploded to the few coarse time buckets its window overlaps and
+    each right row to its own bucket, so Catalyst plans an equi-join on
+    (key, bucket) — shuffle-hash/SMJ, AQE-skew-splittable — and the
+    exact interval predicate only filters within candidate buckets.
+    Fan-out per left row is ceil(window/bin)+1 (default bin = window
+    width, i.e. at most 2 candidate buckets).
+    """
+    bin_seconds = bin_seconds or max(before_seconds + after_seconds, 1)
+    lsec = F.col(left_ts).cast("long")
+    l = left.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor((lsec - before_seconds) / bin_seconds),
+                F.floor((lsec + after_seconds) / bin_seconds),
+            )
+        ),
+    )
+    r = right.select(
+        F.col(key).alias("_rk"),
+        F.floor(F.col(right_ts).cast("long") / bin_seconds).alias("_rb"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns],
+    )
+    cond = (
+        (l[key] == r["_rk"])
+        & (l["_b"] == r["_rb"])
+        & (F.col(f"r_{right_ts}") >= F.col(left_ts) - F.expr(f"INTERVAL {before_seconds} SECOND"))
+        & (F.col(f"r_{right_ts}") <= F.col(left_ts) + F.expr(f"INTERVAL {after_seconds} SECOND"))
+    )
+    return l.join(r, cond, "inner").drop("_b", "_rk", "_rb")

@@ -1925,6 +1925,82 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 61. asof_prior_purchase — backward as-of join (engine extension): for
+# each click, the latest purchase by the same user at or before it
+
+def _asof_prior_purchase(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = joins.asof_join(clicks, purchases, "user_id", "ts", "ts", tie_col="event_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id").alias("prior_purchase_id"),
+        F.round("asof_value", 2).alias("prior_purchase_value"),
+    )
+
+
+_register(
+    "asof_prior_purchase",
+    _asof_prior_purchase,
+    """
+    SELECT c.event_id, c.user_id,
+           p.event_id AS prior_purchase_id,
+           round(p.value, 2) AS prior_purchase_value
+    FROM events c
+    LEFT JOIN events p
+      ON p.user_id = c.user_id AND p.event_type = 'purchase' AND p.ts <= c.ts
+    WHERE c.event_type = 'click'
+    QUALIFY row_number() OVER (
+        PARTITION BY c.event_id
+        ORDER BY p.ts DESC NULLS LAST, p.event_id DESC NULLS LAST) = 1
+    """,
+    "engine extension: as-of join via union + key-window last() — single shuffle, no inequality nested-loop",
+)
+
+# ---------------------------------------------------------------------------
+# 62. purchase_context_1h — binned range join (engine extension): events
+# of the same user in the hour before each purchase
+
+def _purchase_context_1h(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    pairs = joins.range_join_binned(
+        purchases,
+        ev.select("event_id", "user_id", "ts", "value"),
+        "user_id",
+        "ts",
+        "ts",
+        before_seconds=3600,
+    )
+    return pairs.groupBy("event_id").agg(
+        F.count("r_event_id").alias("n_events_1h"),
+        F.round(F.sum("r_value"), 2).alias("sum_value_1h"),
+    )
+
+
+_register(
+    "purchase_context_1h",
+    _purchase_context_1h,
+    """
+    SELECT p.event_id,
+           count(e.event_id) AS n_events_1h,
+           round(sum(e.value), 2) AS sum_value_1h
+    FROM events p
+    JOIN events e
+      ON e.user_id = p.user_id
+     AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+    "engine extension: bucketed range join — equi-join on (key, time-bin) candidates + exact interval filter",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
