@@ -29,6 +29,9 @@ def word_shingles(words: Column, n: int = 3) -> Column:
     Shingling is the unit step of MinHash / n-gram-Jaccard dedup
     (extension beyond the reference per BASELINE.json north star).
     """
+    # slice+array_join beats n element_at lookups here: consumers embed
+    # this expression many times (16 MinHash components), and the smaller
+    # tree keeps whole-stage codegen from falling back to interpreted mode
     grams = F.transform(
         F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
         lambda i: F.array_join(F.slice(words, i, n), " "),

@@ -73,6 +73,21 @@ def _doc_shingles(df: DataFrame, id_col: str, text: str, n: int) -> DataFrame:
     )
 
 
+def _explode_computed(df: DataFrame, keep: list[str], arr, alias: str) -> DataFrame:
+    """Explode a COMPUTED array column without re-evaluating it serially.
+
+    Plain ``explode`` triggers InferFiltersFromGenerate: Catalyst infers
+    ``size(arr) > 0 AND arr IS NOT NULL`` and pushes that filter below
+    the fan-out exchange — evaluating the (expensive) array expression
+    twice per row on the unparallelized scan side. ``explode_outer``
+    infers nothing; the trailing null-filter on the OUTPUT column
+    restores inner-explode semantics at negligible cost.
+    """
+    return df.select(*keep, F.explode_outer(arr).alias(alias)).where(
+        F.col(alias).isNotNull()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -92,34 +107,36 @@ def ngram_jaccard_pairs(
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
-    sh = _doc_shingles(df, id_col, text, n)
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    if max_doc_freq is not None:
-        inv = (
-            inv.withColumn(
-                "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-            )
-            .where(F.col("df") <= max_doc_freq)
-            .drop("df")
-        )
-    # the exploded inverted index is |docs| x |shingles| rows — Catalyst's
-    # file-based size estimate would broadcast it; force a shuffled join
-    # (co-partitioned on shingle), which is the only shape that survives
-    # scale-up
-    inv = inv.hint("shuffle_hash")
-    a = inv.alias("a")
-    b = inv.alias("b")
-    shared = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
+    # bucket-list formulation: ZERO joins. The doc-size rides along inside
+    # the bucket structs, so the shingling runs exactly once and the whole
+    # computation is two shuffles (groupBy shingle, groupBy pair). The
+    # earlier self-join shape computed the shingling three times (both
+    # join sides + the sizes branch) and shuffled the index twice.
+    sh = _doc_shingles(df, id_col, text, n).withColumn("n_sh", F.size("shingles"))
+    inv = _explode_computed(sh, ["doc_id", "n_sh"], "shingles", "shingle")
+    buckets = inv.groupBy("shingle").agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("docs")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    if max_doc_freq is not None:
+        buckets = buckets.where(F.size("docs") <= max_doc_freq)
+    docs = F.col("docs")
+    # ordered pairs within a bucket (docs sorted by doc_id => doc_a < doc_b)
+    pair_arrays = F.transform(
+        docs,
+        lambda d, i: F.transform(
+            F.slice(docs, i + F.lit(2), F.size(docs)),
+            lambda e: F.struct(
+                d["doc_id"].alias("doc_a"),
+                e["doc_id"].alias("doc_b"),
+                d["n_sh"].alias("na"),
+                e["n_sh"].alias("nb"),
+            ),
+        ),
+    )
+    pairs = buckets.select(F.explode(F.flatten(pair_arrays)).alias("p")).select("p.*")
     return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pairs.groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("shared"))
         .withColumn(
             "jaccard",
             F.round(
@@ -216,8 +233,10 @@ def simhash64(df: DataFrame, id_col: str, text: str) -> DataFrame:
 
     Token hash = first 8 hex chars of md5 -> 32-bit int (via conv); each
     bit contributes +1/-1 weighted by token frequency; fingerprint bit =
-    sign of the sum. Pure expressions: explode tokens -> groupBy doc ->
-    per-bit conditional sums. One shuffle on doc_id.
+    sign of the sum. Explode tokens -> groupBy doc -> per-bit conditional
+    sums (one shuffle on doc_id; hash-aggregated, codegen'd — measured
+    faster than the per-row 32-lambda-filter formulation, whose
+    interpreted higher-order functions rescan the array per bit).
     """
     toks = fan_out(df).select(
         F.col(id_col).alias("doc_id"),
