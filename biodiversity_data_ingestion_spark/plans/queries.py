@@ -2001,6 +2001,75 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 63. ivf_topk_exhaustive — IVF with every bucket probed: must equal the
+# exact brute-force top-k, so the whole IVF machinery (centroid build,
+# probe routing, bucket-pruned rerank) lands in the hash-matched gate
+
+def _ivf_topk_exhaustive(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb.where(F.col("vec_id") >= 5),
+        emb.where(F.col("vec_id") < 5),
+        k=10,
+        n_probe=10,  # = |labels| in the fixture -> recall 1.0 by construction
+    )
+
+
+_register(
+    "ivf_topk_exhaustive",
+    _ivf_topk_exhaustive,
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
+    s AS (
+        SELECT query_id, neighbor_id,
+               round({_ANN_DOT}
+                     / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                        * sqrt(list_sum(list_transform(cv, x -> x * x)))), 6) AS cos_sim
+        FROM q, c)
+    SELECT query_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM s
+    QUALIFY rank <= 10
+    """,
+    "north star: IVF ANN with full probe == exact top-k (oracle-checked recall-1 case)",
+)
+
+# ---------------------------------------------------------------------------
+# 64. salted_type_counts — two-phase salted aggregation for hot keys
+# (the skew story the reference left as a TODO) — result must be
+# IDENTICAL to the plain groupBy
+
+def _salted_type_counts(spark, sf_dir):
+    from ..functions.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("count", F.lit(1)),
+            "min_event_id": ("min", F.col("event_id")),
+            "max_event_id": ("max", F.col("event_id")),
+        },
+        salt_buckets=32,
+    )
+
+
+_register(
+    "salted_type_counts",
+    _salted_type_counts,
+    """
+    SELECT event_type, count(*) AS n_events,
+           min(event_id) AS min_event_id,
+           max(event_id) AS max_event_id
+    FROM events GROUP BY event_type
+    """,
+    "skew mitigation (reference TODO cleaning_occs_pipeline.py:74): salted two-phase agg == plain groupBy",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
