@@ -25,17 +25,32 @@ from pyspark.sql import functions as F
 def distribution_stats(
     df: DataFrame, keys: list[str], value: str, ndigits: int = 2
 ) -> DataFrame:
-    """A3: {mean, sd(pop), median, p5, p95, min, max} rounded, per key."""
+    """A3: {mean, sd(pop), median, p5, p95, min, max} rounded, per key.
+
+    The three exact percentiles are computed from ONE percentile buffer
+    (array argument) — three separate percentile() aggregates would each
+    build their own per-group value-count map, tripling the dominant
+    memory/CPU cost of this aggregation.
+    """
     v = F.col(value)
-    return df.groupBy(*keys).agg(
+    agg = df.groupBy(*keys).agg(
         F.round(F.avg(v), ndigits).alias("mean"),
         F.round(F.stddev_pop(v), ndigits).alias("sd"),
-        F.round(F.percentile(v, F.lit(0.5)), ndigits).alias("median"),
-        F.round(F.percentile(v, F.lit(0.05)), ndigits).alias("p5"),
-        F.round(F.percentile(v, F.lit(0.95)), ndigits).alias("p95"),
+        F.percentile(v, F.array(F.lit(0.5), F.lit(0.05), F.lit(0.95))).alias("_pcts"),
         F.round(F.min(v), ndigits).alias("min"),
         F.round(F.max(v), ndigits).alias("max"),
         F.count(v).alias("n"),
+    )
+    return agg.select(
+        *keys,
+        "mean",
+        "sd",
+        F.round(F.element_at("_pcts", 1), ndigits).alias("median"),
+        F.round(F.element_at("_pcts", 2), ndigits).alias("p5"),
+        F.round(F.element_at("_pcts", 3), ndigits).alias("p95"),
+        "min",
+        "max",
+        "n",
     )
 
 
