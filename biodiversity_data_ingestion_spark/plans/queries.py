@@ -2070,6 +2070,189 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 65. specimen_doc_projection — P2 characteristics flatten + P3 ES-doc
+# projection: per "specimen" (customer), derive a tracking status from the
+# presence of child records and flatten the child list of {text, unit}
+# structs into comma-joined strings (common_functions.py:8-22 shape)
+
+def _specimen_doc_projection(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    # child records as a sorted array of structs (sort key first so
+    # array_sort orders by it) — the BioSamples characteristics shape
+    ch = o.groupBy("o_custkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("o_orderkey").alias("k"),
+                    F.col("o_orderstatus").alias("text"),
+                    F.col("o_orderpriority").alias("unit"),
+                )
+            )
+        ).alias("characteristics")
+    )
+    docs = c.join(ch, c.c_custkey == ch.o_custkey, "left")
+    return docs.select(
+        F.col("c_custkey").alias("accession"),
+        F.when(F.col("characteristics").isNotNull(), F.lit("Raw Data"))
+        .otherwise(F.lit("Submitted"))
+        .alias("tracking_status"),
+        F.array_join(F.transform("characteristics", lambda x: x["text"]), ", ").alias(
+            "values_joined"
+        ),
+        F.array_join(F.transform("characteristics", lambda x: x["unit"]), ", ").alias(
+            "units_joined"
+        ),
+    )
+
+
+_register(
+    "specimen_doc_projection",
+    _specimen_doc_projection,
+    """
+    SELECT c_custkey AS accession,
+           CASE WHEN count(o_orderkey) > 0 THEN 'Raw Data' ELSE 'Submitted' END
+               AS tracking_status,
+           string_agg(o_orderstatus, ', ' ORDER BY o_orderkey) AS values_joined,
+           string_agg(o_orderpriority, ', ' ORDER BY o_orderkey) AS units_joined
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+    "SURVEY §2.2 P2 flatten (common_functions.py:8-22) + P3 ES-doc projection "
+    "incl. derived tracking_status (map_functions.py:63-131, :75-80)",
+)
+
+# ---------------------------------------------------------------------------
+# 66. supplier_lineage_enrichment — P5 enrichment via snapshot left join
+# with an error channel on lookup miss (S6: per-record REST replaced by a
+# pre-fetched dimension table; J6 broadcast)
+
+def _supplier_lineage_enrichment(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_nationkey") < 20)  # partial snapshot
+    r = _t(spark, sf_dir, "region")
+    snap = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey",
+        F.col("n_name").alias("lineage_nation"),
+        F.col("r_name").alias("lineage_region"),
+    )
+    out = s.join(F.broadcast(snap), s.s_nationkey == snap.n_nationkey, "left")
+    return out.select(
+        "s_suppkey",
+        F.coalesce("lineage_nation", F.lit("LOOKUP_ERROR")).alias("nation_name"),
+        F.coalesce("lineage_region", F.lit("LOOKUP_ERROR")).alias("region_name"),
+        F.when(F.col("lineage_nation").isNull(), F.lit("taxonomy lookup failed")).alias(
+            "error"
+        ),
+    )
+
+
+_register(
+    "supplier_lineage_enrichment",
+    _supplier_lineage_enrichment,
+    """
+    SELECT s_suppkey,
+           coalesce(n_name, 'LOOKUP_ERROR') AS nation_name,
+           coalesce(r_name, 'LOOKUP_ERROR') AS region_name,
+           CASE WHEN n_name IS NULL THEN 'taxonomy lookup failed' END AS error
+    FROM supplier
+    LEFT JOIN (SELECT * FROM nation WHERE n_nationkey < 20) pn
+           ON s_nationkey = pn.n_nationkey
+    LEFT JOIN region ON pn.n_regionkey = r_regionkey
+    """,
+    "SURVEY §2.2 P5 lineage enrichment w/ error fields (transforms.py:110-179) + "
+    "§2.1 S6 snapshot-join replacement for per-record REST; §2.3 J6 broadcast",
+)
+
+# ---------------------------------------------------------------------------
+# 67. provenance_requests — P14 request projection + P15 string-cast join
+# keys + S4 batched-terms lookup as an inner join (misses dropped) + URL
+# composition; P17 aliased field projection
+
+def _provenance_requests(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    req = o.select(  # P14: keep only the request triple
+        F.col("o_custkey").cast("string").alias("tax_id"),  # P15 str-cast key
+        F.col("o_orderkey").alias("accession"),
+        F.col("o_totalprice").alias("usage_key"),
+    )
+    snap = c.select(
+        F.col("c_custkey").cast("string").alias("tax_id"),
+        F.col("c_name").alias("organism"),
+    )
+    # S4 semantics: inner join — requests whose tax_id is absent are dropped
+    return req.join(snap, "tax_id").select(
+        "tax_id",
+        "accession",
+        F.concat(
+            F.lit("https://portal.example/data/"),
+            F.col("tax_id"),
+            F.lit("/"),
+            F.col("accession").cast("string"),
+        ).alias("portal_url"),
+        "organism",
+        F.round("usage_key", 2).alias("usage_key"),
+    )
+
+
+_register(
+    "provenance_requests",
+    _provenance_requests,
+    """
+    SELECT CAST(o_custkey AS VARCHAR) AS tax_id,
+           o_orderkey AS accession,
+           concat('https://portal.example/data/', CAST(o_custkey AS VARCHAR),
+                  '/', CAST(o_orderkey AS VARCHAR)) AS portal_url,
+           c_name AS organism,
+           round(o_totalprice, 2) AS usage_key
+    FROM orders JOIN customer ON CAST(o_custkey AS VARCHAR) = CAST(c_custkey AS VARCHAR)
+    """,
+    "SURVEY §2.2 P14 (helpers.py:168-177) + P15 str-cast keys (helpers.py:182-234) + "
+    "P17 aliased projection; §2.1 S4 terms-lookup join + URL composition "
+    "(transforms.py:937-1055)",
+)
+
+# ---------------------------------------------------------------------------
+# 68. qc_links_per_part — A15 defaultdict-append grouping: key -> sorted
+# list of composed links (tol-qc / images aggregation shape)
+
+def _qc_links_per_part(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    urls = li.select(
+        "l_partkey",
+        F.concat(
+            F.lit("https://qc.example/"),
+            F.col("l_orderkey").cast("string"),
+            F.lit("/"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("url"),
+    )
+    return urls.groupBy("l_partkey").agg(
+        F.array_join(F.array_sort(F.collect_list("url")), ",").alias("qc_links"),
+        F.count(F.lit(1)).alias("n_links"),
+    )
+
+
+_register(
+    "qc_links_per_part",
+    _qc_links_per_part,
+    """
+    SELECT l_partkey,
+           string_agg(concat('https://qc.example/', CAST(l_orderkey AS VARCHAR),
+                             '/', CAST(l_linenumber AS VARCHAR)), ','
+                      ORDER BY concat('https://qc.example/', CAST(l_orderkey AS VARCHAR),
+                                      '/', CAST(l_linenumber AS VARCHAR))) AS qc_links,
+           count(*) AS n_links
+    FROM lineitem
+    GROUP BY l_partkey
+    """,
+    "SURVEY §2.4 A15 per-key link-list aggregation (import_tol_qc.py:26-43, "
+    "import_images.py:27-44); §2.7 U5 set/list collection",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
