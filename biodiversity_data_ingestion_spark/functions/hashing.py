@@ -50,7 +50,27 @@ def portable_min_hash(shingles: Column, seed: int) -> Column:
     estimator (Broder 1997); using the hex string order keeps it portable
     across engines. Computed per-row with array_min — no shuffle at all
     for the signature stage.
+
+    NOTE: `minhash_signatures` no longer calls this per component — one
+    md5 pass per component is 4x the hashing cost of the chunked scheme
+    below (`seeded_md5_array` + `chunk_min`). Kept as the single-component
+    reference implementation.
     """
     return F.array_min(
         F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
     )
+
+
+def seeded_md5_array(shingles: Column, seed: int) -> Column:
+    """md5('<seed>:' || s) for every shingle — ONE hash pass whose 32 hex
+    chars carry four independent 32-bit (8-hex-char) uniform hashes."""
+    return F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
+
+
+def chunk_min(hashes: Column, chunk: int) -> Column:
+    """MinHash component from pre-computed hashes: min over the chunk-th
+    8-hex slice of each hash. Fixed-length lowercase hex compares
+    lexicographically == numerically, identically in Spark and DuckDB, so
+    the component (and any LSH bucket built from it) is oracle-portable.
+    """
+    return F.array_min(F.transform(hashes, lambda h: F.substring(h, 1 + 8 * chunk, 8)))

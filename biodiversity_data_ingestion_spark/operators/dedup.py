@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import portable_min_hash, word_shingles
+from ..functions.hashing import chunk_min, seeded_md5_array, word_shingles
 from ..functions.partitioning import fan_out
 from ..functions.textfn import tokenize
 
@@ -85,6 +85,24 @@ def _explode_computed(df: DataFrame, keep: list[str], arr, alias: str) -> DataFr
     """
     return df.select(*keep, F.explode_outer(arr).alias(alias)).where(
         F.col(alias).isNotNull()
+    )
+
+
+def _ordered_pairs(docs) -> Column:
+    """All ordered pairs (i < j) from a sorted array column of structs,
+    as an array of {a, b} structs. The pair-explosion step of the
+    join-free bucket-list candidate generators: grouping a (bucket ->
+    members) inverted index and exploding pairs inside each bucket costs
+    ONE shuffle and evaluates the upstream (shingling / fingerprinting)
+    exactly once, where a bucket self-join evaluates it once per side."""
+    return F.flatten(
+        F.transform(
+            docs,
+            lambda d, i: F.transform(
+                F.slice(docs, i + F.lit(2), F.size(docs)),
+                lambda e: F.struct(d.alias("a"), e.alias("b")),
+            ),
+        )
     )
 
 
@@ -151,16 +169,28 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, id_col: str, text: str, n: int = 3, num_hashes: int = 16
 ) -> DataFrame:
-    """Per-doc MinHash signature: num_hashes md5-min components.
+    """Per-doc MinHash signature: num_hashes md5-derived min components.
 
-    Entirely per-row expressions (array_min over transform) — ZERO
-    shuffle; scales linearly and embarrassingly parallel.
+    Component i = min over the (i%4)-th 8-hex slice of
+    md5('<i//4>:' || shingle): ONE md5 per shingle yields four independent
+    32-bit components, so 16 components cost 4 hash passes instead of 16 —
+    md5 is the dominant cost of the signature stage (measured ~4x at
+    sf0.1). The hash arrays are materialized in their own projection;
+    CollapseProject leaves a non-cheap alias referenced 4x alone, so each
+    md5 pass runs exactly once per row. Entirely per-row expressions —
+    ZERO shuffle; scales linearly and embarrassingly parallel.
     """
     sh = _doc_shingles(df, id_col, text, n)
+    n_groups = -(-num_hashes // 4)
+    with_hashes = sh.select(
+        "doc_id",
+        "shingles",
+        *[seeded_md5_array(F.col("shingles"), g).alias(f"_h{g}") for g in range(n_groups)],
+    )
     sig_cols = [
-        portable_min_hash(F.col("shingles"), i).alias(f"mh{i}") for i in range(num_hashes)
+        chunk_min(F.col(f"_h{i // 4}"), i % 4).alias(f"mh{i}") for i in range(num_hashes)
     ]
-    return sh.select("doc_id", F.col("shingles"), *sig_cols)
+    return with_hashes.select("doc_id", "shingles", *sig_cols)
 
 
 def minhash_lsh_pairs(
@@ -197,32 +227,44 @@ def minhash_lsh_pairs(
         ]
     )
     # candidate generation over (doc_id, bucket) ONLY — the shingle arrays
-    # never enter the bucket self-join (at scale they dominate the bytes;
-    # a bucket row is ~40 B vs ~KBs of shingles)
+    # never enter the bucket grouping (at scale they dominate the bytes;
+    # a bucket row is ~40 B vs ~KBs of shingles). Join-free bucket-list
+    # shape: group members per bucket and pair-explode inside, so the
+    # signature stage runs ONCE (a bucket self-join evaluates it per
+    # side). Exact-duplicate clusters make maximal buckets — route exact
+    # dups through dedup_exact first on a real corpus.
     buckets = sig.select("doc_id", F.explode(bands).alias("bucket"))
-    a, b = buckets.alias("a"), buckets.alias("b")
+    member_lists = buckets.groupBy("bucket").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("docs")
+    )
     cand = (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        member_lists.select(F.explode(_ordered_pairs(F.col("docs"))).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
     )
-    # exact-Jaccard verification: join the shingle sets back by doc id, so
-    # array bytes shuffled ∝ docs appearing in candidate pairs, not buckets.
-    # shuffle_hash hint: Catalyst's size estimate derives from the (tiny)
-    # parquet file and would BROADCAST the computed shingle arrays — a
-    # single-threaded build of a many-MB hashed relation, and a
-    # non-starter at 100 TB. A shuffled hash join keeps the arrays
-    # partitioned and parallel.
+    # exact-Jaccard verification: melt each pair into two (pair, doc_id)
+    # legs and join the shingle sets back with ONE join, so the shingling
+    # runs once and full-corpus array bytes are shuffled once (the
+    # two-joins-by-side shape shuffles them twice). shuffle_hash hint:
+    # Catalyst's size estimate derives from the (tiny) parquet file and
+    # would BROADCAST the computed shingle arrays — a single-threaded
+    # build of a many-MB hashed relation, and a non-starter at 100 TB.
+    legs = cand.select(
+        "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    )
     sh = sig.select("doc_id", "shingles").hint("shuffle_hash")
-    cand = cand.join(
-        sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a"
-    ).join(
-        sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b"
+    sides = legs.join(sh, "doc_id").groupBy("doc_a", "doc_b").agg(
+        F.first(
+            F.when(F.col("doc_id") == F.col("doc_a"), F.col("shingles")), ignorenulls=True
+        ).alias("sh_a"),
+        F.first(
+            F.when(F.col("doc_id") == F.col("doc_b"), F.col("shingles")), ignorenulls=True
+        ).alias("sh_b"),
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cand.withColumn("jaccard", F.round(inter / union, 6))
+        sides.withColumn("jaccard", F.round(inter / union, 6))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -265,6 +307,13 @@ def simhash_near_pairs(
     bits. Candidate generation blocks on 4 x 8-bit bands (a pair within
     Hamming distance 3 of 32 bits must agree exactly on >=1 of 4 bands) —
     the standard pigeonhole trick, so no O(n^2) compare at scale.
+
+    Join-free: fingerprints are grouped into (block -> members) lists and
+    paired inside each block, so simhash64 (explode + 32-bit-sum shuffle,
+    the dominant cost) runs exactly once; the 8-byte fingerprint rides
+    along in the member struct, making verification in-place — the whole
+    operator is the fingerprint shuffle + two small shuffles over
+    (block, doc_id, fp) tuples and candidate pairs.
     """
     fps = simhash64(df, id_col, text)
     bands = F.array(
@@ -276,14 +325,24 @@ def simhash_near_pairs(
         ]
     )
     blocked = fps.select("doc_id", "simhash", F.explode(bands).alias("block"))
-    a, b = blocked.alias("a"), blocked.alias("b")
+    member_lists = blocked.groupBy("block").agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("docs")
+    )
+    # 8-bit bands mean <=1024 distinct blocks: the grouped relation is
+    # BYTES-tiny but its pair explosion is CPU-quadratic per block, so
+    # AQE's byte-based coalescing would serialize it onto one task —
+    # explicit round-robin repartition restores parallelism (safe: set
+    # semantics downstream, dropDuplicates + filter).
+    member_lists = member_lists.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
     pairs = (
-        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        member_lists.select(F.explode(_ordered_pairs(F.col("docs"))).alias("p"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("h_a"),
-            F.col("b.simhash").alias("h_b"),
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.a.simhash").alias("h_a"),
+            F.col("p.b.simhash").alias("h_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )

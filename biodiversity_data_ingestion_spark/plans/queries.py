@@ -769,9 +769,13 @@ _register(
         SELECT doc_id, {_DD_SHINGLES} AS shingles
         FROM (SELECT doc_id, {_DD_WORDS} AS w FROM documents)),
     sig AS (
+        -- component 4*g+j = min over the j-th 8-hex slice of
+        -- md5(g || ':' || shingle) — mirrors the engine's chunked scheme
         SELECT doc_id, shingles,
-               list_transform(generate_series(0, 15),
-                   k -> list_min(list_transform(shingles, s -> md5(k::VARCHAR || ':' || s)))) AS mh
+               flatten(list_transform(generate_series(0, 3),
+                   g -> list_transform(generate_series(0, 3),
+                       j -> list_min(list_transform(shingles,
+                            s -> substring(md5(g::VARCHAR || ':' || s), 1 + 8*j, 8)))))) AS mh
         FROM sh),
     bands AS (
         SELECT doc_id, shingles,
