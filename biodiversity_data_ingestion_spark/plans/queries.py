@@ -168,7 +168,8 @@ _register(
         WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01'
     )
     """,
-    "SURVEY §2.3 J2 gate anti-join; taxonomy_pipeline.py:39-62, helpers.py:237-271",
+    "SURVEY §2.3 J2 gate anti-join + §2.7 U3 set difference; "
+    "taxonomy_pipeline.py:39-62, helpers.py:237-271",
 )
 
 # ---------------------------------------------------------------------------
@@ -314,7 +315,8 @@ _ORDER_DIMS_SQL = """
 _register(
     "order_priority_dims",
     *_sql_query(_ORDER_DIMS_SQL, ("orders",)),
-    ref="SURVEY §2.4 A10; biodiversity_metadata_dag.py:391-438 (metadata_aggregated view)",
+    ref="SURVEY §2.4 A10 + §2.7 U4 (NULL-typed filter columns stitched with "
+    "UNION ALL); biodiversity_metadata_dag.py:391-438 (metadata_aggregated view)",
 )
 
 # ---------------------------------------------------------------------------
@@ -1785,7 +1787,9 @@ _register(
     FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_custkey
     """,
-    "SURVEY §2.4 A8 list-merge/set-union/OR-fold per taxon; common_functions.py:38-75",
+    "SURVEY §2.4 A8 list-merge/set-union/OR-fold per taxon "
+    "(common_functions.py:38-75) + A9 distinct-set and struct-list collection "
+    "per taxon (map_functions.py:552-569)",
 )
 
 # ---------------------------------------------------------------------------

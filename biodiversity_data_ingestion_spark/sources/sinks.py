@@ -12,6 +12,10 @@
 - date-versioned output dirs + "current" pointer + N-2 cleanup — the
   reference's index/alias swap (airflow/dags/biodiversity_metadata_dag
   .py:246-329) re-expressed as directory versions.
+- S11 driver-side object dumps feeding S1 (airflow/dags/
+  biodiversity_metadata_dag.py:46-86, biodiversity_data_dag.py:44-68):
+  ingestion-script writes, in-engine simply `write_jsonl` below — the
+  snapshot tables they produce are this engine's fixture inputs.
 
 Scale notes: S8's manual tmp-then-rename disappears into Spark's task
 commit protocol. partitionBy(key) writes one directory per key — at

@@ -6,6 +6,9 @@ Mirrors the reference's sources re-expressed as columnar scans:
   filters into the scan.
 - S5 BigQuery query scan (data_ingestion/src/dependencies/taxonomy_pipeline.py:43-52)
   -> `load_table(...).where(...).select(...).distinct()`.
+- O1 source-side sort + search_after pagination (transforms.py:62,98-107)
+  is moot under a parallel scan: there is no paging cursor to order by;
+  ordering appears only at declared output sorts (O3).
 
 Scale: each table is a plain directory scan; on a cluster the same code
 reads partitioned/bucketed layouts unchanged. No collect(), no driver I/O.
