@@ -11,10 +11,13 @@ from biodiversity_data_ingestion_spark.plans.queries import QUERIES
 from .conftest import SF_DIR
 
 
-def _plan(spark, name: str) -> str:
+def _plan(spark, name: str, mode: str = "formatted") -> str:
+    """`formatted` for pushdown/ReadSchema checks; `simple` when COUNTING
+    operator occurrences (formatted repeats each node in its detail
+    section, double-counting)."""
     df = QUERIES[name]["builder"](spark, SF_DIR)
     return df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
     )
 
 
@@ -46,6 +49,31 @@ def test_anti_join_is_hash_not_nested_loop(spark):
     plan = _plan(spark, "occurrence_cleaning_pipeline")
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_near_dup_plans_are_join_free_and_single_pass(spark):
+    # bucket-list candidate generation: no self-join on buckets/blocks.
+    # simhash is fully join-free; minhash keeps exactly ONE join (the
+    # shingle-verification melt join, which must stay a shuffled hash
+    # join — broadcasting a computed array relation builds the hashed
+    # relation single-threaded and cannot scale).
+    sim = _plan(spark, "simhash_near_dups", "simple")
+    assert "Join" not in sim
+    mh = _plan(spark, "minhash_lsh_dups", "simple")
+    assert mh.count("ShuffledHashJoin") == 1
+    assert "BroadcastHashJoin" not in mh and "SortMergeJoin" not in mh
+    # the signature stage must run once: one md5-seeded transform per
+    # hash group (4 groups for 16 components), not one per component
+    # and not duplicated per join side
+    assert mh.count("concat(0:") == 1 and mh.count("concat(3:") == 1
+
+
+def test_simhash_pair_explosion_is_parallel(spark):
+    # the <=1024-row blocked relation is CPU-quadratic to pair-explode;
+    # an explicit round-robin repartition must keep it off AQE's
+    # byte-based one-task coalescing
+    plan = _plan(spark, "simhash_near_dups")
+    assert "REPARTITION_BY_NUM" in plan
 
 
 def test_salted_agg_equals_plain(spark):
