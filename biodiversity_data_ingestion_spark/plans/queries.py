@@ -2261,6 +2261,50 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 69. stream_distinct_pairs — streaming dropDuplicates under a watermark
+# (real file-stream execution; state bounded by the watermark)
+
+def _stream_distinct_pairs(spark, sf_dir):
+    from ..streaming.stateful import run_stream_distinct_over_events
+
+    return run_stream_distinct_over_events(spark, sf_dir)
+
+
+_register(
+    "stream_distinct_pairs",
+    _stream_distinct_pairs,
+    "SELECT DISTINCT user_id, event_type FROM events",
+    "engine extension §2.9: watermarked streaming dropDuplicates == batch DISTINCT "
+    "(the J2 gate with state bounded by event time)",
+)
+
+# ---------------------------------------------------------------------------
+# 70. stream_interval_join — watermarked stream-stream interval join
+# (streaming analogue of the batch binned range join, #62)
+
+def _stream_interval_join(spark, sf_dir):
+    from ..streaming.stateful import run_stream_interval_join_over_events
+
+    return run_stream_interval_join_over_events(spark, sf_dir)
+
+
+_register(
+    "stream_interval_join",
+    _stream_interval_join,
+    """
+    SELECT p.event_id AS p_event_id, e.event_id AS e_event_id
+    FROM events p
+    JOIN events e
+      ON e.user_id = p.user_id
+     AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    """,
+    "engine extension §2.9: watermarked stream-stream interval join == batch "
+    "range join (state bounded on both sides by event-time watermarks)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

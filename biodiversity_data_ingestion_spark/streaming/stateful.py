@@ -64,6 +64,28 @@ def run_first_seen_over_events(spark, sf_dir: str, query_name: str = "bdi_first_
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructField, LongType, TimestampType
 
+    keyed = _events_stream(spark, sf_dir).select("user_id", "ts", "event_id")
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("event_id", LongType()),
+        ]
+    )
+    deduped = first_seen_dedup(keyed, "user_id", ["ts", "event_id"], out_schema)
+    return _drain(deduped, query_name).select(
+        "user_id",
+        F.col("ts").alias("first_ts"),
+        F.col("event_id").alias("first_event_id"),
+    )
+
+
+def _events_stream(spark, sf_dir: str):
+    """Bounded file-stream over the events table (shared by the runners):
+    schema from the batch footer, nanos ts normalized to micros exactly
+    like sources/tables.py does for batch."""
+    from pyspark.sql import functions as F
+
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(batch_schema)
@@ -73,29 +95,83 @@ def run_first_seen_over_events(spark, sf_dir: str, query_name: str = "bdi_first_
     )
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    keyed = stream.select("user_id", "ts", "event_id")
-    out_schema = StructType(
-        [
-            StructField("user_id", LongType()),
-            StructField("ts", TimestampType()),
-            StructField("event_id", LongType()),
-        ]
-    )
-    deduped = first_seen_dedup(keyed, "user_id", ["ts", "event_id"], out_schema)
+    return stream
+
+
+def _drain(df, query_name: str, mode: str = "append"):
+    spark = df.sparkSession
     try:
         spark.catalog.dropTempView(query_name)
     except Exception:
         pass
     q = (
-        deduped.writeStream.format("memory")
+        df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("append")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(timeout=300)
-    return spark.table(query_name).select(
-        "user_id",
-        F.col("ts").alias("first_ts"),
-        F.col("event_id").alias("first_event_id"),
+    return spark.table(query_name)
+
+
+def run_stream_distinct_over_events(
+    spark, sf_dir: str, query_name: str = "bdi_stream_distinct"
+) -> DataFrame:
+    """Streaming dropDuplicates under a watermark: distinct
+    (user_id, event_type) pairs emitted once across micro-batches.
+
+    State is one entry per distinct key, evicted once the watermark
+    passes — the standard streaming-dedup building block (the watermark
+    bounds state where the J2-style gate would grow forever). Projecting
+    ONLY the key columns keeps the result deterministic (which physical
+    row wins the dedup is arbitrary; the key set is not)."""
+    stream = _events_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
     )
+    return _drain(deduped, query_name)
+
+
+def run_stream_interval_join_over_events(
+    spark, sf_dir: str, query_name: str = "bdi_stream_ijoin"
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each purchase joined to
+    the same user's events in the preceding hour — the streaming
+    analogue of the batch binned range join (joins.range_join_binned).
+
+    Both sides carry watermarks so the join state is bounded: a buffered
+    event can be dropped once the watermark passes ts + 1 hour. Returns
+    (p_event_id, e_event_id) match pairs (append mode emits each exactly
+    once)."""
+    from pyspark.sql import functions as F
+
+    p = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    e = (
+        _events_stream(spark, sf_dir)
+        .select(
+            F.col("event_id").alias("e_event_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    joined = p.join(
+        e,
+        F.expr(
+            "p_user = e_user AND e_ts >= p_ts - INTERVAL 1 HOUR AND e_ts <= p_ts"
+        ),
+    ).select("p_event_id", "e_event_id")
+    return _drain(joined, query_name)
