@@ -59,6 +59,29 @@ def overwrite_table(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Catalog-backed bucketed+sorted table: pre-shuffled on the join/agg
+    key at WRITE time, so every later equi-join or aggregation on that
+    key is exchange-free — the 100 TB pattern for fact tables that join
+    repeatedly on the same key (pay the shuffle once, reuse it forever).
+    Sorting within buckets additionally lets joins skip the sort phase.
+    Reads come back through ``spark.table(name)``.
+    """
+    (
+        df.write.mode(mode)
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+        .saveAsTable(name)
+    )
+
+
 def write_index_table(
     df: DataFrame, path: str, id_col: str, order: list[Column] | None = None
 ) -> None:

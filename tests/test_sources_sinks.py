@@ -110,6 +110,44 @@ def test_gtf_parse(spark, tmp_path):
     }
 
 
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    # co-located join: two tables bucketed+sorted on the join key must
+    # join with NO Exchange (and no sort-before-join) in the plan — the
+    # pay-the-shuffle-once contract of write_bucketed_table
+    # default warehouse dir (spark-warehouse/, gitignored); static conf
+    # cannot be changed per-test, so clean up via DROP TABLE — plus the
+    # bare locations a previously crashed run may have orphaned
+    import shutil
+
+    for t in ("b_orders", "b_lines"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    orders = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(100)], "okey INT, status STRING"
+    )
+    lines = spark.createDataFrame(
+        [(i % 50, i) for i in range(200)], "okey INT, line INT"
+    )
+    sinks.write_bucketed_table(orders, "b_orders", ["okey"], num_buckets=4)
+    sinks.write_bucketed_table(lines, "b_lines", ["okey"], num_buckets=4)
+    # tiny test tables would be broadcast (which sidesteps bucketing);
+    # disable auto-broadcast so the plan shows the big-big join shape
+    # bucketing exists for
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(spark.table("b_lines"), "okey")
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+        assert "Exchange" not in plan
+        assert joined.count() == 200
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lines")
+
+
 def test_resolve_chain_depths_and_cycles(spark):
     from biodiversity_data_ingestion_spark.operators.chains import resolve_chain
 
