@@ -1,0 +1,182 @@
+"""Corpus-construction operators (BASELINE.json north-star extensions).
+
+The stages that turn raw scored documents into a training corpus:
+
+- connected components over a near-duplicate pair graph (cluster ids),
+- retained-corpus extraction (drop every non-canonical cluster member),
+- deterministic sequence packing (concat-then-split at a token budget),
+- inverted index (term -> posting list) with document-frequency caps.
+
+The reference has no graph/packing ops (its dedups are all single-key
+window top-1s, SURVEY.md §2.4 A5-A7); these extend that family to the
+multi-document near-dup clusters an LLM-training pipeline removes.
+
+Scale notes: connected components is the one genuinely iterative
+operator in the engine — implemented as min-label propagation with a
+checkpoint per round, costing one co-partitioned join per iteration and
+converging in O(graph diameter) rounds. Near-dup graphs are unions of
+small tight clusters (diameter a handful), so the loop is short; for
+adversarial long-chain graphs the alternating large-star/small-star
+contraction (Kiveris et al., "Connected Components in MapReduce and
+Beyond") halves the rounds — same join shape, drop-in upgrade. Packing
+and the inverted index are single-shuffle: a per-shard window cumsum
+and a groupBy(term) respectively, with an explicit document-frequency
+cap so a hot term cannot quadratically load one reducer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.partitioning import fan_out
+from ..functions.textfn import tokenize
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the undirected graph given as an edge list.
+
+    Min-label propagation: every node starts labelled with its own id;
+    each round every node takes the min of its label and its neighbors'
+    labels; fixpoint = each node labelled with the min id of its
+    component. Returns (node, component).
+
+    Each round is ONE hash-join of edges against labels on the node key
+    plus a groupBy-min — both shuffle on the same key, so at scale the
+    two exchanges line up and AQE reuses the partitioning. The label
+    frontier is localCheckpoint'ed per round: without it the plan
+    lineage doubles every iteration and the job graph blows up
+    exponentially (the classic iterative-Spark trap).
+
+    Convergence test: sum(labels) is a monotonically non-increasing
+    integer, so one scalar aggregate per round detects the fixpoint
+    exactly — no expensive DataFrame comparison.
+    """
+    e = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    edges = (
+        e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("component")).first()[0]
+    for _ in range(max_iter):
+        neighbor_labels = edges.join(
+            labels.withColumnRenamed("node", "d"), "d"
+        ).select(F.col("s").alias("node"), "component")
+        labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("component")).first()[0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels
+
+
+def near_dedup_retained(
+    docs: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """The corpus that survives near-duplicate removal: one canonical
+    document (the min-id member) per duplicate cluster, plus every
+    document that was in no cluster at all.
+
+    Composition of connected_components + a left_anti join (the same
+    anti-join shape as the reference's incremental gate, SURVEY.md §2.3
+    J2) — the non-canonical members form the drop list. The drop list is
+    tiny relative to the corpus (it IS the duplicate mass), so Catalyst
+    broadcasts it and the retained scan never shuffles.
+    """
+    cc = connected_components(pairs)
+    losers = cc.where(F.col("component") != F.col("node")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text: str,
+    budget: int,
+    shard_chars: int = 1,
+) -> DataFrame:
+    """Deterministic concat-then-split sequence packing.
+
+    Documents are routed to 16^shard_chars shards by an md5 prefix of
+    their id, concatenated in id order within each shard, and split at
+    every `budget` tokens: a document belongs to the chunk its START
+    offset falls in (chunks may overrun by less than one document — the
+    standard concat+split packing used for LLM pretraining batches).
+
+    One window cumsum per shard (a single hash-partition shuffle; the
+    per-shard sort is the window's, no global sort). Shard count is the
+    parallelism knob: at 100 TB raise shard_chars so each shard's token
+    stream fits one task comfortably.
+
+    Returns (id, shard, n_toks, cum_tokens, chunk_id).
+    """
+    shard = F.substring(F.md5(F.col(id_col).cast("string")), 1, shard_chars)
+    n_toks = F.size(tokenize(F.lower(F.trim(F.col(text)))))
+    base = fan_out(df).select(
+        F.col(id_col),
+        shard.alias("shard"),
+        n_toks.cast("long").alias("n_toks"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_toks").over(w)
+    return base.withColumn("cum_tokens", cum).withColumn(
+        "chunk_id",
+        F.floor((F.col("cum_tokens") - F.col("n_toks")) / F.lit(float(budget))),
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str,
+    text: str,
+    min_df: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Term -> posting-list inverted index over tokenized documents.
+
+    explode(distinct tokens per doc) -> groupBy(term) -> doc_freq +
+    sorted posting list (comma-joined for deterministic comparison).
+    `min_df`/`max_df` bound the posting lists: at web scale the
+    stop-term postings are the skew hazard (one reducer holding a list
+    proportional to the corpus), and df-capping is the standard fix —
+    same guard as the hot-shingle cap in ngram_jaccard_pairs.
+
+    Returns (term, doc_freq, postings).
+    """
+    toks = fan_out(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokenize(F.lower(F.trim(F.col(text)))))).alias(
+            "term"
+        ),
+    )
+    out = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.array_join(F.array_sort(F.collect_list("doc_id")), ",").alias("postings"),
+    )
+    out = out.where(F.col("doc_freq") >= min_df)
+    if max_df is not None:
+        out = out.where(F.col("doc_freq") <= max_df)
+    return out

@@ -20,7 +20,16 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators import aggregates, cleaning, dedup, joins, similarity, textops
+from ..operators import (
+    aggregates,
+    cleaning,
+    corpus,
+    dedup,
+    joins,
+    sampling,
+    similarity,
+    textops,
+)
 from ..operators.classify import classify
 from ..sources.tables import load_table
 
@@ -2301,6 +2310,274 @@ _register(
     """,
     "engine extension §2.9: watermarked stream-stream interval join == batch "
     "range join (state bounded on both sides by event-time watermarks)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 71. dedup_components — connected components over the near-dup pair graph
+# (iterative min-label propagation; oracle = recursive-CTE closure)
+
+# shared oracle fragment: the ngram-Jaccard >= 0.5 pair graph + its
+# transitive closure (recursive CTE), used by #71 and #72
+_CC_REACH = f"""
+    sh AS (
+        SELECT doc_id, {_DD_SHINGLES} AS shingles
+        FROM (SELECT doc_id, {_DD_WORDS} AS w FROM documents)),
+    p AS (
+        SELECT a.doc_id AS s, b.doc_id AS d
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND round(len(list_intersect(a.shingles, b.shingles))
+                    / (len(a.shingles) + len(b.shingles)
+                       - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.5),
+    ed AS (SELECT s, d FROM p UNION SELECT d, s FROM p),
+    reach(node, component) AS (
+        SELECT s, s FROM ed
+        UNION
+        SELECT ed.s, r.component FROM ed JOIN reach r ON r.node = ed.d)
+"""
+
+
+def _dedup_components(spark, sf_dir):
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+    )
+    return corpus.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
+_register(
+    "dedup_components",
+    _dedup_components,
+    f"""
+    WITH RECURSIVE {_CC_REACH}
+    SELECT node AS doc_id, min(component) AS component
+    FROM reach GROUP BY node
+    """,
+    "north star: near-dup cluster ids — iterative min-label propagation vs "
+    "recursive-CTE transitive closure",
+)
+
+# ---------------------------------------------------------------------------
+# 72. near_dedup_corpus — the corpus surviving near-dup removal (one
+# canonical doc per cluster); CC + the J2-shaped left_anti drop list
+
+def _near_dedup_corpus(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return corpus.near_dedup_retained(docs, pairs, "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+_register(
+    "near_dedup_corpus",
+    _near_dedup_corpus,
+    f"""
+    WITH RECURSIVE {_CC_REACH},
+    comp AS (SELECT node, min(component) AS component FROM reach GROUP BY node)
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM comp WHERE component <> node)
+    """,
+    "north star: retained corpus after near-dedup (canonical member per "
+    "cluster); anti-join shape of SURVEY §2.3 J2",
+)
+
+# ---------------------------------------------------------------------------
+# 73. corpus_split_counts — deterministic hash train/test split
+# (salted-md5 threshold predicate; reproducible across engines)
+
+def _corpus_split_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        sampling.train_test_split(docs, "doc_id", 0.2, seed="s42")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+_register(
+    "corpus_split_counts",
+    _corpus_split_counts,
+    f"""
+    SELECT CASE WHEN {sampling.selection_sql('doc_id', 's42', 0.2)}
+                THEN 'test' ELSE 'train' END AS split,
+           lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    "north star: deterministic hash train/test split (per-row predicate, "
+    "no shuffle; portable md5 selection)",
+)
+
+# ---------------------------------------------------------------------------
+# 74. stratified_doc_sample — per-stratum deterministic sampling (the
+# source-mixing knob of corpus construction)
+
+_STRATA = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+
+
+def _stratified_doc_sample(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.stratified_hash_sample(
+        docs, "doc_id", "source", _STRATA, default_fraction=0.1, seed="strat"
+    ).select("doc_id", "source")
+
+
+_register(
+    "stratified_doc_sample",
+    _stratified_doc_sample,
+    f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE CASE
+        WHEN source = 'src0' THEN {sampling.selection_sql('doc_id', 'strat', 1.0)}
+        WHEN source = 'src1' THEN {sampling.selection_sql('doc_id', 'strat', 0.5)}
+        WHEN source = 'src2' THEN {sampling.selection_sql('doc_id', 'strat', 0.25)}
+        ELSE {sampling.selection_sql('doc_id', 'strat', 0.1)} END
+    """,
+    "north star: stratified deterministic sampling (per-stratum md5 "
+    "thresholds; join-free, shuffle-free)",
+)
+
+# ---------------------------------------------------------------------------
+# 75. sequence_packing — concat-then-split token packing per shard
+# (window cumulative sum; the batch-construction step of pretraining)
+
+def _sequence_packing(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    packed = corpus.pack_sequences(docs, "doc_id", "text", budget=500)
+    return packed.groupBy("shard", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("chunk_tokens"),
+    )
+
+
+_register(
+    "sequence_packing",
+    _sequence_packing,
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+               len({_DD_WORDS}) AS n_toks
+        FROM documents),
+    c AS (
+        SELECT shard, n_toks,
+               sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM t)
+    SELECT shard,
+           CAST(floor((cum_tokens - n_toks) / 500.0) AS BIGINT) AS chunk_id,
+           count(*) AS n_docs, sum(n_toks) AS chunk_tokens
+    FROM c GROUP BY 1, 2
+    """,
+    "north star: deterministic sequence packing (per-shard running-sum "
+    "window + budget binning)",
+)
+
+# ---------------------------------------------------------------------------
+# 76. inverted_index_postings — term -> sorted posting list with df caps
+# (the hot-term skew guard is the point at scale)
+
+def _inverted_index_postings(spark, sf_dir):
+    return corpus.inverted_index(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", min_df=2, max_df=450
+    )
+
+
+_register(
+    "inverted_index_postings",
+    _inverted_index_postings,
+    f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, term
+        FROM (SELECT doc_id, unnest({_DD_WORDS}) AS term FROM documents))
+    SELECT term, count(*) AS doc_freq,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM toks
+    GROUP BY term
+    HAVING count(*) BETWEEN 2 AND 450
+    """,
+    "north star: inverted index build (explode-distinct + groupBy(term) "
+    "with document-frequency caps)",
+)
+
+# ---------------------------------------------------------------------------
+# 77. corpus_quality_gate — composed cleaning pipeline: exact dedup +
+# language ID + quality filters -> per-language retained counts
+
+def _corpus_quality_gate(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    lang = textops.language_id(docs, "doc_id", "text").select(
+        "doc_id", "predicted_lang"
+    )
+    qual = textops.quality_score(docs, "doc_id", "text").select(
+        "doc_id", "n_words", "quality"
+    )
+    kept = dedup.dedup_exact(docs, "text", "doc_id").select(
+        F.col("kept_id").alias("doc_id")
+    )
+    return (
+        kept.join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .where((F.col("quality") >= 0.4) & (F.col("n_words") >= 5))
+        .groupBy("predicted_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+        )
+    )
+
+
+_register(
+    "corpus_quality_gate",
+    _corpus_quality_gate,
+    f"""
+    WITH kept AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    w AS (SELECT doc_id, text, {_DD_WORDS} AS words FROM documents),
+    b AS (
+        SELECT doc_id, len(words) AS n_words,
+               len(list_filter(words, x -> x IN ('the','a','of','and','to'))) AS n_stop,
+               length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+               length(text) AS n_chars_t, words
+        FROM w),
+    q AS (
+        SELECT doc_id, n_words,
+               round((CASE WHEN n_words >= 5 THEN 1.0 ELSE 0.0 END)
+                     * (1.0 - round(n_punct / greatest(n_chars_t, 1), 4))
+                     * (CASE WHEN round(n_stop / n_words, 4) > 0.01
+                             THEN 1.0 ELSE 0.5 END), 4) AS quality
+        FROM b),
+    l AS (
+        SELECT doc_id,
+               len(list_filter(words, x -> x IN ('the','a','of','and','to')))   AS score_en,
+               len(list_filter(words, x -> x IN ('el','la','de','los','que')))  AS score_es,
+               len(list_filter(words, x -> x IN ('le','la','les','des','et')))  AS score_fr,
+               len(list_filter(words, x -> x IN ('der','die','das','und','ist'))) AS score_de
+        FROM w),
+    lid AS (
+        SELECT doc_id,
+               CASE WHEN greatest(score_en, score_es, score_fr, score_de) = 0 THEN 'und'
+                    WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_de THEN 'en'
+                    WHEN score_es >= score_fr AND score_es >= score_de THEN 'es'
+                    WHEN score_fr >= score_de THEN 'fr'
+                    ELSE 'de' END AS predicted_lang
+        FROM l)
+    SELECT predicted_lang, count(*) AS n_docs, sum(n_words) AS total_words
+    FROM kept
+    JOIN lid USING (doc_id)
+    JOIN q USING (doc_id)
+    WHERE quality >= 0.4 AND n_words >= 5
+    GROUP BY predicted_lang
+    """,
+    "north star: composed corpus cleaning gate (exact dedup + language ID "
+    "+ C4-style quality filters -> retained per language)",
 )
 
 

@@ -1,0 +1,121 @@
+"""Unit tests for corpus-construction and deterministic-sampling ops
+(connected components, near-dedup retention, packing, inverted index,
+hash sampling) beyond the oracle-parity gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from biodiversity_data_ingestion_spark.operators import corpus, sampling
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [Row(doc_a=a, doc_b=b) for a, b in pairs], "doc_a long, doc_b long"
+    )
+
+
+def test_connected_components_chain_and_islands(spark):
+    # a 5-node path (needs >1 propagation round), a 2-cycle-free triangle,
+    # and an isolated pair — labels must be the min id of each component
+    pairs = [(10, 11), (11, 12), (12, 13), (13, 14), (1, 2), (2, 3), (1, 3), (7, 8)]
+    got = {
+        r["node"]: r["component"]
+        for r in corpus.connected_components(_edges(spark, pairs)).collect()
+    }
+    assert got == {
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+        1: 1, 2: 1, 3: 1,
+        7: 7, 8: 7,
+    }
+
+
+def test_connected_components_empty_graph(spark):
+    cc = corpus.connected_components(_edges(spark, []))
+    assert cc.count() == 0
+
+
+def test_near_dedup_retained_keeps_canonical_and_untouched(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"t{i}") for i in range(1, 7)], "doc_id long, text string"
+    )
+    pairs = _edges(spark, [(2, 3), (5, 6)])
+    kept = sorted(
+        r["doc_id"]
+        for r in corpus.near_dedup_retained(docs, pairs, "doc_id").collect()
+    )
+    # 3 and 6 are non-canonical members of their clusters; 1 and 4 untouched
+    assert kept == [1, 2, 4, 5]
+
+
+def test_pack_sequences_chunk_semantics(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="w " * 40) for i in range(1, 9)],
+        "doc_id long, text string",
+    )
+    packed = corpus.pack_sequences(docs, "doc_id", "text", budget=100).collect()
+    for r in packed:
+        # a doc belongs to the chunk its start offset falls in
+        assert r["chunk_id"] == (r["cum_tokens"] - r["n_toks"]) // 100
+        assert r["n_toks"] == 40
+    # cumsum is per-shard contiguous: max(cum) per shard == sum of its toks
+    by_shard: dict[str, list] = {}
+    for r in packed:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for rows in by_shard.values():
+        assert max(x["cum_tokens"] for x in rows) == sum(x["n_toks"] for x in rows)
+
+
+def test_inverted_index_df_caps(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="hot rare1 shared"),
+            Row(doc_id=2, text="hot shared shared"),  # dup token counted once
+            Row(doc_id=3, text="hot rare2"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["term"]: (r["doc_freq"], r["postings"])
+        for r in corpus.inverted_index(docs, "doc_id", "text", min_df=2, max_df=2).collect()
+    }
+    # 'hot' (df=3) capped out; singletons dropped; postings sorted+distinct
+    assert out == {"shared": (2, "1,2")}
+
+
+def test_hash_sampling_determinism_and_split_partition(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    s1 = set(r["k"] for r in sampling.deterministic_sample(df, "k", 0.3).collect())
+    s2 = set(r["k"] for r in sampling.deterministic_sample(df, "k", 0.3).collect())
+    assert s1 == s2  # reproducible
+    assert 0.2 < len(s1) / 2000 < 0.4  # roughly the asked fraction
+    # different seed draws an (almost surely) different sample
+    s3 = set(r["k"] for r in sampling.deterministic_sample(df, "k", 0.3, seed="other").collect())
+    assert s1 != s3
+
+    split = sampling.train_test_split(df, "k", 0.25)
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts["test"] + counts["train"] == 2000  # exhaustive + disjoint
+    # the test half IS the deterministic_sample of the same seed/fraction
+    test_ids = set(r["k"] for r in split.where(F.col("split") == "test").collect())
+    assert test_ids == set(
+        r["k"] for r in sampling.deterministic_sample(df, "k", 0.25).collect()
+    )
+
+
+def test_stratified_sample_respects_per_stratum_fractions(spark):
+    rows = [Row(k=i, grp="a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, grp string")
+    out = sampling.stratified_hash_sample(
+        df, "k", "grp", {"a": 1.0, "b": 0.2}, default_fraction=0.0
+    )
+    by = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert by["a"] == 1000  # fraction 1.0 keeps everything
+    assert 100 < by["b"] < 300  # ~20% of 1000
+
+
+def test_sampling_predicate_is_shuffle_free(spark):
+    df = spark.range(0, 100).withColumnRenamed("id", "k")
+    plan = sampling.deterministic_sample(df, "k", 0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
