@@ -2582,6 +2582,170 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 78. event_type_pivot — groupBy().pivot() wide-format aggregation
+# (explicit pivot values: no extra distinct job to discover columns)
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _event_type_pivot(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("event_date"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "event_date",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in _EVENT_TYPES],
+    )
+
+
+_register(
+    "event_type_pivot",
+    _event_type_pivot,
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events
+    GROUP BY 1
+    """,
+    "engine extension: pivot (wide-format conditional aggregation, "
+    "SURVEY §2.4 A3 pivot note); explicit values avoid the discovery scan",
+)
+
+# ---------------------------------------------------------------------------
+# 79. value_histogram — numeric binning (fixed-width buckets)
+
+def _value_histogram(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / F.lit(50.0))
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+_register(
+    "value_histogram",
+    _value_histogram,
+    """
+    SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+           count(*) AS n_events,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+    "engine extension: fixed-width histogram binning (single map-side "
+    "combinable aggregation)",
+)
+
+# ---------------------------------------------------------------------------
+# 80. global_topk_events — global top-k WITHOUT a total sort
+# (Catalyst plans orderBy+limit as TakeOrderedAndProject: per-partition
+# heaps + driver merge of k rows — the 100 TB-safe global top-k)
+
+def _global_topk_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.desc("value"), "event_id")
+        .limit(100)
+        .select("event_id", "event_type", "value")
+    )
+
+
+_register(
+    "global_topk_events",
+    _global_topk_events,
+    """
+    SELECT event_id, event_type, value
+    FROM events
+    ORDER BY value DESC, event_id
+    LIMIT 100
+    """,
+    "engine extension: global top-k via TakeOrderedAndProject (no global "
+    "sort, no single-reducer shuffle); ties broken on event_id (§2.6 O2)",
+)
+
+# ---------------------------------------------------------------------------
+# 81. tfidf_top_terms — TF-IDF scoring + top-3 terms per document
+# (tf groupBy + broadcast idf join + per-doc ranking window)
+
+def _tfidf_top_terms(spark, sf_dir):
+    from ..functions.textfn import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()  # deliberate 2-pass: the corpus size scalar
+    toks = docs.select(
+        "doc_id",
+        F.explode(tokenize(F.lower(F.trim(F.col("text"))))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # document frequency: tf rows are distinct (doc, term), so count(*)
+    # per term IS df. Tiny relative to the corpus -> broadcast.
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(idf), "term").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+_register(
+    "tfidf_top_terms",
+    _tfidf_top_terms,
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_DD_WORDS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+        SELECT doc_id, term, round(tf * ln(n / df), 6) AS tfidf
+        FROM tf JOIN dfq USING (term) CROSS JOIN n),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS rk
+        FROM scored)
+    SELECT doc_id, term, tfidf, rk FROM r WHERE rk <= 3
+    """,
+    "engine extension: TF-IDF term weighting + per-doc top-k (ranking on "
+    "ROUNDED scores with term tie-break per the determinism rules)",
+)
+
+# ---------------------------------------------------------------------------
+# 82. stream_user_sessions — SESSION windows as a real streaming query
+# (stateful session merge + watermark close; == batch gaps-and-islands)
+
+def _stream_user_sessions(spark, sf_dir):
+    from ..streaming.windows import run_stream_sessions_over_events
+
+    return run_stream_sessions_over_events(spark, sf_dir)
+
+
+_register(
+    "stream_user_sessions",
+    _stream_user_sessions,
+    QUERIES["user_sessions"]["oracle"],
+    "engine extension §2.9: streaming session windows (state = one open "
+    "session per user, merged on arrival) == batch session aggregation",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -83,16 +83,12 @@ def session_event_counts(events: DataFrame, gap: str = "10 minutes",
     )
 
 
-def run_stream_over_events(
-    spark: SparkSession, sf_dir: str, query_name: str = "bdi_stream_events"
-) -> DataFrame:
-    """Execute the windowed aggregation as a REAL streaming query over
-    the events parquet (file-stream source, memory sink, complete mode),
-    drain it, and return the final result table.
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a file-stream source (micro-batch replay).
 
-    This is the engine's streaming smoke path: the bounded file source
-    replays the table as micro-batches; on a cluster the same plan runs
-    over Kafka/files unbounded with the watermark bounding state.
+    On a cluster the same downstream plans run over Kafka/files
+    unbounded with watermarks bounding state; here the bounded replay
+    lets streaming results be oracle-checked against batch SQL.
     """
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
@@ -106,12 +102,14 @@ def run_stream_over_events(
     # sources/tables.py) — normalize to micros exactly like the batch path
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
 
+
+def _drain_to_memory_table(spark: SparkSession, agg: DataFrame, query_name: str) -> DataFrame:
     try:
         spark.catalog.dropTempView(query_name)
     except Exception:
         pass
-    agg = windowed_event_counts(stream)
     q = (
         agg.writeStream.format("memory")
         .queryName(query_name)
@@ -121,3 +119,30 @@ def run_stream_over_events(
     )
     q.awaitTermination(timeout=300)
     return spark.table(query_name)
+
+
+def run_stream_over_events(
+    spark: SparkSession, sf_dir: str, query_name: str = "bdi_stream_events"
+) -> DataFrame:
+    """Execute the windowed aggregation as a REAL streaming query over
+    the events parquet (file-stream source, memory sink, complete mode),
+    drain it, and return the final result table."""
+    return _drain_to_memory_table(
+        spark, windowed_event_counts(events_stream(spark, sf_dir)), query_name
+    )
+
+
+def run_stream_sessions_over_events(
+    spark: SparkSession, sf_dir: str, query_name: str = "bdi_stream_sessions"
+) -> DataFrame:
+    """Per-user SESSION windows executed as a real streaming query.
+
+    Session windows are the hard stateful case: state is one OPEN
+    session per user that must merge when a new event lands within the
+    gap — Spark's streaming session_window operator handles the merge;
+    the watermark closes sessions whose gap has definitively passed.
+    Drained over the bounded replay, the result must equal the batch
+    gaps-and-islands aggregation (the user_sessions oracle)."""
+    return _drain_to_memory_table(
+        spark, session_event_counts(events_stream(spark, sf_dir)), query_name
+    )

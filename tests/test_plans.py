@@ -104,3 +104,24 @@ def test_salted_agg_equals_plain(spark):
         ).collect()
     }
     assert plain == salted
+
+
+def test_global_topk_is_take_ordered_not_total_sort(spark):
+    # orderBy+limit must compile to TakeOrderedAndProject (per-partition
+    # heaps + driver merge of k rows), NOT a range-partitioned total sort
+    from biodiversity_data_ingestion_spark.plans.queries import QUERIES
+
+    df = QUERIES["global_topk_events"]["builder"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_tfidf_idf_join_is_broadcast(spark):
+    # the per-term df relation is vocabulary-sized — it must broadcast,
+    # never shuffle the full tf relation on term
+    from biodiversity_data_ingestion_spark.plans.queries import QUERIES
+
+    df = QUERIES["tfidf_top_terms"]["builder"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
