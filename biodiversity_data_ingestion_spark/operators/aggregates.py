@@ -66,3 +66,40 @@ def distinct_set_summary(df: DataFrame, key: str, value: str) -> DataFrame:
 def global_metrics(df: DataFrame, metric_cols: dict[str, Column]) -> DataFrame:
     """A1: single-row global combine of named aggregate expressions."""
     return df.agg(*[c.alias(name) for name, c in metric_cols.items()])
+
+
+def sketch_distribution_stats(
+    df: DataFrame, keys: list[str], value: str, ndigits: int = 2
+) -> DataFrame:
+    """Sketch-based distribution stats: approx percentiles (Greenwald-
+    Khanna via percentile_approx) + HyperLogLog++ distinct counts.
+
+    The 100 TB companion to `distribution_stats`: exact percentile()
+    materializes a per-group value-count map whose size is the number of
+    DISTINCT values in the group — unbounded at scale. The GK sketch and
+    HLL++ are constant-space, mergeable partials, so the aggregation
+    stays one map-side-combinable shuffle regardless of group size.
+    accuracy=10000 bounds percentile rank error at 1/10000; HLL++
+    relative error here is 1% (rsd=0.01). Approximate by construction —
+    checked by error-bound unit tests against the exact operator, not by
+    the hash-equality oracle.
+    """
+    v = F.col(value)
+    pcts = F.percentile_approx(
+        v, F.array(F.lit(0.5), F.lit(0.05), F.lit(0.95)), F.lit(10000)
+    )
+    agg = df.groupBy(*keys).agg(
+        F.round(F.avg(v), ndigits).alias("mean"),
+        pcts.alias("_pcts"),
+        F.approx_count_distinct(v, rsd=0.01).alias("approx_distinct"),
+        F.count(v).alias("n"),
+    )
+    return agg.select(
+        *keys,
+        "mean",
+        F.round(F.element_at("_pcts", 1), ndigits).alias("median"),
+        F.round(F.element_at("_pcts", 2), ndigits).alias("p5"),
+        F.round(F.element_at("_pcts", 3), ndigits).alias("p95"),
+        "approx_distinct",
+        "n",
+    )

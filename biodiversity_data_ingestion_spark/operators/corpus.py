@@ -180,3 +180,45 @@ def inverted_index(
     if max_df is not None:
         out = out.where(F.col("doc_freq") <= max_df)
     return out
+
+
+def contamination_report(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text: str,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: training documents sharing >=1 word
+    n-gram with any benchmark document, with the count of shared
+    distinct n-grams. The overlap check run before a training corpus
+    ships (test-set leakage detection).
+
+    Shape: the benchmark n-gram set is DISTINCT'd and broadcast —
+    benchmark suites are tiny next to a 100 TB corpus, so the training
+    side streams map-side through a broadcast hash semi-join and the
+    only shuffle is the per-doc overlap count. Returns
+    (id, n_shared_ngrams).
+    """
+    from ..functions.hashing import word_shingles
+
+    t = fan_out(train).select(
+        F.col(id_col),
+        F.explode_outer(
+            word_shingles(tokenize(F.lower(F.trim(F.col(text)))), n)
+        ).alias("ngram"),
+    ).where(F.col("ngram").isNotNull())
+    b = (
+        bench.select(
+            F.explode_outer(
+                word_shingles(tokenize(F.lower(F.trim(F.col(text)))), n)
+            ).alias("ngram")
+        )
+        .where(F.col("ngram").isNotNull())
+        .distinct()
+    )
+    return (
+        t.join(F.broadcast(b), "ngram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )

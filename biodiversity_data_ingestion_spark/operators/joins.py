@@ -153,3 +153,44 @@ def range_join_binned(
         & (F.col(f"r_{right_ts}") <= F.col(left_ts) + F.expr(f"INTERVAL {after_seconds} SECOND"))
     )
     return l.join(r, cond, "inner").drop("_b", "_rk", "_rb")
+
+
+def upsert_merge(
+    base: DataFrame, updates: DataFrame, key: str, delete_col: str | None = None
+) -> DataFrame:
+    """MERGE-style upsert: updates win on key collision, unmatched base
+    rows survive, unmatched updates insert; rows flagged in `delete_col`
+    (a boolean on the updates side) are removed.
+
+    The incremental-maintenance upgrade of the reference's
+    truncate-and-rewrite metadata sink (SURVEY §2.1 S9) and
+    date-versioned swap (S11): instead of rebuilding the table, apply a
+    (small) change set. Shape: ONE full-outer join on the key, then
+    per-column coalesce(update, base) — at scale the join shuffles both
+    sides once on the key; if the base table is bucketed on the key
+    (sinks.write_bucketed_table) the base side's exchange disappears.
+    Paired with mode("overwrite") it is an atomic batch MERGE INTO.
+    """
+    cols = [c for c in base.columns if c != key]
+    u = updates
+    if delete_col is not None:
+        u = u.withColumn(delete_col, F.coalesce(F.col(delete_col), F.lit(False)))
+    b = base.select(F.col(key), *[F.col(c).alias(f"_b_{c}") for c in cols])
+    u = u.select(
+        F.col(key),
+        F.lit(True).alias("_has_u"),
+        *([F.col(delete_col).alias("_del")] if delete_col else []),
+        *[F.col(c).alias(f"_u_{c}") for c in cols],
+    )
+    merged = b.join(u, key, "full_outer")
+    if delete_col is not None:
+        merged = merged.where(~F.coalesce(F.col("_del"), F.lit(False)))
+    return merged.select(
+        key,
+        *[
+            F.when(F.col("_has_u").isNotNull(), F.col(f"_u_{c}"))
+            .otherwise(F.col(f"_b_{c}"))
+            .alias(c)
+            for c in cols
+        ],
+    )

@@ -2746,6 +2746,164 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 83. customer_upsert_merge — MERGE-style upsert (update/insert/delete in
+# one full-outer pass); the incremental upgrade of S9 truncate-rewrite
+
+def _customer_upsert_merge(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    # deterministic change set: negative balances reset (update), nation-0
+    # customers cloned to new keys (insert), nation-24 customers removed
+    # (delete). Branches are key-disjoint by construction.
+    neg = (
+        cust.where((F.col("c_acctbal") < 0) & (F.col("c_nationkey") != 24))
+        .withColumn("c_acctbal", F.lit(0.0))
+        .withColumn("c_mktsegment", F.lit("RECOVERED"))
+        .withColumn("is_deleted", F.lit(False))
+    )
+    new = (
+        cust.where(F.col("c_nationkey") == 0)
+        .withColumn("c_custkey", F.col("c_custkey") + F.lit(1000000))
+        .withColumn("is_deleted", F.lit(False))
+    )
+    dels = cust.where(F.col("c_nationkey") == 24).withColumn(
+        "is_deleted", F.lit(True)
+    )
+    updates = neg.unionByName(new).unionByName(dels)
+    merged = joins.upsert_merge(cust, updates, "c_custkey", "is_deleted")
+    return merged.select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+        "c_mktsegment",
+    )
+
+
+_register(
+    "customer_upsert_merge",
+    _customer_upsert_merge,
+    """
+    WITH upd AS (
+        SELECT c_custkey, c_nationkey, 0.0 AS c_acctbal,
+               'RECOVERED' AS c_mktsegment, FALSE AS is_del
+        FROM customer WHERE c_acctbal < 0 AND c_nationkey <> 24
+        UNION ALL
+        SELECT c_custkey + 1000000, c_nationkey, c_acctbal, c_mktsegment, FALSE
+        FROM customer WHERE c_nationkey = 0
+        UNION ALL
+        SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment, TRUE
+        FROM customer WHERE c_nationkey = 24),
+    merged AS (
+        SELECT COALESCE(u.c_custkey, b.c_custkey) AS c_custkey,
+               CASE WHEN u.c_custkey IS NOT NULL THEN u.c_nationkey
+                    ELSE b.c_nationkey END AS c_nationkey,
+               CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal
+                    ELSE b.c_acctbal END AS c_acctbal,
+               CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment
+                    ELSE b.c_mktsegment END AS c_mktsegment,
+               COALESCE(u.is_del, FALSE) AS is_del
+        FROM customer b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey)
+    SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           round(c_acctbal, 2) AS acctbal, c_mktsegment
+    FROM merged WHERE NOT is_del
+    """,
+    "engine extension: MERGE-style upsert (one full-outer join; "
+    "exchange-free on a bucketed base) — incremental upgrade of S9/S11",
+)
+
+# ---------------------------------------------------------------------------
+# 84. sketch_value_stats — constant-space sketch aggregation (GK approx
+# percentiles + HLL++ distinct). Approximate by construction -> rows-only
+# driver check; error-bounded against the exact operator in unit tests.
+
+def _sketch_value_stats(spark, sf_dir):
+    return aggregates.sketch_distribution_stats(
+        _t(spark, sf_dir, "events"), ["event_type"], "value"
+    )
+
+
+_register(
+    "sketch_value_stats",
+    _sketch_value_stats,
+    None,
+    "engine extension: sketch aggregation (percentile_approx accuracy "
+    "10000, approx_count_distinct rsd 1%) — the unbounded-group-size "
+    "companion to A3 exact stats; see test_sketch_stats_error_bounds",
+)
+
+
+# ---------------------------------------------------------------------------
+# 85. benchmark_contamination — test-set leakage detection (shared
+# n-grams between the training split and a benchmark set)
+
+def _benchmark_contamination(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 100 == 0)
+    train = docs.where(F.col("doc_id") % 100 != 0)
+    return corpus.contamination_report(train, bench, "doc_id", "text", n=3)
+
+
+_register(
+    "benchmark_contamination",
+    _benchmark_contamination,
+    f"""
+    WITH sh AS (
+        SELECT doc_id, {_DD_SHINGLES} AS shingles
+        FROM (SELECT doc_id, {_DD_WORDS} AS w FROM documents)),
+    t AS (SELECT doc_id, unnest(shingles) AS ngram FROM sh WHERE doc_id % 100 <> 0),
+    b AS (SELECT DISTINCT unnest(shingles) AS ngram FROM sh WHERE doc_id % 100 = 0)
+    SELECT doc_id, count(*) AS n_shared_ngrams
+    FROM t JOIN b USING (ngram)
+    GROUP BY doc_id
+    """,
+    "north star: benchmark decontamination (broadcast n-gram semi-join "
+    "over the training split; the pre-ship leakage check)",
+)
+
+# ---------------------------------------------------------------------------
+# 86. doc_repetition_scores — intra-document repeated-n-gram ratio
+# (the Gopher repetition quality rule; pure codegen'd array math)
+
+def _doc_repetition_scores(spark, sf_dir):
+    from ..functions.textfn import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    w = tokenize(F.lower(F.trim(F.col("text"))))
+    base = docs.select("doc_id", w.alias("w")).where(F.size("w") >= 3)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("w") - F.lit(2)),
+        lambda i: F.array_join(F.slice(F.col("w"), i, 3), " "),
+    )
+    return base.select(
+        "doc_id",
+        (F.size("w") - F.lit(2)).cast("long").alias("n_grams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(grams)) / (F.size("w") - F.lit(2)), 4
+        ).alias("repetition_ratio"),
+    )
+
+
+_register(
+    "doc_repetition_scores",
+    _doc_repetition_scores,
+    f"""
+    WITH w AS (SELECT doc_id, {_DD_WORDS} AS w FROM documents),
+    g AS (
+        SELECT doc_id, len(w) - 2 AS n_grams,
+               list_transform(generate_series(1, len(w) - 2),
+                              i -> array_to_string(w[i:i+2], ' ')) AS grams
+        FROM w WHERE len(w) >= 3)
+    SELECT doc_id, n_grams,
+           len(list_distinct(grams)) AS n_distinct,
+           round(1.0 - len(list_distinct(grams)) / n_grams, 4) AS repetition_ratio
+    FROM g
+    """,
+    "north star: repeated-n-gram quality rule (duplicate 3-gram mass per "
+    "document; Gopher-style repetition filter)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

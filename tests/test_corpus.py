@@ -119,3 +119,63 @@ def test_sampling_predicate_is_shuffle_free(spark):
     df = spark.range(0, 100).withColumnRenamed("id", "k")
     plan = sampling.deterministic_sample(df, "k", 0.5)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_upsert_merge_semantics(spark):
+    from pyspark.sql import Row
+
+    from biodiversity_data_ingestion_spark.operators.joins import upsert_merge
+
+    base = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")], "k long, v string"
+    )
+    updates = spark.createDataFrame(
+        [
+            Row(k=2, v="B", is_del=False),   # update wins
+            Row(k=4, v="d", is_del=False),   # insert
+            Row(k=3, v=None, is_del=True),   # delete
+        ],
+        "k long, v string, is_del boolean",
+    )
+    got = {r["k"]: r["v"] for r in upsert_merge(base, updates, "k", "is_del").collect()}
+    assert got == {1: "a", 2: "B", 4: "d"}
+
+
+def test_sketch_stats_error_bounds(spark):
+    from biodiversity_data_ingestion_spark.operators.aggregates import (
+        distribution_stats,
+        sketch_distribution_stats,
+    )
+    from biodiversity_data_ingestion_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    exact = {
+        r["event_type"]: r for r in distribution_stats(ev, ["event_type"], "value").collect()
+    }
+    exact_distinct = {
+        r["event_type"]: r["nd"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("value").alias("nd")).collect()
+    }
+    approx = {
+        r["event_type"]: r
+        for r in sketch_distribution_stats(ev, ["event_type"], "value").collect()
+    }
+    for et, a in approx.items():
+        e = exact[et]
+        assert a["n"] == e["n"]
+        assert a["mean"] == e["mean"]
+        # GK sketch at accuracy 10000 on ~2k rows: rank error < 1 row;
+        # allow a small value tolerance around the exact percentile
+        for c in ("median", "p5", "p95"):
+            assert abs(a[c] - e[c]) <= max(0.05 * abs(e[c]), 1.0), (et, c, a[c], e[c])
+        # HLL++ rsd=0.01 -> 5 sigma tolerance
+        assert abs(a["approx_distinct"] - exact_distinct[et]) <= 0.05 * exact_distinct[et]
+
+
+def test_hash_samples_nest_monotonically(spark):
+    # threshold sampling => sample(f1) is a subset of sample(f2) for
+    # f1 <= f2 under the same seed (growing a sample never resamples)
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    small = set(r["k"] for r in sampling.deterministic_sample(df, "k", 0.1).collect())
+    big = set(r["k"] for r in sampling.deterministic_sample(df, "k", 0.4).collect())
+    assert small <= big
