@@ -175,3 +175,76 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def kmeans_lloyd(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 5,
+) -> DataFrame:
+    """Deterministic Lloyd k-means over an embedding column.
+
+    Init: the k vectors with the smallest ids (reproducible, no RNG).
+    Each iteration: (1) assign every vector to its nearest centroid —
+    squared-L2 rounded to 9 decimals with cluster-id tie-break, computed
+    as a broadcast cross join + map-side min over a (dist, cluster)
+    struct, so the only shuffled bytes are one (id, cluster) pair per
+    vector; (2) recompute centroids dimension-wise via posexplode +
+    groupBy(cluster, dim) avg rounded 6 (map-side combinable; shuffle
+    size = k x dims, independent of corpus size).
+
+    Rounding at both steps makes the trajectory independent of float
+    accumulation order, so the SAME clustering falls out on any
+    partitioning/engine — that is what the numpy-reference unit test
+    asserts. Centroids are localCheckpoint'ed per iteration (flat
+    lineage, same pattern as corpus.connected_components). Fixed
+    iteration count, no convergence test: deterministic cost, and at
+    scale you run a known budget anyway.
+
+    Returns (id, cluster) final assignments.
+    """
+    vecs = corpus.select(
+        F.col(id_col).alias("vid"), as_double_vec(F.col(vec_col)).alias("v")
+    )
+    # seed selection is a global top-k (TakeOrderedAndProject — per-
+    # partition heaps, no total sort); the row_number window then runs
+    # over only k rows
+    seed = vecs.orderBy("vid").limit(k)
+    cents = (
+        seed.withColumn("cluster", F.row_number().over(Window.orderBy("vid")) - 1)
+        .select("cluster", F.col("v").alias("cvec"))
+        .localCheckpoint()
+    )
+
+    def sq_l2(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    assigned = None
+    for _ in range(n_iter):
+        scored = vecs.crossJoin(F.broadcast(cents)).select(
+            "vid",
+            "v",
+            F.struct(
+                F.round(sq_l2(F.col("v"), F.col("cvec")), 9).alias("d"),
+                F.col("cluster").alias("c"),
+            ).alias("dc"),
+        )
+        assigned = scored.groupBy("vid").agg(
+            F.min("dc")["c"].alias("cluster"), F.first("v").alias("v")
+        )
+        cents = (
+            assigned.select("cluster", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.round(F.avg("val"), 6).alias("cval"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "cval"))).alias("pairs"))
+            .select("cluster", F.transform("pairs", lambda p: p["cval"]).alias("cvec"))
+            .localCheckpoint()
+        )
+    return assigned.select(F.col("vid").alias(id_col), "cluster")

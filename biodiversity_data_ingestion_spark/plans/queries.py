@@ -2904,6 +2904,32 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 87. kmeans_clusters — deterministic Lloyd k-means (iterative ML
+# primitive; rounded trajectory => engine-independent clustering).
+# Iterative + float-array math -> rows-only driver check; exact parity
+# vs an independent numpy implementation in test_kmeans_matches_numpy.
+
+def _kmeans_clusters(spark, sf_dir):
+    assigned = similarity.kmeans_lloyd(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=8, n_iter=4
+    )
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("vec_id").alias("min_vec_id"),
+    )
+
+
+_register(
+    "kmeans_clusters",
+    _kmeans_clusters,
+    None,
+    "north star: Lloyd k-means over embeddings (broadcast assign + "
+    "posexplode centroid recompute, checkpointed per round); numpy "
+    "parity in test_kmeans_matches_numpy",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -179,3 +179,36 @@ def test_hash_samples_nest_monotonically(spark):
     small = set(r["k"] for r in sampling.deterministic_sample(df, "k", 0.1).collect())
     big = set(r["k"] for r in sampling.deterministic_sample(df, "k", 0.4).collect())
     assert small <= big
+
+
+def test_kmeans_matches_numpy(spark):
+    # independent numpy re-implementation of the SAME deterministic
+    # trajectory (rounded distances/centroids, id-ordered init) — the
+    # Spark clustering must reproduce it exactly
+    import numpy as np
+
+    from biodiversity_data_ingestion_spark.operators.similarity import kmeans_lloyd
+    from biodiversity_data_ingestion_spark.sources.tables import load_table
+
+    k, n_iter = 8, 4
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    rows = sorted(
+        ((r["vec_id"], np.array(r["embedding"], dtype=np.float64)) for r in emb.collect()),
+        key=lambda t: t[0],
+    )
+    ids = [t[0] for t in rows]
+    X = np.stack([t[1] for t in rows])
+    cents = X[:k].copy()
+    for _ in range(n_iter):
+        d = np.round(((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), 9)
+        assign = d.argmin(axis=1)  # argmin takes lowest index on ties
+        cents = np.stack(
+            [np.round(X[assign == c].mean(axis=0), 6) for c in range(k)]
+        )
+    expected = {ids[i]: int(assign[i]) for i in range(len(ids))}
+
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_lloyd(emb, "vec_id", "embedding", k=k, n_iter=n_iter).collect()
+    }
+    assert got == expected

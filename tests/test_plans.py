@@ -125,3 +125,24 @@ def test_tfidf_idf_join_is_broadcast(spark):
     df = QUERIES["tfidf_top_terms"]["builder"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_no_accidental_cartesian_or_row_python_udfs(spark):
+    # Engine-wide physical-plan sweep: no query may contain an accidental
+    # cartesian product or a row-at-a-time Python UDF (BatchEvalPython).
+    # Python kernels must be Arrow-batched (ArrowEvalPython / mapInPandas);
+    # intentional tiny-side cross joins are broadcast nested-loop joins.
+    from biodiversity_data_ingestion_spark.plans.queries import QUERIES
+
+    skip = {n for n in QUERIES if n.startswith("stream_")}  # execute on build
+    offenders = []
+    for name in sorted(QUERIES):
+        if name in skip:
+            continue
+        df = QUERIES[name]["builder"](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan:
+            offenders.append((name, "BatchEvalPython"))
+    assert not offenders, offenders
