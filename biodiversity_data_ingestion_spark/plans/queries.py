@@ -2930,6 +2930,181 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 88. orders_rollup — ROLLUP subtotal hierarchy (A10 family: the
+# dimension-block UNION ALL pattern expressed as one grouping tree)
+
+def _orders_rollup(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        )
+    )
+
+
+_register(
+    "orders_rollup",
+    _orders_rollup,
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_total
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    "SURVEY §2.4 A10 dimension blocks as a ROLLUP grouping tree (one "
+    "pass, partial-agg combinable) vs UNION ALL oracle shape",
+)
+
+# ---------------------------------------------------------------------------
+# 89. user_event_gaps — lag() inter-event gaps + ntile quartiles
+# (the analytic-window family the reference never needed)
+
+def _user_event_gaps(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+    )
+    per_user = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("gap_us") / 1e6, 2).alias("avg_gap_s"),
+            F.max("gap_us").alias("_mx"),
+        )
+        # integer `div`, not float division + cast: a quotient just below
+        # an integer can round UP in doubles, while the oracle's // floors
+        .withColumn("max_gap_s", F.expr("_mx div 1000000"))
+        .drop("_mx")
+    )
+    # quartile by activity: a global ntile over |users| rows (tiny — the
+    # per-user aggregate, never the event table, enters this window)
+    wq = Window.orderBy("n_events", "user_id")
+    return per_user.withColumn("activity_quartile", F.ntile(4).over(wq).cast("long"))
+
+
+_register(
+    "user_event_gaps",
+    _user_event_gaps,
+    """
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events),
+    p AS (
+        SELECT user_id, count(*) AS n_events,
+               round(avg(gap_us) / 1e6, 2) AS avg_gap_s,
+               CAST(max(gap_us) // 1000000 AS BIGINT) AS max_gap_s
+        FROM g GROUP BY user_id)
+    SELECT *, CAST(ntile(4) OVER (ORDER BY n_events, user_id) AS BIGINT)
+              AS activity_quartile
+    FROM p
+    """,
+    "engine extension: lag() inter-event gaps + ntile quartiles "
+    "(analytic windows beyond the reference's top-1 dedups, §2.5)",
+)
+
+# ---------------------------------------------------------------------------
+# 90. hourly_gap_fill — downsample to an hourly grid with missing hours
+# filled (sequence explode + left join; the time-series resample op)
+
+def _hourly_gap_fill(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    # the grid bounds are ONE aggregated row — the exploded sequence is
+    # driver-free and the join side is the (tiny) grid, so Catalyst
+    # broadcasts the hourly aggregate against it
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    return grid.join(hourly, "hour", "left").select(
+        "hour",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )
+
+
+_register(
+    "hourly_gap_fill",
+    _hourly_gap_fill,
+    """
+    WITH e AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    h AS (
+        SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM e GROUP BY 1),
+    g AS (
+        SELECT unnest(generate_series(date_trunc('hour', min(ts)),
+                                      date_trunc('hour', max(ts)),
+                                      INTERVAL 1 HOUR)) AS hour
+        FROM e)
+    SELECT g.hour,
+           coalesce(h.n_events, 0) AS n_events,
+           coalesce(h.sum_value, 0.0) AS sum_value
+    FROM g LEFT JOIN h ON g.hour = h.hour
+    """,
+    "engine extension: time-series resample + gap fill (sequence explode "
+    "grid, no driver loop; missing buckets coalesce to zero)",
+)
+
+# ---------------------------------------------------------------------------
+# 91. nation_revenue_share — percent-of-total WITHOUT a global window
+# (single-row total broadcast-joined; a window over () would serialize
+# the whole relation through one partition)
+
+def _nation_revenue_share(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"))
+    )
+    total = rev.agg(F.sum("_rev").alias("_total"))
+    return rev.crossJoin(F.broadcast(total)).select(
+        "n_name",
+        F.round("_rev", 2).alias("revenue"),
+        F.round(F.col("_rev") / F.col("_total") * 100, 4).alias("revenue_share_pct"),
+    )
+
+
+_register(
+    "nation_revenue_share",
+    _nation_revenue_share,
+    """
+    WITH rev AS (
+        SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS r
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name)
+    SELECT n_name, round(r, 2) AS revenue,
+           round(r / (SELECT sum(r) FROM rev) * 100, 4) AS revenue_share_pct
+    FROM rev
+    """,
+    "engine extension: percent-of-total via single-row broadcast total "
+    "(scale-safe alternative to a partition-less window)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
