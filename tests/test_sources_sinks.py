@@ -161,3 +161,60 @@ def test_resolve_chain_depths_and_cycles(spark):
     assert got[4] == (1, 3)
     # cycle rows bottom out at max_depth (dead-letter candidates)
     assert got[10][1] == 6 and got[11][1] == 6
+
+
+def test_cleaning_chain_end_to_end_through_disk(spark, tmp_path):
+    # SURVEY §3.2 lifecycle through DISK stage directories, like the
+    # reference's chained pipelines: per-species JSONL stage (S8) ->
+    # S2 filename-capture scan -> cleaning chain -> parquet table (S9)
+    # + single-shard summary JSONL (S7) -> versioned swap + read-back
+    # of the "current" index (S11 alias analogue).
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from biodiversity_data_ingestion_spark.plans.pipelines import (
+        cleaning_pipeline_with_summary,
+    )
+    from biodiversity_data_ingestion_spark.sources.jsonl import read_species_files
+    from biodiversity_data_ingestion_spark.sources import sinks
+
+    stage = tmp_path / "stage"
+    for sp, rows in {
+        "genus_alpha": [
+            {"occurrence_id": 1, "lat": 10.0, "lon": 10.0, "uncertainty_m": 2000.0},
+            {"occurrence_id": 2, "lat": 10.0, "lon": 10.0, "uncertainty_m": 3000.0},
+            {"occurrence_id": 3, "lat": 0.0, "lon": 0.0, "uncertainty_m": 2000.0},
+        ],
+        "genus_beta": [
+            {"occurrence_id": 4, "lat": -20.0, "lon": -20.0, "uncertainty_m": 5000.0},
+        ],
+    }.items():
+        os.makedirs(stage, exist_ok=True)
+        with open(stage / f"occ_{sp}.jsonl", "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+
+    occ = read_species_files(
+        spark,
+        str(stage / "occ_*.jsonl"),
+        schema="occurrence_id LONG, lat DOUBLE, lon DOUBLE, uncertainty_m DOUBLE",
+    )
+    cents = spark.createDataFrame([(80.0, 80.0)], "c_lat DOUBLE, c_lon DOUBLE")
+    cleaned, summary = cleaning_pipeline_with_summary(occ, cents)
+
+    table_dir = tmp_path / "cleaned_table"
+    sinks.append_table(cleaned, str(table_dir))
+    sinks.write_jsonl_single(summary, str(tmp_path / "summary"))
+    sinks.write_versioned(
+        spark.read.parquet(str(table_dir)), str(tmp_path / "index"), "occ", "2026-01-01"
+    )
+
+    current = sinks.read_current(spark, str(tmp_path / "index"))
+    got = {r["occurrence_id"]: r["species"] for r in current.collect()}
+    # dedup kept min-uncertainty id=1; zero-coords id=3 dropped; beta kept
+    assert got == {1: "genus alpha", 4: "genus beta"}
+    summary_back = spark.read.json(str(tmp_path / "summary"))
+    s = {r["species"]: r["percent_retained"] for r in summary_back.collect()}
+    assert s == {"genus alpha": 33.33, "genus beta": 100.0}
