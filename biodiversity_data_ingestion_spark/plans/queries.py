@@ -3105,6 +3105,135 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 92. doc_chunking — split documents into fixed-size overlapping
+# character windows (the long-context chunking step before tokenization)
+
+def _doc_chunking(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    size, stride = 200, 150  # 50-char overlap
+    n_chunks = F.greatest(
+        F.ceil((F.length("text") - F.lit(size)) / F.lit(stride)) + 1, F.lit(1)
+    )
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+    return docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(starts, lambda s: F.substring(F.col("text"), s + 1, size))
+        ).alias("chunk_idx", "chunk"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.length("chunk").cast("long").alias("chunk_len"),
+        F.md5("chunk").alias("chunk_md5"),
+    )
+
+
+_register(
+    "doc_chunking",
+    _doc_chunking,
+    """
+    WITH n AS (
+        SELECT doc_id, text,
+               greatest(CAST(ceil((length(text) - 200) / 150.0) AS BIGINT) + 1,
+                        1) AS n_chunks
+        FROM documents),
+    c AS (
+        SELECT doc_id,
+               unnest(generate_series(0, (n_chunks - 1) * 150, 150)) AS start,
+               text
+        FROM n)
+    SELECT doc_id,
+           CAST(start / 150 AS BIGINT) AS chunk_idx,
+           length(substr(text, start + 1, 200)) AS chunk_len,
+           md5(substr(text, start + 1, 200)) AS chunk_md5
+    FROM c
+    """,
+    "north star: overlapping-window document chunking (sequence + "
+    "posexplode; per-row, shuffle-free)",
+)
+
+# ---------------------------------------------------------------------------
+# 93. doc_redaction — regex scrubbing (PII-style digit masking) with
+# audit counts; pure codegen'd string ops
+
+def _doc_redaction(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(F.col("text"), "[0-9]+", "#")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), F.lit(0)))
+        .cast("long")
+        .alias("n_digit_runs"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+_register(
+    "doc_redaction",
+    _doc_redaction,
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_digit_runs,
+           length(regexp_replace(text, '[0-9]+', '#', 'g')) AS redacted_len,
+           md5(regexp_replace(text, '[0-9]+', '#', 'g')) AS redacted_md5
+    FROM documents
+    """,
+    "north star: regex scrubbing / redaction with audit counts (per-row "
+    "string kernel, no Python)",
+)
+
+# ---------------------------------------------------------------------------
+# 94. source_upsampling — mixture reweighting by integer repetition
+# (array_repeat explode; the upsample half of source mixing — the
+# downsample half is stratified_doc_sample)
+
+_UPSAMPLE_FACTORS = {"src0": 3, "src1": 2}
+
+
+def _source_upsampling(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    factor = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(f))
+            for s, f in sorted(_UPSAMPLE_FACTORS.items())
+        ],
+        F.lit(1),
+    )
+    repeated = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.array_repeat(F.lit(1), factor)).alias("copy_idx", "_one"),
+    )
+    return repeated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows_after"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.max("copy_idx").cast("long").alias("max_copy_idx"),
+    )
+
+
+_register(
+    "source_upsampling",
+    _source_upsampling,
+    """
+    WITH f AS (
+        SELECT doc_id, source,
+               CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2
+                    ELSE 1 END AS factor
+        FROM documents),
+    r AS (SELECT doc_id, source, unnest(generate_series(0, factor - 1)) AS copy_idx FROM f)
+    SELECT source, count(*) AS n_rows_after,
+           count(DISTINCT doc_id) AS n_docs,
+           CAST(max(copy_idx) AS BIGINT) AS max_copy_idx
+    FROM r
+    GROUP BY source
+    """,
+    "north star: mixture upsampling via integer repetition "
+    "(array_repeat + posexplode; rows multiply without shuffle)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
