@@ -3234,6 +3234,103 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 95. two_level_distinct — exact distinct counting via the two-level
+# groupBy rewrite: dedup (key, value) pairs map-side first, then count
+# per key. At high cardinality this replaces countDistinct's per-group
+# value sets with two partial-aggregated shuffles whose rows are bounded
+# by |distinct pairs| — the standard rewrite when groups are skewed.
+
+def _two_level_distinct(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    pairs = ev.select("event_type", "user_id").distinct()
+    return pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_distinct_users")
+    )
+
+
+_register(
+    "two_level_distinct",
+    _two_level_distinct,
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
+    FROM events
+    GROUP BY event_type
+    """,
+    "engine extension: two-level exact-distinct rewrite (distinct pairs "
+    "then count) == COUNT(DISTINCT) oracle; the skew-safe form of A10's "
+    "count-distinct aggregates",
+)
+
+
+# ---------------------------------------------------------------------------
+# 96. null_safe_lang_pairs — null-safe equality join (<=> / IS NOT
+# DISTINCT FROM): null keys MATCH each other instead of vanishing
+
+def _null_safe_lang_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    # inject nulls deterministically: 'zh' has no marker vocabulary ->
+    # treat as unknown language
+    d = docs.select("doc_id", F.nullif("lang", F.lit("zh")).alias("lang_key"))
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("lang_key").alias("ka"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("lang_key").alias("kb"))
+    pairs = a.join(
+        b, F.col("ka").eqNullSafe(F.col("kb")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    return pairs.groupBy(F.coalesce("ka", F.lit("<null>")).alias("lang_group")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+_register(
+    "null_safe_lang_pairs",
+    _null_safe_lang_pairs,
+    """
+    WITH d AS (SELECT doc_id, nullif(lang, 'zh') AS lang_key FROM documents)
+    SELECT coalesce(a.lang_key, '<null>') AS lang_group, count(*) AS n_pairs
+    FROM d a JOIN d b
+      ON a.lang_key IS NOT DISTINCT FROM b.lang_key
+     AND a.doc_id < b.doc_id
+    GROUP BY 1
+    """,
+    "engine extension: null-safe equality join (eqNullSafe == IS NOT "
+    "DISTINCT FROM; null keys pair up instead of dropping)",
+)
+
+# ---------------------------------------------------------------------------
+# 97. fuzzy_name_match — bounded-edit-distance matching (the reference's
+# GBIF FUZZY name validation semantics, P6, as a broadcast probe join)
+
+def _fuzzy_name_match(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    probes = part.where(F.col("p_partkey") % 500 == 0).select(
+        F.col("p_partkey").alias("probe_key"), F.col("p_name").alias("probe_name")
+    )
+    return (
+        part.crossJoin(F.broadcast(probes))
+        .where(F.col("p_partkey") != F.col("probe_key"))
+        .withColumn("edit_dist", F.levenshtein("p_name", "probe_name").cast("long"))
+        .where(F.col("edit_dist") <= 12)
+        .select("probe_key", "p_partkey", "p_name", "edit_dist")
+    )
+
+
+_register(
+    "fuzzy_name_match",
+    _fuzzy_name_match,
+    """
+    SELECT b.p_partkey AS probe_key, a.p_partkey, a.p_name,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a
+    JOIN part b ON b.p_partkey % 500 = 0 AND a.p_partkey <> b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 12
+    """,
+    "SURVEY §2.2 P6 FUZZY name matching (ValidateNamesFn, "
+    "transforms.py:182-211) as a broadcast probe x corpus edit-distance "
+    "scan — at scale the probe set is the small validated-names side",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
