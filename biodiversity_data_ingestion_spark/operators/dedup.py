@@ -226,22 +226,46 @@ def minhash_lsh_pairs(
             for b in range(n_bands)
         ]
     )
-    # candidate generation over (doc_id, bucket) ONLY — the shingle arrays
-    # never enter the bucket grouping (at scale they dominate the bytes;
-    # a bucket row is ~40 B vs ~KBs of shingles). Join-free bucket-list
-    # shape: group members per bucket and pair-explode inside, so the
-    # signature stage runs ONCE (a bucket self-join evaluates it per
-    # side). Exact-duplicate clusters make maximal buckets — route exact
-    # dups through dedup_exact first on a real corpus.
-    buckets = sig.select("doc_id", F.explode(bands).alias("bucket"))
-    member_lists = buckets.groupBy("bucket").agg(
-        F.array_sort(F.collect_list("doc_id")).alias("docs")
+    # candidate generation over (doc_id, bucket, first-3-band-hashes)
+    # ONLY — the shingle arrays never enter the bucket grouping (at
+    # scale they dominate the bytes). Join-free bucket-list shape: group
+    # members per bucket and pair-explode inside, so the signature stage
+    # runs ONCE (a bucket self-join evaluates it per side).
+    #
+    # A candidate pair can collide on several bands; each pair is
+    # emitted only by its FIRST matching band (testable in place — the
+    # earlier band hashes ride in the member struct) instead of a
+    # distinct() over the pair stream. The pair stream grows
+    # QUADRATICALLY with bucket skew (exact-dup clusters make maximal
+    # buckets), so trading a constant factor on the linear bucket
+    # shuffle for removing the multiplicity-scaled shuffle is the right
+    # asymmetry at 100 TB. Route exact dups through dedup_exact first on
+    # a real corpus all the same.
+    blocked = sig.select(
+        "doc_id", bands.alias("bands"), F.posexplode(bands).alias("band", "bucket")
     )
-    cand = (
-        member_lists.select(F.explode(_ordered_pairs(F.col("docs"))).alias("p"))
-        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
-        .distinct()
+    member_lists = blocked.groupBy("bucket").agg(
+        F.first("band").alias("band"),  # bucket embeds the band index
+        F.array_sort(
+            F.collect_list(F.struct("doc_id", F.slice("bands", 1, 3).alias("b3")))
+        ).alias("docs"),
     )
+    pairs = member_lists.select(
+        "band", F.explode(_ordered_pairs(F.col("docs"))).alias("p")
+    ).select(
+        "band",
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.b.doc_id").alias("doc_b"),
+        F.col("p.a.b3").alias("_ba"),
+        F.col("p.b.b3").alias("_bb"),
+    )
+    first_match = F.lit(True)
+    for j in range(3):
+        eq = F.element_at("_ba", j + 1) == F.element_at("_bb", j + 1)
+        first_match = first_match & F.when(F.col("band") > j, ~eq).otherwise(
+            F.lit(True)
+        )
+    cand = pairs.where(first_match).select("doc_a", "doc_b")
     # exact-Jaccard verification: melt each pair into two (pair, doc_id)
     # legs and join the shingle sets back with ONE join, so the shingling
     # runs once and full-corpus array bytes are shuffled once (the
