@@ -3331,6 +3331,77 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 98. signup_purchase_funnel — conversion funnel: first signup, first
+# subsequent purchase, conversion-within-1h flag, aggregated per cohort
+# day. One groupBy(user) with conditional aggregates — no self-join.
+
+def _signup_purchase_funnel(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    firstp = (
+        purchases.join(per_user, "user_id")
+        .where(F.col("p_ts") >= F.col("first_signup"))
+        .groupBy("user_id")
+        .agg(
+            F.first("first_signup").alias("first_signup"),
+            F.min("p_ts").alias("first_purchase"),
+        )
+    )
+    funnel = per_user.join(
+        firstp.select("user_id", "first_purchase"), "user_id", "left"
+    ).where(F.col("first_signup").isNotNull())
+    converted_1h = (
+        F.col("first_purchase").isNotNull()
+        & (F.unix_micros("first_purchase") - F.unix_micros("first_signup") <= 3600 * 1000000)
+    )
+    return funnel.groupBy(
+        F.date_format("first_signup", "yyyy-MM-dd").alias("cohort_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_signups"),
+        F.sum(F.when(F.col("first_purchase").isNotNull(), 1).otherwise(0)).cast("long").alias("n_purchased"),
+        F.sum(F.when(converted_1h, 1).otherwise(0)).cast("long").alias("n_converted_1h"),
+    )
+
+
+_register(
+    "signup_purchase_funnel",
+    _signup_purchase_funnel,
+    """
+    WITH s AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup
+        FROM events GROUP BY user_id),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS first_purchase
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= s.first_signup
+        GROUP BY e.user_id),
+    f AS (
+        SELECT s.user_id, s.first_signup, p.first_purchase
+        FROM s LEFT JOIN p ON s.user_id = p.user_id
+        WHERE s.first_signup IS NOT NULL)
+    SELECT strftime(first_signup, '%Y-%m-%d') AS cohort_day,
+           count(*) AS n_signups,
+           sum(CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END) AS n_purchased,
+           sum(CASE WHEN first_purchase IS NOT NULL
+                     AND epoch_us(first_purchase) - epoch_us(first_signup)
+                         <= 3600000000
+                    THEN 1 ELSE 0 END) AS n_converted_1h
+    FROM f
+    GROUP BY 1
+    """,
+    "engine extension: conversion-funnel analysis (conditional first-"
+    "event aggregates + bounded-window conversion; no self-join per "
+    "event, one shuffle per stage)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
