@@ -3402,6 +3402,32 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 99. stream_cdc_upsert — CDC-style streaming merge (foreachBatch +
+# versioned parquet state + atomic pointer swap per batch); newer event
+# time wins, so the final state == batch latest-per-user
+
+def _stream_cdc_upsert(spark, sf_dir):
+    from ..streaming.stateful import run_stream_cdc_upsert_over_events
+
+    return run_stream_cdc_upsert_over_events(spark, sf_dir)
+
+
+_register(
+    "stream_cdc_upsert",
+    _stream_cdc_upsert,
+    """
+    SELECT user_id, ts, event_type, value
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    "engine extension §2.9: streaming CDC merge via foreachBatch into a "
+    "versioned parquet state table (S11 alias swap per micro-batch) == "
+    "batch latest-per-user",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

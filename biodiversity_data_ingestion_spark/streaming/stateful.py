@@ -175,3 +175,54 @@ def run_stream_interval_join_over_events(
         ),
     ).select("p_event_id", "e_event_id")
     return _drain(joined, query_name)
+
+
+def run_stream_cdc_upsert_over_events(
+    spark, sf_dir: str, state_dir: str | None = None
+) -> DataFrame:
+    """CDC-style streaming merge via foreachBatch: each micro-batch
+    upserts the per-user LATEST event into a versioned parquet state
+    table (newer event time wins — the `MERGE ... WHEN MATCHED AND
+    s.ts > t.ts` pattern), swapping the _CURRENT pointer per batch.
+
+    This is the production shape for maintaining a serving table from a
+    stream without a lakehouse dependency: state lives in plain parquet,
+    every batch writes a NEW version directory and atomically flips the
+    pointer (sinks.write_versioned — the reference's index/alias swap,
+    S11), so readers never see a half-written table and the previous
+    version remains for rollback. State size tracks key cardinality;
+    the per-batch merge is one union + one top-1-per-key window (A5).
+
+    Returns the final state table (user_id, ts, event_type, value).
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import keep_min_by
+    from ..sources import sinks
+
+    base_dir = state_dir or tempfile.mkdtemp(prefix="bdi_stream_cdc_")
+    order = [F.col("ts").desc(), F.col("event_id").desc()]
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        latest = keep_min_by(batch_df.select(*cols), ["user_id"], order)
+        pointer = os.path.join(base_dir, sinks.CURRENT_POINTER)
+        if os.path.exists(pointer):
+            combined = sinks.read_current(s, base_dir).unionByName(latest)
+            latest = keep_min_by(combined, ["user_id"], order)
+        sinks.write_versioned(latest, base_dir, "state", version=f"b{batch_id:06d}")
+
+    stream = _events_stream(spark, sf_dir).select(*cols)
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    return sinks.read_current(spark, base_dir).select(
+        "user_id", "ts", "event_type", "value"
+    )

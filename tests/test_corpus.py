@@ -212,3 +212,29 @@ def test_kmeans_matches_numpy(spark):
         for r in kmeans_lloyd(emb, "vec_id", "embedding", k=k, n_iter=n_iter).collect()
     }
     assert got == expected
+
+
+def test_upsert_merge_idempotent(spark):
+    from pyspark.sql import Row
+
+    from biodiversity_data_ingestion_spark.operators.joins import upsert_merge
+
+    base = spark.createDataFrame(
+        [Row(k=i, v=f"v{i}") for i in range(20)], "k long, v string"
+    )
+    updates = spark.createDataFrame(
+        [Row(k=i, v=f"U{i}", is_del=(i % 7 == 0)) for i in range(10, 30)],
+        "k long, v string, is_del boolean",
+    )
+    once = upsert_merge(base, updates, "k", "is_del")
+    twice = upsert_merge(once, updates, "k", "is_del")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_connected_components_ignores_duplicate_and_reversed_edges(spark):
+    pairs = [(1, 2), (2, 1), (1, 2), (2, 3), (3, 2)]
+    got = {
+        r["node"]: r["component"]
+        for r in corpus.connected_components(_edges(spark, pairs)).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}
