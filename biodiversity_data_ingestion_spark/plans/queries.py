@@ -3428,6 +3428,84 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 100. brand_price_ranks — rank/dense_rank with gaps vs without
+# (completing the ranking-window family: row_number #16, ntile #89)
+
+def _brand_price_ranks(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), "p_partkey"
+    )
+    return (
+        part.withColumn("price_rank", F.rank().over(w).cast("long"))
+        .withColumn("price_dense_rank", F.dense_rank().over(w).cast("long"))
+        .where(F.col("price_rank") <= 5)
+        .select("p_brand", "p_partkey", F.round("p_retailprice", 2).alias("price"),
+                "price_rank", "price_dense_rank")
+    )
+
+
+_register(
+    "brand_price_ranks",
+    _brand_price_ranks,
+    """
+    SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price,
+           CAST(rank() OVER w AS BIGINT) AS price_rank,
+           CAST(dense_rank() OVER w AS BIGINT) AS price_dense_rank
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+    QUALIFY rank() OVER w <= 5
+    """,
+    "engine extension: rank/dense_rank top-5 per brand (the remaining "
+    "ranking-window variants; one hash-partition shuffle on the key)",
+)
+
+# ---------------------------------------------------------------------------
+# 101. weighted_doc_sample — Efraimidis-Spirakis weighted sampling
+# without replacement, derandomized: u = md5-uniform in (0,1), key =
+# u^(1/w), global top-k by key. Deterministic, engine-portable, and a
+# TakeOrderedAndProject (no total sort) — the weighted companion to
+# hash sampling (#73/#74).
+
+def _weighted_doc_sample(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    # uniform in (0,1] from the first 8 md5 hex chars (+1 avoids u=0)
+    u = (
+        F.conv(F.substring(F.md5(F.concat_ws(":", F.lit("ws"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(16**8))
+    w = F.col("n_chars").cast("double")  # weight: longer docs more likely
+    key = F.round(F.pow(u, F.lit(1.0) / w), 9)
+    return (
+        docs.select("doc_id", "n_chars", key.alias("sample_key"))
+        .orderBy(F.desc("sample_key"), "doc_id")
+        .limit(50)
+    )
+
+
+_register(
+    "weighted_doc_sample",
+    _weighted_doc_sample,
+    f"""
+    WITH k AS (
+        SELECT doc_id, n_chars,
+               round(pow((CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0)
+                         / {float(16**8)},
+                         1.0 / n_chars), 9) AS sample_key
+        FROM documents)
+    SELECT doc_id, n_chars, sample_key
+    FROM k
+    ORDER BY sample_key DESC, doc_id
+    LIMIT 50
+    """,
+    "north star: weighted sampling without replacement (Efraimidis-"
+    "Spirakis u^(1/w) keys, md5-derandomized; global top-k via "
+    "TakeOrderedAndProject, ranked on rounded keys)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
