@@ -3506,6 +3506,32 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 102. ivf_kmeans_topk — end-to-end learned-partitioning ANN: k-means
+# clusters (not the given labels) as the IVF buckets, then probe-route
+# + exact rerank. The full IVF build/search path; rows-only (iterative
+# trainer), recall-tested vs exact cosine in test_ivf_kmeans_recall.
+
+def _ivf_kmeans_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    clusters = similarity.kmeans_lloyd(emb, "vec_id", "embedding", k=8, n_iter=3)
+    bucketed = emb.join(clusters, "vec_id").withColumnRenamed("cluster", "ivf_bucket")
+    queries_df = bucketed.where(F.col("vec_id") % 50 == 0)
+    return similarity.ivf_topk(
+        bucketed, queries_df, "vec_id", "embedding", "ivf_bucket", k=5, n_probe=3
+    )
+
+
+_register(
+    "ivf_kmeans_topk",
+    _ivf_kmeans_topk,
+    None,
+    "north star: learned-partitioning ANN — kmeans_lloyd trains the IVF "
+    "buckets, ivf_topk probes them; recall vs exact in "
+    "test_ivf_kmeans_recall",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -238,3 +238,22 @@ def test_connected_components_ignores_duplicate_and_reversed_edges(spark):
         for r in corpus.connected_components(_edges(spark, pairs)).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_ivf_kmeans_recall(spark):
+    # learned-partitioning ANN must recover most exact top-5 neighbors
+    from biodiversity_data_ingestion_spark.plans.queries import QUERIES
+    from biodiversity_data_ingestion_spark.operators.similarity import cosine_topk
+    from biodiversity_data_ingestion_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    approx = QUERIES["ivf_kmeans_topk"]["builder"](spark, sf)
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, "vec_id", "embedding", k=5).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.6, recall
