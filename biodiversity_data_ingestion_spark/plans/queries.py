@@ -3532,6 +3532,207 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 103. event_value_outliers — per-group z-score anomaly flagging. The
+# group stats are a tiny aggregate joined back broadcast (no window over
+# the full fact table — at 100 TB a window would shuffle every row on
+# event_type, a skewed low-cardinality key; the broadcast join keeps the
+# fact side's partitioning untouched).
+
+def _event_value_outliers(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_pop("value").alias("sigma"),
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(F.col("sigma") > 0)
+        .withColumn("z", F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4))
+        .where(F.abs(F.col("z")) > 2)
+        .select(
+            "event_type", "event_id", F.round("value", 2).alias("value"), "z"
+        )
+    )
+
+
+_register(
+    "event_value_outliers",
+    _event_value_outliers,
+    """
+    WITH s AS (
+        SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+        FROM events GROUP BY event_type)
+    SELECT e.event_type, e.event_id, round(e.value, 2) AS value,
+           round((e.value - s.mu) / s.sigma, 4) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE s.sigma > 0 AND abs(round((e.value - s.mu) / s.sigma, 4)) > 2
+    """,
+    "engine extension: per-group z-score outlier detection (two-pass "
+    "stats + broadcast join back; no full-table window on a skewed key)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 104. key_skew_report — the skew diagnostic the engine's own salting
+# utilities (functions/skew.py) need as input: per-key counts, global
+# distribution stats, skew ratio, and the top-5 heavy hitters. Single
+# row out; the heavy-hitter cut is a TakeOrderedAndProject, not a sort.
+
+def _key_skew_report(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.avg("cnt"), 4).alias("avg_cnt"),
+        F.round(F.max("cnt") / F.avg("cnt"), 4).alias("skew_ratio"),
+    )
+    # top-5 by (cnt desc, user_id): sort_array on (-cnt, user_id) structs
+    # makes the collected order deterministic regardless of task order.
+    hitters = (
+        counts.orderBy(F.desc("cnt"), "user_id")
+        .limit(5)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("cnt")).alias("neg"),
+                                F.col("user_id").alias("uid"),
+                            )
+                        )
+                    ),
+                    lambda s: F.concat_ws(
+                        ":", s["uid"].cast("string"), (-s["neg"]).cast("string")
+                    ),
+                ),
+                ",",
+            ).alias("heavy_hitters")
+        )
+    )
+    return stats.crossJoin(F.broadcast(hitters))
+
+
+_register(
+    "key_skew_report",
+    _key_skew_report,
+    """
+    WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+    s AS (
+        SELECT count(*) AS n_keys, max(cnt) AS max_cnt,
+               round(avg(cnt), 4) AS avg_cnt,
+               round(max(cnt) / avg(cnt), 4) AS skew_ratio
+        FROM c),
+    t AS (
+        SELECT string_agg(user_id || ':' || cnt, ',' ORDER BY cnt DESC, user_id)
+                   AS heavy_hitters
+        FROM (SELECT * FROM c ORDER BY cnt DESC, user_id LIMIT 5))
+    SELECT * FROM s CROSS JOIN t
+    """,
+    "engine extension: key-distribution skew diagnostics (feeds "
+    "functions/skew.py salting decisions; heavy hitters via top-k, "
+    "single-row output)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 105. user_value_scd2 — slowly-changing-dimension type-2 history build:
+# purchase-event value changes per user compressed to change rows
+# (SCD2 no-op suppression via lag), then valid_from/valid_to ranges via
+# lead. Both windows share one partitioning on user_id — one shuffle.
+
+def _user_value_scd2(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    pu = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.round("value", 2).alias("value")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = pu.withColumn("prev", F.lag("value").over(w)).where(
+        F.col("prev").isNull() | (F.col("value") != F.col("prev"))
+    )
+    return (
+        changed.withColumn("valid_to", F.lead("ts").over(w))
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            "value",
+        )
+    )
+
+
+_register(
+    "user_value_scd2",
+    _user_value_scd2,
+    """
+    WITH pu AS (
+        SELECT user_id, ts, event_id, round(value, 2) AS value
+        FROM events WHERE event_type = 'purchase'),
+    ch AS (
+        SELECT user_id, ts, event_id, value,
+               lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM pu)
+    SELECT user_id, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           value
+    FROM ch
+    WHERE prev IS NULL OR value <> prev
+    """,
+    "engine extension: SCD type-2 history construction (change "
+    "compression + validity ranges; the reference's last-writer-wins "
+    "index sink S10 generalized to full history)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 106. bow_fingerprint_dups — word-order-insensitive exact dedup: the
+# fingerprint is md5 over the SORTED distinct word set, catching
+# permuted/reshuffled duplicates that prefix/rolling-hash fingerprints
+# (doc_fingerprints) miss. One groupBy on the 32-char digest.
+
+def _bow_fingerprint_dups(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(words)), " "))
+    return (
+        docs.select(F.col("doc_id"), fp.alias("bow_fp"))
+        .groupBy("bow_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+            ).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+_register(
+    "bow_fingerprint_dups",
+    _bow_fingerprint_dups,
+    f"""
+    WITH f AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct({_DD_WORDS})), ' '))
+                   AS bow_fp
+        FROM documents)
+    SELECT bow_fp, count(*) AS n_docs,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+    FROM f
+    GROUP BY bow_fp
+    HAVING count(*) > 1
+    """,
+    "north star: bag-of-words fingerprint dedup (order-insensitive "
+    "exact near-dup class; complements dedup.py exact/minhash/simhash)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
