@@ -3733,6 +3733,209 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 107. vocab_token_ids — tokenizer-vocabulary construction: corpus-wide
+# token frequencies, a min-frequency cut, then contiguous ids assigned
+# by (freq desc, token). The global window runs AFTER the frequency cut,
+# when the vocab is bounded (~1e5-1e6 tokens at any corpus size), so the
+# single-partition ranking sort is over kilobytes, not the corpus.
+
+def _vocab_token_ids(spark, sf_dir):
+    from ..functions.partitioning import fan_out
+    from ..functions.textfn import tokenize
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(F.explode(tokenize(F.lower(F.trim(F.col("text"))))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") >= 5)
+    )
+    w = Window.orderBy(F.desc("freq"), "token")
+    return counts.withColumn(
+        "token_id", (F.row_number().over(w) - 1).cast("long")
+    )
+
+
+_register(
+    "vocab_token_ids",
+    _vocab_token_ids,
+    r"""
+    WITH w AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        FROM documents),
+    c AS (SELECT token, count(*) AS freq FROM w GROUP BY token
+          HAVING count(*) >= 5)
+    SELECT token, freq,
+           CAST(row_number() OVER (ORDER BY freq DESC, token) - 1 AS BIGINT)
+               AS token_id
+    FROM c
+    """,
+    "north star: tokenizer vocab construction (frequency cut + "
+    "deterministic contiguous id assignment; ranking window only over "
+    "the post-cut bounded vocab)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 108. orders_snapshot_diff — snapshot-to-snapshot CDC diff: two table
+# versions (a sliding retention window with a price restatement for
+# 1995) full-outer-joined on the key, every row classified
+# added/removed/changed/unchanged, aggregated per class. The batch
+# analogue of stream_cdc_upsert's merge classification.
+
+def _orders_snapshot_diff(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    old = o.where(yr.between(1992, 1995)).select(
+        F.col("o_orderkey").alias("key"), F.round("o_totalprice", 2).alias("old_price")
+    )
+    # restatement is an exact +10.00 on the already-rounded price: a
+    # multiplicative restatement would re-round a product and expose the
+    # HALF_UP (Spark) vs banker's (DuckDB) double-rounding divergence
+    new = o.where(yr.between(1993, 1996)).select(
+        F.col("o_orderkey").alias("key"),
+        (
+            F.round("o_totalprice", 2)
+            + F.when(yr == 1995, F.lit(10.0)).otherwise(F.lit(0.0))
+        ).alias("new_price"),
+    )
+    status = (
+        F.when(F.col("old_price").isNull(), "added")
+        .when(F.col("new_price").isNull(), "removed")
+        .when(F.col("new_price") != F.col("old_price"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        old.join(new, "key", "full_outer")
+        .select(status.alias("status"), "old_price", "new_price")
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.coalesce("new_price", F.lit(0.0)) - F.coalesce("old_price", F.lit(0.0))), 2
+            ).alias("price_delta"),
+        )
+    )
+
+
+_register(
+    "orders_snapshot_diff",
+    _orders_snapshot_diff,
+    """
+    WITH old AS (
+        SELECT o_orderkey AS key, round(o_totalprice, 2) AS old_price
+        FROM orders WHERE year(o_orderdate) BETWEEN 1992 AND 1995),
+    new AS (
+        SELECT o_orderkey AS key,
+               round(o_totalprice, 2)
+                 + CASE WHEN year(o_orderdate) = 1995 THEN 10.0 ELSE 0.0 END
+                   AS new_price
+        FROM orders WHERE year(o_orderdate) BETWEEN 1993 AND 1996)
+    SELECT CASE WHEN old_price IS NULL THEN 'added'
+                WHEN new_price IS NULL THEN 'removed'
+                WHEN new_price <> old_price THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           count(*) AS n_orders,
+           round(sum(coalesce(new_price, 0) - coalesce(old_price, 0)), 2)
+               AS price_delta
+    FROM old FULL OUTER JOIN new USING (key)
+    GROUP BY 1
+    """,
+    "engine extension: snapshot diff / CDC classification (full-outer "
+    "key join, added/removed/changed/unchanged; batch twin of "
+    "stream_cdc_upsert)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 109. order_dims_cube — CUBE over two dimensions (all 4 grouping sets
+# in one pass; completes the grouped-subtotal family: GROUPING SETS #64,
+# ROLLUP #88). grouping() flags disambiguate real NULLs from subtotals.
+
+def _order_dims_cube(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.grouping("o_orderstatus").cast("long").alias("is_status_total"),
+            F.grouping("o_orderpriority").cast("long").alias("is_priority_total"),
+        )
+    )
+
+
+_register(
+    "order_dims_cube",
+    _order_dims_cube,
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           CAST(grouping(o_orderstatus) AS BIGINT) AS is_status_total,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS is_priority_total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "engine extension: CUBE subtotal lattice (A10 dimension blocks as "
+    "one multi-grouping pass instead of UNION ALL re-scans)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 110. price_equidepth_deciles — equi-depth (quantile-bucketed)
+# histogram: exact decile boundaries from ONE percentile buffer
+# (distribution_stats' A3 machinery), broadcast back, every row bucketed
+# by boundary comparison. No global sort and no single-partition window
+# — the two passes are both full-parallel scans.
+
+def _price_equidepth_deciles(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    qs = [i / 10.0 for i in range(1, 10)]
+    bounds = li.agg(
+        F.percentile("l_extendedprice", F.array(*[F.lit(q) for q in qs])).alias("bs")
+    )
+    bucket = F.aggregate(
+        "bs",
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col("l_extendedprice") > b, 1).otherwise(0),
+    ).cast("long")
+    return (
+        li.select("l_extendedprice")
+        .crossJoin(F.broadcast(bounds))
+        .withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+    )
+
+
+_register(
+    "price_equidepth_deciles",
+    _price_equidepth_deciles,
+    """
+    WITH b AS (
+        SELECT quantile_cont(l_extendedprice,
+                             [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+        FROM lineitem)
+    SELECT CAST(len(list_filter(b.bs, x -> l.l_extendedprice > x)) AS BIGINT)
+               AS bucket,
+           count(*) AS n_rows,
+           round(min(l.l_extendedprice), 2) AS lo,
+           round(max(l.l_extendedprice), 2) AS hi
+    FROM lineitem l CROSS JOIN b
+    GROUP BY 1
+    """,
+    "engine extension: equi-depth histogram (exact interpolated decile "
+    "boundaries via one percentile buffer + broadcast bucket "
+    "assignment; complements fixed-width value_histogram)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
