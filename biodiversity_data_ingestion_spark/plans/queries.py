@@ -3936,6 +3936,181 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 111. source_capped_corpus — per-source document quota (the RefinedWeb/
+# CC per-domain cap): keep at most N docs per source ranked by length
+# then id. One hash-partition shuffle on source; the window never sees
+# more than a partition's rows and the cap cuts early under AQE.
+
+def _source_capped_corpus(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        docs.withColumn("cap_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("cap_rank") <= 50)
+        .select("source", "doc_id", "n_chars", "cap_rank")
+    )
+
+
+_register(
+    "source_capped_corpus",
+    _source_capped_corpus,
+    """
+    SELECT source, doc_id, n_chars,
+           CAST(row_number() OVER w AS BIGINT) AS cap_rank
+    FROM documents
+    WINDOW w AS (PARTITION BY source ORDER BY n_chars DESC, doc_id)
+    QUALIFY row_number() OVER w <= 50
+    """,
+    "north star: per-source corpus quota (per-domain cap against "
+    "single-source dominance; ranked retention, one shuffle)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 112. doc_dupline_ratio — CCNet-style duplicated-line scoring: docs are
+# split into non-overlapping 8-word chunks ('lines'), each chunk's
+# corpus document-frequency is computed, and every doc is scored by the
+# fraction of its chunks that appear in >1 doc. Two shuffles (chunk df,
+# per-doc re-agg) — the join key is the chunk itself, co-partitioned
+# with the frequency table's grouping so no third exchange appears.
+
+def _doc_dupline_ratio(spark, sf_dir):
+    from ..functions.partitioning import fan_out
+    from ..functions.textfn import tokenize
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    w = tokenize(F.lower(F.trim(F.col("text"))))
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - 1, F.lit(0)), F.lit(8)),
+        lambda i: F.array_join(F.slice(w, i + 1, 8), " "),
+    )
+    ch = docs.select("doc_id", F.explode(chunks).alias("chunk"))
+    freq = ch.groupBy("chunk").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        ch.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).cast("long").alias("n_dup_chunks"),
+        )
+        .where(F.col("n_dup_chunks") > 0)
+        .withColumn(
+            "dup_ratio", F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 4)
+        )
+    )
+
+
+_register(
+    "doc_dupline_ratio",
+    _doc_dupline_ratio,
+    r"""
+    WITH d AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents),
+    ch AS (
+        SELECT doc_id, array_to_string(w[i:i+7], ' ') AS chunk
+        FROM d, unnest(generate_series(1, greatest(len(w), 1), 8)) AS t(i)),
+    f AS (SELECT chunk, count(DISTINCT doc_id) AS df FROM ch GROUP BY chunk),
+    r AS (
+        SELECT ch.doc_id, count(*) AS n_chunks,
+               sum(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS n_dup_chunks
+        FROM ch JOIN f USING (chunk) GROUP BY ch.doc_id)
+    SELECT doc_id, n_chunks, n_dup_chunks,
+           round(n_dup_chunks * 1.0 / n_chunks, 4) AS dup_ratio
+    FROM r WHERE n_dup_chunks > 0
+    """,
+    "north star: duplicated-line ratio (CCNet line-dedup signal; "
+    "chunk-df join co-partitioned with its aggregation)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 113. user_time_weighted_value — time-weighted average: each value is
+# weighted by its holding duration (seconds until the user's next
+# event); the trailing open interval is excluded. One window + one
+# grouped agg, both on user_id — a single shuffle.
+
+def _user_time_weighted_value(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt = (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")) / 1e6
+    return (
+        ev.withColumn("dt", dt)
+        .where(F.col("dt").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.round(F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 4).alias("twa_value"),
+        )
+        .where(F.col("twa_value").isNotNull())
+    )
+
+
+_register(
+    "user_time_weighted_value",
+    _user_time_weighted_value,
+    """
+    WITH i AS (
+        SELECT user_id, value,
+               (epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id))
+                - epoch_us(ts)) / 1e6 AS dt
+        FROM events)
+    SELECT user_id, count(*) AS n_intervals,
+           round(sum(value * dt) / sum(dt), 4) AS twa_value
+    FROM i WHERE dt IS NOT NULL
+    GROUP BY user_id
+    HAVING round(sum(value * dt) / sum(dt), 4) IS NOT NULL
+    """,
+    "engine extension: time-weighted average over event streams "
+    "(duration-weighted holding values; window + agg share one "
+    "user_id shuffle)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 114. orders_yoy_growth — year-over-year growth per priority: grouped
+# yearly revenue, then lag() over the year axis. The growth ratio is
+# computed FROM the rounded revenue so both engines divide identical
+# doubles (raw-sum ratios would amplify last-bit noise past rounding).
+
+def _orders_yoy_growth(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    yearly = (
+        o.groupBy("o_orderpriority", F.year("o_orderdate").alias("yr"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "o_orderpriority",
+        F.col("yr").cast("long").alias("yr"),
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev * 100, 4).alias("yoy_pct"),
+    )
+
+
+_register(
+    "orders_yoy_growth",
+    _orders_yoy_growth,
+    """
+    WITH y AS (
+        SELECT o_orderpriority, year(o_orderdate) AS yr,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1, 2)
+    SELECT o_orderpriority, CAST(yr AS BIGINT) AS yr, revenue,
+           round((revenue - lag(revenue) OVER w) / lag(revenue) OVER w * 100, 4)
+               AS yoy_pct
+    FROM y
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY yr)
+    """,
+    "engine extension: period-over-period growth (lag over the "
+    "aggregated year axis; ratios on pre-rounded revenue for "
+    "engine-exact determinism)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
