@@ -4111,6 +4111,89 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 115. brand_price_percentiles — percent_rank + cume_dist (the last
+# distribution-window variants; rank/dense_rank #100, ntile #89,
+# row_number #16). Unique ordering (price, id) keeps both engines'
+# tie handling identical.
+
+def _brand_price_percentiles(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return (
+        part.withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
+        .withColumn("cume", F.round(F.cume_dist().over(w), 6))
+        .where(F.col("p_partkey") % 20 == 0)
+        .select(
+            "p_brand", "p_partkey",
+            F.round("p_retailprice", 2).alias("price"), "pct_rank", "cume",
+        )
+    )
+
+
+_register(
+    "brand_price_percentiles",
+    _brand_price_percentiles,
+    """
+    SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+    QUALIFY p_partkey % 20 = 0
+    """,
+    "engine extension: percent_rank/cume_dist distribution windows "
+    "(deterministic unique ordering; completes the window family)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 116. incremental_monthly_agg — incremental materialized-view
+# maintenance: a stored pre-aggregate (orders before the cutoff) is
+# merged with the delta partition's pre-aggregate by RE-AGGREGATING the
+# union of partials (sum-of-sums / sum-of-counts). The oracle is the
+# full recompute — proving the incremental path is exact. At 100 TB
+# only the delta is scanned; the stored agg is months x keys tiny.
+
+def _incremental_monthly_agg(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
+
+    def partial(df):
+        return df.groupBy(month).agg(
+            F.sum("o_totalprice").alias("p_rev"),
+            F.count(F.lit(1)).alias("p_n"),
+        )
+
+    stored = partial(o.where(F.col("o_orderdate") < cutoff))
+    delta = partial(o.where(F.col("o_orderdate") >= cutoff))
+    return (
+        stored.unionByName(delta)
+        .groupBy("month")
+        .agg(
+            F.round(F.sum("p_rev"), 2).alias("revenue"),
+            F.sum("p_n").alias("n_orders"),
+        )
+    )
+
+
+_register(
+    "incremental_monthly_agg",
+    _incremental_monthly_agg,
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY 1
+    """,
+    "engine extension: incremental aggregate maintenance (partial-agg "
+    "union + re-aggregation == full recompute; delta-only scan at "
+    "scale)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -49,6 +49,11 @@ def get_spark(
         # truncate to micros in the loaders (sources/tables.py, streaming/)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        # runtime filters: a selective dim-side predicate becomes a bloom
+        # filter pushed into the fact-side scan of shuffle joins — at
+        # 100 TB this prunes most of the probe side before the exchange
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        .config("spark.sql.optimizer.runtimeFilter.number.threshold", "10")
         # driver/local-mode memory headroom for the 32-thread test box
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

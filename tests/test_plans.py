@@ -146,3 +146,35 @@ def test_no_accidental_cartesian_or_row_python_udfs(spark):
         if "BatchEvalPython" in plan:
             offenders.append((name, "BatchEvalPython"))
     assert not offenders, offenders
+
+
+def test_outlier_stats_join_is_broadcast_not_window(spark):
+    # z-score stats are a tiny per-type aggregate joined back broadcast;
+    # a Window over event_type would shuffle the whole fact table onto a
+    # skewed low-cardinality key
+    from biodiversity_data_ingestion_spark.plans.queries import QUERIES
+
+    df = QUERIES["event_value_outliers"]["builder"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_source_cap_is_single_shuffle(spark):
+    # the per-source quota must cost exactly one hash exchange (the
+    # window partitioning); no residual sort-merge or re-exchange
+    from biodiversity_data_ingestion_spark.plans.queries import QUERIES
+
+    df = QUERIES["source_capped_corpus"]["builder"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_equidepth_boundaries_join_is_broadcast(spark):
+    # the single-row decile-boundary relation must broadcast; bucketing
+    # then stays map-side ahead of the grouped aggregation
+    from biodiversity_data_ingestion_spark.plans.queries import QUERIES
+
+    df = QUERIES["price_equidepth_deciles"]["builder"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
