@@ -1,0 +1,107 @@
+"""Z-order (Morton-curve) data layout for multi-column data skipping.
+
+Parquet scans prune row groups / files with footer min-max statistics,
+but a layout sorted on ONE column leaves every other column's per-file
+range at full width — predicates on the second column prune nothing.
+Interleaving the bits of several columns' normalized values and
+range-partitioning + sorting on that Morton key bounds EVERY indexed
+column within each file, so selective predicates on any of them skip
+most of the data. This is the lakehouse OPTIMIZE ZORDER BY technique
+(public Delta/Iceberg docs), built here from Spark primitives only:
+
+- per-column min/max from one tiny aggregate, broadcast back;
+- normalization + bit interleave as pure Catalyst bit-ops (whole-stage
+  codegen, no UDF);
+- ``repartitionByRange`` on the key (range exchange with sampled
+  boundaries) + ``sortWithinPartitions`` → each output file owns a
+  compact Morton range, i.e. a small hyper-rectangle of the key space.
+
+At 100 TB this is a one-shuffle layout job whose cost is repaid by
+every subsequent selective scan; the key computation itself is
+map-side and columnar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["add_zorder_column", "write_zordered", "zorder_interleave_ref"]
+
+
+def _scaled_cell(col: str, bits: int) -> Column:
+    """Normalize ``col`` into an integer cell in [0, 2**bits) using the
+    broadcast ``__zmin_/__zmax_`` bounds columns."""
+    mn = F.col(f"__zmin_{col}").cast("double")
+    mx = F.col(f"__zmax_{col}").cast("double")
+    rng = mx - mn
+    frac = (F.col(col).cast("double") - mn) / rng
+    cell = F.floor(frac * F.lit(float(1 << bits))).cast("long")
+    return (
+        F.when(rng == 0, F.lit(0).cast("long"))
+        .otherwise(F.least(cell, F.lit((1 << bits) - 1)))
+    )
+
+
+def add_zorder_column(
+    df: DataFrame, cols: list[str], bits: int = 12, out_col: str = "_z"
+) -> DataFrame:
+    """Append the Morton (Z-order) key over ``cols`` as ``out_col``.
+
+    Column values are min-max normalized to ``bits``-bit cells (bounds
+    from one single-row aggregate, broadcast), then bit-interleaved
+    lowest-bit-first across columns — all as Catalyst bit arithmetic.
+    Numeric/timestamp-castable columns only.
+    """
+    if not cols:
+        raise ValueError("zorder needs at least one column")
+    aggs = [
+        agg
+        for c in cols
+        for agg in (F.min(c).alias(f"__zmin_{c}"), F.max(c).alias(f"__zmax_{c}"))
+    ]
+    bounds = df.agg(*aggs)
+    joined = df.crossJoin(F.broadcast(bounds))
+    z = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        cell = _scaled_cell(c, bits)
+        for b in range(bits):
+            bit = F.shiftright(cell, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * len(cols) + ci))
+    drop = [f"__zmin_{c}" for c in cols] + [f"__zmax_{c}" for c in cols]
+    return joined.withColumn(out_col, z).drop(*drop)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 8,
+    bits: int = 12,
+    fmt: str = "parquet",
+) -> None:
+    """Write ``df`` laid out along the Z-curve of ``cols``.
+
+    Range exchange on the Morton key (sampled boundaries → balanced
+    files) + in-partition sort → every file covers one compact curve
+    segment; parquet footer min-max on each of ``cols`` is then tight
+    per file and selective predicates on ANY of them skip files.
+    """
+    zdf = add_zorder_column(df, cols, bits=bits)
+    (
+        zdf.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.format(fmt)
+        .mode("overwrite")
+        .save(path)
+    )
+
+
+def zorder_interleave_ref(cells: list[int], bits: int) -> int:
+    """Pure-Python reference for the interleave (tests only)."""
+    z = 0
+    for ci, cell in enumerate(cells):
+        for b in range(bits):
+            z |= ((cell >> b) & 1) << (b * len(cells) + ci)
+    return z
