@@ -3643,23 +3643,13 @@ _register(
 # lead. Both windows share one partitioning on user_id — one shuffle.
 
 def _user_value_scd2(spark, sf_dir):
+    from ..operators.scd import scd2_compress
+
     ev = _t(spark, sf_dir, "events")
     pu = ev.where(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id", F.round("value", 2).alias("value")
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    changed = pu.withColumn("prev", F.lag("value").over(w)).where(
-        F.col("prev").isNull() | (F.col("value") != F.col("prev"))
-    )
-    return (
-        changed.withColumn("valid_to", F.lead("ts").over(w))
-        .select(
-            "user_id",
-            F.col("ts").alias("valid_from"),
-            "valid_to",
-            "value",
-        )
-    )
+    return scd2_compress(pu, "user_id", "ts", "value", tiebreak="event_id")
 
 
 _register(

@@ -133,3 +133,53 @@ def test_grid_centroid_filter_matches_brute_force(spark_prop, pts, cents, dist):
         ).collect()
     }
     assert grid == brute
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 50), st.integers(0, 3)),
+        max_size=40,
+    ),
+    probe=st.integers(0, 50),
+)
+@settings(**_SETTINGS)
+def test_scd2_point_in_time_equals_naive_replay(spark_prop, data, probe):
+    # SCD2 invariant: for any probe time t, the history row whose
+    # [valid_from, valid_to) range contains t carries exactly the value
+    # of the latest change at or before t under a naive replay
+    from biodiversity_data_ingestion_spark.operators.scd import scd2_compress
+
+    df = spark_prop.createDataFrame(
+        [(u, t, i, float(v)) for i, (u, t, v) in enumerate(data)]
+        or [(0, 0, 0, 0.0)],
+        "user_id INT, ts INT, event_id INT, value DOUBLE",
+    )
+    hist = scd2_compress(df, "user_id", "ts", "value", tiebreak="event_id").collect()
+
+    rows = [(u, t, i, float(v)) for i, (u, t, v) in enumerate(data)] or [
+        (0, 0, 0, 0.0)
+    ]
+    for user in {r[0] for r in rows}:
+        seen = sorted((r for r in rows if r[0] == user), key=lambda r: (r[1], r[2]))
+        expected = None
+        for _, t, _, v in seen:
+            if t <= probe:
+                expected = v
+        got = [
+            h.value
+            for h in hist
+            if h.user_id == user
+            and h.valid_from <= probe
+            and (h.valid_to is None or probe < h.valid_to)
+        ]
+        if expected is None:
+            assert got == []
+        else:
+            assert got == [expected]
+        # ranges per user must tile without overlap: sorted valid_from,
+        # each valid_to equals the next valid_from
+        spans = sorted(
+            [(h.valid_from, h.valid_to) for h in hist if h.user_id == user]
+        )
+        for (a_f, a_t), (b_f, _) in zip(spans, spans[1:]):
+            assert a_t == b_f
