@@ -51,3 +51,43 @@ def salted_agg(
             for name, (kind, expr) in aggs.items()
         ]
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-salted equi-join: spread each hot key of ``big`` over
+    ``salt_buckets`` reducers by joining on (key..., salt).
+
+    The big side takes a DETERMINISTIC per-row salt (crc32 of the whole
+    row's join-irrelevant spread source — here a concat of all columns —
+    is overkill; a cheap uniform spreader is enough, so we hash the
+    partition-local row position via ``spark_partition_id`` + a crc of
+    the key, which reproduces across retries of the same partition
+    layout). The small side is replicated once per salt value with
+    ``explode(sequence(...))`` — its shuffle volume multiplies by
+    ``salt_buckets``, which is the explicit price of de-skewing; keep it
+    for small/medium dimension sides only (a broadcastable side should
+    just broadcast instead).
+
+    Manual fallback for when AQE skew splitting can't see the skew
+    (e.g. skew introduced by an upstream stage in the same exchange).
+    Results equal the plain join for any `how` preserved by key
+    equality; validated in test_salted_join_equals_plain.
+    """
+    salt = (
+        F.crc32(F.concat_ws("\x00", *[F.col(c).cast("string") for c in on]))
+        + F.spark_partition_id()
+        + F.monotonically_increasing_id()
+    ) % salt_buckets
+    b = big.withColumn("__jsalt", salt.cast("int"))
+    # generators can't nest inside expressions (no inline cast): the
+    # int-literal sequence already yields int elements
+    s = small.withColumn(
+        "__jsalt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return b.join(s, on + ["__jsalt"], how).drop("__jsalt")

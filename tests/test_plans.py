@@ -178,3 +178,24 @@ def test_equidepth_boundaries_join_is_broadcast(spark):
     df = QUERIES["price_equidepth_deciles"]["builder"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_salted_join_equals_plain(spark):
+    # the salted join must be row-for-row identical to the plain join,
+    # for inner and left joins alike
+    from biodiversity_data_ingestion_spark.functions.skew import salted_join
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    pt = spark.read.parquet(f"{SF_DIR}/part.parquet").select(
+        F.col("p_partkey").alias("l_partkey"), "p_name"
+    )
+    for how in ("inner", "left"):
+        plain = sorted(
+            map(tuple, li.join(pt, ["l_partkey"], how).collect())
+        )
+        salted = sorted(
+            map(tuple, salted_join(li, pt, ["l_partkey"], how=how).collect())
+        )
+        assert plain == salted

@@ -218,3 +218,33 @@ def test_cleaning_chain_end_to_end_through_disk(spark, tmp_path):
     summary_back = spark.read.json(str(tmp_path / "summary"))
     s = {r["species"]: r["percent_retained"] for r in summary_back.collect()}
     assert s == {"genus alpha": 33.33, "genus beta": 100.0}
+
+
+def test_bucketed_point_lookup_prunes_buckets(spark):
+    # an equality filter on the bucketing key must scan ONE bucket, not
+    # the whole table — the plan advertises SelectedBucketsCount
+    from biodiversity_data_ingestion_spark.sources import sinks
+
+    df = spark.range(1000).selectExpr("id AS k", "id * 2 AS v")
+    sinks.write_bucketed_table(df, "b_lookup", ["k"], num_buckets=8)
+    try:
+        # AQE's autoBucketedScan drops bucketed reading when it sees no
+        # exchange to eliminate — for point lookups the win is bucket
+        # PRUNING, so force the bucketed scan path
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        plan = (
+            spark.table("b_lookup")
+            .where(F.col("k") == 42)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SelectedBucketsCount: 1 out of 8" in plan
+        assert spark.table("b_lookup").where(F.col("k") == 42).collect() == [
+            (42, 84)
+        ]
+    finally:
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+        spark.sql("DROP TABLE IF EXISTS b_lookup")
