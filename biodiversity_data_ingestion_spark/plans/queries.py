@@ -4184,6 +4184,126 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 117. term_pair_pmi — pointwise mutual information over within-doc term
+# co-occurrence. The pair explosion is BOUNDED: only the first 16
+# distinct tokens per doc pair up (<=120 pairs/doc, linear in corpus
+# size), and the unigram-probability join is vocabulary-sized →
+# broadcast. log() is bit-identical across engines (both libm doubles).
+
+def _term_pair_pmi(spark, sf_dir):
+    from ..functions.partitioning import fan_out
+    from ..functions.textfn import tokenize
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    toks = F.slice(F.array_sort(F.array_distinct(tokenize(F.lower(F.trim(F.col("text")))))), 1, 16)
+    d = docs.select("doc_id", toks.alias("toks"))
+    n_docs = d.select(F.count(F.lit(1)).alias("n_docs"))
+    # distinct sorted tokens -> pairs (a < b) via index-offset self-zip
+    pairs = d.select(
+        "doc_id",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("toks"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("toks"), i + 2, 16),
+                        lambda b: F.struct(a.alias("a"), b.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    uni = (
+        d.select(F.explode("toks").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    co = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cf")).where(F.col("cf") >= 5)
+    return (
+        co.join(F.broadcast(uni.withColumnRenamed("t", "a").withColumnRenamed("tf", "fa")), "a")
+        .join(F.broadcast(uni.withColumnRenamed("t", "b").withColumnRenamed("tf", "fb")), "b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "a", "b", "cf",
+            F.round(
+                F.log((F.col("cf") * F.col("n_docs")) / (F.col("fa") * F.col("fb"))), 4
+            ).alias("pmi"),
+        )
+    )
+
+
+_register(
+    "term_pair_pmi",
+    _term_pair_pmi,
+    r"""
+    WITH d AS (
+        SELECT doc_id,
+               list_sort(list_distinct(
+                   string_split_regex(lower(trim(text)), '\s+')))[1:16] AS toks
+        FROM documents),
+    n AS (SELECT count(*) AS n_docs FROM d),
+    u AS (SELECT unnest(toks) AS t, doc_id FROM d),
+    uni AS (SELECT t, count(*) AS tf FROM u GROUP BY t),
+    pairs AS (
+        SELECT x.doc_id, x.t AS a, y.t AS b
+        FROM u x JOIN u y ON x.doc_id = y.doc_id AND x.t < y.t),
+    co AS (SELECT a, b, count(*) AS cf FROM pairs GROUP BY a, b
+           HAVING count(*) >= 5)
+    SELECT a, b, cf,
+           round(ln((cf * n.n_docs * 1.0) / (fa.tf * fb.tf)), 4) AS pmi
+    FROM co
+    JOIN uni fa ON co.a = fa.t
+    JOIN uni fb ON co.b = fb.t
+    CROSS JOIN n
+    """,
+    "north star: PMI term co-occurrence (bounded pair explosion, "
+    "broadcast unigram joins; the association-mining companion to "
+    "tfidf_top_terms)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 118. user_rolling_1h_value — RANGE-frame rolling window: per event,
+# the sum/count of the same user's values in the trailing hour. The
+# only window variant not yet covered (ROWS frames, lag/lead, ranking,
+# distribution all exist); RANGE on unix seconds keeps both engines'
+# frame semantics identical.
+
+def _user_rolling_1h_value(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_seconds(F.col("ts")))
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "event_id",
+            F.round(F.sum("value").over(w), 2).alias("rolling_1h_sum"),
+            F.count(F.lit(1)).over(w).alias("rolling_1h_n"),
+        )
+    )
+
+
+_register(
+    "user_rolling_1h_value",
+    _user_rolling_1h_value,
+    """
+    SELECT user_id, event_id,
+           round(sum(value) OVER w, 2) AS rolling_1h_sum,
+           count(*) OVER w AS rolling_1h_n
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    "engine extension: RANGE-frame rolling aggregates (trailing-hour "
+    "sums per key; completes the window-frame family)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
