@@ -4304,6 +4304,76 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 119. stream_windowed_topk — streaming leaderboard: stream maintains
+# the windowed counts (bounded state), the serving cut ranks the tiny
+# drained aggregate. Oracle = batch hourly counts + rank.
+
+def _stream_windowed_topk(spark, sf_dir):
+    from ..streaming.windows import run_stream_windowed_topk_over_events
+
+    return run_stream_windowed_topk_over_events(spark, sf_dir, k=2)
+
+
+_register(
+    "stream_windowed_topk",
+    _stream_windowed_topk,
+    """
+    WITH c AS (
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2)
+    SELECT window_start, event_type, n_events,
+           CAST(row_number() OVER (PARTITION BY window_start
+                                   ORDER BY n_events DESC, event_type)
+                AS BIGINT) AS rnk
+    FROM c
+    QUALIFY row_number() OVER (PARTITION BY window_start
+                               ORDER BY n_events DESC, event_type) <= 2
+    """,
+    "engine extension §2.9: streaming windowed top-k (stateful counts "
+    "in-stream, rank over the drained aggregate == batch leaderboard)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 120. lineitem_column_stats — ANALYZE-style table statistics in ONE
+# pass: per-column null counts, min/max, distinct counts — the numbers
+# a cost-based optimizer (and this engine's own broadcast/salting
+# decisions) run on. Single full-scan aggregate, no shuffle beyond the
+# final single-row reduce.
+
+def _lineitem_column_stats(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0)).cast("long").alias("null_shipdate"),
+        F.countDistinct("l_orderkey").alias("ndv_orderkey"),
+        F.countDistinct("l_returnflag").alias("ndv_returnflag"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+    )
+
+
+_register(
+    "lineitem_column_stats",
+    _lineitem_column_stats,
+    """
+    SELECT count(*) AS n_rows,
+           sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_shipdate,
+           count(DISTINCT l_orderkey) AS ndv_orderkey,
+           count(DISTINCT l_returnflag) AS ndv_returnflag,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price,
+           round(avg(l_quantity), 4) AS avg_qty
+    FROM lineitem
+    """,
+    "engine extension: ANALYZE-style column statistics (CBO/broadcast "
+    "decision inputs; one pass, single-row output)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

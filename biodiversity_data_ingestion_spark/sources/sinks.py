@@ -140,3 +140,40 @@ def read_current(spark, base_dir: str) -> DataFrame:
     """Resolve the _CURRENT pointer and read the live version."""
     with open(os.path.join(base_dir, CURRENT_POINTER)) as fh:
         return spark.read.parquet(json.load(fh)["path"])
+
+
+def compact_files(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+    fmt: str = "parquet",
+) -> int:
+    """Small-file compaction: rewrite ``path`` as ceil(bytes / target)
+    files and atomically replace the directory. Returns the new file
+    count.
+
+    Streaming sinks and incremental appends accumulate many small files;
+    at scale a 128 MB-file layout keeps scan task count ~= data size /
+    maxPartitionBytes instead of one task per tiny file (and parquet
+    footers stay worth reading). The rewrite is one round-robin exchange
+    — no sort, layout-preserving jobs should use write_zordered instead.
+    The swap goes through a sibling temp dir + rename, the same
+    alias-flip discipline as write_versioned.
+    """
+    import math
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if not f.startswith(("_", "."))
+    )
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.format(fmt).load(path)
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    df.repartition(n_files).write.format(fmt).mode("overwrite").save(tmp)
+    old = path.rstrip("/") + ".__compact_old__"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files

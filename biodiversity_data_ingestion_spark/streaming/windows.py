@@ -146,3 +146,28 @@ def run_stream_sessions_over_events(
     return _drain_to_memory_table(
         spark, session_event_counts(events_stream(spark, sf_dir)), query_name
     )
+
+
+def run_stream_windowed_topk_over_events(
+    spark: SparkSession, sf_dir: str, k: int = 2,
+    query_name: str = "bdi_stream_topk",
+) -> DataFrame:
+    """Streaming leaderboard: tumbling-window counts maintained by the
+    stream (bounded state: windows x types), then the top-k cut applied
+    on the drained result — the standard two-stage shape, since ranking
+    across keys inside one streaming trigger isn't incremental. At
+    scale the serving cut runs over the (tiny) aggregate table, never
+    the event stream."""
+    from pyspark.sql import Window as W
+
+    agg = _drain_to_memory_table(
+        spark, windowed_event_counts(events_stream(spark, sf_dir)), query_name
+    )
+    w = W.partitionBy("window_start").orderBy(
+        F.desc("n_events"), "event_type"
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("window_start", "event_type", "n_events", "rnk")
+    )

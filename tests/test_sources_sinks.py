@@ -248,3 +248,20 @@ def test_bucketed_point_lookup_prunes_buckets(spark):
     finally:
         spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
         spark.sql("DROP TABLE IF EXISTS b_lookup")
+
+
+def test_compact_files_reduces_file_count_preserving_rows(spark, tmp_path):
+    from biodiversity_data_ingestion_spark.sources import sinks
+
+    path = str(tmp_path / "fragmented")
+    df = spark.range(10_000).selectExpr("id", "id % 7 AS g")
+    df.repartition(64).write.parquet(path)  # 64 tiny files
+    import glob
+
+    assert len(glob.glob(f"{path}/*.parquet")) == 64
+    n = sinks.compact_files(spark, path, target_file_mb=128)
+    assert n == 1  # tiny table -> one target-size file
+    assert len(glob.glob(f"{path}/*.parquet")) == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("id")).first()[0] == sum(range(10_000))
