@@ -4374,6 +4374,165 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 121. source_overlap_matrix — pairwise corpus overlap: how many exact
+# duplicate texts (by md5 fingerprint) each pair of sources shares. The
+# self-join is on the 32-char fingerprint (uniform, unskewed key) and
+# the src_a < src_b guard keeps each pair once.
+
+def _source_overlap_matrix(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select(F.col("source"), F.md5(F.col("text")).alias("fp")).distinct()
+    a = fp.select(F.col("source").alias("src_a"), "fp")
+    b = fp.select(F.col("source").alias("src_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.countDistinct("fp").alias("shared_texts"))
+    )
+
+
+_register(
+    "source_overlap_matrix",
+    _source_overlap_matrix,
+    """
+    WITH fp AS (SELECT DISTINCT source, md5(text) AS fp FROM documents)
+    SELECT a.source AS src_a, b.source AS src_b,
+           count(DISTINCT a.fp) AS shared_texts
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+    "north star: pairwise source-overlap matrix (exact-dup fingerprint "
+    "self-join on an unskewed hash key; corpus provenance analysis)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 122. winsorized_value_stats — robust aggregation: per-type p05/p95
+# from one percentile buffer, broadcast back, values clamped into the
+# band, then re-aggregated. The two passes are both full-parallel; no
+# window touches the fact table.
+
+def _winsorized_value_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", F.array(F.lit(0.05), F.lit(0.95))).alias("pb")
+    ).select(
+        "event_type",
+        F.element_at("pb", 1).alias("lo"),
+        F.element_at("pb", 2).alias("hi"),
+    )
+    clamped = (
+        ev.join(F.broadcast(bounds), "event_type")
+        .withColumn("wv", F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")))
+    )
+    return clamped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("wv"), 4).alias("winsor_mean"),
+        F.round(F.avg("value"), 4).alias("raw_mean"),
+    )
+
+
+_register(
+    "winsorized_value_stats",
+    _winsorized_value_stats,
+    """
+    WITH b AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events GROUP BY event_type)
+    SELECT e.event_type, count(*) AS n,
+           round(avg(least(greatest(e.value, b.lo), b.hi)), 4) AS winsor_mean,
+           round(avg(e.value), 4) AS raw_mean
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type
+    """,
+    "engine extension: winsorized (clamped-tail) robust means — "
+    "percentile buffer + broadcast clamp, companion to "
+    "event_value_outliers",
+)
+
+
+# ---------------------------------------------------------------------------
+# 123. event_value_mad — median absolute deviation: per-type median
+# (pass 1), broadcast, then the median of |v - med| (pass 2). The
+# robust dispersion measure outlier pipelines prefer over stddev; two
+# tiny aggregates, two broadcasts, zero windows.
+
+def _event_value_mad(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .withColumn("dev", F.abs(F.col("value") - F.col("med")))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("med"), 4).alias("median_value"),
+            F.round(F.median("dev"), 4).alias("mad"),
+        )
+    )
+
+
+_register(
+    "event_value_mad",
+    _event_value_mad,
+    """
+    WITH m AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           round(any_value(m.med), 4) AS median_value,
+           round(quantile_cont(abs(e.value - m.med), 0.5), 4) AS mad
+    FROM events e JOIN m USING (event_type)
+    GROUP BY e.event_type
+    """,
+    "engine extension: median absolute deviation (two-pass robust "
+    "dispersion; exact medians match quantile_cont interpolation)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 124. user_retention_cohorts — cohort retention matrix: users grouped
+# by first-seen day, activity counted per day-offset. The first-seen
+# dimension joins back on user_id (the fact table's natural key — same
+# shuffle the cohort agg needs anyway), then one grouped distinct.
+
+def _user_retention_cohorts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    return (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+_register(
+    "user_retention_cohorts",
+    _user_retention_cohorts,
+    """
+    WITH f AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id)
+    SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS BIGINT)
+               AS day_offset,
+           count(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    "engine extension: cohort retention matrix (first-seen dimension "
+    "re-joined on the fact key, one distinct agg; the classic "
+    "product-analytics rollup)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
