@@ -4219,14 +4219,20 @@ def _term_pair_pmi(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     co = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cf")).where(F.col("cf") >= 5)
+    # join the SAME uni plan twice via aliases (not renamed copies) so
+    # both BroadcastExchanges canonicalize identically and the second is
+    # a ReusedExchange — the corpus-wide unigram pass runs once
     return (
-        co.join(F.broadcast(uni.withColumnRenamed("t", "a").withColumnRenamed("tf", "fa")), "a")
-        .join(F.broadcast(uni.withColumnRenamed("t", "b").withColumnRenamed("tf", "fb")), "b")
+        co.join(F.broadcast(uni).alias("fa"), F.col("a") == F.col("fa.t"))
+        .join(F.broadcast(uni).alias("fb"), F.col("b") == F.col("fb.t"))
         .crossJoin(F.broadcast(n_docs))
         .select(
             "a", "b", "cf",
             F.round(
-                F.log((F.col("cf") * F.col("n_docs")) / (F.col("fa") * F.col("fb"))), 4
+                F.log(
+                    (F.col("cf") * F.col("n_docs"))
+                    / (F.col("fa.tf") * F.col("fb.tf"))
+                ), 4
             ).alias("pmi"),
         )
     )
