@@ -4539,6 +4539,81 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 125. part_metrics_unpivot — UNPIVOT/melt (wide -> long, the inverse of
+# event_type_pivot #87): each part's numeric metrics become
+# (metric, value) rows. Spark's unpivot is a zero-shuffle Expand.
+
+def _part_metrics_unpivot(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.round("p_retailprice", 2).alias("retailprice"),
+        )
+        .unpivot("p_partkey", ["size", "retailprice"], "metric", "value")
+        .where(F.col("p_partkey") % 100 == 0)
+    )
+
+
+_register(
+    "part_metrics_unpivot",
+    _part_metrics_unpivot,
+    """
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part WHERE p_partkey % 100 = 0
+    UNION ALL
+    SELECT p_partkey, 'retailprice' AS metric, round(p_retailprice, 2) AS value
+    FROM part WHERE p_partkey % 100 = 0
+    """,
+    "engine extension: UNPIVOT/melt wide->long (single-pass Expand, "
+    "no shuffle; inverse of event_type_pivot)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 126. user_first_last_events — first_value / last_value / nth_value
+# over a full-partition frame (the remaining value-window functions;
+# navigation lag/lead #89, ranking #16/#100/#115). One row per user via
+# a distinct-on-key cut, all windows sharing one user_id shuffle.
+
+def _user_first_last_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wr = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("first_type", F.first("event_type").over(w))
+        .withColumn("last_type", F.last("event_type").over(w))
+        .withColumn("second_type", F.nth_value("event_type", 2).over(w))
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select("user_id", "first_type", "last_type", "second_type")
+    )
+
+
+_register(
+    "user_first_last_events",
+    _user_first_last_events,
+    """
+    SELECT user_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type) OVER w AS last_type,
+           nth_value(event_type, 2) OVER w AS second_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+    """,
+    "engine extension: first_value/last_value/nth_value full-frame "
+    "windows (one user_id shuffle shared by all four windows)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -265,3 +265,20 @@ def test_compact_files_reduces_file_count_preserving_rows(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 10_000
     assert back.agg(F.sum("id")).first()[0] == sum(range(10_000))
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    # appended batches may add columns over time; mergeSchema unifies
+    # them at read with nulls for pre-evolution rows — the schema-
+    # evolution contract an append-only lake layout needs
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id INT, name STRING").write.parquet(
+        path, mode="overwrite"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id INT, name STRING, score DOUBLE"
+    ).write.parquet(path, mode="append")
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(back.columns) == {"id", "name", "score"}
+    got = {(r.id, r.name, r.score) for r in back.collect()}
+    assert got == {(1, "a", None), (2, "b", 9.5)}
