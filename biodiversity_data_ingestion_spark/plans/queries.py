@@ -4614,6 +4614,116 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 127. doc_unigram_logprob — LM-perplexity proxy for quality filtering
+# (the CCNet signal): score each doc by the mean negative log-prob of
+# its tokens under the corpus unigram distribution. The unigram model
+# is vocabulary-sized -> broadcast; docs stream through map-side.
+
+def _doc_unigram_logprob(spark, sf_dir):
+    from ..functions.partitioning import fan_out
+    from ..functions.textfn import tokenize
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(tokenize(F.lower(F.trim(F.col("text"))))).alias("t")
+    )
+    uni = toks.groupBy("t").agg(F.count(F.lit(1)).alias("tf"))
+    total = toks.select(F.count(F.lit(1)).alias("n_total"))
+    return (
+        toks.join(F.broadcast(uni), "t")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("tf") / F.col("n_total"))), 4).alias(
+                "mean_neg_logprob"
+            ),
+        )
+    )
+
+
+_register(
+    "doc_unigram_logprob",
+    _doc_unigram_logprob,
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        FROM documents),
+    uni AS (SELECT t, count(*) AS tf FROM toks GROUP BY t),
+    n AS (SELECT count(*) AS n_total FROM toks)
+    SELECT toks.doc_id, count(*) AS n_tokens,
+           round(avg(-ln(uni.tf * 1.0 / n.n_total)), 4) AS mean_neg_logprob
+    FROM toks JOIN uni USING (t) CROSS JOIN n
+    GROUP BY toks.doc_id
+    """,
+    "north star: unigram log-prob quality score (LM-perplexity proxy; "
+    "broadcast vocabulary model, map-side scoring)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 128. customers_with_urgent_orders — LEFT SEMI join (existence probe
+# without duplication or payload): the complement of the J2 anti-join.
+# Semi joins only ship the probe key and stop at first match.
+
+def _customers_with_urgent_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        c.join(urgent, "c_custkey", "left_semi")
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+
+
+_register(
+    "customers_with_urgent_orders",
+    _customers_with_urgent_orders,
+    """
+    SELECT c_custkey, c_name, c_nationkey
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+    "engine extension: LEFT SEMI existence join (EXISTS-subquery "
+    "shape; complement of gate_anti_join J2, key-only shuffle)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 129. price_quantity_corr — per-group Pearson correlation + population
+# covariance (the bivariate members of the A3 stats family). One
+# grouped pass; co-moments accumulate distributed.
+
+def _price_quantity_corr(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_pop("l_quantity", "l_discount"), 4).alias("qty_disc_covar"),
+    )
+
+
+_register(
+    "price_quantity_corr",
+    _price_quantity_corr,
+    """
+    SELECT l_returnflag, count(*) AS n,
+           round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           round(covar_pop(l_quantity, l_discount), 4) AS qty_disc_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    "engine extension: per-group Pearson correlation / population "
+    "covariance (bivariate distribution stats, single grouped pass)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
