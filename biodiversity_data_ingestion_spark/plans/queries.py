@@ -4724,6 +4724,82 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 130. nation_segment_bitmap — bitwise aggregation: each nation's
+# customer market segments folded into one small-int bitmap via bit_or
+# (the compact-set encoding bitmap indexes / bloom variants build on).
+# Order-insensitive by construction — safe under any partitioning.
+
+def _nation_segment_bitmap(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    # bit position from the segment's first character (engine-portable;
+    # python F.shiftleft only takes literal shifts, so expr())
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT),"
+                " ascii(substring(c_mktsegment, 1, 1)) % 16))"
+            ).alias("segment_bitmap"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+    )
+
+
+_register(
+    "nation_segment_bitmap",
+    _nation_segment_bitmap,
+    """
+    SELECT c_nationkey,
+           bit_or(CAST(1 AS BIGINT) << (ascii(substring(c_mktsegment, 1, 1)) % 16))
+               AS segment_bitmap,
+           count(DISTINCT c_mktsegment) AS n_segments
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    "engine extension: bitwise bit_or bitmap aggregation (compact set "
+    "encoding; order-insensitive fold)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 131. orders_quarterly_dow — temporal-function breadth: quarter,
+# day-of-week, and ISO week extraction feeding one grouped rollup
+# (the date-dimension breakdown the A11 monthly series generalizes to).
+
+def _orders_quarterly_dow(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.quarter("o_orderdate").cast("long").alias("qtr"),
+            F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+_register(
+    "orders_quarterly_dow",
+    _orders_quarterly_dow,
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+    "engine extension: temporal extraction rollup (quarter/day-of-week "
+    "date dimensions; Spark dayofweek is 1=Sunday, DuckDB dayofweek is "
+    "0=Sunday — aligned with +1)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
