@@ -53,7 +53,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = None
-        for _ in range(2):  # best-of-2 damps shared-host noise
+        # best-of-3 damps shared-host noise (observed 1.5x swings on
+        # identical plans between consecutive runs of this box)
+        for _ in range(3):
             df = QUERIES[name]["builder"](spark, sf_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()

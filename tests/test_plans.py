@@ -199,3 +199,45 @@ def test_salted_join_equals_plain(spark):
             map(tuple, salted_join(li, pt, ["l_partkey"], how=how).collect())
         )
         assert plain == salted
+
+
+def test_headline_plan_shuffle_budgets(spark):
+    # lock in each headline query's shuffle structure: a future edit that
+    # adds an exchange to a hot-path plan fails here before it costs a
+    # cluster anything. Budgets are the MEASURED counts (hash + range +
+    # single-partition exchanges, local[32] plans at sf0.001).
+    import re
+
+    from biodiversity_data_ingestion_spark.plans.queries import QUERIES
+
+    budgets = {
+        "q1_pricing_summary": 1,
+        "revenue_by_nation": 2,
+        "price_stats_by_flag": 1,
+        "top3_orders_per_customer": 1,
+        "dedup_min_by": 1,
+        "event_window_agg": 2,
+        "word_freq": 2,
+        "ngram_jaccard_dups": 2,
+        "minhash_lsh_dups": 4,
+        "simhash_near_dups": 2,
+        "ann_cosine_topk": 1,
+        "label_centroids": 1,
+        "occurrence_cleaning_pipeline": 1,
+        "user_sessions": 1,
+        "multimodal_features": 0,
+    }
+    over = {}
+    for name, budget in budgets.items():
+        p = (
+            QUERIES[name]["builder"](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        n = len(re.findall(r"Exchange (?:hash|range)partitioning", p)) + len(
+            re.findall(r"Exchange SinglePartition", p)
+        )
+        if n > budget:
+            over[name] = (n, budget)
+    assert not over, f"shuffle budget exceeded (got, budget): {over}"
