@@ -4800,6 +4800,70 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 132. embedding_quantization_error — int8 scalar quantization of the
+# embedding column (the memory-compression side of the ANN story:
+# 4 bytes -> 1 byte per dim) with exact reconstruction-error audit.
+# Per-dim bounds from one posexplode aggregate, broadcast back; the
+# quantize/dequantize round-trip is pure Catalyst array arithmetic.
+
+def _embedding_quantization_error(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dims = emb.select(F.posexplode("v").alias("pos", "x"))
+    bounds = dims.groupBy("pos").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    barr = bounds.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "lo"))), lambda s: s["lo"]
+        ).alias("los"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "hi"))), lambda s: s["hi"]
+        ).alias("his"),
+    )
+
+    def dim_err(x, i):
+        lo = F.element_at("los", i + 1)
+        span = F.element_at("his", i + 1) - lo
+        deq = lo + F.round((x - lo) / span * 255) * span / 255
+        return F.when(span == 0, F.lit(0.0)).otherwise(F.abs(x - deq))
+
+    per_vec = (
+        emb.crossJoin(F.broadcast(barr))
+        .select("vec_id", F.array_max(F.transform("v", dim_err)).alias("max_err"))
+    )
+    return per_vec.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("max_err"), 6).alias("mean_max_err"),
+        F.round(F.max("max_err"), 6).alias("worst_err"),
+    )
+
+
+_register(
+    "embedding_quantization_error",
+    _embedding_quantization_error,
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    d AS (SELECT vec_id, i, v[i] AS x
+          FROM e, unnest(generate_series(1, len(v))) t(i)),
+    b AS (SELECT i, min(x) AS lo, max(x) AS hi FROM d GROUP BY i),
+    err AS (
+        SELECT d.vec_id,
+               max(CASE WHEN b.hi = b.lo THEN 0.0
+                        ELSE abs(d.x - (b.lo + round((d.x - b.lo) / (b.hi - b.lo) * 255)
+                                               * (b.hi - b.lo) / 255)) END) AS max_err
+        FROM d JOIN b USING (i) GROUP BY d.vec_id)
+    SELECT count(*) AS n_vecs,
+           round(avg(max_err), 6) AS mean_max_err,
+           round(max(max_err), 6) AS worst_err
+    FROM err
+    """,
+    "north star: int8 scalar quantization audit (per-dim bounds "
+    "broadcast, quantize/dequantize round-trip, exact error stats; "
+    "4x memory cut for the IVF ANN path)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
