@@ -4864,6 +4864,127 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 133. priority_custkey_setops — INTERSECT / EXCEPT through the shared
+# SQL layer (the same SQL text runs on Spark AND DuckDB): customers
+# with both urgent and low-priority orders, minus a nation. Set
+# semantics (dedup) on both engines; completes §2.7 U-rows with the
+# remaining set operators.
+
+_SETOPS_SQL = """
+    (SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+     INTERSECT
+     SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW')
+    EXCEPT
+    SELECT c_custkey AS custkey FROM customer WHERE c_nationkey = 0
+"""
+
+_setops_run, _setops_sql = _sql_query(_SETOPS_SQL, ("orders", "customer"))
+_register(
+    "priority_custkey_setops",
+    _setops_run,
+    _setops_sql,
+    "SURVEY §2.7 U-rows completion: INTERSECT + EXCEPT set operators "
+    "(identical SQL text both engines via the view layer)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 134. tpch_q3_shipping_priority — the canonical TPC-H Q3 shape: 3-way
+# selective join, grouped revenue, global top-10 (TakeOrderedAndProject,
+# not a total sort). Ranked on ROUNDED revenue with key tie-breaks so
+# float last-bit noise cannot reorder the cut.
+
+def _tpch_q3(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+_register(
+    "tpch_q3_shipping_priority",
+    _tpch_q3,
+    """
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    "engine extension: TPC-H Q3 shape (selective 3-way join + grouped "
+    "revenue + top-10 via TakeOrderedAndProject)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 135. tpch_q18_large_orders — TPC-H Q18 shape: a HAVING-filtered
+# aggregate drives a semi-join back onto the fact tables. The qualifying
+# orderkey set is tiny -> broadcast semi-join, no re-shuffle of lineitem.
+
+def _tpch_q18(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    return (
+        o.join(
+            F.broadcast(big.select("l_orderkey", "total_qty")),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+_register(
+    "tpch_q18_large_orders",
+    _tpch_q18,
+    """
+    WITH big AS (
+        SELECT l_orderkey, sum(l_quantity) AS total_qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS o_totalprice,
+           round(total_qty, 2) AS total_qty
+    FROM orders
+    JOIN big ON o_orderkey = big.l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    """,
+    "engine extension: TPC-H Q18 shape (HAVING-qualified aggregate "
+    "broadcast back as a semi-join filter on the fact join)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
