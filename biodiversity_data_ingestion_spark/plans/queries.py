@@ -4939,8 +4939,11 @@ _register(
 
 # ---------------------------------------------------------------------------
 # 135. tpch_q18_large_orders — TPC-H Q18 shape: a HAVING-filtered
-# aggregate drives a semi-join back onto the fact tables. The qualifying
-# orderkey set is tiny -> broadcast semi-join, no re-shuffle of lineitem.
+# aggregate drives a join back onto the orders table. NO broadcast
+# hint: the qualifying set's size is data-dependent (could be millions
+# of keys at 100 TB), and the aggregate output is already hash-
+# partitioned on the join key, so AQE either broadcasts a small result
+# at runtime or joins exchange-free on the reused partitioning.
 
 def _tpch_q18(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -4953,7 +4956,7 @@ def _tpch_q18(spark, sf_dir):
     )
     return (
         o.join(
-            F.broadcast(big.select("l_orderkey", "total_qty")),
+            big.select("l_orderkey", "total_qty"),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
@@ -4980,7 +4983,7 @@ _register(
     JOIN customer ON o_custkey = c_custkey
     """,
     "engine extension: TPC-H Q18 shape (HAVING-qualified aggregate "
-    "broadcast back as a semi-join filter on the fact join)",
+    "joined back; AQE picks broadcast vs partition-reuse at runtime)",
 )
 
 
