@@ -4301,11 +4301,14 @@ _register(
            count(*) OVER w AS rolling_1h_n
     FROM events
     WHERE event_type = 'purchase'
-    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+    WINDOW w AS (PARTITION BY user_id ORDER BY floor(epoch(ts))
                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     """,
     "engine extension: RANGE-frame rolling aggregates (trailing-hour "
-    "sums per key; completes the window-frame family)",
+    "sums per key; completes the window-frame family). Oracle orders by "
+    "floor(epoch(ts)) because Spark unix_seconds TRUNCATES while DuckDB "
+    "epoch() keeps fractional seconds — unfloored, boundary-straddling "
+    "pairs land in different frames",
 )
 
 
