@@ -282,3 +282,20 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert set(back.columns) == {"id", "name", "score"}
     got = {(r.id, r.name, r.score) for r in back.collect()}
     assert got == {(1, "a", None), (2, "b", 9.5)}
+
+
+def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
+    # hive-style partitionBy layout (S8) must turn an equality filter on
+    # the partition column into scan-level partition pruning — the
+    # PartitionFilters entry, not a post-scan Filter over all dirs
+    path = str(tmp_path / "by_kind")
+    df = spark.createDataFrame(
+        [(i, ["x", "y", "z"][i % 3]) for i in range(300)], "id INT, kind STRING"
+    )
+    sinks.write_per_group(df, path, "kind")
+    scan = spark.read.parquet(path).where(F.col("kind") == "y")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pruned = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "kind" in pruned  # the filter reached the partition layer
+    assert scan.count() == 100
