@@ -4991,6 +4991,86 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 136. event_transition_matrix — first-order Markov transitions: per
+# user-ordered event stream, count (state -> next state) pairs and
+# normalize per source state. One lag window + one grouped agg; the
+# probability normalization joins the (tiny) per-state totals broadcast.
+
+def _event_transition_matrix(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("total"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type", "next_type", "n",
+            F.round(F.col("n") / F.col("total"), 4).alias("p"),
+        )
+    )
+
+
+_register(
+    "event_transition_matrix",
+    _event_transition_matrix,
+    """
+    WITH s AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events),
+    pairs AS (
+        SELECT from_type, next_type, count(*) AS n
+        FROM s WHERE next_type IS NOT NULL
+        GROUP BY from_type, next_type),
+    t AS (SELECT from_type, sum(n) AS total FROM pairs GROUP BY from_type)
+    SELECT p.from_type, p.next_type, p.n, round(p.n * 1.0 / t.total, 4) AS p
+    FROM pairs p JOIN t USING (from_type)
+    """,
+    "engine extension: first-order Markov transition matrix (sequence "
+    "analytics; lag window + normalized pair counts)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 137. most_common_event_per_user — per-group mode via explicit argmax
+# (deterministic: count desc, then type name — never the engine's
+# non-deterministic mode()). The grouped count and the ranking window
+# share the user_id-prefixed shuffle.
+
+def _most_common_event_per_user(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "n")
+    )
+
+
+_register(
+    "most_common_event_per_user",
+    _most_common_event_per_user,
+    """
+    SELECT user_id, event_type AS mode_type, count(*) AS n
+    FROM events
+    GROUP BY user_id, event_type
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY count(*) DESC, event_type) = 1
+    """,
+    "engine extension: per-group mode as deterministic argmax "
+    "(count-then-name ordering; mode() itself is tie-nondeterministic "
+    "on both engines)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
