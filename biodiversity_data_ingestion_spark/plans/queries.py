@@ -5071,6 +5071,82 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 138. user_event_entropy — Shannon entropy of each user's event-type
+# mix (the diversity diagnostic behind mixture balancing): H = -sum
+# p*ln(p) over per-user type proportions. Two grouped aggs sharing the
+# user_id shuffle prefix; ln is bit-identical libm on both engines.
+
+def _user_event_entropy(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    prob = F.col("n") / F.sum("n").over(Window.partitionBy("user_id"))
+    return (
+        counts.withColumn("prob", prob)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(-F.sum(F.col("prob") * F.log("prob")), 4).alias("entropy"),
+        )
+    )
+
+
+_register(
+    "user_event_entropy",
+    _user_event_entropy,
+    """
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type),
+    p AS (
+        SELECT user_id, n,
+               n * 1.0 / sum(n) OVER (PARTITION BY user_id) AS prob
+        FROM c)
+    SELECT user_id, sum(n) AS n_events,
+           round(-sum(prob * ln(prob)), 4) AS entropy
+    FROM p GROUP BY user_id
+    """,
+    "engine extension: Shannon entropy of per-user event mix "
+    "(diversity diagnostic for mixture balancing)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 139. user_longest_daily_streak — longest run of CONSECUTIVE active
+# calendar days per user: the gaps-and-islands pattern on the date
+# axis (day - dense_rank is constant within a streak). Distinct days,
+# one window, one grouped max — all on the user_id shuffle.
+
+def _user_longest_daily_streak(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grouped = days.withColumn(
+        "grp", F.datediff("day", F.lit("2024-01-01")) - F.row_number().over(w)
+    )
+    streaks = grouped.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy("user_id").agg(F.max("len").alias("longest_streak"))
+
+
+_register(
+    "user_longest_daily_streak",
+    _user_longest_daily_streak,
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    g AS (
+        SELECT user_id,
+               date_diff('day', DATE '2024-01-01', day)
+                 - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        FROM days),
+    s AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY user_id, grp)
+    SELECT user_id, max(len) AS longest_streak FROM s GROUP BY user_id
+    """,
+    "engine extension: longest consecutive-day streak (gaps-and-"
+    "islands on the calendar axis; distinct days + one ranking window)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
