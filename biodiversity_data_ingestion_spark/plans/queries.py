@@ -5147,6 +5147,110 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 140. part_copurchase_pairs — market-basket co-occurrence: part pairs
+# appearing in the same order, with support counts. JOIN-FREE: baskets
+# are collected per order and pairs exploded via the index-offset
+# pattern (same shape as the near-dup bucket lists / PMI pairs), so
+# lineitem shuffles once instead of self-joining on orderkey.
+
+def _part_copurchase_pairs(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("parts"),
+                    lambda a, i: F.transform(
+                        # slice length bounded by basket size (TPC-H <= 7
+                        # lineitems/order; cap generously)
+                        F.slice(F.col("parts"), i + 2, 64),
+                        lambda b: F.struct(a.alias("pa"), b.alias("pb")),
+                    ),
+                )
+            )
+        ).alias("pr")
+    ).select(F.col("pr.pa").alias("part_a"), F.col("pr.pb").alias("part_b"))
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+    )
+
+
+_register(
+    "part_copurchase_pairs",
+    _part_copurchase_pairs,
+    """
+    WITH b AS (
+        SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+        FROM lineitem GROUP BY l_orderkey),
+    pr AS (
+        SELECT x.part_a, y.part_b
+        FROM (SELECT l_orderkey, unnest(parts) AS part_a FROM b) x
+        JOIN (SELECT l_orderkey, unnest(parts) AS part_b FROM b) y
+          ON x.l_orderkey = y.l_orderkey AND x.part_a < y.part_b)
+    SELECT part_a, part_b, count(*) AS support
+    FROM pr GROUP BY part_a, part_b
+    HAVING count(*) >= 2
+    """,
+    "north star: market-basket co-purchase pairs (join-free basket "
+    "pair explosion — the self-join on orderkey is replaced by one "
+    "collect + in-array pairing, lineitem shuffles once)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 141. orders_null_profile — data-quality null profile: one pass
+# computes every column's null count, unpivoted to (column, null_rate)
+# rows — the per-table health report a lake ingest gate runs first.
+
+def _orders_null_profile(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    aggs = [
+        F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(c)
+        for c in cols
+    ]
+    wide = o.agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    return (
+        wide.unpivot("__n", cols, "col_name", "n_nulls")
+        .select(
+            "col_name", "n_nulls",
+            F.round(F.col("n_nulls") / F.col("__n"), 6).alias("null_rate"),
+        )
+    )
+
+
+_register(
+    "orders_null_profile",
+    _orders_null_profile,
+    """
+    WITH w AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS o_orderkey,
+               sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS o_custkey,
+               sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS o_orderstatus,
+               sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS o_totalprice,
+               sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS o_orderdate,
+               sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS o_orderpriority
+        FROM orders)
+    SELECT u.col_name, u.n_nulls, round(u.n_nulls * 1.0 / w.n, 6) AS null_rate
+    FROM w, LATERAL (
+        VALUES ('o_orderkey', o_orderkey), ('o_custkey', o_custkey),
+               ('o_orderstatus', o_orderstatus), ('o_totalprice', o_totalprice),
+               ('o_orderdate', o_orderdate), ('o_orderpriority', o_orderpriority)
+    ) AS u(col_name, n_nulls)
+    """,
+    "engine extension: one-pass null-rate data-quality profile "
+    "(ingest-gate health report; single scan + unpivot)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
