@@ -5251,6 +5251,35 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 142. stream_static_enrichment — the stream-static join pattern: each
+# micro-batch of the event stream enriches against a broadcast static
+# snapshot (per-user tier), then aggregates. Oracle = the same join +
+# agg in batch SQL.
+
+def _stream_static_enrichment(spark, sf_dir):
+    from ..streaming.windows import run_stream_static_enrichment_over_events
+
+    return run_stream_static_enrichment_over_events(spark, sf_dir)
+
+
+_register(
+    "stream_static_enrichment",
+    _stream_static_enrichment,
+    """
+    WITH t AS (
+        SELECT DISTINCT user_id, CAST(user_id % 3 AS BIGINT) AS tier
+        FROM events)
+    SELECT t.tier, e.event_type, count(*) AS n_events,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN t USING (user_id)
+    GROUP BY t.tier, e.event_type
+    """,
+    "engine extension §2.9: stream-static enrichment join (broadcast "
+    "snapshot into every micro-batch, stateless join + stateful agg)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -171,3 +171,30 @@ def run_stream_windowed_topk_over_events(
         .where(F.col("rnk") <= k)
         .select("window_start", "event_type", "n_events", "rnk")
     )
+
+
+def run_stream_static_enrichment_over_events(
+    spark: SparkSession, sf_dir: str, query_name: str = "bdi_stream_enrich"
+) -> DataFrame:
+    """Stream-static enrichment: the event stream inner-joins a STATIC
+    dimension (per-user tier snapshot) micro-batch by micro-batch — the
+    canonical "enrich the stream against a slowly-changing snapshot"
+    pattern. The static side is planned once and broadcast into every
+    micro-batch; no stream-side state is created by the join itself.
+    Aggregated per tier x type so the drained result is oracle-sized."""
+    from pyspark.sql import functions as F
+
+    ev = events_stream(spark, sf_dir)
+    tiers = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .withColumn("tier", (F.col("user_id") % 3).cast("long"))
+    )
+    enriched = ev.join(F.broadcast(tiers), "user_id").groupBy(
+        "tier", "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return _drain_to_memory_table(spark, enriched, query_name)
