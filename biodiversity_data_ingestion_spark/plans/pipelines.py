@@ -91,3 +91,29 @@ def metadata_etl(
             F.collect_list(payload).alias("records"),
         )
     )
+
+
+def materialize_tokenized_corpus(docs: DataFrame, path: str) -> DataFrame:
+    """Tokenize-once materialization for the text-analysis family.
+
+    doc_dupline_ratio, doc_unigram_logprob, vocab_token_ids and
+    term_pair_pmi each tokenize `documents` independently — correct, and
+    cheap at test scale, but at 100 TB tokenization is the dominant scan
+    cost and should be paid ONCE. This stage writes
+    ``(doc_id, lang, source, toks array<string>, n_toks)`` as parquet;
+    downstream consumers explode/aggregate from the materialized arrays
+    (nested-column pruning keeps untouched fields unread).
+
+    Returns the re-read DataFrame so callers compose off the
+    materialized table, not the in-memory plan.
+    """
+    from ..functions.textfn import tokenize
+
+    prepped = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        tokenize(F.lower(F.trim(F.col("text")))).alias("toks"),
+    ).withColumn("n_toks", F.size("toks").cast("long"))
+    prepped.write.mode("overwrite").parquet(path)
+    return docs.sparkSession.read.parquet(path)

@@ -241,3 +241,30 @@ def test_headline_plan_shuffle_budgets(spark):
         if n > budget:
             over[name] = (n, budget)
     assert not over, f"shuffle budget exceeded (got, budget): {over}"
+
+
+def test_tokenized_corpus_materialization_feeds_consumers(spark, tmp_path):
+    # tokenize-once staging: downstream word counts computed from the
+    # materialized arrays equal counts computed from raw text
+    from biodiversity_data_ingestion_spark.plans.pipelines import (
+        materialize_tokenized_corpus,
+    )
+    from biodiversity_data_ingestion_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    mat = materialize_tokenized_corpus(docs, str(tmp_path / "toks"))
+    from_mat = (
+        mat.select(F.explode("toks").alias("w")).groupBy("w").count()
+    )
+    from_raw = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+        )
+        .groupBy("w")
+        .count()
+    )
+    assert {tuple(r) for r in from_mat.collect()} == {
+        tuple(r) for r in from_raw.collect()
+    }
+    # and the token-count column is consistent with the arrays
+    assert mat.where(F.size("toks") != F.col("n_toks")).count() == 0
