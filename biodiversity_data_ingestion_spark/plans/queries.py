@@ -5280,6 +5280,284 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 143. supplier_shipping_coverage — union of overlapping [ship, receipt]
+# intervals per supplier (gaps-and-islands on a continuous axis): a new
+# island starts when an interval's start exceeds the running max of all
+# earlier ends. One shuffle on l_suppkey; both windows and the final
+# rollup reuse the same partitioning.
+
+def _supplier_shipping_coverage(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.to_date("l_shipdate").alias("s"),
+        F.to_date("l_receiptdate").alias("e"),
+    )
+    w = Window.partitionBy("l_suppkey").orderBy("s", "e")
+    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = li.withColumn(
+        "new_island",
+        F.when(prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0),
+    )
+    islands = marked.withColumn(
+        "island", F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    merged = islands.groupBy("l_suppkey", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum(F.datediff("me", "ms") + 1).cast("long").alias("covered_days"),
+    )
+
+
+_register(
+    "supplier_shipping_coverage",
+    _supplier_shipping_coverage,
+    """
+    WITH iv AS (
+        SELECT l_suppkey, CAST(l_shipdate AS DATE) AS s,
+               CAST(l_receiptdate AS DATE) AS e
+        FROM lineitem),
+    m AS (
+        SELECT l_suppkey, s, e,
+               max(e) OVER (PARTITION BY l_suppkey ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_e
+        FROM iv),
+    g AS (
+        SELECT l_suppkey, s, e,
+               sum(CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY l_suppkey ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS island
+        FROM m),
+    mi AS (
+        SELECT l_suppkey, island, min(s) AS ms, max(e) AS me
+        FROM g GROUP BY l_suppkey, island)
+    SELECT l_suppkey, count(*) AS n_intervals,
+           sum(date_diff('day', ms, me) + 1) AS covered_days
+    FROM mi GROUP BY l_suppkey
+    """,
+    "engine extension: interval union / merge-overlaps (gaps-and-"
+    "islands with running-max end; one partitioning reused across "
+    "window, island rollup and per-supplier summary)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 144. fk_orphan_audit — referential-integrity audit over every FK edge
+# of the star schema: per edge, total child rows and rows whose key has
+# no parent. Child keys are PRE-AGGREGATED before the anti lookup so the
+# join carries |distinct keys| rows, not |child| rows (at 100 TB the
+# fact-table edges would otherwise shuffle the whole table); parents are
+# PKs by schema invariant so the left join cannot fan out.
+
+_FK_EDGES = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def _fk_orphan_audit(spark, sf_dir):
+    out = None
+    for edge, child, ck, parent, pk in _FK_EDGES:
+        keys = (
+            _t(spark, sf_dir, child)
+            .groupBy(F.col(ck).alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        hit = _t(spark, sf_dir, parent).select(F.col(pk).alias("k"), F.lit(1).alias("hit"))
+        j = keys.join(F.broadcast(hit), "k", "left")
+        stats = j.agg(
+            F.sum("n").cast("long").alias("n_child"),
+            F.sum(F.when(F.col("hit").isNull(), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+        ).select(F.lit(edge).alias("edge"), "n_child", "n_orphans")
+        out = stats if out is None else out.unionByName(stats)
+    return out
+
+
+_register(
+    "fk_orphan_audit",
+    _fk_orphan_audit,
+    "\nUNION ALL\n".join(
+        f"""
+    SELECT '{edge}' AS edge,
+           (SELECT count(*) FROM {child}) AS n_child,
+           (SELECT count(*) FROM {child} c
+            WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                              WHERE p.{pk} = c.{ck})) AS n_orphans
+        """
+        for edge, child, ck, parent, pk in _FK_EDGES
+    ),
+    "engine extension: referential-integrity orphan audit (per-edge "
+    "anti lookup over pre-aggregated child keys; NULL child keys count "
+    "as orphans on both engines)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 145. trailing_7d_active_users — DAU / trailing-7-day WAU / stickiness
+# per observed day. JOIN-FREE range window: each (user, active-day)
+# contributes itself to the 7 report days it covers via sequence+explode
+# (bounded 7x fan-out), so there is no O(days x activity) range join and
+# no count-distinct-over-RANGE-window (which neither engine supports).
+
+def _trailing_7d_active_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    cal = d.select("day").distinct().withColumnRenamed("day", "rday")
+    contrib = d.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias("rday"),
+    ).distinct()
+    wau = (
+        contrib.join(F.broadcast(cal), "rday")
+        .groupBy(F.col("rday").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("wau_7d"))
+    )
+    dau = d.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    return dau.join(wau, "day").select(
+        "day", "dau", "wau_7d",
+        F.round(F.col("dau") / F.col("wau_7d"), 4).alias("stickiness"),
+    )
+
+
+_register(
+    "trailing_7d_active_users",
+    _trailing_7d_active_users,
+    """
+    WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    cal AS (SELECT DISTINCT day FROM d),
+    dau AS (SELECT day, count(*) AS dau FROM d GROUP BY day),
+    wau AS (
+        SELECT c.day, count(DISTINCT d.user_id) AS wau_7d
+        FROM cal c JOIN d ON d.day BETWEEN c.day - 6 AND c.day
+        GROUP BY c.day)
+    SELECT dau.day, dau.dau, wau.wau_7d,
+           round(dau.dau * 1.0 / wau.wau_7d, 4) AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.day
+    """,
+    "engine extension: trailing-window distinct engagement (DAU/WAU/"
+    "stickiness) via bounded explode instead of a range join",
+)
+
+
+# ---------------------------------------------------------------------------
+# 146. event_value_ab_ttest — A/B comparison with Welch's t statistic:
+# users split deterministically by parity, per-event-type sample sizes,
+# means, and t = (ma-mb)/sqrt(va/na + vb/nb). One grouped pass computes
+# both arms via conditional aggregates (no self-join, no second scan).
+
+def _event_value_ab_ttest(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    a = F.col("user_id") % 2 == 0
+    per = ev.groupBy("event_type").agg(
+        F.count(F.when(a, F.col("value"))).cast("long").alias("n_a"),
+        F.count(F.when(~a, F.col("value"))).cast("long").alias("n_b"),
+        F.avg(F.when(a, F.col("value"))).alias("_ma"),
+        F.avg(F.when(~a, F.col("value"))).alias("_mb"),
+        F.var_samp(F.when(a, F.col("value"))).alias("_va"),
+        F.var_samp(F.when(~a, F.col("value"))).alias("_vb"),
+    )
+    return per.select(
+        "event_type", "n_a", "n_b",
+        F.round("_ma", 4).alias("mean_a"),
+        F.round("_mb", 4).alias("mean_b"),
+        F.round(
+            (F.col("_ma") - F.col("_mb"))
+            / F.sqrt(F.col("_va") / F.col("n_a") + F.col("_vb") / F.col("n_b")),
+            4,
+        ).alias("t_stat"),
+    )
+
+
+_register(
+    "event_value_ab_ttest",
+    _event_value_ab_ttest,
+    """
+    WITH per AS (
+        SELECT event_type,
+               count(CASE WHEN user_id % 2 = 0 THEN value END) AS n_a,
+               count(CASE WHEN user_id % 2 <> 0 THEN value END) AS n_b,
+               avg(CASE WHEN user_id % 2 = 0 THEN value END) AS ma,
+               avg(CASE WHEN user_id % 2 <> 0 THEN value END) AS mb,
+               var_samp(CASE WHEN user_id % 2 = 0 THEN value END) AS va,
+               var_samp(CASE WHEN user_id % 2 <> 0 THEN value END) AS vb
+        FROM events GROUP BY event_type)
+    SELECT event_type, n_a, n_b,
+           round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
+           round((ma - mb) / sqrt(va / n_a + vb / n_b), 4) AS t_stat
+    FROM per
+    """,
+    "engine extension: Welch's t-test A/B comparison (conditional "
+    "aggregates compute both arms in one grouped pass)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 147. nation_monthly_running_share — cumulative revenue and running
+# share of each nation's lifetime total, by month: monthly rollup, then
+# two frames over the SAME n_name partitioning (running sum + overall
+# total) so the window stage adds no extra shuffle.
+
+def _nation_monthly_running_share(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    monthly = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"))
+    )
+    w = Window.partitionBy("n_name").orderBy("month")
+    run = F.sum("_rev").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    tot = F.sum("_rev").over(Window.partitionBy("n_name"))
+    return monthly.select(
+        "n_name", "month",
+        F.round("_rev", 2).alias("revenue"),
+        F.round(run, 2).alias("cum_revenue"),
+        F.round(run / tot, 4).alias("cum_share"),
+    )
+
+
+_register(
+    "nation_monthly_running_share",
+    _nation_monthly_running_share,
+    """
+    WITH m AS (
+        SELECT n.n_name, strftime(o.o_orderdate, '%Y-%m') AS month,
+               sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name, month)
+    SELECT n_name, month, round(rev, 2) AS revenue,
+           round(sum(rev) OVER (PARTITION BY n_name ORDER BY month
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 2) AS cum_revenue,
+           round(sum(rev) OVER (PARTITION BY n_name ORDER BY month
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / sum(rev) OVER (PARTITION BY n_name), 4) AS cum_share
+    FROM m
+    """,
+    "engine extension: running total + percent-of-partition share "
+    "(two frames over one partitioning; no extra shuffle beyond the "
+    "monthly rollup)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
