@@ -5287,10 +5287,13 @@ _register(
 # rollup reuse the same partitioning.
 
 def _supplier_shipping_coverage(spark, sf_dir):
+    # lineitem has no receipt date in this schema (ends at l_shipdate);
+    # derive a deterministic transit interval end from existing columns:
+    # receipt = ship + 1..7 days keyed by line number.
     li = _t(spark, sf_dir, "lineitem").select(
         "l_suppkey",
         F.to_date("l_shipdate").alias("s"),
-        F.to_date("l_receiptdate").alias("e"),
+        F.date_add(F.to_date("l_shipdate"), (F.col("l_linenumber") % 7) + 1).alias("e"),
     )
     w = Window.partitionBy("l_suppkey").orderBy("s", "e")
     prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
@@ -5316,7 +5319,7 @@ _register(
     """
     WITH iv AS (
         SELECT l_suppkey, CAST(l_shipdate AS DATE) AS s,
-               CAST(l_receiptdate AS DATE) AS e
+               CAST(l_shipdate AS DATE) + CAST((l_linenumber % 7) + 1 AS INTEGER) AS e
         FROM lineitem),
     m AS (
         SELECT l_suppkey, s, e,
@@ -5363,6 +5366,13 @@ _FK_EDGES = (
 )
 
 
+# parents small enough to broadcast at ANY scale (bounded-cardinality
+# dimensions); orders/part/customer grow with the data and must take the
+# shuffled pre-aggregated-key join instead — broadcasting billions of
+# orders keys exceeds broadcast limits and OOMs at 100 TB.
+_FK_BROADCAST_PARENTS = frozenset({"nation", "region", "supplier"})
+
+
 def _fk_orphan_audit(spark, sf_dir):
     out = None
     for edge, child, ck, parent, pk in _FK_EDGES:
@@ -5372,7 +5382,9 @@ def _fk_orphan_audit(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n"))
         )
         hit = _t(spark, sf_dir, parent).select(F.col(pk).alias("k"), F.lit(1).alias("hit"))
-        j = keys.join(F.broadcast(hit), "k", "left")
+        if parent in _FK_BROADCAST_PARENTS:
+            hit = F.broadcast(hit)
+        j = keys.join(hit, "k", "left")
         stats = j.agg(
             F.sum("n").cast("long").alias("n_child"),
             F.sum(F.when(F.col("hit").isNull(), F.col("n")).otherwise(0))
@@ -5423,8 +5435,12 @@ def _trailing_7d_active_users(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("wau_7d"))
     )
     dau = d.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    # day serialized to a string: raw DATE outputs canonicalize as
+    # datetime.date on Spark vs datetime64 on the oracle side and
+    # mismatch under the exact comparator (repo determinism rule)
     return dau.join(wau, "day").select(
-        "day", "dau", "wau_7d",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "dau", "wau_7d",
         F.round(F.col("dau") / F.col("wau_7d"), 4).alias("stickiness"),
     )
 
@@ -5440,7 +5456,7 @@ _register(
         SELECT c.day, count(DISTINCT d.user_id) AS wau_7d
         FROM cal c JOIN d ON d.day BETWEEN c.day - 6 AND c.day
         GROUP BY c.day)
-    SELECT dau.day, dau.dau, wau.wau_7d,
+    SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau_7d,
            round(dau.dau * 1.0 / wau.wau_7d, 4) AS stickiness
     FROM dau JOIN wau ON dau.day = wau.day
     """,
@@ -5517,16 +5533,23 @@ def _nation_monthly_running_share(spark, sf_dir):
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", F.date_format("o_orderdate", "yyyy-MM").alias("month"))
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"))
+        # decimal(18,4) sums are engine-exact: double group/window sums
+        # diverge between engines at half-cent boundaries and round(2)
+        # cannot mask it under the exact-hash contract
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            ).alias("_rev")
+        )
     )
     w = Window.partitionBy("n_name").orderBy("month")
     run = F.sum("_rev").over(w.rowsBetween(Window.unboundedPreceding, 0))
     tot = F.sum("_rev").over(Window.partitionBy("n_name"))
     return monthly.select(
         "n_name", "month",
-        F.round("_rev", 2).alias("revenue"),
-        F.round(run, 2).alias("cum_revenue"),
-        F.round(run / tot, 4).alias("cum_share"),
+        F.round("_rev", 2).cast("double").alias("revenue"),
+        F.round(run, 2).cast("double").alias("cum_revenue"),
+        F.round(run.cast("double") / tot.cast("double"), 4).alias("cum_share"),
     )
 
 
@@ -5536,20 +5559,23 @@ _register(
     """
     WITH m AS (
         SELECT n.n_name, strftime(o.o_orderdate, '%Y-%m') AS month,
-               sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+               sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS rev
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey
-        GROUP BY n.n_name, month)
-    SELECT n_name, month, round(rev, 2) AS revenue,
-           round(sum(rev) OVER (PARTITION BY n_name ORDER BY month
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-                 2) AS cum_revenue,
-           round(sum(rev) OVER (PARTITION BY n_name ORDER BY month
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 / sum(rev) OVER (PARTITION BY n_name), 4) AS cum_share
-    FROM m
+        GROUP BY n.n_name, month),
+    w AS (
+        SELECT n_name, month, rev,
+               sum(rev) OVER (PARTITION BY n_name ORDER BY month
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+               sum(rev) OVER (PARTITION BY n_name) AS tot
+        FROM m)
+    SELECT n_name, month,
+           CAST(round(rev, 2) AS DOUBLE) AS revenue,
+           CAST(round(run, 2) AS DOUBLE) AS cum_revenue,
+           round(CAST(run AS DOUBLE) / CAST(tot AS DOUBLE), 4) AS cum_share
+    FROM w
     """,
     "engine extension: running total + percent-of-partition share "
     "(two frames over one partitioning; no extra shuffle beyond the "

@@ -36,21 +36,34 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the event-time column to TIMESTAMP regardless of the
+    on-disk parquet shape. Three shapes occur in the wild:
+
+    - TIMESTAMP(NANOS): Spark's reader surfaces it as raw nanos LongType
+      under ``spark.sql.legacy.parquet.nanosAsLong`` (set in session.py)
+      -> truncate to micros, same as DuckDB's scan-time ns->us cast.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): surfaces as
+      TIMESTAMP_NTZ -> cast to TIMESTAMP. Session TZ is pinned UTC
+      (session.py) so wall-clock semantics are unchanged; without this
+      cast, withWatermark / unix_micros / bigint casts all reject NTZ.
+    - TIMESTAMP: passes through.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts may be parquet TIMESTAMP(NANOS), which Spark's
-        # vectorized reader rejects; read it as raw nanos and truncate to
-        # micros — the same ns -> us truncation DuckDB applies on scan.
-        # Generator versions that already write micros need no conversion.
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
-
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return normalize_event_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

@@ -82,9 +82,9 @@ def run_first_seen_over_events(spark, sf_dir: str, query_name: str = "bdi_first_
 
 def _events_stream(spark, sf_dir: str):
     """Bounded file-stream over the events table (shared by the runners):
-    schema from the batch footer, nanos ts normalized to micros exactly
-    like sources/tables.py does for batch."""
-    from pyspark.sql import functions as F
+    schema from the batch footer, ts normalized (nanos-long / NTZ /
+    TIMESTAMP) exactly like sources/tables.py does for batch."""
+    from ..sources.tables import normalize_event_ts
 
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
@@ -93,9 +93,7 @@ def _events_stream(spark, sf_dir: str):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize_event_ts(stream)
 
 
 def _drain(df, query_name: str, mode: str = "append"):

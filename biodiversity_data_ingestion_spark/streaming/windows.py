@@ -90,6 +90,8 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded with watermarks bounding state; here the bounded replay
     lets streaming results be oracle-checked against batch SQL.
     """
+    from ..sources.tables import normalize_event_ts
+
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(batch_schema)
@@ -98,11 +100,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # parquet TIMESTAMP(NANOS) comes in as long under nanosAsLong (see
-    # sources/tables.py) — normalize to micros exactly like the batch path
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    # normalize nanos-long / TIMESTAMP_NTZ / TIMESTAMP exactly like the
+    # batch path — withWatermark requires TIMESTAMP, not NTZ
+    return normalize_event_ts(stream)
 
 
 def _drain_to_memory_table(spark: SparkSession, agg: DataFrame, query_name: str) -> DataFrame:
