@@ -101,6 +101,87 @@ def cosine_dup_pairs(
     )
 
 
+def _rademacher(j: int, d: Column) -> Column:
+    """Deterministic pseudo-random ±1 hyperplane entry h[j][d].
+
+    Integer mix mod 97 mod 2 — engine-portable (same expression runs in
+    the DuckDB oracle), no RNG state. j is the bit index, d the 0-based
+    vector dimension.
+    """
+    dl = d.cast("long")
+    mix = (F.lit(j * 73856093).cast("long") + dl * 19349663 + dl * F.lit(j * 83492791).cast("long")) % 97
+    return F.when(mix % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def signlsh_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 16,
+    band_bits: int = 4,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding near-dup pairs via sign-LSH blocking + exact verify.
+
+    The 100 TB path replacing the O(n^2) all-pairs theta join: each
+    vector gets n_bits sign bits (sign of the dot product with a
+    deterministic ±1 hyperplane), packed into n_bits/band_bits bands;
+    only pairs sharing at least one full band are candidates, then the
+    exact cosine filter runs on candidates only. All joins are hash
+    joins on (band, key) / id — no BroadcastNestedLoopJoin anywhere in
+    the plan (asserted by tests/test_plans.py).
+
+    Deterministic and engine-portable: hyperplanes come from an integer
+    mix (no RNG), projections are left-fold double sums, so the DuckDB
+    oracle reproduces the exact same candidate set. Recall < 1 by LSH
+    construction — `cosine_dup_pairs` stays as the exact baseline and
+    the recall floor is unit-tested like the MinHash variant.
+    """
+    n_bands = n_bits // band_bits
+    v = corpus.select(
+        F.col(id_col).alias("vid"), as_double_vec(F.col(vec_col)).alias("v")
+    )
+
+    def bit(j: int) -> Column:
+        proj = F.aggregate(
+            F.transform("v", lambda x, d: x * _rademacher(j, d)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (proj >= 0).cast("int")
+
+    band_keys = [
+        sum(
+            (bit(b * band_bits + p) * F.lit(1 << p) for p in range(band_bits)),
+            F.lit(0),
+        )
+        for b in range(n_bands)
+    ]
+    sig = v.select(
+        "vid", F.posexplode(F.array(*band_keys)).alias("band", "key")
+    )
+    cand = (
+        sig.alias("a")
+        .join(
+            sig.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+        .distinct()
+    )
+    va = v.select(F.col("vid").alias("id_a"), F.col("v").alias("va"))
+    vb = v.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def label_centroids(
     corpus: DataFrame,
     label_col: str = "label",

@@ -235,3 +235,27 @@ def test_streaming_equals_batch(spark):
     b = {tuple(r) for r in batch.collect()}
     s = {tuple(r) for r in stream.collect()}
     assert b == s
+
+
+# ---------------------------------------------------------------------------
+# sign-LSH recall vs exact all-pairs embedding dedup
+
+
+def test_signlsh_recall_vs_exact(spark):
+    from biodiversity_data_ingestion_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_dup_pairs(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.signlsh_dup_pairs(emb, threshold=0.4).collect()
+    }
+    # candidates are verified with the exact cosine => no false positives
+    assert lsh <= exact
+    # 4 bands x 4 bits at cos 0.4 (bit-match prob ~0.63) predicts ~0.5
+    # recall; the floor locks the banding from silently degrading
+    recall = len(lsh & exact) / max(len(exact), 1)
+    assert recall >= 0.4, f"sign-LSH recall {recall} over {len(exact)} true pairs"

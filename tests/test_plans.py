@@ -268,3 +268,11 @@ def test_tokenized_corpus_materialization_feeds_consumers(spark, tmp_path):
     }
     # and the token-count column is consistent with the arrays
     assert mat.where(F.size("toks") != F.col("n_toks")).count() == 0
+
+
+def test_embedding_dups_blocked_no_nested_loop(spark):
+    # the declared embedding near-dup query must run the sign-LSH
+    # blocked path: hash joins on (band, key) / id only — the O(n^2)
+    # BroadcastNestedLoopJoin theta join must never come back
+    plan = _plan(spark, "embedding_cosine_dups")
+    assert "BroadcastNestedLoopJoin" not in plan
