@@ -33,7 +33,17 @@ def classify(
     return df.withColumn(out_col, expr)
 
 
-def split(df: DataFrame, out_col: str = "category") -> dict[str, DataFrame]:
-    """Materialize the branches as filtered views of the single pass."""
-    cats = [r[0] for r in df.select(out_col).distinct().collect()]
+def split(
+    df: DataFrame,
+    rules: list[tuple[Column, str]],
+    default: str,
+    out_col: str = "category",
+) -> dict[str, DataFrame]:
+    """Materialize the branches as filtered views of the single pass.
+
+    Category labels are statically known from the rule chain (they are
+    the rule labels plus the default), so no Spark action runs here —
+    a .distinct().collect() would be a driver-side round trip per call.
+    """
+    cats = list(dict.fromkeys([label for _, label in rules] + [default]))
     return {c: df.where(F.col(out_col) == c) for c in cats}

@@ -5606,6 +5606,193 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 148. deep_nested_rollup — Phase-0 nested-schema artifacts end-to-end:
+# build a 3-deep document (customer -> orders[] -> items[], the
+# metadata-table shape of schemas.py METADATA_SCHEMA / reference
+# beam schemas.py:1-1139), serialize to JSON, re-read it through the
+# BQ-JSON->StructType loader (schema-on-read, the reference's
+# helpers.py:69-87 path), then explode_outer twice and roll up.
+# explode_outer parity: customers with no orders and orders with no
+# items survive as null rows — exactly a LEFT JOIN chain, which is the
+# oracle.
+
+_DEEP_DOC_FIELDS = [
+    {"name": "c_custkey", "type": "INTEGER", "mode": "REQUIRED"},
+    {"name": "c_mktsegment", "type": "STRING", "mode": "NULLABLE"},
+    {
+        "name": "orders",
+        "type": "RECORD",
+        "mode": "REPEATED",
+        "fields": [
+            {"name": "o_orderkey", "type": "INTEGER", "mode": "REQUIRED"},
+            {
+                "name": "items",
+                "type": "RECORD",
+                "mode": "REPEATED",
+                "fields": [
+                    {"name": "line_no", "type": "INTEGER", "mode": "REQUIRED"},
+                    {"name": "qty", "type": "INTEGER", "mode": "NULLABLE"},
+                ],
+            },
+        ],
+    },
+]
+
+
+def _deep_nested_rollup(spark, sf_dir):
+    from ..schemas import struct_type_from_bq_fields
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").cast("long").alias("line_no"),
+                    F.col("l_quantity").cast("long").alias("qty"),
+                )
+            )
+        ).alias("items")
+    )
+    empty_items = F.array().cast("array<struct<line_no:bigint,qty:bigint>>")
+    order_docs = (
+        o.join(items, o.o_orderkey == items.l_orderkey, "left")
+        .select(
+            "o_custkey",
+            F.struct(
+                "o_orderkey", F.coalesce("items", empty_items).alias("items")
+            ).alias("od"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.array_sort(F.collect_list("od")).alias("orders"))
+    )
+    docs = c.join(order_docs, c.c_custkey == order_docs.o_custkey, "left").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce(
+            "orders",
+            F.array().cast(
+                "array<struct<o_orderkey:bigint,items:array<struct<line_no:bigint,qty:bigint>>>>"
+            ),
+        ).alias("orders"),
+    )
+    # schema-on-read roundtrip: the declared BQ-style field list drives
+    # from_json via the loader — proves the 3-deep schema parses real
+    # documents (all JVM-side; no Python UDF)
+    schema = struct_type_from_bq_fields(_DEEP_DOC_FIELDS)
+    parsed = docs.select(
+        F.from_json(F.to_json(F.struct("c_custkey", "c_mktsegment", "orders")), schema).alias("d")
+    ).select("d.*")
+    ex = parsed.select(
+        "c_custkey", "c_mktsegment", F.explode_outer("orders").alias("od")
+    ).select(
+        "c_custkey", "c_mktsegment", F.col("od.o_orderkey").alias("o_orderkey"),
+        F.explode_outer("od.items").alias("it"),
+    )
+    return ex.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_custkey").alias("n_customers"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.count("it.line_no").alias("n_items"),
+        F.coalesce(F.sum("it.qty"), F.lit(0)).cast("long").alias("sum_qty"),
+    )
+
+
+_register(
+    "deep_nested_rollup",
+    _deep_nested_rollup,
+    """
+    SELECT c_mktsegment,
+           count(DISTINCT c_custkey) AS n_customers,
+           count(DISTINCT o_orderkey) AS n_orders,
+           count(l_linenumber) AS n_items,
+           coalesce(sum(CAST(l_quantity AS BIGINT)), 0) AS sum_qty
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey
+    LEFT JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY c_mktsegment
+    """,
+    "SURVEY Phase 0: BQ-JSON->StructType loader driving schema-on-read "
+    "over a 3-deep array<struct<...array<struct>>> document, "
+    "explode_outer x2 parity vs LEFT JOIN chain",
+)
+
+
+# ---------------------------------------------------------------------------
+# 149. taxon_key_quirks — the reference's hash-parity traps encoded as
+# one routing query (SURVEY §7.2), over a deterministic sample shape
+# derived from customer x nation:
+# - merged-taxon special case: organism "Ochlodes sylvanus" keys to the
+#   literal "876063_3126489" instead of its own tax id
+#   (beam/src/dependencies/utils/map_functions.py:261-262,279-280)
+# - excluded tax_ids {624, 1773, 2697049} route to the error channel
+#   with nulled fields (map_functions.py:444-446)
+# - country containing "Spain" raises the nagoya_protocol flag
+#   (map_functions.py:383-389)
+# Rule order matches the reference pipeline: keying (merge) first, then
+# the excluded-id error routing on the resulting key. All three when()
+# branches fire at sf0.01 (custkeys 97k' merge, multiples of 5 are
+# Spain, 624/1773 exist and are excluded).
+
+def _taxon_key_quirks(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    s = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 97 == 0, F.lit("Ochlodes sylvanus"))
+        .otherwise(F.concat(F.lit("org_"), F.col("c_custkey").cast("string")))
+        .alias("organism"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("Spain"))
+        .otherwise(F.col("n_name"))
+        .alias("country"),
+    )
+    keyed = s.withColumn(
+        "tax_key",
+        F.when(F.col("organism") == "Ochlodes sylvanus", F.lit("876063_3126489"))
+        .otherwise(F.col("c_custkey").cast("string")),
+    )
+    is_err = F.col("tax_key").isin("624", "1773", "2697049")
+    return keyed.select(
+        "tax_key",
+        F.when(is_err, F.lit("error")).otherwise(F.lit("ok")).alias("category"),
+        F.when(is_err, F.lit(None).cast("string")).otherwise(F.col("organism")).alias("organism"),
+        # string-typed flag: a nullable BOOLEAN canonicalizes as None on
+        # Spark vs NaN on the oracle side under the exact comparator
+        F.when(is_err, F.lit(None).cast("string"))
+        .otherwise(F.col("country").contains("Spain").cast("string"))
+        .alias("nagoya_protocol"),
+    )
+
+
+_register(
+    "taxon_key_quirks",
+    _taxon_key_quirks,
+    """
+    WITH s AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 97 = 0 THEN 'Ochlodes sylvanus'
+                    ELSE 'org_' || CAST(c_custkey AS VARCHAR) END AS organism,
+               CASE WHEN c_custkey % 5 = 0 THEN 'Spain' ELSE n_name END AS country
+        FROM customer JOIN nation ON c_nationkey = n_nationkey),
+    k AS (
+        SELECT c_custkey, organism, country,
+               CASE WHEN organism = 'Ochlodes sylvanus' THEN '876063_3126489'
+                    ELSE CAST(c_custkey AS VARCHAR) END AS tax_key
+        FROM s)
+    SELECT tax_key,
+           CASE WHEN tax_key IN ('624','1773','2697049') THEN 'error' ELSE 'ok' END AS category,
+           CASE WHEN tax_key IN ('624','1773','2697049') THEN NULL ELSE organism END AS organism,
+           CASE WHEN tax_key IN ('624','1773','2697049') THEN NULL
+                ELSE CAST(country LIKE '%Spain%' AS VARCHAR) END AS nagoya_protocol
+    FROM k
+    """,
+    "SURVEY §7.2 reference parity quirks: merged-taxon 876063_3126489 "
+    "keying, excluded-id error channel, Spain=>nagoya flag — rule order "
+    "as in the reference pipeline",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 # The driver's correctness harness checks the first 50 declared queries

@@ -259,3 +259,19 @@ def test_signlsh_recall_vs_exact(spark):
     # recall; the floor locks the banding from silently degrading
     recall = len(lsh & exact) / max(len(exact), 1)
     assert recall >= 0.4, f"sign-LSH recall {recall} over {len(exact)} true pairs"
+
+
+def test_classify_split_derives_categories_without_action(spark):
+    from biodiversity_data_ingestion_spark.operators.classify import split
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "zz")], "id INT, kind STRING"
+    )
+    rules = [(F.col("kind") == "a", "alpha"), (F.col("kind") == "b", "beta")]
+    labeled = classify(df, rules, default="other")
+    branches = split(labeled, rules, default="other")
+    # labels come from the rules statically — including empty branches —
+    # and the branches partition the input exactly
+    assert set(branches) == {"alpha", "beta", "other"}
+    counts = {k: v.count() for k, v in branches.items()}
+    assert counts == {"alpha": 1, "beta": 1, "other": 1}
