@@ -106,6 +106,50 @@ def _ordered_pairs(docs) -> Column:
     )
 
 
+def _chunked_bucket_pairs(
+    member_lists: DataFrame, docs_col: str, extra_cols: list[str], chunk_size: int
+) -> DataFrame:
+    """Explode ordered pairs from sorted bucket member lists, sharding
+    hot buckets so no single row/task pins a quadratic explosion.
+
+    Second-level banding for bucket skew (the 100 TB concern: with
+    bounded band cardinality — e.g. <=1024 simhash blocks — bucket
+    occupancy grows linearly with the corpus and within-bucket pairing
+    is quadratic). A bucket of s members becomes ceil(s/chunk_size)
+    chunks; each (i <= j) chunk combination is its own row, so the
+    per-row pair yield is bounded by chunk_size^2 and the downstream
+    explode parallelizes across tasks after the round-robin repartition.
+
+    The emitted PAIR SET is unchanged: member lists are sorted, chunks
+    are ordered slices, so within-chunk ordered pairs plus full i<j
+    cross products enumerate each a < b pair exactly once (equality
+    asserted by test_hot_bucket_chunking_preserves_pairs).
+
+    Returns `extra_cols` + an exploded `p` struct {a, b}.
+    """
+    docs = F.col(docs_col)
+    n_chunks = F.ceil(F.size(docs) / F.lit(chunk_size)).cast("int")
+    combos = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.transform(
+                F.sequence(i, n_chunks - 1),
+                lambda j: F.struct(i.alias("i"), j.alias("j")),
+            ),
+        )
+    )
+    exploded = member_lists.select(*extra_cols, docs, F.explode(combos).alias("_c"))
+    da = F.slice(docs, F.col("_c.i") * chunk_size + 1, chunk_size)
+    db = F.slice(docs, F.col("_c.j") * chunk_size + 1, chunk_size)
+    cross = F.flatten(
+        F.transform(
+            da, lambda d: F.transform(db, lambda e: F.struct(d.alias("a"), e.alias("b")))
+        )
+    )
+    pairs = F.when(F.col("_c.i") == F.col("_c.j"), _ordered_pairs(da)).otherwise(cross)
+    return exploded.select(*extra_cols, F.explode(pairs).alias("p"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -201,6 +245,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     band_size: int = 4,
     threshold: float = 0.5,
+    bucket_chunk_size: int = 1024,
 ) -> DataFrame:
     """MinHash + banded LSH candidate generation, then EXACT Jaccard
     verification of candidates only. The 100 TB-scale near-dup path:
@@ -250,8 +295,11 @@ def minhash_lsh_pairs(
             F.collect_list(F.struct("doc_id", F.slice("bands", 1, 3).alias("b3")))
         ).alias("docs"),
     )
-    pairs = member_lists.select(
-        "band", F.explode(_ordered_pairs(F.col("docs"))).alias("p")
+    # hot-bucket chunking (exact-dup clusters make maximal buckets):
+    # shard any bucket larger than bucket_chunk_size into chunk-pair
+    # rows so no single row yields more than chunk_size^2 pairs
+    pairs = _chunked_bucket_pairs(
+        member_lists, "docs", ["band"], bucket_chunk_size
     ).select(
         "band",
         F.col("p.a.doc_id").alias("doc_a"),
@@ -325,7 +373,8 @@ def simhash64(df: DataFrame, id_col: str, text: str) -> DataFrame:
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text: str, max_hamming: int = 3
+    df: DataFrame, id_col: str, text: str, max_hamming: int = 3,
+    bucket_chunk_size: int = 1024,
 ) -> DataFrame:
     """Near-dup pairs whose SimHash fingerprints differ in <= max_hamming
     bits. Candidate generation blocks on 4 x 8-bit bands (a pair within
@@ -368,8 +417,12 @@ def simhash_near_pairs(
     member_lists = member_lists.repartition(
         df.sparkSession.sparkContext.defaultParallelism
     )
-    pairs = member_lists.select(
-        "band", F.explode(_ordered_pairs(F.col("docs"))).alias("p")
+    # second banding level for block occupancy: at 100 TB each of the
+    # <=1024 blocks holds ~n/1024 docs, so within-block pairing is
+    # quadratic in corpus size — chunk-pair rows bound the per-row
+    # explosion at chunk_size^2 without changing the emitted pair set
+    pairs = _chunked_bucket_pairs(
+        member_lists, "docs", ["band"], bucket_chunk_size
     ).select(
         "band",
         F.col("p.a.doc_id").alias("doc_a"),

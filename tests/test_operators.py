@@ -275,3 +275,38 @@ def test_classify_split_derives_categories_without_action(spark):
     assert set(branches) == {"alpha", "beta", "other"}
     counts = {k: v.count() for k, v in branches.items()}
     assert counts == {"alpha": 1, "beta": 1, "other": 1}
+
+
+def test_hot_bucket_chunking_preserves_pairs(spark):
+    # second-level banding: forcing a tiny chunk size (so every bucket
+    # shards into many chunk-pair rows) must emit exactly the same pair
+    # set as the unchunked path — correctness is independent of the cap
+    from biodiversity_data_ingestion_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(200)
+    base_mh = {
+        tuple(r)
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5, bucket_chunk_size=1 << 20
+        ).collect()
+    }
+    chunked_mh = {
+        tuple(r)
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5, bucket_chunk_size=3
+        ).collect()
+    }
+    assert base_mh == chunked_mh
+    base_sh = {
+        tuple(r)
+        for r in dedup.simhash_near_pairs(
+            docs, "doc_id", "text", bucket_chunk_size=1 << 20
+        ).collect()
+    }
+    chunked_sh = {
+        tuple(r)
+        for r in dedup.simhash_near_pairs(
+            docs, "doc_id", "text", bucket_chunk_size=3
+        ).collect()
+    }
+    assert base_sh == chunked_sh
