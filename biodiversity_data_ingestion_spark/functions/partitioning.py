@@ -26,9 +26,20 @@ from pyspark.sql import DataFrame
 
 def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
     """Round-robin repartition to cluster parallelism iff the plan
-    currently has fewer partitions than that."""
+    currently has fewer partitions than that.
+
+    The split estimate is ``len(df.inputFiles())`` — a lower bound on
+    scan splits that needs only the analyzed plan. The previous
+    ``df.rdd.getNumPartitions()`` probe triggered full physical
+    planning plus an RDD conversion on EVERY operator call — a
+    non-trivial driver-side pass on complex plans. Under-estimating
+    splits (one huge splittable file) at worst costs one bounded
+    shuffle of an input that was too small to be well-laid-out anyway;
+    at 100 TB (thousands of files) the estimate clears ``target`` and
+    fan_out stays a no-op.
+    """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * multiplier
-    if df.rdd.getNumPartitions() >= target:
+    if len(df.inputFiles()) >= target:
         return df
     return df.repartition(target)

@@ -157,18 +157,31 @@ def signlsh_dup_pairs(
         )
         for b in range(n_bands)
     ]
+    # join-free bucket-list candidate generation (same shape as the
+    # MinHash/SimHash generators): a bucket self-join would evaluate the
+    # 16-projection signature stage once per side; grouping members per
+    # (band, key) bucket evaluates it exactly once, and pairs explode
+    # inside each bucket. A pair colliding on several bands is collapsed
+    # by the distinct() — the pair stream here is bounded by bucket
+    # occupancy, not corpus^2.
     sig = v.select(
         "vid", F.posexplode(F.array(*band_keys)).alias("band", "key")
     )
+    members = (
+        sig.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list("vid")).alias("vids"))
+        .where(F.size("vids") > 1)
+    )
+    pair_arrays = F.transform(
+        F.col("vids"),
+        lambda a, i: F.transform(
+            F.slice(F.col("vids"), i + F.lit(2), F.size(F.col("vids"))),
+            lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+        ),
+    )
     cand = (
-        sig.alias("a")
-        .join(
-            sig.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.vid") < F.col("b.vid")),
-        )
-        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+        members.select(F.explode(F.flatten(pair_arrays)).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     va = v.select(F.col("vid").alias("id_a"), F.col("v").alias("va"))

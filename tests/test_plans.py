@@ -226,6 +226,14 @@ def test_headline_plan_shuffle_budgets(spark):
         "occurrence_cleaning_pipeline": 1,
         "user_sessions": 1,
         "multimodal_features": 0,
+        # round-2 additions (measured like the rest)
+        "embedding_cosine_dups": 2,
+        "supplier_shipping_coverage": 1,  # one partitioning reused 3x
+        "deep_nested_rollup": 4,
+        "taxon_key_quirks": 0,  # broadcast dim only
+        "nation_monthly_running_share": 2,
+        "dedup_components": 0,  # localCheckpoint flattens lineage
+        "tfidf_top_terms": 4,
     }
     over = {}
     for name, budget in budgets.items():
