@@ -5793,6 +5793,66 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 150. epoch_shuffle_shards — the training-loader epoch shuffle as a
+# deterministic dataflow: every (epoch, example) gets an md5 rank key,
+# a shard from the key's high bits, and a within-shard position. One
+# hash shuffle (the per-epoch/shard window); at 100 TB this is written
+# with partitionBy(epoch, shard) + sortWithinPartitions(rank) so each
+# trainer reads its shard sequentially in shuffled order — no global
+# sort, no RNG state to coordinate across workers.
+
+def _epoch_shuffle_shards(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    epochs = spark.range(2).select(F.col("id").cast("int").alias("epoch"))
+    keyed = (
+        docs.crossJoin(F.broadcast(epochs))
+        .select(
+            "epoch",
+            "doc_id",
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit("ep"), F.col("epoch").cast("string"),
+                    F.col("doc_id").cast("string"),
+                )
+            ).alias("rk"),
+        )
+        .withColumn(
+            "shard",
+            (F.conv(F.substring("rk", 1, 8), 16, 10).cast("long") % 8).cast("int"),
+        )
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("rk", "doc_id")
+    return keyed.select(
+        "epoch", "shard", "doc_id",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+_register(
+    "epoch_shuffle_shards",
+    _epoch_shuffle_shards,
+    """
+    WITH e AS (SELECT * FROM (VALUES (0), (1)) AS t(epoch)),
+    k AS (
+        SELECT e.epoch, d.doc_id,
+               md5('ep:' || CAST(e.epoch AS VARCHAR) || ':'
+                   || CAST(d.doc_id AS VARCHAR)) AS rk
+        FROM documents d CROSS JOIN e),
+    s AS (
+        SELECT epoch, doc_id, rk,
+               CAST(CAST(('0x' || substr(rk, 1, 8)) AS BIGINT) % 8 AS INTEGER) AS shard
+        FROM k)
+    SELECT epoch, shard, doc_id,
+           row_number() OVER (PARTITION BY epoch, shard ORDER BY rk, doc_id) AS pos
+    FROM s
+    """,
+    "north star: deterministic per-epoch corpus shuffle + shard "
+    "assignment (md5 rank keys; partitionBy+sortWithinPartitions is the "
+    "cluster write path)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 # The driver's correctness harness checks the first 50 declared queries
