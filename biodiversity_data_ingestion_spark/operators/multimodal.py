@@ -106,6 +106,24 @@ def decode_media(df: DataFrame, payload_col: str = "payload"):
     )
 
 
+def resize_dims_plan(
+    df: DataFrame, max_side: int = 224,
+    width_col: str = "media_meta.width", height_col: str = "media_meta.height",
+) -> DataFrame:
+    """Aspect-preserving resize planning (decode-free): the target
+    (width, height) each image resizes to so its longer side is
+    ``max_side``, never upscaling. Pure integer Catalyst expressions
+    (floor division), so the plan is engine-exact and runs ahead of the
+    (stubbed) decode kernel — at scale this is the column that routes
+    payloads to resolution-bucketed decode batches."""
+    w, h = F.col(width_col), F.col(height_col)
+    g = F.greatest(w, h)
+    scale_needed = g > max_side
+    tw = F.when(scale_needed, F.floor(w * max_side / g)).otherwise(w).cast("long")
+    th = F.when(scale_needed, F.floor(h * max_side / g)).otherwise(h).cast("long")
+    return df.withColumn("target_width", tw).withColumn("target_height", th)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plumbing: expand each video payload row into frame
     timestamps (0, every_ms, ...) using the metadata duration — the

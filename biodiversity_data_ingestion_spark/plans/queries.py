@@ -5853,6 +5853,101 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 151. media_frame_plan — video frame-sampling plumbing: each payload's
+# metadata duration expands to frame timestamps (sequence + explode,
+# pure Catalyst) ahead of the stubbed per-frame decode kernel. Duration
+# synthesized deterministically from n_chars (10 ms per char) so the
+# explode fan-out is bounded and oracle-portable.
+
+def _media_frame_plan(spark, sf_dir):
+    from ..operators.multimodal import frame_sample_plan
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.lit("synthetic").alias("codec"),
+            F.lit(None).cast("long").alias("width"),
+            F.lit(None).cast("long").alias("height"),
+            (F.col("n_chars").cast("long") * 10).alias("duration_ms"),
+        ).alias("media_meta"),
+    )
+    frames = frame_sample_plan(docs, every_ms=500)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("frame_ts_ms").cast("long").alias("last_frame_ms"),
+    )
+
+
+_register(
+    "media_frame_plan",
+    _media_frame_plan,
+    """
+    WITH f AS (
+        SELECT doc_id,
+               unnest(generate_series(0, greatest(n_chars * 10 - 1, 0), 500)) AS ts
+        FROM documents)
+    SELECT doc_id, count(*) AS n_frames, max(ts) AS last_frame_ms
+    FROM f GROUP BY doc_id
+    """,
+    "north star: multimodal frame-sampling plumbing (metadata-driven "
+    "sequence+explode ahead of the per-frame decode kernel)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 152. media_resize_dims — decode-free aspect-fit resize planning:
+# integer floor math computes each image's target dims (long side ->
+# 224, never upscale), the routing column for resolution-bucketed
+# decode batches. Width/height synthesized deterministically per doc.
+
+def _media_resize_dims(spark, sf_dir):
+    from ..operators.multimodal import resize_dims_plan
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("synthetic").alias("codec"),
+            (160 + (F.col("doc_id") % 7) * 160).cast("long").alias("width"),
+            (120 + (F.col("doc_id") % 11) * 120).cast("long").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("media_meta"),
+    )
+    planned = resize_dims_plan(docs, max_side=224)
+    return planned.select(
+        "doc_id",
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        "target_width",
+        "target_height",
+    )
+
+
+_register(
+    "media_resize_dims",
+    _media_resize_dims,
+    """
+    WITH m AS (
+        SELECT doc_id,
+               CAST(160 + (doc_id % 7) * 160 AS BIGINT) AS width,
+               CAST(120 + (doc_id % 11) * 120 AS BIGINT) AS height
+        FROM documents)
+    SELECT doc_id, width, height,
+           CAST(CASE WHEN greatest(width, height) > 224
+                     THEN floor(width * 224 / greatest(width, height))
+                     ELSE width END AS BIGINT) AS target_width,
+           CAST(CASE WHEN greatest(width, height) > 224
+                     THEN floor(height * 224 / greatest(width, height))
+                     ELSE height END AS BIGINT) AS target_height
+    FROM m
+    """,
+    "north star: multimodal resize planning (integer aspect-fit dims, "
+    "routing column for resolution-bucketed decode batches)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 # The driver's correctness harness checks the first 50 declared queries
