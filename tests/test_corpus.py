@@ -257,3 +257,38 @@ def test_ivf_kmeans_recall(spark):
     }
     recall = len(got & exact) / len(exact)
     assert recall >= 0.6, recall
+
+
+def test_pointer_jump_converges_on_long_chain(spark):
+    # a 200-node path graph has diameter 199: plain min-label propagation
+    # cannot converge within 25 rounds, the pointer-doubling variant must
+    # (O(log diameter)) — and land every node on component 0
+    from biodiversity_data_ingestion_spark.operators.corpus import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "doc_a LONG, doc_b LONG"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(chain, max_iter=25, pointer_jump=True).collect()
+    }
+    assert got == {i: 0 for i in range(200)}
+
+
+def test_pointer_jump_matches_plain_on_near_dup_graph(spark):
+    # same fixpoint on the real (shallow) near-dup graph
+    from biodiversity_data_ingestion_spark.operators import dedup
+    from biodiversity_data_ingestion_spark.operators.corpus import (
+        connected_components,
+    )
+    from biodiversity_data_ingestion_spark.sources.tables import load_table
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.7)
+    plain = {tuple(r) for r in connected_components(pairs).collect()}
+    jump = {tuple(r) for r in connected_components(pairs, pointer_jump=True).collect()}
+    assert plain == jump
