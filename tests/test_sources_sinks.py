@@ -299,3 +299,39 @@ def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
     pruned = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "kind" in pruned  # the filter reached the partition layer
     assert scan.count() == 100
+
+
+def test_normalize_event_ts_all_three_shapes(spark, tmp_path):
+    # the r1 regression class: events.ts arrives as nanos-long, NTZ, or
+    # TIMESTAMP depending on writer; all three must normalize to
+    # TIMESTAMP with identical wall-clock values (session TZ is UTC)
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biodiversity_data_ingestion_spark.sources.tables import normalize_event_ts
+
+    micros = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z
+    want = datetime.datetime(2023, 11, 14, 22, 13, 20)
+
+    # nanos-long (TIMESTAMP(NANOS) under nanosAsLong)
+    long_df = spark.createDataFrame([(micros * 1000,)], "ts LONG")
+    got = normalize_event_ts(long_df).first()["ts"]
+    assert got == want and dict(normalize_event_ts(long_df).dtypes)["ts"] == "timestamp"
+
+    # TIMESTAMP_NTZ on disk (isAdjustedToUTC=false — the testdata shape)
+    p = str(tmp_path / "ntz.parquet")
+    pq.write_table(
+        pa.table({"ts": pa.array([micros], type=pa.timestamp("us"))}), p
+    )
+    ntz = spark.read.parquet(p)
+    assert dict(ntz.dtypes)["ts"] == "timestamp_ntz"  # precondition
+    norm = normalize_event_ts(ntz)
+    assert dict(norm.dtypes)["ts"] == "timestamp"
+    assert norm.first()["ts"] == want
+
+    # already TIMESTAMP: passthrough
+    ts_df = spark.createDataFrame([(want,)], "ts TIMESTAMP")
+    out = normalize_event_ts(ts_df)
+    assert dict(out.dtypes)["ts"] == "timestamp" and out.first()["ts"] == want
