@@ -40,3 +40,27 @@ def test_gate_summary_counts_match_registry():
         f"COVERAGE.md gate summary says {m.groups()}, registry has "
         f"{n_queries}/{n_oracles}"
     )
+
+
+def test_driver_window_priority_order():
+    # the driver's correctness harness reads the first 50 exported
+    # queries; the explicit priority list must stay valid (all real
+    # names, no dups, exactly the head of the export) so that window
+    # always carries one representative per operator family
+    from biodiversity_data_ingestion_spark.plans.queries import (
+        _PRIORITY,
+        oracle_sql_map,
+        query_map,
+    )
+
+    assert len(_PRIORITY) == 50
+    assert len(set(_PRIORITY)) == 50
+    missing = [n for n in _PRIORITY if n not in QUERIES]
+    assert not missing, f"priority names not in registry: {missing}"
+    names = list(query_map())
+    assert names[:50] == list(_PRIORITY)
+    assert set(names) == set(QUERIES)
+    # every priority query that has an oracle keeps it in the export
+    osql = oracle_sql_map()
+    for n in _PRIORITY:
+        assert (QUERIES[n]["oracle"] is not None) == (n in osql)
