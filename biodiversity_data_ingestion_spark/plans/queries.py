@@ -5948,6 +5948,63 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 153. span_dedup_stats — sub-document dedup signal (the CCNet-style
+# line/paragraph dedup, adapted to word spans since the corpus has no
+# line structure): chop each doc's token stream into non-overlapping
+# 10-word spans, count global span occurrences, and report each doc's
+# duplicated-span fraction — the column a curation pipeline thresholds
+# to drop boilerplate-heavy docs. Two shuffles (span window + per-doc
+# rollup); span keys are short strings, and at 100 TB the span column
+# would be md5'd before the shuffle to bound key bytes.
+
+def _span_dedup_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    k = F.greatest(F.ceil(F.size(words) / F.lit(10.0)).cast("int"), F.lit(1))
+    spans = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.array_join(F.slice(words, (i - 1) * 10 + 1, 10), " "),
+    )
+    sp = docs.select("doc_id", F.explode(spans).alias("span"))
+    marked = sp.withColumn(
+        "n_occ", F.count(F.lit(1)).over(Window.partitionBy("span"))
+    )
+    dup = F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        dup.cast("long").alias("n_dup_spans"),
+        F.round(dup / F.count(F.lit(1)), 4).alias("dup_fraction"),
+    )
+
+
+_register(
+    "span_dedup_stats",
+    _span_dedup_stats,
+    r"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+        FROM documents),
+    sp AS (
+        SELECT doc_id,
+               array_to_string(words[((i-1)*10+1):(i*10)], ' ') AS span
+        FROM w, UNNEST(generate_series(1,
+                 greatest(CAST(ceil(len(words) / 10.0) AS INTEGER), 1))) AS t(i)),
+    m AS (
+        SELECT doc_id, span, count(*) OVER (PARTITION BY span) AS n_occ
+        FROM sp)
+    SELECT doc_id,
+           count(*) AS n_spans,
+           CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           round(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+               AS dup_fraction
+    FROM m GROUP BY doc_id
+    """,
+    "north star: sub-document span dedup fraction (CCNet-style "
+    "boilerplate signal; global span counts via one keyed window)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 # The driver's correctness harness checks the first 50 declared queries
