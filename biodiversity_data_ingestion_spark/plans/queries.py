@@ -6005,6 +6005,73 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 154. mixture_temperature_weights — temperature-sampled source mixture
+# planning (the multilingual/T=2 rebalance: weight ∝ n_tokens^0.5
+# instead of n_tokens, lifting low-resource sources). Per-source token
+# totals are one grouped agg; the normalizing totals are a 1-row agg
+# cross-joined back broadcast (source cardinality is bounded — never a
+# whole-table window). alpha = 0.5 because sqrt is IEEE
+# correctly-rounded in both engines (pow(x, 0.7) can differ in the last
+# ulp between libm implementations); the sqrt terms accumulate in
+# decimal(28,10) so the sum is order-independent and engine-exact.
+
+def _mixture_temperature_weights(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    per = (
+        docs.select(
+            "source",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("nt"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "_pw", F.sqrt(F.col("n_tokens").cast("double")).cast("decimal(28,10)")
+        )
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("_tot_tokens"),
+        F.sum("_pw").alias("_tot_pw"),
+    )
+    temp_share = F.col("_pw").cast("double") / F.col("_tot_pw").cast("double")
+    nat_share = F.col("n_tokens") / F.col("_tot_tokens")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "n_tokens",
+        F.round(nat_share, 6).alias("natural_share"),
+        F.round(temp_share, 6).alias("temp_share"),
+        F.round(temp_share / nat_share, 4).alias("effective_epochs"),
+    )
+
+
+_register(
+    "mixture_temperature_weights",
+    _mixture_temperature_weights,
+    r"""
+    WITH per AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source),
+    p2 AS (
+        SELECT *, CAST(sqrt(n_tokens) AS DECIMAL(28,10)) AS pw FROM per),
+    tot AS (
+        SELECT sum(n_tokens) AS tot_tokens, sum(pw) AS tot_pw FROM p2)
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens * 1.0 / tot_tokens, 6) AS natural_share,
+           round(CAST(pw AS DOUBLE) / CAST(tot_pw AS DOUBLE), 6) AS temp_share,
+           round((CAST(pw AS DOUBLE) / CAST(tot_pw AS DOUBLE))
+                 / (n_tokens * 1.0 / tot_tokens), 4) AS effective_epochs
+    FROM p2, tot
+    """,
+    "north star: temperature-sampled mixture planning (weight ∝ "
+    "sqrt(tokens), order-independent decimal accumulation, broadcast "
+    "normalizing totals)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 # The driver's correctness harness checks the first 50 declared queries
