@@ -31,6 +31,41 @@ def read_jsonl(spark: SparkSession, path: str, schema: StructType | None = None)
     return reader.json(path)
 
 
+def read_jsonl_with_dead_letters(
+    spark: SparkSession, path: str, schema: StructType
+) -> tuple[DataFrame, DataFrame]:
+    """S1 + P16: schema-on-read JSONL scan with a dead-letter channel.
+
+    PERMISSIVE mode routes unparseable lines into ``_corrupt_record``
+    instead of failing the job — the engine analogue of the reference's
+    tagged error outputs / None-filter dead letters
+    (data_ingestion/src/dependencies/occurrences_pipeline.py:31-48,
+    beam map_functions.py:43,275,291). Returns (good, dead) where
+    ``dead`` carries the raw offending line for quarantine writes.
+
+    Scale note: the split is two filters over ONE scan (no second
+    parse); corrupt rows are usually a vanishing fraction, so the
+    dead-letter branch is effectively free.
+    """
+    from pyspark.sql.types import StringType, StructField
+
+    with_corrupt = StructType(
+        [*schema.fields, StructField("_corrupt_record", StringType(), True)]
+    )
+    df = (
+        spark.read.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()  # one materialization serves both branches
+    )
+    good = df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    dead = df.where(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return good, dead
+
+
 def read_species_files(
     spark: SparkSession,
     glob: str,

@@ -335,3 +335,47 @@ def test_normalize_event_ts_all_three_shapes(spark, tmp_path):
     ts_df = spark.createDataFrame([(want,)], "ts TIMESTAMP")
     out = normalize_event_ts(ts_df)
     assert dict(out.dtypes)["ts"] == "timestamp" and out.first()["ts"] == want
+
+
+def test_jsonl_dead_letter_channel(spark, tmp_path):
+    # P16 dead letters: corrupt JSONL lines route to the quarantine
+    # branch with the raw line preserved; good rows parse normally —
+    # both branches from ONE scan
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from biodiversity_data_ingestion_spark.sources.jsonl import (
+        read_jsonl_with_dead_letters,
+    )
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "{broken json!!\n"
+        '{"id": 2, "name": "fine"}\n'
+        '["not", "an", "object"]\n'
+    )
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    good, dead = read_jsonl_with_dead_letters(spark, str(p), schema)
+    assert {(r.id, r.name) for r in good.collect()} == {(1, "ok"), (2, "fine")}
+    dead_lines = {r.raw_line for r in dead.collect()}
+    assert dead_lines == {"{broken json!!", '["not", "an", "object"]'}
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    # DPP: joining a hive-partitioned fact on its partition column with a
+    # filtered dim must push a dynamicpruning subquery into the scan's
+    # PartitionFilters — at 100 TB this is what turns a selective dim
+    # predicate into skipped fact partitions instead of a full scan
+    path = str(tmp_path / "orders_by_priority")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("1-URGENT", 1), ("2-HIGH", 2)], "prio STRING, rank INT"
+    ).where("rank = 1")
+    j = fact.join(dim, fact.o_orderpriority == dim.prio).groupBy("prio").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan
+    assert j.collect()[0]["prio"] == "1-URGENT"
