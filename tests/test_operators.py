@@ -310,3 +310,32 @@ def test_hot_bucket_chunking_preserves_pairs(spark):
         ).collect()
     }
     assert base_sh == chunked_sh
+
+
+def test_chunked_bucket_pairs_edge_cases(spark):
+    # boundary coverage for the hot-bucket sharding math: member lists of
+    # every size 1..7 against chunk sizes 1..4 (incl. size == cap,
+    # size == cap+1, cap 1) must enumerate exactly the i<j pairs
+    from itertools import combinations
+
+    from biodiversity_data_ingestion_spark.operators.dedup import (
+        _chunked_bucket_pairs,
+    )
+
+    rows = [(f"b{n}", list(range(n))) for n in range(1, 8)]
+    df = spark.createDataFrame(rows, "bucket STRING, members ARRAY<INT>")
+    member_lists = df.select(
+        "bucket",
+        F.transform("members", lambda m: F.struct(m.alias("doc_id"))).alias("docs"),
+    )
+    expected = {
+        (b, a, c) for b, mem in rows for a, c in combinations(mem, 2)
+    }
+    for chunk in (1, 2, 3, 4):
+        got = {
+            (r["bucket"], r["p"]["a"]["doc_id"], r["p"]["b"]["doc_id"])
+            for r in _chunked_bucket_pairs(
+                member_lists, "docs", ["bucket"], chunk
+            ).collect()
+        }
+        assert got == expected, f"chunk_size={chunk}"
