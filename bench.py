@@ -42,6 +42,7 @@ HEADLINE = (
     "dedup_components",
     "tfidf_top_terms",
     "stream_event_window",
+    "corpus_curation_pipeline",
 )
 
 # queries whose builder EXECUTES the work eagerly (streaming drains,
@@ -49,7 +50,7 @@ HEADLINE = (
 # for lazy builders it must NOT, or driver-side Python expression
 # construction (py4j, ~0.5-2 s for the big HOF plans) pollutes the
 # engine measurement and round-over-round comparability
-EAGER = {"dedup_components", "stream_event_window"}
+EAGER = {"dedup_components", "stream_event_window", "corpus_curation_pipeline"}
 
 
 def main() -> None:

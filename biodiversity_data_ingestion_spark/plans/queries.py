@@ -6072,6 +6072,99 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 155. corpus_curation_pipeline — the flagship LLM-corpus composition,
+# the analogue of occurrence_cleaning_pipeline on the reference side:
+# near-dup removal (which subsumes exact dedup — identical texts have
+# jaccard 1 and collapse to their min-id canonical) -> language ID ->
+# C4-style quality gate -> per-(source, lang) corpus summary. Each
+# stage is the already-proven operator; this query proves they compose
+# end-to-end with a single recursive-CTE + CTE-chain oracle. Mean
+# quality accumulates in decimal so the group mean is engine-exact.
+
+def _corpus_curation_pipeline(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    retained = corpus.near_dedup_retained(docs, pairs, "doc_id").select(
+        "doc_id", "source"
+    )
+    lang = textops.language_id(docs, "doc_id", "text").select(
+        "doc_id", "predicted_lang"
+    )
+    qual = textops.quality_score(docs, "doc_id", "text").select(
+        "doc_id", "n_words", "quality"
+    )
+    kept = (
+        retained.join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .where((F.col("quality") >= 0.4) & (F.col("n_words") >= 5))
+    )
+    return kept.groupBy("source", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mean_quality"),
+    )
+
+
+_register(
+    "corpus_curation_pipeline",
+    _corpus_curation_pipeline,
+    f"""
+    WITH RECURSIVE {_CC_REACH},
+    comp AS (SELECT node, min(component) AS component FROM reach GROUP BY node),
+    retained AS (
+        SELECT doc_id, source FROM documents
+        WHERE doc_id NOT IN (SELECT node FROM comp WHERE component <> node)),
+    w AS (SELECT doc_id, text, {_DD_WORDS} AS words FROM documents),
+    b AS (
+        SELECT doc_id, len(words) AS n_words,
+               len(list_filter(words, x -> x IN ('the','a','of','and','to'))) AS n_stop,
+               length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+               length(text) AS n_chars_t, words
+        FROM w),
+    q AS (
+        SELECT doc_id, n_words,
+               round((CASE WHEN n_words >= 5 THEN 1.0 ELSE 0.0 END)
+                     * (1.0 - round(n_punct / greatest(n_chars_t, 1), 4))
+                     * (CASE WHEN round(n_stop / n_words, 4) > 0.01
+                             THEN 1.0 ELSE 0.5 END), 4) AS quality
+        FROM b),
+    l AS (
+        SELECT doc_id,
+               len(list_filter(words, x -> x IN ('the','a','of','and','to')))   AS score_en,
+               len(list_filter(words, x -> x IN ('el','la','de','los','que')))  AS score_es,
+               len(list_filter(words, x -> x IN ('le','la','les','des','et')))  AS score_fr,
+               len(list_filter(words, x -> x IN ('der','die','das','und','ist'))) AS score_de
+        FROM w),
+    lid AS (
+        SELECT doc_id,
+               CASE WHEN greatest(score_en, score_es, score_fr, score_de) = 0 THEN 'und'
+                    WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_de THEN 'en'
+                    WHEN score_es >= score_fr AND score_es >= score_de THEN 'es'
+                    WHEN score_fr >= score_de THEN 'fr'
+                    ELSE 'de' END AS predicted_lang
+        FROM l)
+    SELECT r.source, lid.predicted_lang,
+           count(*) AS n_docs,
+           CAST(sum(q.n_words) AS BIGINT) AS total_words,
+           round(CAST(sum(CAST(q.quality AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4)
+               AS mean_quality
+    FROM retained r
+    JOIN lid USING (doc_id)
+    JOIN q USING (doc_id)
+    WHERE q.quality >= 0.4 AND q.n_words >= 5
+    GROUP BY r.source, lid.predicted_lang
+    """,
+    "north star flagship: full corpus curation composition (near-dedup "
+    "clusters -> canonical survivors -> langID -> quality gate -> "
+    "per-source/lang summary)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 # The driver's correctness harness checks the first 50 declared queries
