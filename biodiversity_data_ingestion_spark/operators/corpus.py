@@ -75,11 +75,14 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # LAZY checkpoints throughout the loop: the convergence aggregate is
+    # the action that materializes each round's frontier, so every round
+    # costs ONE job instead of two (eager checkpoint + sum)
     labels = (
         edges.select(F.col("s").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("component")).first()[0]
     for _ in range(max_iter):
@@ -98,7 +101,7 @@ def connected_components(
             labels = labels.join(parent, "component").select(
                 "node", F.col("_root").alias("component")
             )
-        labels = labels.localCheckpoint()
+        labels = labels.localCheckpoint(eager=False)
         new_sum = labels.agg(F.sum("component")).first()[0]
         if new_sum == prev_sum:
             break
