@@ -270,9 +270,11 @@ def _nation_cogroup(spark, sf_dir):
     cg = joins.cogroup_collect(
         {"customer": c, "supplier": s}, "nationkey", {"customer": "val", "supplier": "val"}
     )
+    # broadcast the aggregated co-group (bounded by nation cardinality):
+    # a LEFT OUTER join can only build its right side, so hinting the
+    # preserved nation side was a no-op that fell back to shuffle
     return (
-        F.broadcast(n)
-        .join(cg, n.n_nationkey == cg.nationkey, "left")
+        n.join(F.broadcast(cg), n.n_nationkey == cg.nationkey, "left")
         .select(
             "n_name",
             F.array_join(F.coalesce("customer_list", F.array()), ",").alias("customer_segments"),
