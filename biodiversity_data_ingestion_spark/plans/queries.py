@@ -6167,6 +6167,58 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 156. metadata_etl_rollup — the Phase-2 metadata ETL spine end-to-end
+# (reference my_pipeline.py:21-158 shape): P1 classify with error
+# routing -> J1 keyed co-group collapse to one nested row per
+# (key, category) with collected record structs. Events stand in for
+# samples (user_id = tax_id analogue). The declared output reduces the
+# collected array with ORDER-INSENSITIVE expressions (size, array_min)
+# because collect_list order is partition-dependent by design.
+
+def _metadata_etl_rollup(spark, sf_dir):
+    from .pipelines import metadata_etl
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("tax_id"), "event_type"
+    )
+    rules = [
+        (F.col("event_type") == "error", "errors"),
+        (F.col("event_type").isin("purchase", "signup"), "conversions"),
+    ]
+    nested = metadata_etl(ev, rules, "engagement", tax_id="tax_id")
+    return nested.select(
+        "tax_id",
+        "category",
+        F.col("n_records").cast("long").alias("n_records"),
+        F.size("records").cast("long").alias("n_collected"),
+        F.array_min(F.transform("records", lambda r: r["event_id"]))
+        .cast("long")
+        .alias("min_event_id"),
+    )
+
+
+_register(
+    "metadata_etl_rollup",
+    _metadata_etl_rollup,
+    """
+    WITH routed AS (
+        SELECT event_id, user_id AS tax_id,
+               CASE WHEN event_type = 'error' THEN 'errors'
+                    WHEN event_type IN ('purchase', 'signup') THEN 'conversions'
+                    ELSE 'engagement' END AS category
+        FROM events)
+    SELECT tax_id, category,
+           count(*) AS n_records,
+           count(*) AS n_collected,
+           min(event_id) AS min_event_id
+    FROM routed GROUP BY tax_id, category
+    """,
+    "SURVEY §3.1 Phase-2 metadata ETL spine: classify + error routing + "
+    "keyed co-group to nested per-(key, category) rows",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 # The driver's correctness harness checks the first 50 declared queries
