@@ -379,3 +379,26 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in plan
     assert j.collect()[0]["prio"] == "1-URGENT"
+
+
+def test_overwrite_table_truncates(spark, tmp_path):
+    # S9 WRITE_TRUNCATE semantics: the second write replaces, not appends
+    path = str(tmp_path / "trunc")
+    sinks.append_table(spark.range(10).toDF("id"), path)
+    sinks.overwrite_table(spark.range(3).toDF("id"), path)
+    back = spark.read.parquet(path)
+    assert back.count() == 3
+    assert {r.id for r in back.collect()} == {0, 1, 2}
+
+
+def test_global_metrics_single_row_combine(spark):
+    # A1: one-row global combine of named aggregate expressions
+    from biodiversity_data_ingestion_spark.operators.aggregates import (
+        global_metrics,
+    )
+
+    df = spark.createDataFrame([(1, 2.0), (3, 4.0), (5, 6.0)], "a INT, b DOUBLE")
+    row = global_metrics(
+        df, {"sum_a": F.sum("a"), "n": F.count(F.lit(1)), "max_b": F.max("b")}
+    ).first()
+    assert (row["sum_a"], row["n"], row["max_b"]) == (9, 3, 6.0)
