@@ -446,20 +446,56 @@ def _price_stats(spark, sf_dir):
     return aggregates.distribution_stats(li, ["l_returnflag"], "l_extendedprice")
 
 
+def _dd_spark_percentile(p: float, nd: int = 2) -> str:
+    """DuckDB expression mirroring Spark Percentile's EXACT arithmetic
+    over a sorted list column `v` of length `n`:
+        rank = (n-1)*p; lo = floor(rank); hi = ceil(rank)
+        value = (hi-rank)*v[lo+1] + (rank-lo)*v[hi+1]
+    DuckDB's quantile_cont uses the algebraically-equal-but-floating-
+    point-different v[lo] + (v[hi]-v[lo])*frac, which diverges in the
+    last ulp and can split a round({nd}) boundary (seen at sf0.001).
+
+    The final rounding also mirrors Spark bit-for-bit: Spark's
+    round(double, n) is BigDecimal.valueOf(x) = HALF_UP over the
+    double's SHORTEST decimal representation (Double.toString), while
+    DuckDB's round(DOUBLE, n) is multiply-based — the two split ulp
+    boundaries differently (52724.244999999995 -> .24 vs .25;
+    52840.435 (stored as ...4349999...) -> .44 vs .43). Routing
+    VARCHAR -> DECIMAL reproduces the shortest-repr HALF_UP exactly:
+    DuckDB's double->VARCHAR is shortest-round-trip formatting, and
+    decimal round is HALF_UP.
+    """
+    r = f"({p} * (n - 1))"
+    lo = f"CAST(floor({r}) AS BIGINT)"
+    hi = f"CAST(ceil({r}) AS BIGINT)"
+    raw = (
+        f"CASE WHEN {hi} = {lo} THEN v[{lo} + 1] "
+        f"ELSE ({hi} - {r}) * v[{lo} + 1] + ({r} - {lo}) * v[{hi} + 1] END"
+    )
+    return (
+        f"CAST(round(CAST(CAST({raw} AS VARCHAR) AS DECIMAL(30,15)), {nd}) AS DOUBLE)"
+    )
+
+
 _register(
     "price_stats_by_flag",
     _price_stats,
-    """
-    SELECT l_returnflag,
-           round(avg(l_extendedprice), 2)            AS mean,
-           round(stddev_pop(l_extendedprice), 2)     AS sd,
-           round(quantile_cont(l_extendedprice, 0.5), 2)  AS median,
-           round(quantile_cont(l_extendedprice, 0.05), 2) AS p5,
-           round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
-           round(min(l_extendedprice), 2)            AS min,
-           round(max(l_extendedprice), 2)            AS max,
-           count(l_extendedprice)                    AS n
-    FROM lineitem GROUP BY l_returnflag
+    f"""
+    WITH s AS (
+        SELECT l_returnflag,
+               list_sort(list(l_extendedprice))      AS v,
+               round(avg(l_extendedprice), 2)        AS mean,
+               round(stddev_pop(l_extendedprice), 2) AS sd,
+               round(min(l_extendedprice), 2)        AS min,
+               round(max(l_extendedprice), 2)        AS max,
+               count(l_extendedprice)                AS n
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, mean, sd,
+           {_dd_spark_percentile(0.5)}  AS median,
+           {_dd_spark_percentile(0.05)} AS p5,
+           {_dd_spark_percentile(0.95)} AS p95,
+           min, max, n
+    FROM s
     """,
     "SURVEY §2.4 A3; transforms.py:646-744 (numpy population sd / linear percentiles)",
 )
