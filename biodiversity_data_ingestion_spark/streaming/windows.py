@@ -148,6 +148,17 @@ def run_stream_sessions_over_events(
     )
 
 
+def run_stream_sliding_over_events(
+    spark: SparkSession, sf_dir: str, query_name: str = "bdi_stream_sliding"
+) -> DataFrame:
+    """Sliding event-time windows executed as a real streaming query
+    (duration 2h, slide 1h: every event lands in two windows; state
+    keyed by (window, type), bounded by time range x types)."""
+    return _drain_to_memory_table(
+        spark, sliding_event_counts(events_stream(spark, sf_dir)), query_name
+    )
+
+
 def run_stream_windowed_topk_over_events(
     spark: SparkSession, sf_dir: str, k: int = 2,
     query_name: str = "bdi_stream_topk",
