@@ -99,6 +99,51 @@ def quality_score(df: DataFrame, id_col: str, text: str) -> DataFrame:
     )
 
 
+def text_features(df: DataFrame, id_col: str, text: str) -> DataFrame:
+    """One-pass fusion of language_id + quality_score: identical output
+    columns, computed from a single scan with shared tokenization.
+
+    The composition-friendly form: a pipeline that joins language_id
+    and quality_score scans the corpus once per operator and shuffles
+    on the join key; at 100 TB the scan is the dominant cost and the
+    join is pure overhead for what are per-row projections. Expressions
+    are the same Column trees as the standalone operators, so values
+    (and oracle hashes) are bit-identical — asserted by
+    test_text_features_fusion_matches_joins.
+    """
+    t = F.col(text)
+    words = tokenize(F.lower(t))
+    counts = {lang: _count_in(words, vocab) for lang, vocab in _LANG_MARKERS.items()}
+    best = None
+    for lang, cnt in counts.items():
+        pair = F.struct(cnt.alias("score"), F.lit(lang).alias("lang"))
+        best = pair if best is None else F.when(pair["score"] > best["score"], pair).otherwise(best)
+    n_words = F.size(words)
+    stop = counts["en"]
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    mean_wlen = F.round(
+        F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w)) / n_words, 4
+    )
+    stop_ratio = F.round(stop / n_words, 4)
+    punct_ratio = F.round(n_punct / F.greatest(F.length(t), F.lit(1)), 4)
+    score = F.round(
+        F.when(n_words >= 5, F.lit(1.0)).otherwise(F.lit(0.0))
+        * (F.lit(1.0) - punct_ratio)
+        * F.when(stop_ratio > 0.01, F.lit(1.0)).otherwise(F.lit(0.5)),
+        4,
+    )
+    return fan_out(df).select(
+        F.col(id_col),
+        *[cnt.cast("long").alias(f"score_{lang}") for lang, cnt in counts.items()],
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("predicted_lang"),
+        n_words.cast("long").alias("n_words"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        mean_wlen.alias("mean_word_len"),
+        score.alias("quality"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text: str) -> DataFrame:
     """Content fingerprints: full-text md5 + a rolling min-gram hash
     (min md5 over word 3-grams — robust to local edits)."""

@@ -6125,16 +6125,13 @@ def _corpus_curation_pipeline(spark, sf_dir):
     retained = corpus.near_dedup_retained(docs, pairs, "doc_id").select(
         "doc_id", "source"
     )
-    lang = textops.language_id(docs, "doc_id", "text").select(
-        "doc_id", "predicted_lang"
+    # fused one-pass language + quality features: one corpus scan and
+    # one join instead of three scans and two joins
+    feats = textops.text_features(docs, "doc_id", "text").select(
+        "doc_id", "predicted_lang", "n_words", "quality"
     )
-    qual = textops.quality_score(docs, "doc_id", "text").select(
-        "doc_id", "n_words", "quality"
-    )
-    kept = (
-        retained.join(lang, "doc_id")
-        .join(qual, "doc_id")
-        .where((F.col("quality") >= 0.4) & (F.col("n_words") >= 5))
+    kept = retained.join(feats, "doc_id").where(
+        (F.col("quality") >= 0.4) & (F.col("n_words") >= 5)
     )
     return kept.groupBy("source", "predicted_lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

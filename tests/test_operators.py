@@ -339,3 +339,25 @@ def test_chunked_bucket_pairs_edge_cases(spark):
             ).collect()
         }
         assert got == expected, f"chunk_size={chunk}"
+
+
+def test_text_features_fusion_matches_joins(spark):
+    # the one-pass fused projection must be row-identical to joining the
+    # standalone language_id and quality_score operators
+    from biodiversity_data_ingestion_spark.operators import textops
+    from biodiversity_data_ingestion_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(300)
+    fused = {tuple(r) for r in textops.text_features(docs, "doc_id", "text").collect()}
+    joined = {
+        tuple(r)
+        for r in textops.language_id(docs, "doc_id", "text")
+        .join(textops.quality_score(docs, "doc_id", "text"), "doc_id")
+        .select(
+            "doc_id", "score_en", "score_es", "score_fr", "score_de",
+            "predicted_lang", "n_words", "stopword_ratio", "punct_ratio",
+            "mean_word_len", "quality",
+        )
+        .collect()
+    }
+    assert fused == joined
