@@ -6296,12 +6296,16 @@ _PRIORITY: tuple[str, ...] = (
     "orders_monthly", "lineitem_retention", "events_classified",
     "events_json_extract", "price_stats_by_flag", "segment_sets_by_region",
     "global_metrics_union", "top3_orders_per_customer", "part_urls",
-    "remote_customers",
+    # deep_nested_rollup replaces remote_customers (P9 already runs
+    # inside occurrence_cleaning_pipeline) — Phase-0 loader evidence;
+    # taxon_key_quirks replaces order_dims_grouping_sets (near-dup of
+    # order_priority_dims) — reference hash-parity-trap evidence
+    "deep_nested_rollup",
     # flagship pipeline + reference-specific shapes
     "occurrence_cleaning_pipeline", "occurrence_cleaning_summary",
     "derivation_chain_roots", "gate_rows_projection", "nested_order_rollup",
     "user_event_flatten", "geotag_aggregation", "terms_summary_topk",
-    "order_dims_grouping_sets", "word_freq", "order_lineitems_rollup",
+    "taxon_key_quirks", "word_freq", "order_lineitems_rollup",
     # text analysis + dedup family (LLM-pipeline first-class ops)
     "doc_token_stats", "doc_fingerprints", "dedup_exact_prefix",
     "ngram_jaccard_dups", "minhash_lsh_dups", "simhash_near_dups",
