@@ -63,7 +63,17 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        return normalize_event_ts(spark.read.parquet(path))
+        try:
+            df = spark.read.parquet(path)
+        except Exception:
+            # TIMESTAMP(NANOS) parquet on a session without nanosAsLong
+            # (e.g. the driver's own session): enable the legacy long
+            # surface and retry once. This is a FALLBACK only — our
+            # session factory (session.py) sets the conf up front, and
+            # the normal path never mutates session conf at read time.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+        return normalize_event_ts(df)
     return spark.read.parquet(path)
 
 

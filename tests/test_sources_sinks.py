@@ -402,3 +402,32 @@ def test_global_metrics_single_row_combine(spark):
         df, {"sum_a": F.sum("a"), "n": F.count(F.lit(1)), "max_b": F.max("b")}
     ).first()
     assert (row["sum_a"], row["n"], row["max_b"]) == (9, 3, 6.0)
+
+
+def test_load_table_nanos_fallback_without_session_conf(spark, tmp_path):
+    # a TIMESTAMP(NANOS) events file on a session WITHOUT nanosAsLong
+    # (e.g. the driver's own session) must still load: read fails with
+    # AnalysisException, load_table enables the legacy conf and retries
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biodiversity_data_ingestion_spark.sources.tables import load_table
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1], pa.int64()),
+                "ts": pa.array([1_700_000_000_000_000_000], pa.timestamp("ns")),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    try:
+        out = load_table(spark, str(tmp_path), "events")
+        assert dict(out.dtypes)["ts"] == "timestamp"
+        assert out.first()["ts"] == datetime.datetime(2023, 11, 14, 22, 13, 20)
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
