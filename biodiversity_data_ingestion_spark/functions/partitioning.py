@@ -40,6 +40,14 @@ def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * multiplier
-    if len(df.inputFiles()) >= target:
+    n_files = len(df.inputFiles())
+    if n_files >= target:
         return df
+    if n_files == 0:
+        # Plan has no file sources (createDataFrame input or a
+        # post-shuffle intermediate): inputFiles() says nothing about
+        # parallelism, so pay the (one-off, driver-side) RDD probe
+        # rather than force an unconditional shuffle on every call.
+        if df.rdd.getNumPartitions() >= target:
+            return df
     return df.repartition(target)

@@ -128,6 +128,10 @@ def _chunked_bucket_pairs(
     Returns `extra_cols` + an exploded `p` struct {a, b}.
     """
     docs = F.col(docs_col)
+    # size(docs) < 2 yields no pairs, and size 0 would make
+    # sequence(0, n_chunks-1) the DESCENDING [0, -1] (negative slice
+    # starts => garbage pairs) — drop those rows before chunking.
+    member_lists = member_lists.where(F.size(docs) >= 2)
     n_chunks = F.ceil(F.size(docs) / F.lit(chunk_size)).cast("int")
     combos = F.flatten(
         F.transform(

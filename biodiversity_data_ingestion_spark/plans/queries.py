@@ -2467,7 +2467,7 @@ _register(
     f"""
     SELECT CASE WHEN {sampling.selection_sql('doc_id', 's42', 0.2)}
                 THEN 'test' ELSE 'train' END AS split,
-           lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+           lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
     FROM documents
     GROUP BY 1, 2
     """,
@@ -2534,7 +2534,7 @@ _register(
         FROM t)
     SELECT shard,
            CAST(floor((cum_tokens - n_toks) / 500.0) AS BIGINT) AS chunk_id,
-           count(*) AS n_docs, sum(n_toks) AS chunk_tokens
+           count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS chunk_tokens
     FROM c GROUP BY 1, 2
     """,
     "north star: deterministic sequence packing (per-shard running-sum "
@@ -2629,7 +2629,8 @@ _register(
                     WHEN score_fr >= score_de THEN 'fr'
                     ELSE 'de' END AS predicted_lang
         FROM l)
-    SELECT predicted_lang, count(*) AS n_docs, sum(n_words) AS total_words
+    SELECT predicted_lang, count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words
     FROM kept
     JOIN lid USING (doc_id)
     JOIN q USING (doc_id)
@@ -3447,11 +3448,11 @@ _register(
         WHERE s.first_signup IS NOT NULL)
     SELECT strftime(first_signup, '%Y-%m-%d') AS cohort_day,
            count(*) AS n_signups,
-           sum(CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END) AS n_purchased,
-           sum(CASE WHEN first_purchase IS NOT NULL
+           CAST(sum(CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased,
+           CAST(sum(CASE WHEN first_purchase IS NOT NULL
                      AND epoch_us(first_purchase) - epoch_us(first_signup)
                          <= 3600000000
-                    THEN 1 ELSE 0 END) AS n_converted_1h
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_1h
     FROM f
     GROUP BY 1
     """,
@@ -4063,7 +4064,7 @@ _register(
     f AS (SELECT chunk, count(DISTINCT doc_id) AS df FROM ch GROUP BY chunk),
     r AS (
         SELECT ch.doc_id, count(*) AS n_chunks,
-               sum(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS n_dup_chunks
+               CAST(sum(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
         FROM ch JOIN f USING (chunk) GROUP BY ch.doc_id)
     SELECT doc_id, n_chunks, n_dup_chunks,
            round(n_dup_chunks * 1.0 / n_chunks, 4) AS dup_ratio
@@ -4429,7 +4430,7 @@ _register(
     _lineitem_column_stats,
     """
     SELECT count(*) AS n_rows,
-           sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_shipdate,
+           CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_shipdate,
            count(DISTINCT l_orderkey) AS ndv_orderkey,
            count(DISTINCT l_returnflag) AS ndv_returnflag,
            round(min(l_extendedprice), 2) AS min_price,
@@ -5161,7 +5162,7 @@ _register(
         SELECT user_id, n,
                n * 1.0 / sum(n) OVER (PARTITION BY user_id) AS prob
         FROM c)
-    SELECT user_id, sum(n) AS n_events,
+    SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
            round(-sum(prob * ln(prob)), 4) AS entropy
     FROM p GROUP BY user_id
     """,
@@ -5298,7 +5299,8 @@ _register(
                sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS o_orderdate,
                sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS o_orderpriority
         FROM orders)
-    SELECT u.col_name, u.n_nulls, round(u.n_nulls * 1.0 / w.n, 6) AS null_rate
+    SELECT u.col_name, CAST(u.n_nulls AS BIGINT) AS n_nulls,
+           round(u.n_nulls * 1.0 / w.n, 6) AS null_rate
     FROM w, LATERAL (
         VALUES ('o_orderkey', o_orderkey), ('o_custkey', o_custkey),
                ('o_orderstatus', o_orderstatus), ('o_totalprice', o_totalprice),
@@ -5398,7 +5400,7 @@ _register(
         SELECT l_suppkey, island, min(s) AS ms, max(e) AS me
         FROM g GROUP BY l_suppkey, island)
     SELECT l_suppkey, count(*) AS n_intervals,
-           sum(date_diff('day', ms, me) + 1) AS covered_days
+           CAST(sum(date_diff('day', ms, me) + 1) AS BIGINT) AS covered_days
     FROM mi GROUP BY l_suppkey
     """,
     "engine extension: interval union / merge-overlaps (gaps-and-"
@@ -5744,7 +5746,7 @@ _register(
            count(DISTINCT c_custkey) AS n_customers,
            count(DISTINCT o_orderkey) AS n_orders,
            count(l_linenumber) AS n_items,
-           coalesce(sum(CAST(l_quantity AS BIGINT)), 0) AS sum_qty
+           CAST(coalesce(sum(CAST(l_quantity AS BIGINT)), 0) AS BIGINT) AS sum_qty
     FROM customer
     LEFT JOIN orders ON o_custkey = c_custkey
     LEFT JOIN lineitem ON l_orderkey = o_orderkey
@@ -6290,34 +6292,46 @@ _register(
 # near-duplicate variants of already-proven patterns come after. The
 # full registry is still exported — only the ordering changes.
 _PRIORITY: tuple[str, ...] = (
+    # ROUND-3 ROTATION: 14 queries that were driver-green in
+    # CORRECTNESS_r02 and are near-duplicates of families still
+    # represented in-window were rotated OUT (their r2 green rows remain
+    # on disk as evidence): events_json_extract, global_metrics_union,
+    # top3_orders_per_customer, occurrence_cleaning_summary,
+    # derivation_chain_roots, gate_rows_projection, geotag_aggregation,
+    # terms_summary_topk, word_freq, doc_fingerprints, simhash_near_dups,
+    # near_dedup_corpus, benchmark_contamination, customer_upsert_merge.
+    # Rotated IN: one representative per never-driver-checked family
+    # (A6 A7 A8/A9 A13 A15 A16 P3 P5/S6 P6 P10 P12 P14/P15/P17 J3/J4 S3).
     # core scan/join/agg/window spine
     "q1_pricing_summary", "revenue_by_nation", "inactive_customers",
     "dedup_min_by", "nation_cogroup", "order_priority_dims",
     "orders_monthly", "lineitem_retention", "events_classified",
-    "events_json_extract", "price_stats_by_flag", "segment_sets_by_region",
-    "global_metrics_union", "top3_orders_per_customer", "part_urls",
-    # deep_nested_rollup replaces remote_customers (P9 already runs
-    # inside occurrence_cleaning_pipeline) — Phase-0 loader evidence;
-    # taxon_key_quirks replaces order_dims_grouping_sets (near-dup of
-    # order_priority_dims) — reference hash-parity-trap evidence
+    "price_stats_by_flag", "segment_sets_by_region", "part_urls",
     "deep_nested_rollup",
+    # dedup / keep-first / merge aggregation families (A5-A9, A13, A15, A16)
+    "dedup_rank_priority", "first_order_per_customer",
+    "customer_record_merge", "article_lists_special_case",
+    "table_data_distinct", "qc_links_per_part",
     # flagship pipeline + reference-specific shapes
-    "occurrence_cleaning_pipeline", "occurrence_cleaning_summary",
-    "derivation_chain_roots", "gate_rows_projection", "nested_order_rollup",
-    "user_event_flatten", "geotag_aggregation", "terms_summary_topk",
-    "taxon_key_quirks", "word_freq", "order_lineitems_rollup",
+    "occurrence_cleaning_pipeline", "nested_order_rollup",
+    "user_event_flatten", "taxon_key_quirks", "order_lineitems_rollup",
+    # reference source/projection/enrichment families (S3 S6 P3 P5 P6
+    # P10 P12 P14) + outer-merge joins (J3/J4)
+    "specimen_doc_projection", "supplier_lineage_enrichment",
+    "latest_line_status", "name_validation_split", "uncertainty_buffer_wkt",
+    "ecoregion_zones", "provenance_requests", "annotation_merge",
     # text analysis + dedup family (LLM-pipeline first-class ops)
-    "doc_token_stats", "doc_fingerprints", "dedup_exact_prefix",
-    "ngram_jaccard_dups", "minhash_lsh_dups", "simhash_near_dups",
+    "doc_token_stats", "dedup_exact_prefix",
+    "ngram_jaccard_dups", "minhash_lsh_dups",
     "embedding_cosine_dups", "ann_cosine_topk", "dedup_components",
-    "near_dedup_corpus", "corpus_quality_gate", "sequence_packing",
-    "tfidf_top_terms", "benchmark_contamination", "stratified_doc_sample",
+    "corpus_quality_gate", "sequence_packing",
+    "tfidf_top_terms", "stratified_doc_sample",
     "multimodal_features",
     # geo kernels
     "points_in_region", "climate_zonal_grid",
     # event-time / streaming / temporal-table families
     "stream_event_window", "user_sessions", "asof_prior_purchase",
-    "customer_upsert_merge", "user_value_scd2",
+    "user_value_scd2",
 )
 
 

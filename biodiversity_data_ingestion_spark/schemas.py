@@ -165,6 +165,97 @@ METADATA_FIELDS: list[dict] = [
 
 METADATA_SCHEMA: StructType = struct_type_from_bq_fields(METADATA_FIELDS)
 
+
+# ---------------------------------------------------------------------------
+# FULL metadata-table mirror (every field of reference
+# beam/src/dependencies/utils/schemas.py:1-1139, 221 leaves). The
+# reference spells it as one verbose JSON literal; here the same shape
+# is DERIVED — the ENA read-run record (49 STRING columns) appears
+# three times (raw_data / symbionts_raw_data / metagenomes_raw_data),
+# the assembly record three times, the 5-field sample record twice, so
+# declaring each once and instantiating by name is both shorter and
+# harder to drift.
+
+def _str_fields(names: tuple[str, ...], required: tuple[str, ...] = ()) -> list[dict]:
+    return [
+        {
+            "name": n,
+            "type": "STRING",
+            "mode": "REQUIRED" if n in required else "NULLABLE",
+        }
+        for n in names
+    ]
+
+
+def _repeated_record(name: str, fields: list[dict]) -> dict:
+    return {"name": name, "type": "RECORD", "mode": "REPEATED", "fields": fields}
+
+
+# the ENA read-run report columns (reference schemas.py raw_data RECORD;
+# all NULLABLE STRING — ENA serves every column as text)
+_ENA_READ_RUN_COLS: tuple[str, ...] = (
+    "study_accession", "secondary_study_accession", "sample_accession",
+    "secondary_sample_accession", "experiment_accession", "run_accession",
+    "submission_accession", "tax_id", "scientific_name",
+    "instrument_platform", "instrument_model", "library_name",
+    "nominal_length", "library_layout", "library_strategy",
+    "library_source", "library_selection", "read_count", "base_count",
+    "center_name", "first_public", "last_updated", "experiment_title",
+    "study_title", "study_alias", "experiment_alias", "run_alias",
+    "fastq_bytes", "fastq_md5", "fastq_ftp", "fastq_aspera",
+    "fastq_galaxy", "submitted_bytes", "submitted_md5", "submitted_ftp",
+    "submitted_aspera", "submitted_galaxy", "submitted_format",
+    "sra_bytes", "sra_md5", "sra_ftp", "sra_aspera", "sra_galaxy",
+    "sample_alias", "broker_name", "sample_title", "nominal_sdev",
+    "first_created", "library_construction_protocol",
+)
+
+_ASSEMBLY_COLS: tuple[str, ...] = ("accession", "description")
+
+# biosample summary record: organisms carry the full 10-column form
+# (REQUIRED biosample_id), specimens the 7-column, symbionts/metagenomes
+# the 5-column prefix — same column family, three widths
+_SAMPLE_COLS_10: tuple[str, ...] = (
+    "biosample_id", "organism", "common_name", "sex", "organism_part",
+    "latitude", "longitude", "project_name", "lifestage", "habitat",
+)
+_SAMPLE_COLS_7 = _SAMPLE_COLS_10[:7]
+_SAMPLE_COLS_5 = _SAMPLE_COLS_10[:5]
+
+_RANKS: tuple[str, ...] = (
+    "kingdom", "phylum", "class", "order", "family", "genus", "species",
+)
+
+FULL_METADATA_FIELDS: list[dict] = [
+    {"name": "tax_id", "type": "INTEGER", "mode": "REQUIRED"},
+    {"name": "scientific_name", "type": "STRING", "mode": "REQUIRED"},
+    {"name": "common_name", "type": "STRING", "mode": "NULLABLE"},
+    {"name": "current_status", "type": "STRING", "mode": "REQUIRED"},
+    _repeated_record("organisms", _str_fields(_SAMPLE_COLS_10, required=("biosample_id",))),
+    _repeated_record("specimens", _str_fields(_SAMPLE_COLS_7)),
+    {
+        "name": "phylogenetic_tree",
+        "type": "RECORD",
+        "mode": "REQUIRED",
+        "fields": [_rank_record(r) for r in _RANKS],
+    },
+    {"name": "phylogenetic_tree_scientific_names", "type": "STRING", "mode": "REPEATED"},
+    {"name": "phylogenetic_tree_common_names", "type": "STRING", "mode": "REPEATED"},
+    _repeated_record("symbionts", _str_fields(_SAMPLE_COLS_5)),
+    _repeated_record("metagenomes", _str_fields(_SAMPLE_COLS_5)),
+    _repeated_record("raw_data", _str_fields(_ENA_READ_RUN_COLS)),
+    _repeated_record("assemblies", _str_fields(_ASSEMBLY_COLS)),
+    _repeated_record("symbionts_raw_data", _str_fields(_ENA_READ_RUN_COLS)),
+    _repeated_record("symbionts_assemblies", _str_fields(_ASSEMBLY_COLS)),
+    _repeated_record("metagenomes_raw_data", _str_fields(_ENA_READ_RUN_COLS)),
+    _repeated_record("metagenomes_assemblies", _str_fields(_ASSEMBLY_COLS)),
+    {"name": "symbionts_status", "type": "STRING", "mode": "REQUIRED"},
+    {"name": "metagenomes_status", "type": "STRING", "mode": "REQUIRED"},
+    {"name": "project_name", "type": "STRING", "mode": "REPEATED"},
+]
+
+FULL_METADATA_SCHEMA: StructType = struct_type_from_bq_fields(FULL_METADATA_FIELDS)
+
 # The gate/log table (taxonomy_pipeline.py:90-102): flat, but mixes
 # REQUIRED/NULLABLE and a TIMESTAMP — the incremental anti-join key table.
 GATE_FIELDS: list[dict] = [

@@ -65,12 +65,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         try:
             df = spark.read.parquet(path)
-        except Exception:
+        except Exception as e:
             # TIMESTAMP(NANOS) parquet on a session without nanosAsLong
             # (e.g. the driver's own session): enable the legacy long
             # surface and retry once. This is a FALLBACK only — our
             # session factory (session.py) sets the conf up front, and
             # the normal path never mutates session conf at read time.
+            # Match the nanos signature so unrelated failures (missing
+            # path, corrupt footer) don't flip session-wide conf.
+            msg = str(e)
+            if not ("NANOS" in msg or "Illegal Parquet type" in msg):
+                raise
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(path)
         return normalize_event_ts(df)

@@ -72,6 +72,18 @@ def compare(name: str, spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> Co
 
     sp, oc = _canon(sp), _canon(oc)
     for c in sp.columns:
+        # The driver hashes raw values, so int64 3 vs float64 3.0 is a
+        # mismatch even though float coercion below would equate them
+        # (round-2 lesson: uncast DuckDB HUGEINT sums slipped through).
+        sk, ok_ = sp[c].dtype.kind, oc[c].dtype.kind
+        int_kinds = ("i", "u")
+        if (sk in int_kinds) != (ok_ in int_kinds) and {sk, ok_} <= {"i", "u", "f"}:
+            res.ok = False
+            res.problems.append(
+                f"col {c} dtype kind differs: spark={sp[c].dtype} oracle={oc[c].dtype}"
+            )
+            return res
+    for c in sp.columns:
         sv, ov = sp[c].tolist(), oc[c].tolist()
         for i, (a, b) in enumerate(zip(sv, ov)):
             if _eq(a, b):
