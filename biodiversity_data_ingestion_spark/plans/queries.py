@@ -5759,6 +5759,277 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 158. full_metadata_roundtrip — the COMPLETE reference metadata schema
+# (schemas.py FULL_METADATA_SCHEMA, mirroring every field of reference
+# beam/src/dependencies/utils/schemas.py:1-1139: the 7-rank
+# phylogenetic_tree RECORD-of-RECORDs, the 49-column ENA read-run
+# record x3, assemblies x3, organisms/specimens/symbionts/metagenomes,
+# REPEATED scalars and statuses). Documents are assembled from
+# nation/supplier/customer (one doc per nation), serialized to JSON,
+# re-read through the BQ-JSON->StructType loader (schema-on-read), and
+# rolled up per region with per-doc array expressions — ZERO extra
+# shuffles beyond the two collect_list aggs and the final groupBy; at
+# 100 TB the doc build is a pair of keyed aggs + broadcast-joined dims.
+
+_FM_SUP_T = "array<struct<k:bigint,nm:string,bal:double>>"
+_FM_CUST_T = "array<struct<k:bigint,bal:double,seg:string>>"
+
+
+def _full_metadata_roundtrip(spark, sf_dir):
+    from ..schemas import FULL_METADATA_SCHEMA
+
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+
+    sup = s.groupBy("s_nationkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("s_suppkey").cast("long").alias("k"),
+                    F.col("s_name").alias("nm"),
+                    F.col("s_acctbal").cast("double").alias("bal"),
+                )
+            )
+        ).alias("sups")
+    )
+    cust = c.groupBy("c_nationkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("c_custkey").cast("long").alias("k"),
+                    F.col("c_acctbal").cast("double").alias("bal"),
+                    F.col("c_mktsegment").alias("seg"),
+                )
+            )
+        ).alias("custs")
+    )
+
+    base = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(sup, n.n_nationkey == sup.s_nationkey, "left")
+        .join(cust, n.n_nationkey == cust.c_nationkey, "left")
+        .select(
+            "n_nationkey",
+            "n_name",
+            "r_name",
+            F.coalesce("sups", F.array().cast(_FM_SUP_T)).alias("sups"),
+            F.coalesce("custs", F.array().cast(_FM_CUST_T)).alias("custs"),
+        )
+    )
+
+    null_s = F.lit(None).cast("string")
+
+    def organism(x):
+        return F.struct(
+            F.concat(F.lit("SAMEA"), x.k.cast("string")).alias("biosample_id"),
+            x.nm.alias("organism"),
+            null_s.alias("common_name"),
+            F.when(x.k % 2 == 0, "male").otherwise("female").alias("sex"),
+            null_s.alias("organism_part"),
+            F.round(x.bal, 0).cast("string").alias("latitude"),
+            F.round(-x.bal, 0).cast("string").alias("longitude"),
+            F.col("n_name").alias("project_name"),
+            null_s.alias("lifestage"),
+            null_s.alias("habitat"),
+        )
+
+    def sample7(x):
+        return F.struct(
+            F.concat(F.lit("SAMEA"), x.k.cast("string")).alias("biosample_id"),
+            x.seg.alias("organism"),
+            null_s.alias("common_name"),
+            null_s.alias("sex"),
+            null_s.alias("organism_part"),
+            F.round(x.bal, 0).cast("string").alias("latitude"),
+            F.round(-x.bal, 0).cast("string").alias("longitude"),
+        )
+
+    def sample5(x):
+        return F.struct(
+            F.concat(F.lit("SAMEA"), x.k.cast("string")).alias("biosample_id"),
+            x.nm.alias("organism"),
+            null_s.alias("common_name"),
+            F.when(x.k % 2 == 0, "male").otherwise("female").alias("sex"),
+            null_s.alias("organism_part"),
+        )
+
+    def read_run(x):
+        # populated subset of the 49 ENA columns; the rest are absent in
+        # the JSON and must come back as NULL through the full schema
+        return F.struct(
+            F.concat(F.lit("R"), x.k.cast("string")).alias("run_accession"),
+            (x.k % 1000).cast("string").alias("tax_id"),
+            (x.k * 3).cast("string").alias("read_count"),
+            (x.k * 300).cast("string").alias("base_count"),
+            x.seg.alias("library_strategy"),
+            F.lit("ILLUMINA").alias("instrument_platform"),
+        )
+
+    def assembly(x):
+        return F.struct(
+            F.concat(F.lit("GCA_"), x.k.cast("string")).alias("accession"),
+            x.nm.alias("description"),
+        )
+
+    def rank(sci, common=None):
+        return F.struct(
+            sci.alias("scientific_name"),
+            (common if common is not None else null_s).alias("common_name"),
+        )
+
+    sups, custs = F.col("sups"), F.col("custs")
+    neg_s = F.filter(sups, lambda x: x.bal < 0)
+    hi_s = F.filter(sups, lambda x: x.bal >= 9000)
+    neg_c = F.filter(custs, lambda x: x.bal < 0)
+    hi_c = F.filter(custs, lambda x: x.bal > 9000)
+    rank_names = [
+        F.col("r_name"),
+        F.concat(F.lit("P_"), F.col("n_name")),
+        F.concat(F.lit("C_"), (F.col("n_nationkey") % 4).cast("string")),
+        F.concat(F.lit("O_"), (F.col("n_nationkey") % 3).cast("string")),
+        F.concat(F.lit("F_"), (F.col("n_nationkey") % 2).cast("string")),
+        F.concat(F.lit("G_"), F.col("n_name")),
+        F.concat(F.col("n_name"), F.lit("_sp")),
+    ]
+    doc = base.select(
+        F.struct(
+            F.col("n_nationkey").alias("tax_id"),
+            F.concat(F.col("n_name"), F.lit("_sp")).alias("scientific_name"),
+            null_s.alias("common_name"),
+            F.col("r_name").alias("current_status"),
+            F.transform(sups, organism).alias("organisms"),
+            F.transform(neg_c, sample7).alias("specimens"),
+            F.struct(
+                *[rk.alias(nm) for rk, nm in zip(
+                    [rank(x) for x in rank_names],
+                    ["kingdom", "phylum", "class", "order", "family", "genus", "species"],
+                )]
+            ).alias("phylogenetic_tree"),
+            F.array(*rank_names).alias("phylogenetic_tree_scientific_names"),
+            F.array(F.col("n_name")).alias("phylogenetic_tree_common_names"),
+            F.transform(neg_s, sample5).alias("symbionts"),
+            F.transform(hi_s, sample5).alias("metagenomes"),
+            F.transform(custs, read_run).alias("raw_data"),
+            F.transform(sups, assembly).alias("assemblies"),
+            F.transform(neg_c, read_run).alias("symbionts_raw_data"),
+            F.transform(neg_s, assembly).alias("symbionts_assemblies"),
+            F.transform(hi_c, read_run).alias("metagenomes_raw_data"),
+            F.transform(hi_s, assembly).alias("metagenomes_assemblies"),
+            F.concat(F.lit("SYM_"), (F.col("n_nationkey") % 2).cast("string")).alias(
+                "symbionts_status"
+            ),
+            F.concat(F.lit("META_"), (F.col("n_nationkey") % 3).cast("string")).alias(
+                "metagenomes_status"
+            ),
+            F.array_sort(
+                F.array_distinct(F.transform(custs, lambda x: x.seg))
+            ).alias("project_name"),
+        ).alias("m")
+    )
+    parsed = doc.select(
+        F.from_json(F.to_json("m"), FULL_METADATA_SCHEMA).alias("d")
+    ).select("d.*")
+
+    def sz(col):
+        return F.coalesce(F.size(col), F.lit(0))
+
+    reads = F.coalesce(
+        F.aggregate(
+            "raw_data",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.coalesce(x.read_count.cast("long"), F.lit(0)),
+        ),
+        F.lit(0),
+    )
+    per_doc = parsed.select(
+        "current_status",
+        sz("organisms").alias("d_org"),
+        sz(F.filter("organisms", lambda x: x.sex == "male")).alias("d_male"),
+        sz("specimens").alias("d_spec"),
+        sz("symbionts").alias("d_sym"),
+        sz("metagenomes").alias("d_meta"),
+        sz("raw_data").alias("d_raw"),
+        reads.alias("d_reads"),
+        sz("assemblies").alias("d_asm"),
+        (
+            sz("symbionts_raw_data") + sz("symbionts_assemblies")
+            + sz("metagenomes_raw_data") + sz("metagenomes_assemblies")
+        ).alias("d_comp"),
+        sz("project_name").alias("d_proj"),
+        sz("phylogenetic_tree_scientific_names").alias("d_ranks"),
+        F.concat("symbionts_status", F.lit("|"), "metagenomes_status").alias("d_status"),
+        F.col("phylogenetic_tree.species.scientific_name").alias("d_species"),
+    )
+    return per_doc.groupBy("current_status").agg(
+        F.count(F.lit(1)).alias("n_taxa"),
+        F.sum("d_org").cast("long").alias("n_organisms"),
+        F.sum("d_male").cast("long").alias("n_male"),
+        F.sum("d_spec").cast("long").alias("n_specimens"),
+        F.sum("d_sym").cast("long").alias("n_symbionts"),
+        F.sum("d_meta").cast("long").alias("n_metagenomes"),
+        F.sum("d_raw").cast("long").alias("n_raw"),
+        F.sum("d_reads").cast("long").alias("total_reads"),
+        F.sum("d_asm").cast("long").alias("n_assemblies"),
+        F.sum("d_comp").cast("long").alias("n_companion"),
+        F.sum("d_proj").cast("long").alias("n_projects"),
+        F.sum("d_ranks").cast("long").alias("n_rank_names"),
+        F.countDistinct("d_status").alias("n_statuses"),
+        F.max("d_species").alias("top_species"),
+    )
+
+
+_register(
+    "full_metadata_roundtrip",
+    _full_metadata_roundtrip,
+    """
+    WITH s AS (
+        SELECT s_nationkey AS nk,
+               count(*) AS n_sup,
+               sum(CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE 0 END) AS n_male,
+               sum(CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END) AS n_sym,
+               sum(CASE WHEN s_acctbal >= 9000 THEN 1 ELSE 0 END) AS n_meta
+        FROM supplier GROUP BY 1),
+    c AS (
+        SELECT c_nationkey AS nk,
+               count(*) AS n_cust,
+               sum(c_custkey * 3) AS reads,
+               sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS n_neg,
+               sum(CASE WHEN c_acctbal > 9000 THEN 1 ELSE 0 END) AS n_hi,
+               count(DISTINCT c_mktsegment) AS n_seg
+        FROM customer GROUP BY 1)
+    SELECT r_name AS current_status,
+           count(*) AS n_taxa,
+           CAST(coalesce(sum(n_sup), 0) AS BIGINT) AS n_organisms,
+           CAST(coalesce(sum(n_male), 0) AS BIGINT) AS n_male,
+           CAST(coalesce(sum(n_neg), 0) AS BIGINT) AS n_specimens,
+           CAST(coalesce(sum(n_sym), 0) AS BIGINT) AS n_symbionts,
+           CAST(coalesce(sum(n_meta), 0) AS BIGINT) AS n_metagenomes,
+           CAST(coalesce(sum(n_cust), 0) AS BIGINT) AS n_raw,
+           CAST(coalesce(sum(reads), 0) AS BIGINT) AS total_reads,
+           CAST(coalesce(sum(n_sup), 0) AS BIGINT) AS n_assemblies,
+           CAST(coalesce(sum(n_neg), 0) + coalesce(sum(n_sym), 0)
+                + coalesce(sum(n_hi), 0) + coalesce(sum(n_meta), 0) AS BIGINT)
+             AS n_companion,
+           CAST(coalesce(sum(n_seg), 0) AS BIGINT) AS n_projects,
+           CAST(count(*) * 7 AS BIGINT) AS n_rank_names,
+           CAST(count(DISTINCT 'SYM_' || CAST(n_nationkey % 2 AS VARCHAR)
+                      || '|META_' || CAST(n_nationkey % 3 AS VARCHAR)) AS BIGINT)
+             AS n_statuses,
+           max(n_name || '_sp') AS top_species
+    FROM nation JOIN region ON r_regionkey = n_regionkey
+    LEFT JOIN s ON s.nk = n_nationkey
+    LEFT JOIN c ON c.nk = n_nationkey
+    GROUP BY r_name
+    """,
+    "SURVEY Phase 0 (complete): the FULL 221-leaf reference metadata "
+    "schema — build docs, JSON-roundtrip through the loader-declared "
+    "StructType, roll up per region with per-doc array expressions",
+)
+
+
+# ---------------------------------------------------------------------------
 # 149. taxon_key_quirks — the reference's hash-parity traps encoded as
 # one routing query (SURVEY §7.2), over a deterministic sample shape
 # derived from customer x nation:
@@ -6307,7 +6578,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_min_by", "nation_cogroup", "order_priority_dims",
     "orders_monthly", "lineitem_retention", "events_classified",
     "price_stats_by_flag", "segment_sets_by_region", "part_urls",
-    "deep_nested_rollup",
+    "deep_nested_rollup", "full_metadata_roundtrip",
     # dedup / keep-first / merge aggregation families (A5-A9, A13, A15, A16)
     "dedup_rank_priority", "first_order_per_customer",
     "customer_record_merge", "article_lists_special_case",
@@ -6330,7 +6601,7 @@ _PRIORITY: tuple[str, ...] = (
     # geo kernels
     "points_in_region", "climate_zonal_grid",
     # event-time / streaming / temporal-table families
-    "stream_event_window", "user_sessions", "asof_prior_purchase",
+    "stream_event_window", "asof_prior_purchase",
     "user_value_scd2",
 )
 

@@ -96,3 +96,42 @@ def test_metadata_schema_shape():
 def test_gate_schema_timestamp():
     assert GATE_SCHEMA["date_seen"].dataType == TimestampType()
     assert GATE_SCHEMA["date_seen"].nullable is False
+
+
+def test_full_metadata_schema_mirrors_reference():
+    # the COMPLETE metadata table (reference beam schemas.py:1-1139):
+    # exact top-level field order, the three ENA read-run repeats, and
+    # the full leaf count
+    from biodiversity_data_ingestion_spark.schemas import FULL_METADATA_SCHEMA
+
+    assert [f.name for f in FULL_METADATA_SCHEMA.fields] == [
+        "tax_id", "scientific_name", "common_name", "current_status",
+        "organisms", "specimens", "phylogenetic_tree",
+        "phylogenetic_tree_scientific_names", "phylogenetic_tree_common_names",
+        "symbionts", "metagenomes", "raw_data", "assemblies",
+        "symbionts_raw_data", "symbionts_assemblies",
+        "metagenomes_raw_data", "metagenomes_assemblies",
+        "symbionts_status", "metagenomes_status", "project_name",
+    ]
+
+    def leaves(dt):
+        if isinstance(dt, StructType):
+            return sum(1 + leaves(f.dataType) for f in dt.fields)
+        if isinstance(dt, ArrayType):
+            return leaves(dt.elementType)
+        return 0
+
+    assert leaves(FULL_METADATA_SCHEMA) == 221
+
+    for rd in ("raw_data", "symbionts_raw_data", "metagenomes_raw_data"):
+        el = FULL_METADATA_SCHEMA[rd].dataType.elementType
+        assert len(el.fields) == 49
+        assert el.fields[0].name == "study_accession"
+        assert el.fields[-1].name == "library_construction_protocol"
+        assert all(f.dataType == StringType() and f.nullable for f in el.fields)
+    org = FULL_METADATA_SCHEMA["organisms"].dataType.elementType
+    assert len(org.fields) == 10 and org["biosample_id"].nullable is False
+    assert len(FULL_METADATA_SCHEMA["specimens"].dataType.elementType.fields) == 7
+    assert len(FULL_METADATA_SCHEMA["symbionts"].dataType.elementType.fields) == 5
+    tree = FULL_METADATA_SCHEMA["phylogenetic_tree"]
+    assert tree.nullable is False and len(tree.dataType.fields) == 7
