@@ -39,6 +39,7 @@ def connected_components(
     dst: str = "doc_b",
     max_iter: int = 25,
     pointer_jump: bool = False,
+    dedup_edges: bool = True,
 ) -> DataFrame:
     """Connected components of the undirected graph given as an edge list.
 
@@ -70,18 +71,25 @@ def connected_components(
     min-fold over other labels), so the jump join is total.
     """
     e = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-    edges = (
-        e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
-        .distinct()
-        .localCheckpoint()
-    )
+    edges = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    if dedup_edges:
+        # duplicate edges don't change any min-fold, but they multiply
+        # the per-round join fan-out; callers whose pair list is already
+        # unique (every groupBy-produced pair graph) skip this exchange
+        edges = edges.distinct()
+    edges = edges.localCheckpoint()
     # LAZY checkpoints throughout the loop: the convergence aggregate is
     # the action that materializes each round's frontier, so every round
     # costs ONE job instead of two (eager checkpoint + sum)
+    # Seed labels with one fold over direct neighbors (component0 =
+    # min(self, neighbors)) — same shuffle the plain distinct() init
+    # would cost, but it banks a full propagation round. Near-dup
+    # clusters are cliques (every member pairs with every other), so the
+    # seed fold alone reaches the fixpoint and the loop's first round is
+    # pure convergence detection.
     labels = (
-        edges.select(F.col("s").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        edges.groupBy(F.col("s").alias("node"))
+        .agg(F.least(F.min("s"), F.min("d")).alias("component"))
         .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("component")).first()[0]
@@ -122,11 +130,16 @@ def near_dedup_retained(
     tiny relative to the corpus (it IS the duplicate mass), so Catalyst
     broadcasts it and the retained scan never shuffles.
     """
-    cc = connected_components(pairs)
+    # pair lists from the dedup operators are groupBy-unique => skip the
+    # edge-dedup exchange
+    cc = connected_components(pairs, dedup_edges=False)
     losers = cc.where(F.col("component") != F.col("node")).select(
         F.col("node").alias(id_col)
     )
-    return docs.join(losers, id_col, "left_anti")
+    # explicit broadcast: the post-iteration frontier has no reliable
+    # Catalyst stats, and the drop list is id-only (the duplicate mass),
+    # so the retained scan stays map-side at any corpus scale
+    return docs.join(F.broadcast(losers), id_col, "left_anti")
 
 
 def pack_sequences(

@@ -99,9 +99,13 @@ def quality_score(df: DataFrame, id_col: str, text: str) -> DataFrame:
     )
 
 
-def text_features(df: DataFrame, id_col: str, text: str) -> DataFrame:
+def text_features(
+    df: DataFrame, id_col: str, text: str, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """One-pass fusion of language_id + quality_score: identical output
     columns, computed from a single scan with shared tokenization.
+    ``keep`` columns ride along unchanged, so a downstream grouping key
+    (e.g. source) needs no re-join against the corpus.
 
     The composition-friendly form: a pipeline that joins language_id
     and quality_score scans the corpus once per operator and shuffles
@@ -134,6 +138,7 @@ def text_features(df: DataFrame, id_col: str, text: str) -> DataFrame:
     )
     return fan_out(df).select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         *[cnt.cast("long").alias(f"score_{lang}") for lang, cnt in counts.items()],
         F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("predicted_lang"),
         n_words.cast("long").alias("n_words"),

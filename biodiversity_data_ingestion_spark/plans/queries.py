@@ -6395,15 +6395,21 @@ _register(
 def _corpus_curation_pipeline(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
-    retained = corpus.near_dedup_retained(docs, pairs, "doc_id").select(
-        "doc_id", "source"
+    # non-canonical cluster members (tiny: the duplicate mass) — the
+    # only output of the graph stage the rest of the pipeline needs
+    losers = (
+        corpus.connected_components(pairs, dedup_edges=False)
+        .where(F.col("component") != F.col("node"))
+        .select(F.col("node").alias("doc_id"))
     )
-    # fused one-pass language + quality features: one corpus scan and
-    # one join instead of three scans and two joins
-    feats = textops.text_features(docs, "doc_id", "text").select(
-        "doc_id", "predicted_lang", "n_words", "quality"
+    # fused one-pass language + quality features with source riding
+    # along: the whole downstream is ONE corpus scan + a broadcast
+    # anti-join + the final agg shuffle (the previous shape re-scanned
+    # the corpus for retained ids and shuffle-joined it against feats)
+    feats = textops.text_features(docs, "doc_id", "text", keep=("source",)).select(
+        "doc_id", "source", "predicted_lang", "n_words", "quality"
     )
-    kept = retained.join(feats, "doc_id").where(
+    kept = feats.join(F.broadcast(losers), "doc_id", "left_anti").where(
         (F.col("quality") >= 0.4) & (F.col("n_words") >= 5)
     )
     return kept.groupBy("source", "predicted_lang").agg(
