@@ -103,3 +103,43 @@ def sketch_distribution_stats(
         "approx_distinct",
         "n",
     )
+
+
+def hll_rollup(
+    df: DataFrame,
+    fine_keys: list[str],
+    coarse_keys: list[str],
+    value: str,
+    lg_k: int = 14,
+) -> DataFrame:
+    """Mergeable-sketch distinct-count rollup: build one binary HLL
+    sketch per fine grain, then UNION the sketches up to the coarse
+    grain and estimate — without touching the raw rows again.
+
+    This is the re-aggregation pattern approx_count_distinct cannot
+    express (it emits a number, not state): at 100 TB the fine-grain
+    sketches are what you persist (e.g. per day), and any coarser
+    rollup (week, month, all-time) is a cheap union over sketch bytes
+    — no second pass over the corpus. Both levels are datasketches
+    HLL_4 (Spark built-ins hll_sketch_agg / hll_union_agg), so the
+    shuffle carries <= 2^lg_k nibbles per group instead of the value
+    set itself, and sketches built anywhere (other jobs, other days)
+    merge in associatively.
+
+    Returns coarse_keys + (n_fine_groups, est_distinct, exact_distinct)
+    — exact comes from the same scan for the error-bound tests; drop it
+    in a real pipeline. Approximate by construction -> rows-only driver
+    check; bounds asserted by test_hll_rollup_error_bounds.
+    """
+    fine = df.groupBy(*fine_keys).agg(
+        F.hll_sketch_agg(value, F.lit(lg_k)).alias("_sk"),
+        F.count_distinct(F.col(value)).alias("_exact_fine"),
+    )
+    coarse = fine.groupBy(*coarse_keys).agg(
+        F.count(F.lit(1)).alias("n_fine_groups"),
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("est_distinct"),
+    )
+    exact = df.groupBy(*coarse_keys).agg(
+        F.count_distinct(F.col(value)).alias("exact_distinct")
+    )
+    return coarse.join(exact, coarse_keys)

@@ -2893,6 +2893,33 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 84b. hll_mergeable_rollup — persistable/mergeable distinct-count
+# sketches: per-(event_type, day) HLL sketches unioned up to event_type
+# without re-scanning rows (the 100 TB re-aggregation pattern
+# approx_count_distinct cannot express). Approximate by construction ->
+# rows-only driver check; error-bounded vs exact in unit tests.
+
+def _hll_mergeable_rollup(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    return aggregates.hll_rollup(
+        ev, ["event_type", "day"], ["event_type"], "user_id"
+    )
+
+
+_register(
+    "hll_mergeable_rollup",
+    _hll_mergeable_rollup,
+    None,
+    "engine extension: mergeable HLL sketch rollup (hll_sketch_agg per "
+    "day -> hll_union_agg -> estimate) — persisted fine-grain sketches "
+    "re-aggregate to any coarser grain with no second corpus pass; see "
+    "test_hll_rollup_error_bounds",
+)
+
+
+# ---------------------------------------------------------------------------
 # 85. benchmark_contamination — test-set leakage detection (shared
 # n-grams between the training split and a benchmark set)
 

@@ -292,3 +292,47 @@ def test_pointer_jump_matches_plain_on_near_dup_graph(spark):
     plain = {tuple(r) for r in connected_components(pairs).collect()}
     jump = {tuple(r) for r in connected_components(pairs, pointer_jump=True).collect()}
     assert plain == jump
+
+def test_hll_rollup_error_bounds(spark):
+    from biodiversity_data_ingestion_spark.operators.aggregates import hll_rollup
+    from biodiversity_data_ingestion_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    rows = hll_rollup(ev, ["event_type", "day"], ["event_type"], "user_id").collect()
+    assert rows
+    n_days = {
+        r["event_type"]: r["nd"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("day").alias("nd"))
+        .collect()
+    }
+    for r in rows:
+        # lgK=14 HLL: rse ~0.8%; allow 4 sigma on the merged estimate
+        assert abs(r["est_distinct"] - r["exact_distinct"]) <= max(
+            0.04 * r["exact_distinct"], 2.0
+        ), (r["event_type"], r["est_distinct"], r["exact_distinct"])
+        assert r["n_fine_groups"] == n_days[r["event_type"]]
+
+
+def test_hll_union_matches_direct_sketch(spark):
+    # merging fine-grain sketches must estimate like sketching the whole
+    # (the associativity the persist-then-rollup pattern relies on)
+    from biodiversity_data_ingestion_spark.operators.aggregates import hll_rollup
+
+    df = spark.range(50_000).selectExpr(
+        "CAST(id % 5 AS STRING) AS g", "id % 13 AS sub", "id % 9000 AS u"
+    )
+    rolled = {
+        r["g"]: r["est_distinct"]
+        for r in hll_rollup(df, ["g", "sub"], ["g"], "u").collect()
+    }
+    direct = {
+        r["g"]: r["d"]
+        for r in df.groupBy("g")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("u", F.lit(14))).alias("d"))
+        .collect()
+    }
+    for g, est in rolled.items():
+        assert abs(est - direct[g]) <= max(0.02 * direct[g], 2.0), (g, est, direct[g])

@@ -31,4 +31,5 @@ def test_queries_and_oracles_align():
         "sketch_value_stats",
         "kmeans_clusters",
         "ivf_kmeans_topk",
+        "hll_mergeable_rollup",
     }
