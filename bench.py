@@ -43,6 +43,10 @@ HEADLINE = (
     "tfidf_top_terms",
     "stream_event_window",
     "corpus_curation_pipeline",
+    # round-3 additions: the full-schema roundtrip (nested-doc build +
+    # JSON parse throughput) and the mergeable-sketch rollup
+    "full_metadata_roundtrip",
+    "hll_mergeable_rollup",
 )
 
 # queries whose builder EXECUTES the work eagerly (streaming drains,
