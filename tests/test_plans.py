@@ -234,6 +234,9 @@ def test_headline_plan_shuffle_budgets(spark):
         "nation_monthly_running_share": 2,
         "dedup_components": 0,  # localCheckpoint flattens lineage
         "tfidf_top_terms": 4,
+        # round-3 additions (measured like the rest)
+        "full_metadata_roundtrip": 4,  # 2 collect_list aggs + 2 join sides
+        "hll_mergeable_rollup": 4,  # fine agg + union agg + exact branch
     }
     over = {}
     for name, budget in budgets.items():
