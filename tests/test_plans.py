@@ -287,3 +287,44 @@ def test_embedding_dups_blocked_no_nested_loop(spark):
     # BroadcastNestedLoopJoin theta join must never come back
     plan = _plan(spark, "embedding_cosine_dups")
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_scale_killer_joins_anywhere(spark):
+    # repo-wide scale audit: NO CartesianProduct in any of the declared
+    # query plans, and BroadcastNestedLoopJoin only where the build side
+    # is an intentionally-broadcast scalar/tiny aggregate (the audited
+    # allowlist below). A new query that trips either fails here before
+    # it ever meets a cluster.
+    ALLOWED_BNLJ = {
+        # broadcast query-vector / centroid sides of the ANN family
+        "ann_cosine_topk", "ivf_topk_probe", "ivf_topk_exhaustive",
+        "ivf_kmeans_topk", "kmeans_clusters",
+        "embedding_quantization_error",
+        # broadcast normalizing totals / thresholds (1-row aggregates)
+        "mixture_temperature_weights", "nation_revenue_share",
+        "price_equidepth_deciles", "doc_unigram_logprob", "term_pair_pmi",
+        "key_skew_report", "epoch_shuffle_shards",
+        # small-dimension name cross-match (bounded dims)
+        "fuzzy_name_match",
+    }
+    from biodiversity_data_ingestion_spark.plans.queries import QUERIES
+
+    cartesian, surprise_bnlj = [], []
+    for name, spec in sorted(QUERIES.items()):
+        if name.startswith("stream_"):
+            continue  # builders execute the stream; result is a memory table
+        p = (
+            spec["builder"](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        if "CartesianProduct" in p:
+            cartesian.append(name)
+        if "BroadcastNestedLoopJoin" in p and name not in ALLOWED_BNLJ:
+            surprise_bnlj.append(name)
+    assert not cartesian, f"CartesianProduct in: {cartesian}"
+    assert not surprise_bnlj, (
+        f"unaudited BroadcastNestedLoopJoin in: {surprise_bnlj} — "
+        "broadcast a keyed/bounded side or add to the audited allowlist"
+    )
