@@ -132,25 +132,19 @@ def buffer_wkt(
     at n_vertices equally spaced azimuths, ring closed, 6-dp coords.
 
     Pure Catalyst expressions (transform over a sequence literal): no
-    UDF, fully codegen'd, and portable to the SQL oracle.
+    UDF, fully codegen'd, and portable to the SQL oracle. The ring
+    itself is the shared ``functions.st.buffer_ring_wkt`` (also exposed
+    as ``st_buffer_wkt`` in the ST_ façade).
     """
-    r = F.greatest(F.col(radius_m).try_cast("double"), F.lit(min_radius_m))
-    la, lo = F.col(lat).cast("double"), F.col(lon).cast("double")
-    deg = 180.0 / math.pi
-    ang = r / F.lit(EARTH_RADIUS_M) * F.lit(deg)
+    from ..functions.st import buffer_ring_wkt
 
-    def vertex(i: Column) -> Column:
-        az = i.cast("double") * F.lit(2.0 * math.pi / n_vertices)
-        vlat = la + ang * F.cos(az)
-        vlon = lo + ang * F.sin(az) / F.cos(F.radians(la))
-        # printf-style (no thousands separators; portable to SQL oracles)
-        return F.format_string("%.6f %.6f", vlon, vlat)
-
-    ring = F.transform(F.sequence(F.lit(0), F.lit(n_vertices)), lambda i: vertex(i % n_vertices))
-    wkt = F.concat(F.lit("POLYGON (("), F.array_join(ring, ", "), F.lit("))"))
+    la = F.col(lat).cast("double")
+    wkt = buffer_ring_wkt(
+        F.col(lat), F.col(lon), F.col(radius_m), n_vertices, min_radius_m
+    )
     valid = (
         la.isNotNull()
-        & lo.isNotNull()
+        & F.col(lon).cast("double").isNotNull()
         & F.col(radius_m).try_cast("double").isNotNull()
         & la.between(-89.0, 89.0)
     )

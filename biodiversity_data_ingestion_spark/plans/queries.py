@@ -1092,6 +1092,42 @@ _register(
     "SURVEY §2.2 P8 sea filter; cleaning_occs.py:81-104 (ray-cast kernel vs half-plane oracle)",
 )
 
+
+# ---------------------------------------------------------------------------
+# 32b. st_points_in_region — the same P8 filter through the ST_ façade:
+# st_within_any unrolls the even-odd ray cast into pure codegen'd
+# predicates (no Python boundary at all — the scale-preferred path when
+# the polygons are broadcast literals). Same point fixture, same
+# half-plane oracle as points_in_region.
+
+def _st_points_in_region(spark, sf_dir):
+    from ..functions.st import st_within_any
+
+    pts = _t(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        f"{_LAT % {'k': 'c_custkey', 'off': '0.15'}} AS lat",
+        f"{_LON % {'k': 'c_custkey', 'off': '0.15'}} AS lon",
+    )
+    return pts.where(st_within_any(F.col("lat"), F.col("lon"), _REGION_POLYS))
+
+
+_register(
+    "st_points_in_region",
+    _st_points_in_region,
+    f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               {_LAT % {'k': 'c_custkey', 'off': '0.15'}} AS lat,
+               {_LON % {'k': 'c_custkey', 'off': '0.15'}} AS lon
+        FROM customer)
+    SELECT c_custkey, lat, lon FROM pts
+    WHERE {_half_plane_sql(_REGION_POLYS[0])} OR {_half_plane_sql(_REGION_POLYS[1])}
+    """,
+    "engine extension: ST_ façade (st_within_any) — pure-expression "
+    "ray cast, value-equal to the pandas-UDF kernel and the half-plane "
+    "oracle; see functions/st.py",
+)
+
 # ---------------------------------------------------------------------------
 # 33. uncertainty_buffer_wkt — P10 buffer polygon -> WKT (pure expressions)
 

@@ -361,3 +361,60 @@ def test_text_features_fusion_matches_joins(spark):
         .collect()
     }
     assert fused == joined
+
+
+def test_st_within_matches_ray_cast_kernel(spark):
+    # the unrolled pure-expression ray cast must agree with the numpy
+    # kernel on every grid point — including a NON-convex ring, which
+    # the half-plane oracle can't express
+    import numpy as np
+
+    from biodiversity_data_ingestion_spark.functions.st import st_within
+    from biodiversity_data_ingestion_spark.operators.geo import _ray_cast
+
+    polys = [
+        [(-100.5, -50.5), (50.5, -60.5), (80.5, 40.5), (-120.5, 55.5)],
+        [(100.3, -20.7), (160.3, 10.7), (120.3, 60.7)],
+        # non-convex "arrowhead"
+        [(0.5, 0.5), (40.5, 0.5), (20.5, 20.5), (40.5, 40.5), (0.5, 40.5)],
+    ]
+    pts = [(la + 0.15, lo + 0.15) for la in range(-80, 90, 10) for lo in range(-170, 180, 10)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    for poly in polys:
+        got = {
+            (r["lat"], r["lon"]): r["inside"]
+            for r in df.select(
+                "lat", "lon", st_within(F.col("lat"), F.col("lon"), poly).alias("inside")
+            ).collect()
+        }
+        lat = np.array([p[0] for p in pts])
+        lon = np.array([p[1] for p in pts])
+        want = _ray_cast(lat, lon, np.asarray(poly, dtype=np.float64))
+        for (la, lo), w in zip(pts, want):
+            assert got[(la, lo)] == bool(w), (poly[:2], la, lo)
+
+
+def test_st_point_roundtrip_and_distance(spark):
+    from biodiversity_data_ingestion_spark.functions.st import (
+        st_distance_sphere,
+        st_dwithin,
+        st_point_wkt,
+        st_x,
+        st_y,
+    )
+
+    df = spark.createDataFrame(
+        [(48.8566, 2.3522, 51.5074, -0.1278)], "lat1 double, lon1 double, lat2 double, lon2 double"
+    )
+    row = df.select(
+        st_point_wkt(F.col("lon1"), F.col("lat1")).alias("wkt"),
+        st_distance_sphere(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")).alias("d"),
+        st_dwithin(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"), 400_000).alias("near"),
+    ).first()
+    assert row["wkt"] == "POINT (2.352200 48.856600)"
+    df2 = spark.createDataFrame([(row["wkt"],)], "wkt string")
+    r2 = df2.select(st_x(F.col("wkt")).alias("x"), st_y(F.col("wkt")).alias("y")).first()
+    assert abs(r2["x"] - 2.3522) < 1e-6 and abs(r2["y"] - 48.8566) < 1e-6
+    # Paris-London great-circle ~343-344 km with R=6371 km
+    assert 340_000 < row["d"] < 348_000
+    assert row["near"]
