@@ -2410,6 +2410,47 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 70b. stream_left_outer_join — watermarked stream-stream LEFT OUTER
+# join (null-padded funnel). Outer emission requires the global
+# watermark to pass the row, so the deterministic result set is the
+# "completed purchases" below min(max p_ts, max e_ts) - 1h — the runner
+# and the oracle apply the identical cut.
+
+def _stream_left_outer_join(spark, sf_dir):
+    from ..streaming.stateful import run_stream_left_join_over_events
+
+    return run_stream_left_join_over_events(spark, sf_dir)
+
+
+_register(
+    "stream_left_outer_join",
+    _stream_left_outer_join,
+    """
+    WITH p AS (
+        SELECT event_id AS p_event_id, user_id AS p_user, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'),
+    e AS (
+        SELECT event_id AS e_event_id, user_id AS e_user, ts AS e_ts
+        FROM events WHERE event_type = 'click'),
+    cut AS (
+        SELECT least((SELECT max(p_ts) FROM p), (SELECT max(e_ts) FROM e))
+               - INTERVAL 1 HOUR AS c)
+    SELECT p_event_id, epoch_us(p_ts) AS p_us,
+           coalesce(CAST(e_event_id AS VARCHAR), 'none') AS e_event_id_s
+    FROM p
+    LEFT JOIN e ON p_user = e_user
+               AND e_ts >= p_ts - INTERVAL 1 HOUR AND e_ts <= p_ts,
+         cut
+    WHERE p_ts < cut.c
+    """,
+    "engine extension §2.9: stream-stream LEFT OUTER join under "
+    "watermarks — null pad emitted exactly when the global watermark "
+    "closes the match window; completed-purchase cut applied in both "
+    "engines (streaming/stateful.py::run_stream_left_join_over_events)",
+)
+
+
+# ---------------------------------------------------------------------------
 # 71. dedup_components — connected components over the near-dup pair graph
 # (iterative min-label propagation; oracle = recursive-CTE closure)
 

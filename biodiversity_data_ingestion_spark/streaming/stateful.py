@@ -224,3 +224,81 @@ def run_stream_cdc_upsert_over_events(
     return sinks.read_current(spark, base_dir).select(
         "user_id", "ts", "event_type", "value"
     )
+
+
+def run_stream_left_join_over_events(
+    spark, sf_dir: str, query_name: str = "bdi_stream_loj"
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: every purchase joined
+    to the same user's clicks in the preceding hour, null-padded when no
+    click exists — the missing-step funnel shape the inner interval join
+    (run_stream_interval_join_over_events) cannot answer.
+
+    Outer semantics under watermarks: a purchase can only be emitted
+    null-padded once the GLOBAL watermark (min over both inputs of
+    max-event-time − delay) passes its timestamp — before that a
+    matching click could still arrive. Purchases inside the final
+    delay window therefore never emit on a bounded stream; the runner
+    applies that same cutoff explicitly (computed from the batch table,
+    deterministically) so the result is exactly the "completed
+    purchases" set — emitted-if-and-only-if below the cutoff, identical
+    to the batch left join under the same cut. State is bounded: both
+    buffers evict as the watermark advances.
+
+    Returns (p_event_id, p_us, e_event_id_s) with the null pad
+    stringified ('none') to keep dtypes exact under the strict
+    comparator.
+    """
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+
+    p = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    e = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("e_event_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    joined = p.join(
+        e,
+        F.expr("p_user = e_user AND e_ts >= p_ts - INTERVAL 1 HOUR AND e_ts <= p_ts"),
+        "left_outer",
+    ).select("p_event_id", "p_ts", "e_event_id")
+    drained = _drain(joined, query_name)
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = (
+        ev.where(F.col("event_type") == "purchase")
+        .agg(F.max("ts").alias("mp"))
+        .crossJoin(
+            ev.where(F.col("event_type") == "click").agg(F.max("ts").alias("me"))
+        )
+        .select(
+            (F.least("mp", "me") - F.expr("INTERVAL 1 HOUR")).alias("cut")
+        )
+    )
+    return (
+        drained.crossJoin(F.broadcast(cut))
+        .where(F.col("p_ts") < F.col("cut"))
+        .select(
+            "p_event_id",
+            F.unix_micros("p_ts").alias("p_us"),
+            F.coalesce(F.col("e_event_id").cast("string"), F.lit("none")).alias(
+                "e_event_id_s"
+            ),
+        )
+    )
