@@ -143,3 +143,87 @@ def hll_rollup(
         F.count_distinct(F.col(value)).alias("exact_distinct")
     )
     return coarse.join(exact, coarse_keys)
+
+
+def theta_set_overlap(df: DataFrame, key: str, value: str) -> DataFrame:
+    """Pairwise set-relationship estimates between per-key value sets
+    via theta sketches — the set algebra HLL cannot do (intersection /
+    difference cardinality, not just union).
+
+    One sketch per key (theta_sketch_agg: one shuffle of sketch bytes),
+    then a self-join of the TINY per-key sketch table (k rows -> k(k-1)/2
+    ordered pairs) evaluates theta_intersection / theta_union /
+    theta_difference as scalar expressions. At 100 TB the raw values are
+    touched once; all set algebra happens on kilobyte sketches. The
+    training-corpus use: estimated doc/user overlap between sources or
+    splits without an exact value-level join.
+
+    Returns (key_a, key_b, est_intersection, est_union, est_difference)
+    for key_a < key_b. Approximate -> rows-only driver check; bounds in
+    test_theta_overlap_error_bounds.
+    """
+    sk = df.groupBy(F.col(key).alias("k")).agg(
+        F.theta_sketch_agg(F.col(value)).alias("sk")
+    )
+    a = sk.select(F.col("k").alias("key_a"), F.col("sk").alias("_ska"))
+    b = sk.select(F.col("k").alias("key_b"), F.col("sk").alias("_skb"))
+    return (
+        a.join(b, F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a",
+            "key_b",
+            F.theta_sketch_estimate(
+                F.theta_intersection("_ska", "_skb")
+            ).alias("est_intersection"),
+            F.theta_sketch_estimate(F.theta_union("_ska", "_skb")).alias("est_union"),
+            F.theta_sketch_estimate(
+                F.theta_difference("_ska", "_skb")
+            ).alias("est_difference"),
+        )
+    )
+
+
+def kll_quantile_rollup(
+    df: DataFrame,
+    fine_keys: list[str],
+    coarse_keys: list[str],
+    value: str,
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+) -> DataFrame:
+    """Mergeable-quantile rollup: one KLL sketch per fine grain, folded
+    up to the coarse grain, quantiles read off the merged sketch — the
+    quantile analogue of hll_rollup (percentile_approx emits numbers,
+    not mergeable state).
+
+    Spark ships KLL merge only as a BINARY scalar (kll_sketch_merge_*),
+    so the per-coarse-group fold is F.aggregate over the collected fine
+    sketches — fine-group counts are small (days per month, shards per
+    source), so the collected list is bounded and the fold is per-row
+    work on kilobyte buffers.
+
+    Returns coarse_keys + (n_fine_groups, q_<pct> per quantile).
+    Approximate -> rows-only; bounds in test_kll_rollup_error_bounds.
+    """
+    fine = df.groupBy(*fine_keys).agg(
+        F.kll_sketch_agg_bigint(F.col(value).cast("long")).alias("_k")
+    )
+    merged = F.aggregate(
+        F.slice(F.col("_ks"), 2, F.size(F.col("_ks"))),
+        F.element_at(F.col("_ks"), 1),
+        lambda acc, x: F.kll_sketch_merge_bigint(acc, x),
+    )
+    out_cols = [
+        F.kll_sketch_get_quantile_bigint(F.col("_merged"), F.lit(float(q))).alias(
+            f"q_{str(q).replace('.', '_')}"
+        )
+        for q in quantiles
+    ]
+    return (
+        fine.groupBy(*coarse_keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_fine_groups"),
+            F.collect_list("_k").alias("_ks"),
+        )
+        .withColumn("_merged", merged)
+        .select(*coarse_keys, "n_fine_groups", *out_cols)
+    )

@@ -2997,6 +2997,48 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 84c. theta_user_overlap — pairwise per-event-type user-set overlap via
+# theta sketches (intersection/difference cardinality — the set algebra
+# HLL cannot express). Approximate -> rows-only.
+
+def _theta_user_overlap(spark, sf_dir):
+    return aggregates.theta_set_overlap(
+        _t(spark, sf_dir, "events"), "event_type", "user_id"
+    )
+
+
+_register(
+    "theta_user_overlap",
+    _theta_user_overlap,
+    None,
+    "engine extension: theta-sketch set algebra (intersection / union / "
+    "difference cardinality between per-key value sets, sketch-level "
+    "self-join only); see test_theta_overlap_error_bounds",
+)
+
+
+# ---------------------------------------------------------------------------
+# 84d. kll_value_quantiles — mergeable-quantile rollup (per-day KLL
+# sketches folded to per-event-type quantiles). Approximate -> rows-only.
+
+def _kll_value_quantiles(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    return aggregates.kll_quantile_rollup(
+        ev, ["event_type", "day"], ["event_type"], "user_id"
+    )
+
+
+_register(
+    "kll_value_quantiles",
+    _kll_value_quantiles,
+    None,
+    "engine extension: mergeable KLL quantile rollup (fine-grain "
+    "sketches fold to any coarser grain without re-reading rows); see "
+    "test_kll_rollup_error_bounds",
+)
+
+
+# ---------------------------------------------------------------------------
 # 85. benchmark_contamination — test-set leakage detection (shared
 # n-grams between the training split and a benchmark set)
 

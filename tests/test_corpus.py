@@ -336,3 +336,48 @@ def test_hll_union_matches_direct_sketch(spark):
     }
     for g, est in rolled.items():
         assert abs(est - direct[g]) <= max(0.02 * direct[g], 2.0), (g, est, direct[g])
+
+
+def test_theta_overlap_error_bounds(spark):
+    from biodiversity_data_ingestion_spark.operators.aggregates import theta_set_overlap
+
+    # groups with known exact overlap: g0 = 0..5999, g1 = 3000..8999,
+    # g2 = 20000..19999+6000 (disjoint from both)
+    df = spark.range(18_000).selectExpr(
+        "CASE WHEN id < 6000 THEN 'g0' WHEN id < 12000 THEN 'g1' ELSE 'g2' END AS g",
+        "CASE WHEN id < 6000 THEN id WHEN id < 12000 THEN id - 3000 ELSE id + 8000 END AS u",
+    )
+    got = {
+        (r["key_a"], r["key_b"]): r
+        for r in theta_set_overlap(df, "g", "u").collect()
+    }
+    exact = {
+        ("g0", "g1"): (3000, 9000, 3000),   # overlap 3000..5999
+        ("g0", "g2"): (0, 12000, 6000),
+        ("g1", "g2"): (0, 12000, 6000),
+    }
+    for pair, (ei, eu, ed) in exact.items():
+        r = got[pair]
+        # theta default lgK: ~2-3% rse; allow 5% (+small absolute floor)
+        for col, want in (
+            ("est_intersection", ei), ("est_union", eu), ("est_difference", ed),
+        ):
+            assert abs(r[col] - want) <= max(0.05 * want, 30), (pair, col, r[col], want)
+
+
+def test_kll_rollup_error_bounds(spark):
+    from biodiversity_data_ingestion_spark.operators.aggregates import (
+        kll_quantile_rollup,
+    )
+
+    # uniform 0..9999 split over 10 fine shards: true median 5000,
+    # p95 9500; KLL default k: rank error ~1.7% => value error ~170
+    df = spark.range(100_000).selectExpr(
+        "CAST(id % 3 AS STRING) AS g", "CAST(id % 10 AS LONG) AS shard", "id % 10000 AS v"
+    )
+    rows = kll_quantile_rollup(df, ["g", "shard"], ["g"], "v").collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["n_fine_groups"] == 10
+        assert abs(r["q_0_5"] - 5000) <= 300, r
+        assert abs(r["q_0_95"] - 9500) <= 300, r

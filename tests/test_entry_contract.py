@@ -32,4 +32,6 @@ def test_queries_and_oracles_align():
         "kmeans_clusters",
         "ivf_kmeans_topk",
         "hll_mergeable_rollup",
+        "theta_user_overlap",
+        "kll_value_quantiles",
     }
