@@ -162,3 +162,53 @@ def fingerprint(df: DataFrame, id_col: str, text: str) -> DataFrame:
         F.md5(F.lower(F.trim(F.col(text)))).alias("exact_fp"),
         F.array_min(grams).alias("min_gram_fp"),
     )
+
+
+# PII patterns kept to the regex subset with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB oracles): no lookarounds, no
+# backrefs. The C4/Dolma-style scrub pass run before a corpus ships.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\d{3}-\d{3}-\d{4}",
+    "ipv4": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    id_col: str,
+    text: str,
+    replacement: str = "<PII>",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Scrub emails / phone numbers / IPv4 literals from a text column,
+    reporting per-row match counts — the standard pre-release corpus
+    hygiene pass.
+
+    Order matters: counts are taken on the ORIGINAL text, then patterns
+    are replaced longest-semantics-first (email before ipv4 so a dotted
+    hostname inside an address is not double-counted as an IP — the
+    ipv4 count is taken on the email-redacted text). Pure per-row
+    expressions: no shuffle, scales linearly.
+
+    Returns (id, redacted, n_email, n_phone, n_ipv4).
+    """
+    t = F.col(text)
+    n_email = F.size(F.regexp_extract_all(t, F.lit(PII_PATTERNS["email"]), F.lit(0)))
+    after_email = F.regexp_replace(t, PII_PATTERNS["email"], replacement)
+    n_phone = F.size(
+        F.regexp_extract_all(after_email, F.lit(PII_PATTERNS["phone"]), F.lit(0))
+    )
+    after_phone = F.regexp_replace(after_email, PII_PATTERNS["phone"], replacement)
+    n_ipv4 = F.size(
+        F.regexp_extract_all(after_phone, F.lit(PII_PATTERNS["ipv4"]), F.lit(0))
+    )
+    redacted = F.regexp_replace(after_phone, PII_PATTERNS["ipv4"], replacement)
+    return fan_out(df).select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        redacted.alias("redacted"),
+        n_email.cast("long").alias("n_email"),
+        n_phone.cast("long").alias("n_phone"),
+        n_ipv4.cast("long").alias("n_ipv4"),
+    )

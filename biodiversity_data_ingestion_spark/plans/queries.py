@@ -669,6 +669,101 @@ _register(
 )
 
 
+# ---------------------------------------------------------------------------
+# 19b. pii_redaction_stats — the C4/Dolma-style PII scrub pass. The
+# synthetic corpus has no PII, so deterministic emails / phones / IPs
+# are injected for doc_id multiples of 7 / 11 / 13 (mirrored in the
+# oracle); counting order is original-text emails, then phones on the
+# email-redacted text, then IPs on the phone-redacted text.
+
+def _pii_injected(col: str = "text"):
+    did = F.col("doc_id")
+    return F.concat(
+        F.col(col),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" contact user"), did.cast("string"), F.lit("@example.com")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.concat(F.lit(" from 10."), (did % 256).cast("string"), F.lit(".0.1")),
+        ).otherwise(F.lit("")),
+    )
+
+
+def _pii_redaction_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", _pii_injected().alias("t")
+    )
+    red = textops.redact_pii(docs, "doc_id", "t", keep=("source",))
+    return red.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            ((F.col("n_email") + F.col("n_phone") + F.col("n_ipv4")) > 0).cast("int")
+        ).cast("long").alias("docs_with_pii"),
+        F.sum("n_email").cast("long").alias("total_email"),
+        F.sum("n_phone").cast("long").alias("total_phone"),
+        F.sum("n_ipv4").cast("long").alias("total_ipv4"),
+    )
+
+
+_PII_INJECT_SQL = """
+        text
+        || CASE WHEN doc_id % 7 = 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                ELSE '' END
+        || CASE WHEN doc_id % 11 = 0
+                THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                     || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+        || CASE WHEN doc_id % 13 = 0
+                THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+                ELSE '' END
+"""
+
+_register(
+    "pii_redaction_stats",
+    _pii_redaction_stats,
+    rf"""
+    WITH inj AS (
+        SELECT doc_id, source, {_PII_INJECT_SQL} AS t
+        FROM documents),
+    c AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS n_email,
+               len(regexp_extract_all(
+                   regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<PII>', 'g'),
+                   '\d{{3}}-\d{{3}}-\d{{4}}')) AS n_phone,
+               len(regexp_extract_all(
+                   regexp_replace(
+                       regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<PII>', 'g'),
+                       '\d{{3}}-\d{{3}}-\d{{4}}', '<PII>', 'g'),
+                   '\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}')) AS n_ipv4
+        FROM inj)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_email + n_phone + n_ipv4 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_with_pii,
+           CAST(sum(n_email) AS BIGINT) AS total_email,
+           CAST(sum(n_phone) AS BIGINT) AS total_phone,
+           CAST(sum(n_ipv4) AS BIGINT) AS total_ipv4
+    FROM c GROUP BY source
+    """,
+    "north star: PII redaction pass (email/phone/IPv4 scrub + counts, "
+    "portable regex subset); operators/textops.py::redact_pii",
+)
+
+
 def _doc_language_id(spark, sf_dir):
     return textops.language_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
 

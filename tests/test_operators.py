@@ -418,3 +418,29 @@ def test_st_point_roundtrip_and_distance(spark):
     # Paris-London great-circle ~343-344 km with R=6371 km
     assert 340_000 < row["d"] < 348_000
     assert row["near"]
+
+
+def test_redact_pii_scrubs_everything(spark):
+    from biodiversity_data_ingestion_spark.operators.textops import (
+        PII_PATTERNS,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at jane.doe+spam@mail.example.org or 415-555-0199 asap"),
+            (2, "server 192.168.001.1 then 10.0.0.255, mail bob@x.io"),
+            (3, "no pii here at all"),
+        ],
+        "id long, t string",
+    )
+    rows = {r["id"]: r for r in redact_pii(df, "id", "t").collect()}
+    assert (rows[1]["n_email"], rows[1]["n_phone"], rows[1]["n_ipv4"]) == (1, 1, 0)
+    assert (rows[2]["n_email"], rows[2]["n_phone"], rows[2]["n_ipv4"]) == (1, 0, 2)
+    assert (rows[3]["n_email"], rows[3]["n_phone"], rows[3]["n_ipv4"]) == (0, 0, 0)
+    assert rows[3]["redacted"] == "no pii here at all"
+    # nothing matching any pattern survives in any redacted text
+    out = redact_pii(df, "id", "t")
+    for pat in PII_PATTERNS.values():
+        residual = out.where(F.col("redacted").rlike(pat)).count()
+        assert residual == 0, pat
