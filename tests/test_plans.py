@@ -306,6 +306,8 @@ def test_no_scale_killer_joins_anywhere(spark):
         "key_skew_report", "epoch_shuffle_shards",
         # small-dimension name cross-match (bounded dims)
         "fuzzy_name_match",
+        # pairwise self-join of the per-key SKETCH table (k rows, kB each)
+        "theta_user_overlap",
     }
     from biodiversity_data_ingestion_spark.plans.queries import QUERIES
 
