@@ -29,6 +29,11 @@ def scd2_compress(
     Returns ``key, valid_from, valid_to, value_col`` where
     ``valid_to`` is NULL for each key's current (open) row. ``tiebreak``
     orders same-timestamp observations deterministically.
+
+    Same-timestamp value changes produce zero-length ``[t, t)`` ranges
+    (a value superseded in the same instant was never valid); those are
+    dropped so each key's history tiles the timeline without degenerate
+    rows — found by the point-in-time hypothesis property.
     """
     w = Window.partitionBy(key).orderBy(ts_col, tiebreak)
     changed = df.withColumn("__prev", F.lag(value_col).over(w)).where(
@@ -36,6 +41,9 @@ def scd2_compress(
     )
     return (
         changed.withColumn("valid_to", F.lead(ts_col).over(w))
+        .where(
+            F.col("valid_to").isNull() | (F.col("valid_to") != F.col(ts_col))
+        )
         .select(
             key,
             F.col(ts_col).alias("valid_from"),

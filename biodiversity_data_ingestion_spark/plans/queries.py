@@ -3965,11 +3965,13 @@ _register(
         SELECT user_id, ts, event_id, value,
                lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
         FROM pu)
-    SELECT user_id, ts AS valid_from,
-           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
-           value
-    FROM ch
-    WHERE prev IS NULL OR value <> prev
+    SELECT * FROM (
+        SELECT user_id, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+               value
+        FROM ch
+        WHERE prev IS NULL OR value <> prev)
+    WHERE valid_to IS NULL OR valid_to <> valid_from
     """,
     "engine extension: SCD type-2 history construction (change "
     "compression + validity ranges; the reference's last-writer-wins "
