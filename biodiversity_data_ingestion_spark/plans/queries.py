@@ -6804,6 +6804,349 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 158. order_count_distribution — TPC-H Q13 shape: LEFT OUTER join with
+# a join-side filter, per-customer order counts, then the
+# count-of-counts distribution (the second groupBy keys on an
+# aggregate). At scale the first rollup shuffles on custkey; the second
+# input is |customers| rows of two ints — tiny.
+
+def _order_count_distribution(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(~F.col("o_orderpriority").like("1%"))
+    per = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_register(
+    "order_count_distribution",
+    _order_count_distribution,
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT JOIN orders o
+            ON c.c_custkey = o.o_custkey AND o.o_orderpriority NOT LIKE '1%'
+          GROUP BY c.c_custkey) per
+    GROUP BY c_count
+    """,
+    "engine extension: TPC-H Q13 shape (filtered LEFT OUTER join + "
+    "count-of-counts double aggregation)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 159. small_quantity_revenue — TPC-H Q17 shape: correlated per-part
+# average rewritten as a self-aggregation join (qty < 0.2 * avg(qty)
+# over the part's lineitems). The cut compares in exact integer
+# arithmetic (5*qty*cnt < sum_qty — quantities are integral) so the
+# boundary cannot drift between engines; revenue accumulates in
+# decimal. The per-part aggregate is semi-join-pruned to the brand
+# subset BEFORE the shuffle, then joins back on the same key (one
+# co-partitioned exchange pair); the part dimension is broadcast.
+
+_Q17_BRANDS = ("Brand#12", "Brand#23", "Brand#34", "Brand#45", "Brand#5")
+
+
+def _small_quantity_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand").isin(*_Q17_BRANDS))
+    per = (
+        li.join(
+            F.broadcast(p.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum("l_quantity").cast("bigint").alias("part_qty"),
+            F.count(F.lit(1)).alias("part_cnt"),
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per, "l_partkey")
+        .where(
+            F.col("l_quantity").cast("bigint") * F.col("part_cnt") * 5
+            < F.col("part_qty")
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_register(
+    "small_quantity_revenue",
+    _small_quantity_revenue,
+    """
+    WITH bp AS (
+        SELECT p_partkey, p_brand FROM part
+        WHERE p_brand IN ('Brand#12','Brand#23','Brand#34','Brand#45','Brand#5')),
+    per AS (
+        SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS part_qty,
+               count(*) AS part_cnt
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM bp)
+        GROUP BY l_partkey)
+    SELECT bp.p_brand,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS small_qty_revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN bp ON l.l_partkey = bp.p_partkey
+    JOIN per ON l.l_partkey = per.l_partkey
+    WHERE CAST(l.l_quantity AS BIGINT) * per.part_cnt * 5 < per.part_qty
+    GROUP BY bp.p_brand
+    """,
+    "engine extension: TPC-H Q17 shape (correlated per-key average as "
+    "semi-pruned self-aggregation join; exact-integer cut comparison)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 160. promo_disjunctive_filter — TPC-H Q19 shape: three OR'd conjunct
+# groups over (brand, size, quantity). Catalyst extracts the common
+# parts of the disjunction into scan-level pushed filters while
+# evaluating the residual OR post-join; the part side is broadcast so
+# the disjunction never forces a shuffle.
+
+def _promo_disjunctive_filter(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & qty.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & qty.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & qty.between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_register(
+    "promo_disjunctive_filter",
+    _promo_disjunctive_filter,
+    """
+    SELECT p_brand,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    GROUP BY p_brand
+    """,
+    "engine extension: TPC-H Q19 shape (disjunctive conjunct groups; "
+    "common-predicate extraction + broadcast join)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 161. sole_return_supplier — TPC-H Q21 shape via ONE window-free
+# grouped pass: orders with >1 distinct supplier where exactly one
+# supplier has a returned ('R') line; count such orders per supplier.
+# Q21's EXISTS / NOT EXISTS pair collapses into conditional distinct
+# counts per order — a single shuffle on l_orderkey, then
+# broadcast-sized dimension joins.
+
+def _sole_return_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(r_supp).alias("n_r_supp"),
+        F.max(r_supp).alias("r_suppkey"),
+    )
+    culprit = per_order.where((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
+    return (
+        culprit.groupBy("r_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("r_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name", "numwait")
+    )
+
+
+_register(
+    "sole_return_supplier",
+    _sole_return_supplier,
+    """
+    WITH per AS (
+        SELECT l_orderkey,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+                   AS n_r_supp,
+               max(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS r_suppkey
+        FROM lineitem GROUP BY l_orderkey)
+    SELECT s.s_name, n.n_name, numwait
+    FROM (SELECT r_suppkey, count(*) AS numwait
+          FROM per WHERE n_supp > 1 AND n_r_supp = 1
+          GROUP BY r_suppkey) c
+    JOIN supplier s ON c.r_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+    "engine extension: TPC-H Q21 shape (EXISTS/NOT-EXISTS pair as "
+    "conditional distinct counts in one grouped pass)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 162. paragraph_dedup_reassembly — Dolma/C4-style sub-document dedup
+# with REASSEMBLY: chop each doc into non-overlapping 10-word spans,
+# keep a span occurrence only if it is the first occurrence corpus-wide
+# (ordered by doc_id, position), and rebuild the surviving text in
+# original order. One window shuffle on span + one per-doc rollup —
+# the mutation analogue of span_dedup_stats' signal column. At 100 TB
+# the span key would be md5'd before the shuffle to bound key bytes.
+
+def _paragraph_dedup_reassembly(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    k = F.greatest(F.ceil(F.size(words) / F.lit(10.0)).cast("int"), F.lit(1))
+    spans = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.array_join(F.slice(words, (i - 1) * 10 + 1, 10), " "),
+    )
+    sp = docs.select("doc_id", F.posexplode(spans).alias("pos", "span"))
+    w = Window.partitionBy("span").orderBy("doc_id", "pos")
+    kept = sp.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept_spans"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "span"))),
+                lambda st: st["span"],
+            ),
+            " ",
+        ).alias("text_kept"),
+    )
+
+
+_register(
+    "paragraph_dedup_reassembly",
+    _paragraph_dedup_reassembly,
+    r"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+        FROM documents),
+    sp AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(words[((i-1)*10+1):(i*10)], ' ') AS span
+        FROM w, UNNEST(generate_series(1,
+                 greatest(CAST(ceil(len(words) / 10.0) AS INTEGER), 1))) AS t(i)),
+    kept AS (
+        SELECT doc_id, pos, span,
+               row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+        FROM sp QUALIFY rn = 1)
+    SELECT doc_id, count(*) AS n_kept_spans,
+           string_agg(span, ' ' ORDER BY pos) AS text_kept
+    FROM kept GROUP BY doc_id
+    """,
+    "north star: sub-document dedup with reassembly (keep-first global "
+    "span occurrence, rebuild doc text in order)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 163. bpe_pair_merge — one BPE training iteration: word-frequency
+# rollup, per-vocab-word adjacent character pairs, global pair counts
+# weighted by word frequency, top-20 merge candidates (count desc, pair
+# tie-break). The vocab rollup bounds the pair explosion to
+# |vocab| x word_len instead of corpus length, and the final top-k is
+# a tiny global sort — the shape a distributed BPE trainer repeats per
+# merge round.
+
+def _bpe_pair_merge(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    vocab = (
+        docs.select(F.explode(words).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("w_count"))
+    )
+    chars = F.split(F.col("word"), "")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(chars) - 1),
+        lambda i: F.concat(F.element_at(chars, i), F.element_at(chars, i + 1)),
+    )
+    return (
+        vocab.where(F.length("word") >= 2)
+        .select(F.explode(pairs).alias("pair"), "w_count")
+        .groupBy("pair")
+        .agg(F.sum("w_count").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(20)
+    )
+
+
+_register(
+    "bpe_pair_merge",
+    _bpe_pair_merge,
+    r"""
+    WITH v AS (
+        SELECT word, count(*) AS w_count
+        FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+              FROM documents)
+        WHERE word <> '' GROUP BY word),
+    pc AS (
+        SELECT word[i:i+1] AS pair, w_count
+        FROM v, UNNEST(generate_series(1, len(word) - 1)) AS t(i)
+        WHERE len(word) >= 2)
+    SELECT pair, CAST(sum(w_count) AS BIGINT) AS pair_count
+    FROM pc GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT 20
+    """,
+    "north star: token counting / BPE-ish pieces — one distributed BPE "
+    "merge round (vocab-weighted adjacent-pair counts, deterministic "
+    "top-k)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 # The driver's correctness harness checks the first 50 declared queries
