@@ -237,6 +237,13 @@ def test_headline_plan_shuffle_budgets(spark):
         # round-3 additions (measured like the rest)
         "full_metadata_roundtrip": 4,  # 2 collect_list aggs + 2 join sides
         "hll_mergeable_rollup": 4,  # fine agg + union agg + exact branch
+        # TPC-H plan-shape queries (measured like the rest)
+        "order_count_distribution": 2,  # custkey rollup + count-of-counts
+        "small_quantity_revenue": 2,  # per-part agg + co-partitioned back-join
+        "promo_disjunctive_filter": 1,  # disjunction pushed to scan; part broadcast
+        "sole_return_supplier": 3,  # order rollup + supplier rollup + dims
+        "paragraph_dedup_reassembly": 2,  # span window + per-doc rollup
+        "bpe_pair_merge": 2,  # vocab rollup + pair rollup (top-k is TakeOrdered)
     }
     over = {}
     for name, budget in budgets.items():
