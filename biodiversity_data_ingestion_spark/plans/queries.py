@@ -7183,18 +7183,28 @@ _PRIORITY: tuple[str, ...] = (
     "specimen_doc_projection", "supplier_lineage_enrichment",
     "latest_line_status", "name_validation_split", "uncertainty_buffer_wkt",
     "ecoregion_zones", "provenance_requests", "annotation_merge",
-    # text analysis + dedup family (LLM-pipeline first-class ops)
-    "doc_token_stats", "dedup_exact_prefix",
-    "ngram_jaccard_dups", "minhash_lsh_dups",
-    "embedding_cosine_dups", "ann_cosine_topk", "dedup_components",
+    # text analysis + dedup family (LLM-pipeline first-class ops).
+    # MID-ROUND-3 ROTATION: six r2-driver-green near-duplicates rotated
+    # OUT (their green rows persist in CORRECTNESS_r02.json):
+    # dedup_exact_prefix, minhash_lsh_dups, embedding_cosine_dups,
+    # stratified_doc_sample, asof_prior_purchase, user_value_scd2.
+    # Rotated IN: the six never-driver-checked round-3 additions
+    # (TPC-H Q13/Q17/Q19/Q21 plan shapes + paragraph-dedup reassembly +
+    # BPE pair-merge).
+    "doc_token_stats",
+    "ngram_jaccard_dups",
+    "ann_cosine_topk", "dedup_components",
     "corpus_quality_gate", "sequence_packing",
-    "tfidf_top_terms", "stratified_doc_sample",
+    "tfidf_top_terms",
     "multimodal_features",
+    "paragraph_dedup_reassembly", "bpe_pair_merge",
+    # TPC-H plan-shape family (Q13/Q17/Q19/Q21)
+    "order_count_distribution", "small_quantity_revenue",
+    "promo_disjunctive_filter", "sole_return_supplier",
     # geo kernels
     "points_in_region", "climate_zonal_grid",
     # event-time / streaming / temporal-table families
-    "stream_event_window", "asof_prior_purchase",
-    "user_value_scd2",
+    "stream_event_window",
 )
 
 
