@@ -5,12 +5,16 @@ typed metadata struct, and implements the processing stages a training
 -data pipeline needs — feature extraction, batch-shaped decode hooks —
 as Arrow-batched ``mapInPandas`` kernels.
 
-The container has no image/audio codecs, so the DECODE step is a
+The container has no image/video codecs, so THOSE decode steps are a
 clearly-marked stub (`decode_media` raises NotImplementedError); the
 Spark-side plumbing — schema, batch shape, partitioning, UDF signature
 — is real and oracle-tested via the codec-free feature kernel
 (`binary_features`: exact byte length + md5, computed with hashlib over
-the raw bytes — portable to DuckDB's md5(blob)).
+the raw bytes — portable to DuckDB's md5(blob)). AUDIO decode is REAL:
+PCM WAV parses with the stdlib ``wave`` module (`decode_wav_features`),
+and `synth_wav_payload` generates deterministic WAV bytes whose decoded
+features have closed forms, so the full synthesize->decode roundtrip is
+oracle-checked end-to-end (`audio_decode_features`).
 
 Scale notes: kernels are column-in/column-out over Arrow batches — no
 shuffle, no driver I/O; binary payloads never pass through the Python
@@ -95,15 +99,122 @@ def binary_features(df: DataFrame, id_col: str, payload_col: str = "payload") ->
 
 
 def decode_media(df: DataFrame, payload_col: str = "payload"):
-    """STUB — media decode requires codec libraries (PIL/ffmpeg/librosa)
-    that are not installed in this container. On a real deployment this
-    becomes a mapInPandas kernel decoding each Arrow batch to pixel /
-    sample arrays; the batch shape and schema contract are exactly those
-    of `binary_features`."""
+    """STUB for image/video — those decodes require codec libraries
+    (PIL/ffmpeg) that are not installed in this container. On a real
+    deployment this becomes a mapInPandas kernel decoding each Arrow
+    batch to pixel arrays; the batch shape and schema contract are
+    exactly those of `binary_features`. AUDIO is NOT stubbed: PCM WAV
+    decodes for real via the stdlib — see `decode_wav_features`."""
     raise NotImplementedError(
-        "media decode needs codec libraries (PIL/ffmpeg); the Spark "
-        "plumbing contract is binary_features()'s mapInPandas shape"
+        "image/video decode needs codec libraries (PIL/ffmpeg); the "
+        "Spark plumbing contract is binary_features()'s mapInPandas "
+        "shape. For PCM WAV audio use decode_wav_features (real decode)"
     )
+
+
+def synth_wav_payload(df: DataFrame, id_col: str, sample_rate: int = 8000) -> DataFrame:
+    """Deterministic PCM WAV synthesis (16-bit mono square wave) as an
+    Arrow-batched kernel — the test-data generator for the REAL audio
+    decode below. Frame count and amplitude derive from the id
+    (n_frames = 160 + (id % 41)*40, amp = 1000 + (id % 100)*100), both
+    multiples that keep every sample at exactly +/-amp, so downstream
+    features have closed forms an SQL oracle can state without parsing
+    bytes. Container-WAV via stdlib ``wave`` — no external codec."""
+    from pyspark.sql.types import BinaryType
+
+    out_schema = StructType(
+        [df.schema[id_col], StructField("payload", BinaryType(), True)]
+    )
+    id_name = id_col
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave as wavmod
+
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_name]:
+                did = int(did)
+                n_frames = 160 + (did % 41) * 40
+                amp = 1000 + (did % 100) * 100
+                i = np.arange(n_frames)
+                samples = np.where(i % 8 < 4, amp, -amp).astype("<i2")
+                buf = io.BytesIO()
+                with wavmod.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(sample_rate)
+                    w.writeframes(samples.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({id_name: pdf[id_name], "payload": payloads})
+
+    return fan_out(df.select(id_name)).mapInPandas(kernel, schema=out_schema)
+
+
+def decode_wav_features(
+    df: DataFrame, id_col: str, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL media decode — PCM WAV audio parsed with the stdlib ``wave``
+    module inside an Arrow-batched mapInPandas kernel (no external
+    codec): container header -> (channels, rate, frames), PCM frames ->
+    int16 sample array -> RMS amplitude and peak. This is the actual
+    decode stage of the audio pipeline, not plumbing; only image/video
+    remain stubbed (`decode_media`). Same scale shape as
+    `binary_features`: column-in/column-out, no shuffle, payloads never
+    touch the driver."""
+    from pyspark.sql.types import DoubleType
+
+    out_schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("n_channels", LongType(), True),
+            StructField("sample_rate", LongType(), True),
+            StructField("n_frames", LongType(), True),
+            StructField("duration_ms", LongType(), True),
+            StructField("rms", DoubleType(), True),
+            StructField("peak", LongType(), True),
+        ]
+    )
+    id_name = id_col
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import math
+        import wave as wavmod
+
+        import numpy as np
+
+        def decode(b):
+            if b is None:
+                return (None,) * 6
+            with wavmod.open(io.BytesIO(bytes(b)), "rb") as w:
+                ch, width, rate, nf = (
+                    w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes(),
+                )
+                raw = w.readframes(nf)
+            a = np.frombuffer(raw, dtype="<i2" if width == 2 else "u1").astype(np.float64)
+            rms = math.sqrt(float(np.mean(a * a))) if a.size else 0.0
+            peak = int(np.max(np.abs(a))) if a.size else 0
+            return ch, rate, nf, nf * 1000 // rate, rms, peak
+
+        for pdf in batches:
+            rows = [decode(b) for b in pdf[payload_col]]
+            cols = list(zip(*rows)) if rows else [[]] * 6
+            yield pd.DataFrame(
+                {
+                    id_name: pdf[id_name],
+                    "n_channels": cols[0],
+                    "sample_rate": cols[1],
+                    "n_frames": cols[2],
+                    "duration_ms": cols[3],
+                    "rms": cols[4],
+                    "peak": cols[5],
+                }
+            )
+
+    return df.select(id_name, payload_col).mapInPandas(kernel, schema=out_schema)
 
 
 def resize_dims_plan(

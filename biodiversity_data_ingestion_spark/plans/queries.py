@@ -7147,6 +7147,43 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 164. audio_decode_features — REAL media decode end-to-end: synthesize
+# a deterministic 16-bit mono PCM WAV per doc (stdlib wave, Arrow
+# kernel), then DECODE it back — container header parse + PCM frame
+# read + RMS/peak over the sample array. Because the synthesized square
+# wave keeps every sample at exactly +/-amp (and n_frames divisible by
+# the period), the decoded features have closed forms the SQL oracle
+# states without touching bytes — so the binary roundtrip is
+# hash-checked exactly. Only image/video decode remains stubbed
+# (no codec libs in the container); audio is no longer a stub.
+
+def _audio_decode_features(spark, sf_dir):
+    from ..operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    wav = multimodal.synth_wav_payload(docs, "doc_id", sample_rate=8000)
+    return multimodal.decode_wav_features(wav, "doc_id")
+
+
+_register(
+    "audio_decode_features",
+    _audio_decode_features,
+    """
+    SELECT doc_id,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(160 + (doc_id % 41) * 40 AS BIGINT) AS n_frames,
+           (160 + (doc_id % 41) * 40) * 1000 // 8000 AS duration_ms,
+           CAST(1000 + (doc_id % 100) * 100 AS DOUBLE) AS rms,
+           CAST(1000 + (doc_id % 100) * 100 AS BIGINT) AS peak
+    FROM documents
+    """,
+    "north star: REAL audio decode (PCM WAV via stdlib wave; "
+    "synthesize->decode roundtrip with closed-form oracle)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 # The driver's correctness harness checks the first 50 declared queries

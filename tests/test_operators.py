@@ -213,10 +213,54 @@ def test_ivf_recall_vs_exact(spark):
 
 
 def test_decode_media_is_stub(spark):
+    # image/video only — audio decode is REAL (see the wav tests below)
     from biodiversity_data_ingestion_spark.operators import multimodal
 
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(None)
+
+
+def test_wav_decode_golden_roundtrip(spark):
+    # decode_wav_features must recover the EXACT container params and
+    # sample statistics of a known hand-built WAV — a golden-value check
+    # independent of the synth kernel that generates the oracle-checked
+    # query's payloads.
+    import io
+    import math
+    import wave as wavmod
+
+    import numpy as np
+
+    from biodiversity_data_ingestion_spark.operators import multimodal
+
+    samples = np.array([300, -300, 500, -500, 400, -400], dtype="<i2")
+    buf = io.BytesIO()
+    with wavmod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(samples.tobytes())
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "id long, payload binary")
+    [row] = multimodal.decode_wav_features(df, "id").collect()
+    assert (row.n_channels, row.sample_rate, row.n_frames) == (1, 16000, 6)
+    assert row.duration_ms == 6 * 1000 // 16000
+    assert row.peak == 500
+    expect_rms = math.sqrt((2 * 300**2 + 2 * 500**2 + 2 * 400**2) / 6)
+    assert abs(row.rms - expect_rms) < 1e-9
+
+
+def test_wav_synth_decode_inverse(spark):
+    # synth -> decode is the identity on the declared feature contract
+    # for arbitrary ids (including ones far outside the testdata range)
+    from biodiversity_data_ingestion_spark.operators import multimodal
+
+    ids = spark.createDataFrame([(7,), (40,), (41,), (123456789,)], "doc_id long")
+    wav = multimodal.synth_wav_payload(ids, "doc_id")
+    out = {r.doc_id: r for r in multimodal.decode_wav_features(wav, "doc_id").collect()}
+    for did, r in out.items():
+        assert r.n_frames == 160 + (did % 41) * 40
+        assert r.rms == float(1000 + (did % 100) * 100)
+        assert r.peak == 1000 + (did % 100) * 100
 
 
 # ---------------------------------------------------------------------------
