@@ -7184,6 +7184,120 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 165. near_dedup_keep_best — near-dedup with a QUALITY-canonical policy:
+# instead of keeping each cluster's min-id member (near_dedup_corpus),
+# keep its highest-quality member (tie -> min doc_id) — the curation
+# knob real pipelines turn when duplicates differ in cleanliness. One
+# window partitioning serves both the member count and the argmax rank,
+# so the selection stage adds a single shuffle on cluster id.
+
+def _near_dedup_keep_best(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    comp = corpus.connected_components(pairs, dedup_edges=False)
+    feats = textops.text_features(docs, "doc_id", "text", keep=("source",)).select(
+        "doc_id", "source", "quality"
+    )
+    member = feats.join(comp, feats["doc_id"] == comp["node"], "left").withColumn(
+        "cluster", F.coalesce(F.col("component"), F.col("doc_id"))
+    )
+    w = Window.partitionBy("cluster")
+    ranked = member.withColumn(
+        "n_members", F.count(F.lit(1)).over(w).cast("long")
+    ).withColumn(
+        "rn", F.row_number().over(w.orderBy(F.desc("quality"), F.asc("doc_id")))
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "doc_id", "source", "quality", "n_members"
+    )
+
+
+_register(
+    "near_dedup_keep_best",
+    _near_dedup_keep_best,
+    f"""
+    WITH RECURSIVE {_CC_REACH},
+    comp AS (SELECT node, min(component) AS component FROM reach GROUP BY node),
+    wq AS (SELECT doc_id, source, text, {_DD_WORDS} AS words FROM documents),
+    bq AS (
+        SELECT doc_id, source, len(words) AS n_words,
+               len(list_filter(words, x -> x IN ('the','a','of','and','to'))) AS n_stop,
+               length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+               length(text) AS n_chars_t
+        FROM wq),
+    q AS (
+        SELECT doc_id, source,
+               round((CASE WHEN n_words >= 5 THEN 1.0 ELSE 0.0 END)
+                     * (1.0 - round(n_punct / greatest(n_chars_t, 1), 4))
+                     * (CASE WHEN round(n_stop / n_words, 4) > 0.01
+                             THEN 1.0 ELSE 0.5 END), 4) AS quality
+        FROM bq),
+    m AS (
+        SELECT q.doc_id, q.source, q.quality,
+               coalesce(c.component, q.doc_id) AS cluster
+        FROM q LEFT JOIN comp c ON c.node = q.doc_id),
+    r AS (
+        SELECT doc_id, source, quality,
+               count(*) OVER (PARTITION BY cluster) AS n_members,
+               row_number() OVER (PARTITION BY cluster
+                                  ORDER BY quality DESC, doc_id) AS rn
+        FROM m)
+    SELECT doc_id, source, quality, n_members FROM r WHERE rn = 1
+    """,
+    "north star: near-dedup with quality-canonical cluster selection "
+    "(argmax quality per component, deterministic tie-break)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 166. doc_chunk_windows — sliding-window sequence chunking (64-token
+# window, 48-token stride): the long-context loader transform that
+# turns each document into overlapping training chunks, distinct from
+# sequence_packing's cross-doc greedy fill. Pure codegen'd array math —
+# chunk boundaries derive from the token count, explode fans out one
+# row per chunk, no shuffle until a consumer aggregates.
+
+def _doc_chunk_windows(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n = F.size(words)
+    n_chunks = (
+        F.greatest(F.ceil((n - F.lit(64)) / F.lit(48.0)), F.lit(0)) + 1
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            F.size(F.slice(words, i * 48 + 1, 64)).cast("long").alias("chunk_tokens"),
+        ),
+    )
+    return docs.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.chunk_idx", "c.chunk_tokens"
+    )
+
+
+_register(
+    "doc_chunk_windows",
+    _doc_chunk_windows,
+    r"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+        FROM documents),
+    n AS (
+        SELECT doc_id, words,
+               greatest(CAST(ceil((len(words) - 64) / 48.0) AS INTEGER), 0) + 1
+                   AS n_chunks
+        FROM w)
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           CAST(len(words[(i*48+1):(i*48+64)]) AS BIGINT) AS chunk_tokens
+    FROM n, UNNEST(generate_series(0, n_chunks - 1)) AS t(i)
+    """,
+    "north star: sliding-window sequence chunking with stride (the "
+    "long-context loader fan-out; window 64, stride 48)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 # The driver's correctness harness checks the first 50 declared queries
