@@ -7317,9 +7317,13 @@ _PRIORITY: tuple[str, ...] = (
     # Rotated IN: one representative per never-driver-checked family
     # (A6 A7 A8/A9 A13 A15 A16 P3 P5/S6 P6 P10 P12 P14/P15/P17 J3/J4 S3).
     # core scan/join/agg/window spine
+    # (second mid-round-3 swap: orders_monthly, user_event_flatten and
+    # multimodal_features — all r2-driver-green, families still
+    # evidenced — out for audio_decode_features, near_dedup_keep_best,
+    # doc_chunk_windows)
     "q1_pricing_summary", "revenue_by_nation", "inactive_customers",
     "dedup_min_by", "nation_cogroup", "order_priority_dims",
-    "orders_monthly", "lineitem_retention", "events_classified",
+    "lineitem_retention", "events_classified",
     "price_stats_by_flag", "segment_sets_by_region", "part_urls",
     "deep_nested_rollup", "full_metadata_roundtrip",
     # dedup / keep-first / merge aggregation families (A5-A9, A13, A15, A16)
@@ -7328,7 +7332,7 @@ _PRIORITY: tuple[str, ...] = (
     "table_data_distinct", "qc_links_per_part",
     # flagship pipeline + reference-specific shapes
     "occurrence_cleaning_pipeline", "nested_order_rollup",
-    "user_event_flatten", "taxon_key_quirks", "order_lineitems_rollup",
+    "taxon_key_quirks", "order_lineitems_rollup",
     # reference source/projection/enrichment families (S3 S6 P3 P5 P6
     # P10 P12 P14) + outer-merge joins (J3/J4)
     "specimen_doc_projection", "supplier_lineage_enrichment",
@@ -7347,7 +7351,7 @@ _PRIORITY: tuple[str, ...] = (
     "ann_cosine_topk", "dedup_components",
     "corpus_quality_gate", "sequence_packing",
     "tfidf_top_terms",
-    "multimodal_features",
+    "audio_decode_features", "near_dedup_keep_best", "doc_chunk_windows",
     "paragraph_dedup_reassembly", "bpe_pair_merge",
     # TPC-H plan-shape family (Q13/Q17/Q19/Q21)
     "order_count_distribution", "small_quantity_revenue",
