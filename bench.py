@@ -47,6 +47,12 @@ HEADLINE = (
     # JSON parse throughput) and the mergeable-sketch rollup
     "full_metadata_roundtrip",
     "hll_mergeable_rollup",
+    # round-3 breadth: sub-document dedup mutation, the BPE merge round,
+    # the REAL audio decode roundtrip, and a TPC-H plan-shape rep
+    "paragraph_dedup_reassembly",
+    "bpe_pair_merge",
+    "audio_decode_features",
+    "promo_disjunctive_filter",
 )
 
 # queries whose builder EXECUTES the work eagerly (streaming drains,
