@@ -381,3 +381,79 @@ def test_kll_rollup_error_bounds(spark):
         assert r["n_fine_groups"] == 10
         assert abs(r["q_0_5"] - 5000) <= 300, r
         assert abs(r["q_0_95"] - 9500) <= 300, r
+
+
+# ---------------------------------------------------------------------------
+# round-3 sub-document / chunking invariants
+
+
+def test_paragraph_dedup_keeps_each_distinct_span_exactly_once(spark):
+    # the reassembly keeps the FIRST global occurrence of every span, so
+    # the total kept-span count must equal the corpus's distinct-span
+    # count (computed here independently of the window logic)
+    from .conftest import SF_DIR
+    from biodiversity_data_ingestion_spark.plans.queries import QUERIES
+    from biodiversity_data_ingestion_spark.sources.tables import load_table
+
+    out = QUERIES["paragraph_dedup_reassembly"]["builder"](spark, SF_DIR)
+    total_kept = out.agg(F.sum("n_kept_spans")).first()[0]
+
+    docs = load_table(spark, SF_DIR, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    k = F.greatest(F.ceil(F.size(words) / F.lit(10.0)).cast("int"), F.lit(1))
+    spans = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.array_join(F.slice(words, (i - 1) * 10 + 1, 10), " "),
+    )
+    n_distinct = (
+        docs.select(F.explode(spans).alias("span")).select("span").distinct().count()
+    )
+    assert total_kept == n_distinct
+    # and no reassembled text can exceed its source length
+    joined = out.join(docs.select("doc_id", "n_chars"), "doc_id")
+    over = joined.where(F.length("text_kept") > F.col("n_chars") + 1).count()
+    assert over == 0
+
+
+def test_doc_chunk_windows_tile_each_document(spark):
+    # stride-48/window-64 chunks must tile every doc: contiguous
+    # indices, every chunk 1..64 tokens, and 48*(n_chunks-1) + last
+    # chunk == n_words (exact coverage, no gap, no phantom chunk)
+    from .conftest import SF_DIR
+    from biodiversity_data_ingestion_spark.plans.queries import QUERIES
+    from biodiversity_data_ingestion_spark.sources.tables import load_table
+
+    out = QUERIES["doc_chunk_windows"]["builder"](spark, SF_DIR)
+    bad_size = out.where(
+        (F.col("chunk_tokens") < 1) | (F.col("chunk_tokens") > 64)
+    ).count()
+    assert bad_size == 0
+
+    per_doc = out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.max("chunk_idx").alias("max_idx"),
+        F.min("chunk_idx").alias("min_idx"),
+        F.max_by("chunk_tokens", "chunk_idx").alias("last_tokens"),
+    )
+    docs = load_table(spark, SF_DIR, "documents")
+    n_words = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    joined = per_doc.join(docs.select("doc_id", n_words.alias("n_words")), "doc_id")
+    violations = joined.where(
+        (F.col("min_idx") != 0)
+        | (F.col("max_idx") != F.col("n_chunks") - 1)
+        | (48 * (F.col("n_chunks") - 1) + F.col("last_tokens") != F.col("n_words"))
+    ).count()
+    assert violations == 0
+    assert per_doc.count() == docs.count()  # every doc produces chunks
+
+
+def test_bpe_pair_merge_shape(spark):
+    # deterministic top-20: descending counts, 2-char pairs only
+    from .conftest import SF_DIR
+    from biodiversity_data_ingestion_spark.plans.queries import QUERIES
+
+    rows = QUERIES["bpe_pair_merge"]["builder"](spark, SF_DIR).collect()
+    assert len(rows) == 20
+    counts = [r.pair_count for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(len(r.pair) == 2 for r in rows)
