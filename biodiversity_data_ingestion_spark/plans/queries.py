@@ -7253,7 +7253,8 @@ _register(
 # 166. doc_chunk_windows — sliding-window sequence chunking (64-token
 # window, 48-token stride): the long-context loader transform that
 # turns each document into overlapping training chunks, distinct from
-# sequence_packing's cross-doc greedy fill. Pure codegen'd array math —
+# sequence_packing's cross-doc greedy fill and from doc_chunking (#92),
+# which windows by CHARACTERS pre-tokenization. Pure codegen'd array math —
 # chunk boundaries derive from the token count, explode fans out one
 # row per chunk, no shuffle until a consumer aggregates.
 
@@ -7294,6 +7295,129 @@ _register(
     """,
     "north star: sliding-window sequence chunking with stride (the "
     "long-context loader fan-out; window 64, stride 48)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 167. copurchase_triangles — distributed triangle counting + global
+# clustering coefficient over the co-purchase graph (brand-restricted
+# to bound density). Scale shape: edges come from the JOIN-FREE basket
+# pair pattern (#140); the triangle join uses DEGREE-ORDERED
+# orientation — every edge points from its (degree, id)-smaller end to
+# the larger, so each triangle is counted exactly once at its unique
+# apex and wedge fan-out per node is bounded by O(sqrt(E)) instead of
+# max-degree (the standard distributed-triangle trick). The total is
+# orientation-invariant, so the oracle can count with plain id order.
+
+def _copurchase_triangles(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+    )
+    items = (
+        li.join(
+            F.broadcast(p.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    baskets = items.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    edges = (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("parts"),
+                        lambda a, i: F.transform(
+                            F.slice(F.col("parts"), i + 2, 64),
+                            lambda b: F.struct(a.alias("u"), b.alias("v")),
+                        ),
+                    )
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = edges.join(
+        deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u"
+    ).join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+    # composite orderable key (degree, id) packed into one long; ids and
+    # degrees are far below 2^31 so the pack cannot overflow
+    ku = F.col("du") * F.lit(1 << 32) + F.col("u")
+    kv = F.col("dv") * F.lit(1 << 32) + F.col("v")
+    o = e.select(F.least(ku, kv).alias("s"), F.greatest(ku, kv).alias("t"))
+    e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.t") == F.col("e2.s"))
+        .join(
+            e3,
+            (F.col("e3.s") == F.col("e1.s")) & (F.col("e3.t") == F.col("e2.t")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.expr("sum((d * (d - 1)) DIV 2)").alias("wedges"),
+    )
+    ecnt = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        stats.crossJoin(ecnt)
+        .crossJoin(tri)
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.greatest(F.col("wedges"), F.lit(1)),
+                6,
+            ).alias("clustering"),
+        )
+    )
+
+
+_register(
+    "copurchase_triangles",
+    _copurchase_triangles,
+    """
+    WITH bp AS (SELECT p_partkey FROM part
+                WHERE p_brand IN ('Brand#12','Brand#23','Brand#34')),
+    items AS (
+        SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey
+        FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM bp)),
+    edges AS (
+        SELECT DISTINCT a.pkey AS u, b.pkey AS v
+        FROM items a JOIN items b ON a.okey = b.okey AND a.pkey < b.pkey),
+    deg AS (
+        SELECT node, count(*) AS d
+        FROM (SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges)
+        GROUP BY node),
+    tri AS (
+        SELECT count(*) AS n_tri
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v)
+    SELECT (SELECT count(*) FROM deg) AS n_nodes,
+           (SELECT count(*) FROM edges) AS n_edges,
+           (SELECT n_tri FROM tri) AS n_triangles,
+           round(3.0 * (SELECT n_tri FROM tri)
+                 / greatest((SELECT sum((d*(d-1))//2) FROM deg), 1), 6)
+               AS clustering
+    """,
+    "engine extension: distributed triangle count + clustering "
+    "coefficient (join-free basket edges, degree-ordered orientation "
+    "bounds wedge fan-out; orientation-invariant total vs id-ordered "
+    "oracle)",
 )
 
 

@@ -315,6 +315,9 @@ def test_no_scale_killer_joins_anywhere(spark):
         "fuzzy_name_match",
         # pairwise self-join of the per-key SKETCH table (k rows, kB each)
         "theta_user_overlap",
+        # 1-row aggregate crossJoins (node/edge/triangle counts folded
+        # into the single output row)
+        "copurchase_triangles",
     }
     from biodiversity_data_ingestion_spark.plans.queries import QUERIES
 
