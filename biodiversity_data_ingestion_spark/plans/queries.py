@@ -7470,12 +7470,12 @@ _PRIORITY: tuple[str, ...] = (
     # Rotated IN: the six never-driver-checked round-3 additions
     # (TPC-H Q13/Q17/Q19/Q21 plan shapes + paragraph-dedup reassembly +
     # BPE pair-merge).
-    "doc_token_stats",
     "ngram_jaccard_dups",
     "ann_cosine_topk", "dedup_components",
     "corpus_quality_gate", "sequence_packing",
     "tfidf_top_terms",
     "audio_decode_features", "near_dedup_keep_best", "doc_chunk_windows",
+    "copurchase_triangles",
     "paragraph_dedup_reassembly", "bpe_pair_merge",
     # TPC-H plan-shape family (Q13/Q17/Q19/Q21)
     "order_count_distribution", "small_quantity_revenue",
