@@ -5,16 +5,22 @@ typed metadata struct, and implements the processing stages a training
 -data pipeline needs — feature extraction, batch-shaped decode hooks —
 as Arrow-batched ``mapInPandas`` kernels.
 
-The container has no image/video codecs, so THOSE decode steps are a
-clearly-marked stub (`decode_media` raises NotImplementedError); the
-Spark-side plumbing — schema, batch shape, partitioning, UDF signature
-— is real and oracle-tested via the codec-free feature kernel
-(`binary_features`: exact byte length + md5, computed with hashlib over
-the raw bytes — portable to DuckDB's md5(blob)). AUDIO decode is REAL:
-PCM WAV parses with the stdlib ``wave`` module (`decode_wav_features`),
-and `synth_wav_payload` generates deterministic WAV bytes whose decoded
-features have closed forms, so the full synthesize->decode roundtrip is
-oracle-checked end-to-end (`audio_decode_features`).
+Every modality has a REAL decode path for its uncompressed container —
+no codec library involved, each oracle-checked end-to-end through a
+deterministic synthesize->decode roundtrip with closed-form expected
+features:
+
+- audio: PCM WAV via stdlib ``wave`` (`decode_wav_features`)
+- image: 24-bit BMP via struct/numpy, stride- and orientation-aware
+  (`decode_bmp_features`)
+- video: YUV4MPEG2 (y4m) header/FRAME/raw-4:2:0 parse
+  (`decode_y4m_features`)
+
+Only COMPRESSED codecs (JPEG/PNG/H.264/Opus) remain a clearly-marked
+stub (`decode_media` raises NotImplementedError) — those need PIL /
+ffmpeg, which this container does not ship. The codec-free feature
+kernel (`binary_features`: exact byte length + md5 over raw bytes,
+portable to DuckDB's md5(blob)) covers the payload-agnostic plumbing.
 
 Scale notes: kernels are column-in/column-out over Arrow batches — no
 shuffle, no driver I/O; binary payloads never pass through the Python
@@ -99,16 +105,19 @@ def binary_features(df: DataFrame, id_col: str, payload_col: str = "payload") ->
 
 
 def decode_media(df: DataFrame, payload_col: str = "payload"):
-    """STUB for image/video — those decodes require codec libraries
-    (PIL/ffmpeg) that are not installed in this container. On a real
-    deployment this becomes a mapInPandas kernel decoding each Arrow
-    batch to pixel arrays; the batch shape and schema contract are
-    exactly those of `binary_features`. AUDIO is NOT stubbed: PCM WAV
-    decodes for real via the stdlib — see `decode_wav_features`."""
+    """STUB for COMPRESSED codecs only (JPEG/PNG/H.264/Opus/...), which
+    require codec libraries (PIL/ffmpeg) not installed in this
+    container. On a real deployment this becomes a mapInPandas kernel
+    decoding each Arrow batch to pixel/sample arrays; the batch shape
+    and schema contract are exactly those of `binary_features`. The
+    uncompressed container of each modality decodes FOR REAL here:
+    PCM WAV audio (`decode_wav_features`), 24-bit BMP images
+    (`decode_bmp_features`), YUV4MPEG2 video (`decode_y4m_features`)."""
     raise NotImplementedError(
-        "image/video decode needs codec libraries (PIL/ffmpeg); the "
-        "Spark plumbing contract is binary_features()'s mapInPandas "
-        "shape. For PCM WAV audio use decode_wav_features (real decode)"
+        "compressed-codec decode needs codec libraries (PIL/ffmpeg); "
+        "uncompressed containers decode for real: decode_wav_features "
+        "(audio), decode_bmp_features (image), decode_y4m_features "
+        "(video) — same mapInPandas batch contract"
     )
 
 
@@ -211,6 +220,244 @@ def decode_wav_features(
                     "duration_ms": cols[3],
                     "rms": cols[4],
                     "peak": cols[5],
+                }
+            )
+
+    return df.select(id_name, payload_col).mapInPandas(kernel, schema=out_schema)
+
+
+def synth_bmp_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic 24-bit BMP synthesis (Arrow-batched kernel) — the
+    test-data generator for the REAL image decode below. Dimensions and
+    channel values derive from the id (w = 8 + id%8, h = 4 + id%4;
+    R = id%100 + row, G = id%50 + col, B = id%200), all < 256 so no
+    modulo wrap, which gives every decoded channel mean a closed form an
+    SQL oracle can state without parsing bytes. Real BMP container:
+    14-byte file header + BITMAPINFOHEADER, bottom-up BGR rows padded
+    to 4-byte stride — written with struct/numpy, no codec library."""
+    import struct
+
+    from pyspark.sql.types import BinaryType
+
+    out_schema = StructType(
+        [df.schema[id_col], StructField("payload", BinaryType(), True)]
+    )
+    id_name = id_col
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def build(did: int) -> bytes:
+            w, h = 8 + did % 8, 4 + did % 4
+            rows = np.arange(h).reshape(h, 1)
+            cols = np.arange(w).reshape(1, w)
+            r = (did % 100 + rows + np.zeros_like(cols)).astype(np.uint8)
+            g = (did % 50 + cols + np.zeros_like(rows)).astype(np.uint8)
+            b = np.full((h, w), did % 200, dtype=np.uint8)
+            bgr = np.stack([b, g, r], axis=-1)  # BMP stores BGR
+            stride = (w * 3 + 3) // 4 * 4
+            body = bytearray()
+            for row in range(h - 1, -1, -1):  # bottom-up
+                line = bgr[row].tobytes()
+                body += line + b"\x00" * (stride - len(line))
+            pix_off = 14 + 40
+            info = struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+            )
+            head = struct.pack("<2sIHHI", b"BM", pix_off + len(body), 0, 0, pix_off)
+            return bytes(head + info + body)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_name: pdf[id_name],
+                    "payload": [build(int(d)) for d in pdf[id_name]],
+                }
+            )
+
+    return fan_out(df.select(id_name)).mapInPandas(kernel, schema=out_schema)
+
+
+def decode_bmp_features(
+    df: DataFrame, id_col: str, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL image decode — uncompressed 24-bit BMP parsed with
+    struct/numpy inside an Arrow-batched kernel (no codec library):
+    file + info header fields, then the padded bottom-up BGR pixel rows
+    to a (h, w, 3) array, reporting dimensions and exact per-channel
+    means. Together with `decode_wav_features` this makes two of the
+    three modalities' decode paths real; only compressed codecs
+    (JPEG/PNG/H.264) still need external libraries (`decode_media`
+    stub). Same scale shape: column-in/column-out, no shuffle, no
+    driver I/O."""
+    import struct
+
+    from pyspark.sql.types import DoubleType
+
+    out_schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("n_pixels", LongType(), True),
+            StructField("mean_r", DoubleType(), True),
+            StructField("mean_g", DoubleType(), True),
+            StructField("mean_b", DoubleType(), True),
+        ]
+    )
+    id_name = id_col
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def decode(buf):
+            if buf is None:
+                return (None,) * 6
+            buf = bytes(buf)
+            magic, _size, _r1, _r2, pix_off = struct.unpack_from("<2sIHHI", buf, 0)
+            assert magic == b"BM", "not a BMP payload"
+            _hs, w, h, _planes, bpp = struct.unpack_from("<IiiHH", buf, 14)
+            assert bpp == 24, f"unsupported bpp {bpp}"
+            flipped = h > 0  # positive height = bottom-up rows
+            h = abs(h)
+            stride = (w * 3 + 3) // 4 * 4
+            rows = np.frombuffer(
+                buf, dtype=np.uint8, count=stride * h, offset=pix_off
+            ).reshape(h, stride)[:, : w * 3]
+            img = rows.reshape(h, w, 3)
+            if flipped:
+                img = img[::-1]
+            means = img.reshape(-1, 3).mean(axis=0)  # B, G, R
+            return w, h, w * h, float(means[2]), float(means[1]), float(means[0])
+
+        for pdf in batches:
+            out = [decode(b) for b in pdf[payload_col]]
+            cols = list(zip(*out)) if out else [[]] * 6
+            yield pd.DataFrame(
+                {
+                    id_name: pdf[id_name],
+                    "width": cols[0],
+                    "height": cols[1],
+                    "n_pixels": cols[2],
+                    "mean_r": cols[3],
+                    "mean_g": cols[4],
+                    "mean_b": cols[5],
+                }
+            )
+
+    return df.select(id_name, payload_col).mapInPandas(kernel, schema=out_schema)
+
+
+def synth_y4m_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic YUV4MPEG2 (y4m) synthesis — the test-data generator
+    for the REAL video decode below. Real container: `YUV4MPEG2 W.. H..
+    F25:1 .. C420jpeg` header line, then per frame a `FRAME` line + raw
+    planar 4:2:0 YUV bytes. Even dims w = 8 + (id%4)*2, h = 4 + (id%2)*2,
+    n_frames = 2 + id%5; frame f's luma is uniformly id%200 + f (< 256,
+    no wrap) and chroma is constant 128, so the decoded global luma mean
+    has the closed form id%200 + (n_frames-1)/2 — a dyadic rational the
+    SQL oracle states exactly. No codec library involved."""
+    from pyspark.sql.types import BinaryType
+
+    out_schema = StructType(
+        [df.schema[id_col], StructField("payload", BinaryType(), True)]
+    )
+    id_name = id_col
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def build(did: int) -> bytes:
+            w, h = 8 + (did % 4) * 2, 4 + (did % 2) * 2
+            nf = 2 + did % 5
+            out = bytearray(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420jpeg\n".encode())
+            chroma = bytes([128]) * ((w // 2) * (h // 2))
+            for f in range(nf):
+                out += b"FRAME\n"
+                out += bytes([did % 200 + f]) * (w * h)  # Y plane
+                out += chroma + chroma  # U, V planes
+            return bytes(out)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_name: pdf[id_name],
+                    "payload": [build(int(d)) for d in pdf[id_name]],
+                }
+            )
+
+    return fan_out(df.select(id_name)).mapInPandas(kernel, schema=out_schema)
+
+
+def decode_y4m_features(
+    df: DataFrame, id_col: str, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL video decode — YUV4MPEG2 parsed inside an Arrow-batched
+    kernel (no codec library): stream header tokens (W/H/F/C), then a
+    frame loop reading each FRAME marker + raw 4:2:0 planes, reporting
+    frame count, dimensions, frame rate and the global luma mean over
+    all frames. Completes the modality set: WAV audio and BMP image
+    decode are real too; only compressed codecs (JPEG/H.264/Opus)
+    still require external libraries (`decode_media` stub)."""
+    from pyspark.sql.types import DoubleType
+
+    out_schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("n_frames", LongType(), True),
+            StructField("fps", DoubleType(), True),
+            StructField("mean_y", DoubleType(), True),
+        ]
+    )
+    id_name = id_col
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def decode(buf):
+            if buf is None:
+                return (None,) * 5
+            buf = bytes(buf)
+            nl = buf.index(b"\n")
+            header = buf[:nl].decode("ascii").split(" ")
+            assert header[0] == "YUV4MPEG2", "not a y4m payload"
+            w = h = None
+            fps = None
+            cs = "420"
+            for tok in header[1:]:
+                if tok.startswith("W"):
+                    w = int(tok[1:])
+                elif tok.startswith("H"):
+                    h = int(tok[1:])
+                elif tok.startswith("F"):
+                    num, den = tok[1:].split(":")
+                    fps = int(num) / int(den)
+                elif tok.startswith("C"):
+                    cs = tok[1:]
+            assert w and h and cs.startswith("420"), f"unsupported y4m {header}"
+            frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
+            pos, nf, y_sum = nl + 1, 0, 0
+            while pos < len(buf):
+                fnl = buf.index(b"\n", pos)
+                assert buf[pos:fnl].split(b" ")[0] == b"FRAME"
+                y = np.frombuffer(buf, dtype=np.uint8, count=w * h, offset=fnl + 1)
+                y_sum += int(y.sum(dtype=np.int64))
+                nf += 1
+                pos = fnl + 1 + frame_bytes
+            mean_y = y_sum / (w * h * nf) if nf else None
+            return w, h, nf, fps, mean_y
+
+        for pdf in batches:
+            out = [decode(b) for b in pdf[payload_col]]
+            cols = list(zip(*out)) if out else [[]] * 5
+            yield pd.DataFrame(
+                {
+                    id_name: pdf[id_name],
+                    "width": cols[0],
+                    "height": cols[1],
+                    "n_frames": cols[2],
+                    "fps": cols[3],
+                    "mean_y": cols[4],
                 }
             )
 

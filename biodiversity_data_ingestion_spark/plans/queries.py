@@ -7422,6 +7422,79 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 168. image_decode_features — REAL image decode end-to-end, the BMP
+# twin of audio_decode_features: synthesize a deterministic 24-bit BMP
+# per doc (struct/numpy, real container: padded bottom-up BGR rows),
+# then DECODE it back — header parse + stride-aware pixel read +
+# per-channel means. The gradient design keeps channel values < 256
+# (no modulo wrap), so every decoded mean has a closed form the oracle
+# states directly; the means are exact dyadic rationals, so double
+# arithmetic agrees bit-for-bit. With WAV audio this makes decode real
+# for two of three modalities; only compressed codecs stay stubbed.
+
+def _image_decode_features(spark, sf_dir):
+    from ..operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    bmp = multimodal.synth_bmp_payload(docs, "doc_id")
+    return multimodal.decode_bmp_features(bmp, "doc_id")
+
+
+_register(
+    "image_decode_features",
+    _image_decode_features,
+    """
+    SELECT doc_id,
+           CAST(8 + doc_id % 8 AS BIGINT) AS width,
+           CAST(4 + doc_id % 4 AS BIGINT) AS height,
+           CAST((8 + doc_id % 8) * (4 + doc_id % 4) AS BIGINT) AS n_pixels,
+           CAST(doc_id % 100 + (4 + doc_id % 4 - 1) / 2.0 AS DOUBLE) AS mean_r,
+           CAST(doc_id % 50 + (8 + doc_id % 8 - 1) / 2.0 AS DOUBLE) AS mean_g,
+           CAST(doc_id % 200 AS DOUBLE) AS mean_b
+    FROM documents
+    """,
+    "north star: REAL image decode (uncompressed 24-bit BMP container "
+    "+ stride-aware pixel parse; synthesize->decode roundtrip with "
+    "closed-form oracle)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 169. video_decode_features — REAL video decode end-to-end, the y4m
+# member of the decode family: synthesize a deterministic YUV4MPEG2
+# stream per doc (real container: header tokens + FRAME markers + raw
+# 4:2:0 planes), then DECODE it back — token parse, frame loop, global
+# luma mean. Uniform per-frame luma id%200 + f (< 256) makes the mean
+# the dyadic rational id%200 + (n_frames-1)/2, stated directly by the
+# oracle. All three modalities now have a real decode path (WAV, BMP,
+# y4m); only compressed codecs remain stubbed.
+
+def _video_decode_features(spark, sf_dir):
+    from ..operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    y4m = multimodal.synth_y4m_payload(docs, "doc_id")
+    return multimodal.decode_y4m_features(y4m, "doc_id")
+
+
+_register(
+    "video_decode_features",
+    _video_decode_features,
+    """
+    SELECT doc_id,
+           CAST(8 + (doc_id % 4) * 2 AS BIGINT) AS width,
+           CAST(4 + (doc_id % 2) * 2 AS BIGINT) AS height,
+           CAST(2 + doc_id % 5 AS BIGINT) AS n_frames,
+           CAST(25.0 AS DOUBLE) AS fps,
+           CAST(doc_id % 200 + (2 + doc_id % 5 - 1) / 2.0 AS DOUBLE) AS mean_y
+    FROM documents
+    """,
+    "north star: REAL video decode (YUV4MPEG2 container + raw 4:2:0 "
+    "frame parse; synthesize->decode roundtrip with closed-form oracle)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 # The driver's correctness harness checks the first 50 declared queries
@@ -7448,14 +7521,19 @@ _PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary", "revenue_by_nation", "inactive_customers",
     "dedup_min_by", "nation_cogroup", "order_priority_dims",
     "lineitem_retention", "events_classified",
-    "price_stats_by_flag", "segment_sets_by_region", "part_urls",
+    "price_stats_by_flag", "segment_sets_by_region",
     "deep_nested_rollup", "full_metadata_roundtrip",
+    # (third mid-round-3 swap: part_urls + nested_order_rollup out —
+    # r2-driver-green, families covered by provenance_requests /
+    # deep_nested_rollup in-window — for the REAL image+video decode
+    # roundtrips)
+    "image_decode_features", "video_decode_features",
     # dedup / keep-first / merge aggregation families (A5-A9, A13, A15, A16)
     "dedup_rank_priority", "first_order_per_customer",
     "customer_record_merge", "article_lists_special_case",
     "table_data_distinct", "qc_links_per_part",
     # flagship pipeline + reference-specific shapes
-    "occurrence_cleaning_pipeline", "nested_order_rollup",
+    "occurrence_cleaning_pipeline",
     "taxon_key_quirks", "order_lineitems_rollup",
     # reference source/projection/enrichment families (S3 S6 P3 P5 P6
     # P10 P12 P14) + outer-merge joins (J3/J4)

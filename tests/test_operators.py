@@ -249,6 +249,67 @@ def test_wav_decode_golden_roundtrip(spark):
     assert abs(row.rms - expect_rms) < 1e-9
 
 
+def test_bmp_decode_golden_including_topdown(spark):
+    # decode_bmp_features must parse bottom-up AND top-down (negative
+    # height) containers to the same image statistics, honoring the
+    # 4-byte row stride padding of a non-multiple-of-4 row width.
+    import struct
+
+    import numpy as np
+
+    from biodiversity_data_ingestion_spark.operators import multimodal
+
+    # logical image (row 0 = top): R channel encodes the row, G the col
+    rgb = np.array(
+        [[[10, 0, 7], [10, 1, 7]], [[11, 0, 7], [11, 1, 7]]], dtype=np.uint8
+    )
+    h, w = 2, 2
+    stride = (w * 3 + 3) // 4 * 4
+
+    def build(bottom_up: bool) -> bytes:
+        body = bytearray()
+        rows = range(h - 1, -1, -1) if bottom_up else range(h)
+        for r in rows:
+            line = rgb[r][:, ::-1].tobytes()  # to BGR
+            body += line + b"\x00" * (stride - len(line))
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h if bottom_up else -h, 1, 24, 0,
+            len(body), 2835, 2835, 0, 0,
+        )
+        head = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+        return bytes(head + info + body)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(build(True))), (2, bytearray(build(False)))],
+        "id long, payload binary",
+    )
+    rows_out = {r.id: r for r in multimodal.decode_bmp_features(df, "id").collect()}
+    for r in rows_out.values():
+        assert (r.width, r.height, r.n_pixels) == (2, 2, 4)
+        assert r.mean_r == 10.5  # rows 10,11 -> both orientations agree
+        assert r.mean_g == 0.5
+        assert r.mean_b == 7.0
+
+
+def test_y4m_decode_golden(spark):
+    # decode_y4m_features must parse a hand-built 2-frame 4x2 C420
+    # stream: header tokens (incl. a fractional frame rate), FRAME
+    # markers with trailing parameters, and the exact luma mean.
+    from biodiversity_data_ingestion_spark.operators import multimodal
+
+    w, h = 4, 2
+    chroma = bytes([128]) * ((w // 2) * (h // 2))
+    buf = bytearray(b"YUV4MPEG2 W4 H2 F30000:1001 Ip A1:1 C420jpeg\n")
+    for f, y_val in enumerate((10, 30)):
+        buf += b"FRAME" + (b" Xparam" if f else b"") + b"\n"
+        buf += bytes([y_val]) * (w * h) + chroma + chroma
+    df = spark.createDataFrame([(1, bytearray(bytes(buf)))], "id long, payload binary")
+    [row] = multimodal.decode_y4m_features(df, "id").collect()
+    assert (row.width, row.height, row.n_frames) == (4, 2, 2)
+    assert abs(row.fps - 30000 / 1001) < 1e-12
+    assert row.mean_y == 20.0
+
+
 def test_wav_synth_decode_inverse(spark):
     # synth -> decode is the identity on the declared feature contract
     # for arbitrary ids (including ones far outside the testdata range)
