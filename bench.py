@@ -52,6 +52,8 @@ HEADLINE = (
     "paragraph_dedup_reassembly",
     "bpe_pair_merge",
     "audio_decode_features",
+    "image_decode_features",
+    "video_decode_features",
     "promo_disjunctive_filter",
 )
 
