@@ -7342,12 +7342,17 @@ def _copurchase_triangles(spark, sf_dir):
         )
         .select("e.u", "e.v")
         .distinct()
+        # edges feed deg, the oriented join (3x) and the edge count;
+        # without a checkpoint every branch re-runs the basket collect
+        # (the plan showed 46 exchanges vs 10 after)
+        .localCheckpoint(eager=False)
     )
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)
     )
     e = edges.join(
         deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u"

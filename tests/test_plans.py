@@ -244,6 +244,12 @@ def test_headline_plan_shuffle_budgets(spark):
         "sole_return_supplier": 3,  # order rollup + supplier rollup + dims
         "paragraph_dedup_reassembly": 2,  # span window + per-doc rollup
         "bpe_pair_merge": 2,  # vocab rollup + pair rollup (top-k is TakeOrdered)
+        "audio_decode_features": 0,  # synth+decode kernels, no shuffle
+        "image_decode_features": 0,
+        "video_decode_features": 0,
+        "doc_chunk_windows": 0,  # pure explode, no shuffle
+        "near_dedup_keep_best": 3,  # pairs + CC feed a cluster window + agg
+        "copurchase_triangles": 7,  # edges/deg checkpointed (was 46 without)
     }
     over = {}
     for name, budget in budgets.items():
