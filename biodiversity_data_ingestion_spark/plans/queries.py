@@ -3377,6 +3377,9 @@ def _nation_revenue_share(spark, sf_dir):
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"))
+        # rev feeds both the total and the output row set; the lazy
+        # checkpoint stops the 4-table join tree running twice
+        .localCheckpoint(eager=False)
     )
     total = rev.agg(F.sum("_rev").alias("_total"))
     return rev.crossJoin(F.broadcast(total)).select(
