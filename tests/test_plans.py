@@ -325,9 +325,16 @@ def test_no_scale_killer_joins_anywhere(spark):
         # into the single output row)
         "copurchase_triangles",
     }
+    # measured ceilings for the two legitimately widest plans; anything
+    # beyond these usually means a shared subplan is being re-executed
+    # per consumer branch (fix: lazy localCheckpoint the shared frame —
+    # this audit caught copurchase_triangles at 46 exchanges that way)
+    MAX_EXCHANGES, MAX_SCANS = 16, 14  # fk_orphan_audit: 14/14 by design
+    import re
+
     from biodiversity_data_ingestion_spark.plans.queries import QUERIES
 
-    cartesian, surprise_bnlj = [], []
+    cartesian, surprise_bnlj, runaway = [], [], []
     for name, spec in sorted(QUERIES.items()):
         if name.startswith("stream_"):
             continue  # builders execute the stream; result is a memory table
@@ -341,8 +348,18 @@ def test_no_scale_killer_joins_anywhere(spark):
             cartesian.append(name)
         if "BroadcastNestedLoopJoin" in p and name not in ALLOWED_BNLJ:
             surprise_bnlj.append(name)
+        n_ex = len(re.findall(r"Exchange (?:hash|range)partitioning", p)) + len(
+            re.findall(r"Exchange SinglePartition", p)
+        )
+        n_scan = len(re.findall(r"FileScan parquet", p))
+        if n_ex > MAX_EXCHANGES or n_scan > MAX_SCANS:
+            runaway.append((name, n_ex, n_scan))
     assert not cartesian, f"CartesianProduct in: {cartesian}"
     assert not surprise_bnlj, (
         f"unaudited BroadcastNestedLoopJoin in: {surprise_bnlj} — "
         "broadcast a keyed/bounded side or add to the audited allowlist"
+    )
+    assert not runaway, (
+        f"plan blow-up (name, exchanges, scans): {runaway} — a shared "
+        "subplan is probably re-executing per branch; localCheckpoint it"
     )
