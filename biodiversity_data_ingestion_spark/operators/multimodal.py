@@ -163,16 +163,20 @@ def synth_wav_payload(df: DataFrame, id_col: str, sample_rate: int = 8000) -> Da
 
 
 def decode_wav_features(
-    df: DataFrame, id_col: str, payload_col: str = "payload"
+    df: DataFrame, id_col: str, payload_col: str = "payload",
+    on_error: str = "raise",
 ) -> DataFrame:
     """REAL media decode — PCM WAV audio parsed with the stdlib ``wave``
     module inside an Arrow-batched mapInPandas kernel (no external
     codec): container header -> (channels, rate, frames), PCM frames ->
     int16 sample array -> RMS amplitude and peak. This is the actual
-    decode stage of the audio pipeline, not plumbing; only image/video
-    remain stubbed (`decode_media`). Same scale shape as
-    `binary_features`: column-in/column-out, no shuffle, payloads never
-    touch the driver."""
+    decode stage of the audio pipeline, not plumbing. Same scale shape
+    as `binary_features`: column-in/column-out, no shuffle, payloads
+    never touch the driver. ``on_error='null'`` (here and in the BMP /
+    y4m decoders) routes malformed payloads to all-null feature rows
+    instead of failing the task — the media dead-letter pattern,
+    mirroring the JSONL corrupt-record channel; filter
+    ``n_frames IS NULL`` downstream to quarantine."""
     from pyspark.sql.types import DoubleType
 
     out_schema = StructType(
@@ -208,8 +212,16 @@ def decode_wav_features(
             peak = int(np.max(np.abs(a))) if a.size else 0
             return ch, rate, nf, nf * 1000 // rate, rms, peak
 
+        def _safe(b):
+            try:
+                return decode(b)
+            except Exception:
+                if on_error == "raise":
+                    raise
+                return (None,) * 6
+
         for pdf in batches:
-            rows = [decode(b) for b in pdf[payload_col]]
+            rows = [_safe(b) for b in pdf[payload_col]]
             cols = list(zip(*rows)) if rows else [[]] * 6
             yield pd.DataFrame(
                 {
@@ -279,7 +291,8 @@ def synth_bmp_payload(df: DataFrame, id_col: str) -> DataFrame:
 
 
 def decode_bmp_features(
-    df: DataFrame, id_col: str, payload_col: str = "payload"
+    df: DataFrame, id_col: str, payload_col: str = "payload",
+    on_error: str = "raise",
 ) -> DataFrame:
     """REAL image decode — uncompressed 24-bit BMP parsed with
     struct/numpy inside an Arrow-batched kernel (no codec library):
@@ -330,8 +343,16 @@ def decode_bmp_features(
             means = img.reshape(-1, 3).mean(axis=0)  # B, G, R
             return w, h, w * h, float(means[2]), float(means[1]), float(means[0])
 
+        def _safe(b):
+            try:
+                return decode(b)
+            except Exception:
+                if on_error == "raise":
+                    raise
+                return (None,) * 6
+
         for pdf in batches:
-            out = [decode(b) for b in pdf[payload_col]]
+            out = [_safe(b) for b in pdf[payload_col]]
             cols = list(zip(*out)) if out else [[]] * 6
             yield pd.DataFrame(
                 {
@@ -388,7 +409,8 @@ def synth_y4m_payload(df: DataFrame, id_col: str) -> DataFrame:
 
 
 def decode_y4m_features(
-    df: DataFrame, id_col: str, payload_col: str = "payload"
+    df: DataFrame, id_col: str, payload_col: str = "payload",
+    on_error: str = "raise",
 ) -> DataFrame:
     """REAL video decode — YUV4MPEG2 parsed inside an Arrow-batched
     kernel (no codec library): stream header tokens (W/H/F/C), then a
@@ -447,8 +469,16 @@ def decode_y4m_features(
             mean_y = y_sum / (w * h * nf) if nf else None
             return w, h, nf, fps, mean_y
 
+        def _safe(b):
+            try:
+                return decode(b)
+            except Exception:
+                if on_error == "raise":
+                    raise
+                return (None,) * 5
+
         for pdf in batches:
-            out = [decode(b) for b in pdf[payload_col]]
+            out = [_safe(b) for b in pdf[payload_col]]
             cols = list(zip(*out)) if out else [[]] * 5
             yield pd.DataFrame(
                 {

@@ -291,6 +291,48 @@ def test_bmp_decode_golden_including_topdown(spark):
         assert r.mean_b == 7.0
 
 
+def test_decode_on_error_null_quarantines_malformed_payloads(spark):
+    # on_error='null' is the media dead-letter channel: malformed
+    # payloads yield all-null feature rows instead of failing the task,
+    # while valid payloads in the same batch still decode.
+    import io
+    import wave as wavmod
+
+    import numpy as np
+    import pytest as _pytest
+
+    from biodiversity_data_ingestion_spark.operators import multimodal
+
+    buf = io.BytesIO()
+    with wavmod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(np.array([100, -100], dtype="<i2").tobytes())
+    good, bad = bytearray(buf.getvalue()), bytearray(b"not a wav at all")
+    df = spark.createDataFrame(
+        [(1, good), (2, bad)], "id long, payload binary"
+    )
+    rows = {
+        r.id: r
+        for r in multimodal.decode_wav_features(df, "id", on_error="null").collect()
+    }
+    assert rows[1].n_frames == 2 and rows[1].peak == 100
+    assert rows[2].n_frames is None and rows[2].rms is None
+    # default stays strict: the malformed payload fails the job
+    with _pytest.raises(Exception):
+        multimodal.decode_wav_features(df, "id").collect()
+    # same contract on the image and video decoders
+    assert {
+        r.id: r.width
+        for r in multimodal.decode_bmp_features(df, "id", on_error="null").collect()
+    } == {1: None, 2: None}
+    assert {
+        r.id: r.n_frames
+        for r in multimodal.decode_y4m_features(df, "id", on_error="null").collect()
+    } == {1: None, 2: None}
+
+
 def test_y4m_decode_golden(spark):
     # decode_y4m_features must parse a hand-built 2-frame 4x2 C420
     # stream: header tokens (incl. a fractional frame rate), FRAME
