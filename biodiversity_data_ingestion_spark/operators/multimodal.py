@@ -494,6 +494,223 @@ def decode_y4m_features(
     return df.select(id_name, payload_col).mapInPandas(kernel, schema=out_schema)
 
 
+# --- PNG (the one COMPRESSED codec the stdlib can handle: DEFLATE via
+# zlib). Shared filter math for the encoder/decoder pair below; the
+# filter formulas follow the PNG spec (RFC 2083 §6) and are verified
+# against hand-computed filtered bytes in the unit tests, not just by
+# encode/decode symmetry.
+
+def _png_paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_filter_row(ftype: int, raw: bytes, prior: bytes, bpp: int = 3) -> bytes:
+    out = bytearray(len(raw))
+    for x in range(len(raw)):
+        left = raw[x - bpp] if x >= bpp else 0
+        up = prior[x]
+        ul = prior[x - bpp] if x >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = left
+        elif ftype == 2:
+            pred = up
+        elif ftype == 3:
+            pred = (left + up) // 2
+        else:
+            pred = _png_paeth(left, up, ul)
+        out[x] = (raw[x] - pred) & 0xFF
+    return bytes(out)
+
+
+def _png_unfilter_row(ftype: int, filt: bytes, prior: bytes, bpp: int = 3) -> bytes:
+    out = bytearray(len(filt))
+    for x in range(len(filt)):
+        left = out[x - bpp] if x >= bpp else 0
+        up = prior[x]
+        ul = prior[x - bpp] if x >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = left
+        elif ftype == 2:
+            pred = up
+        elif ftype == 3:
+            pred = (left + up) // 2
+        elif ftype == 4:
+            pred = _png_paeth(left, up, ul)
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[x] = (filt[x] + pred) & 0xFF
+    return bytes(out)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def synth_png_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic truecolor PNG synthesis — test-data generator for
+    the REAL compressed-codec decode below. Same gradient design as the
+    BMP twin (w = 8 + id%8, h = 4 + id%4; R = id%100 + row,
+    G = id%50 + col, B = id%200, all < 256) so channel means keep their
+    closed forms THROUGH the compression: rows cycle all five PNG
+    filter types (row % 5) before zlib DEFLATE, so the decoder's
+    defilter paths are all exercised on real data."""
+    import struct
+    import zlib
+
+    from pyspark.sql.types import BinaryType
+
+    out_schema = StructType(
+        [df.schema[id_col], StructField("payload", BinaryType(), True)]
+    )
+    id_name = id_col
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def build(did: int) -> bytes:
+            w, h = 8 + did % 8, 4 + did % 4
+            rows = np.arange(h).reshape(h, 1)
+            cols = np.arange(w).reshape(1, w)
+            r = (did % 100 + rows + np.zeros_like(cols)).astype(np.uint8)
+            g = (did % 50 + cols + np.zeros_like(rows)).astype(np.uint8)
+            b = np.full((h, w), did % 200, dtype=np.uint8)
+            img = np.stack([r, g, b], axis=-1)  # PNG stores RGB
+            scan = bytearray()
+            prior = bytes(w * 3)
+            for row in range(h):
+                raw = img[row].tobytes()
+                ftype = row % 5
+                scan += bytes([ftype]) + _png_filter_row(ftype, raw, prior)
+                prior = raw
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(bytes(scan)))
+                + _png_chunk(b"IEND", b"")
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_name: pdf[id_name],
+                    "payload": [build(int(d)) for d in pdf[id_name]],
+                }
+            )
+
+    return fan_out(df.select(id_name)).mapInPandas(kernel, schema=out_schema)
+
+
+def decode_png_features(
+    df: DataFrame, id_col: str, payload_col: str = "payload",
+    on_error: str = "raise",
+) -> DataFrame:
+    """REAL COMPRESSED-codec decode — truecolor PNG parsed with only
+    the stdlib: signature + chunk walk (IHDR dims/type, IDAT
+    concatenation), zlib INFLATE, then per-row defiltering (all five
+    PNG filter types: None/Sub/Up/Average/Paeth) to the (h, w, 3)
+    pixel array and per-channel means. This shrinks the codec stub to
+    formats whose entropy coders the stdlib lacks (JPEG/H.264/Opus).
+    Same batch contract and dead-letter option as the other decoders."""
+    import struct
+    import zlib
+
+    from pyspark.sql.types import DoubleType
+
+    out_schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("n_pixels", LongType(), True),
+            StructField("mean_r", DoubleType(), True),
+            StructField("mean_g", DoubleType(), True),
+            StructField("mean_b", DoubleType(), True),
+        ]
+    )
+    id_name = id_col
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def decode(buf):
+            if buf is None:
+                return (None,) * 6
+            buf = bytes(buf)
+            assert buf[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG payload"
+            pos, w = 8, None
+            idat = bytearray()
+            while pos < len(buf):
+                (ln,) = struct.unpack_from(">I", buf, pos)
+                ctype = buf[pos + 4 : pos + 8]
+                data = buf[pos + 8 : pos + 8 + ln]
+                if ctype == b"IHDR":
+                    w, h, depth, ctyp = struct.unpack_from(">IIBB", data, 0)
+                    assert (depth, ctyp) == (8, 2), "only 8-bit truecolor"
+                elif ctype == b"IDAT":
+                    idat += data
+                elif ctype == b"IEND":
+                    break
+                pos += 12 + ln
+            assert w is not None, "missing IHDR"
+            scan = zlib.decompress(bytes(idat))
+            stride = w * 3
+            assert len(scan) == h * (1 + stride), "bad scanline length"
+            prior = bytes(stride)
+            rows = []
+            for row in range(h):
+                off = row * (1 + stride)
+                raw = _png_unfilter_row(
+                    scan[off], scan[off + 1 : off + 1 + stride], prior
+                )
+                rows.append(np.frombuffer(raw, dtype=np.uint8))
+                prior = raw
+            img = np.stack(rows).reshape(h, w, 3)
+            means = img.reshape(-1, 3).mean(axis=0)  # R, G, B
+            return w, h, w * h, float(means[0]), float(means[1]), float(means[2])
+
+        def _safe(b):
+            try:
+                return decode(b)
+            except Exception:
+                if on_error == "raise":
+                    raise
+                return (None,) * 6
+
+        for pdf in batches:
+            out = [_safe(b) for b in pdf[payload_col]]
+            cols = list(zip(*out)) if out else [[]] * 6
+            yield pd.DataFrame(
+                {
+                    id_name: pdf[id_name],
+                    "width": cols[0],
+                    "height": cols[1],
+                    "n_pixels": cols[2],
+                    "mean_r": cols[3],
+                    "mean_g": cols[4],
+                    "mean_b": cols[5],
+                }
+            )
+
+    return df.select(id_name, payload_col).mapInPandas(kernel, schema=out_schema)
+
+
 def resize_dims_plan(
     df: DataFrame, max_side: int = 224,
     width_col: str = "media_meta.width", height_col: str = "media_meta.height",

@@ -7503,6 +7503,43 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 170. png_decode_features — REAL COMPRESSED-codec decode end-to-end:
+# PNG's entropy coder is DEFLATE, which the stdlib zlib provides, so
+# the full pipeline — chunk walk, inflate, per-row defiltering across
+# all five PNG filter types (the synth cycles them row % 5) — runs
+# with zero external libraries. Same gradient design as the BMP twin,
+# so the channel means keep closed forms THROUGH the compression and
+# the roundtrip is exact-hash checked. The codec stub now covers only
+# formats whose entropy coders the stdlib lacks (JPEG/H.264/Opus).
+
+def _png_decode_features(spark, sf_dir):
+    from ..operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    png = multimodal.synth_png_payload(docs, "doc_id")
+    return multimodal.decode_png_features(png, "doc_id")
+
+
+_register(
+    "png_decode_features",
+    _png_decode_features,
+    """
+    SELECT doc_id,
+           CAST(8 + doc_id % 8 AS BIGINT) AS width,
+           CAST(4 + doc_id % 4 AS BIGINT) AS height,
+           CAST((8 + doc_id % 8) * (4 + doc_id % 4) AS BIGINT) AS n_pixels,
+           CAST(doc_id % 100 + (4 + doc_id % 4 - 1) / 2.0 AS DOUBLE) AS mean_r,
+           CAST(doc_id % 50 + (8 + doc_id % 8 - 1) / 2.0 AS DOUBLE) AS mean_g,
+           CAST(doc_id % 200 AS DOUBLE) AS mean_b
+    FROM documents
+    """,
+    "north star: REAL compressed-codec decode (PNG chunk walk + zlib "
+    "inflate + all-five-filter defilter; synthesize->decode roundtrip "
+    "with closed-form oracle)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 # The driver's correctness harness checks the first 50 declared queries
@@ -7536,13 +7573,14 @@ _PRIORITY: tuple[str, ...] = (
     # deep_nested_rollup in-window — for the REAL image+video decode
     # roundtrips)
     "image_decode_features", "video_decode_features",
+    "png_decode_features",
     # dedup / keep-first / merge aggregation families (A5-A9, A13, A15, A16)
     "dedup_rank_priority", "first_order_per_customer",
     "customer_record_merge", "article_lists_special_case",
     "table_data_distinct", "qc_links_per_part",
     # flagship pipeline + reference-specific shapes
     "occurrence_cleaning_pipeline",
-    "taxon_key_quirks", "order_lineitems_rollup",
+    "taxon_key_quirks",
     # reference source/projection/enrichment families (S3 S6 P3 P5 P6
     # P10 P12 P14) + outer-merge joins (J3/J4)
     "specimen_doc_projection", "supplier_lineage_enrichment",

@@ -333,6 +333,54 @@ def test_decode_on_error_null_quarantines_malformed_payloads(spark):
     } == {1: None, 2: None}
 
 
+def test_png_filter_math_matches_spec_hand_computed():
+    # RFC 2083 §6 filter formulas verified against BY-HAND filtered
+    # bytes (raw=[10,20,30,13,22,35], prior=[1,2,3,4,5,6], bpp=3) —
+    # independent of the encoder/decoder pair, so a symmetric bug in
+    # both cannot pass.
+    from biodiversity_data_ingestion_spark.operators.multimodal import (
+        _png_filter_row,
+        _png_unfilter_row,
+    )
+
+    raw = bytes([10, 20, 30, 13, 22, 35])
+    prior = bytes([1, 2, 3, 4, 5, 6])
+    expected = {
+        0: [10, 20, 30, 13, 22, 35],
+        1: [10, 20, 30, 3, 2, 5],
+        2: [9, 18, 27, 9, 17, 29],
+        3: [10, 19, 29, 6, 10, 17],
+        4: [9, 18, 27, 3, 2, 5],
+    }
+    for ftype, want in expected.items():
+        got = _png_filter_row(ftype, raw, prior)
+        assert list(got) == want, (ftype, list(got))
+        assert _png_unfilter_row(ftype, got, prior) == raw, ftype
+
+
+def test_png_decode_golden(spark):
+    # hand-built 2x2 truecolor PNG (filter 0 rows, known pixels) must
+    # decode through the chunk walk + inflate + defilter to exact means
+    import struct
+    import zlib
+
+    from biodiversity_data_ingestion_spark.operators import multimodal
+    from biodiversity_data_ingestion_spark.operators.multimodal import _png_chunk
+
+    # row 0: (10,100,200) (20,110,210); row 1: (30,120,220) (40,130,230)
+    scan = bytes([0, 10, 100, 200, 20, 110, 210, 0, 30, 120, 220, 40, 130, 230])
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(scan))
+        + _png_chunk(b"IEND", b"")
+    )
+    df = spark.createDataFrame([(1, bytearray(png))], "id long, payload binary")
+    [row] = multimodal.decode_png_features(df, "id").collect()
+    assert (row.width, row.height, row.n_pixels) == (2, 2, 4)
+    assert (row.mean_r, row.mean_g, row.mean_b) == (25.0, 115.0, 215.0)
+
+
 def test_y4m_decode_golden(spark):
     # decode_y4m_features must parse a hand-built 2-frame 4x2 C420
     # stream: header tokens (incl. a fractional frame rate), FRAME
