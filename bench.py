@@ -54,6 +54,7 @@ HEADLINE = (
     "audio_decode_features",
     "image_decode_features",
     "video_decode_features",
+    "png_decode_features",
     "promo_disjunctive_filter",
 )
 

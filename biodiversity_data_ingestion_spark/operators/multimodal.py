@@ -15,10 +15,14 @@ features:
   (`decode_bmp_features`)
 - video: YUV4MPEG2 (y4m) header/FRAME/raw-4:2:0 parse
   (`decode_y4m_features`)
+- compressed image: PNG — chunk walk + zlib INFLATE + all-five-filter
+  defiltering (`decode_png_features`); DEFLATE is in the stdlib, so
+  even this compressed codec decodes for real
 
-Only COMPRESSED codecs (JPEG/PNG/H.264/Opus) remain a clearly-marked
-stub (`decode_media` raises NotImplementedError) — those need PIL /
-ffmpeg, which this container does not ship. The codec-free feature
+Only codecs whose entropy coders the stdlib lacks (JPEG/H.264/Opus)
+remain a clearly-marked stub (`decode_media` raises
+NotImplementedError) — those need PIL / ffmpeg, which this container
+does not ship. The codec-free feature
 kernel (`binary_features`: exact byte length + md5 over raw bytes,
 portable to DuckDB's md5(blob)) covers the payload-agnostic plumbing.
 
@@ -105,19 +109,20 @@ def binary_features(df: DataFrame, id_col: str, payload_col: str = "payload") ->
 
 
 def decode_media(df: DataFrame, payload_col: str = "payload"):
-    """STUB for COMPRESSED codecs only (JPEG/PNG/H.264/Opus/...), which
-    require codec libraries (PIL/ffmpeg) not installed in this
-    container. On a real deployment this becomes a mapInPandas kernel
+    """STUB for codecs whose entropy coders the stdlib lacks
+    (JPEG/H.264/Opus/...), which require codec libraries (PIL/ffmpeg)
+    not installed in this container. On a real deployment this becomes a mapInPandas kernel
     decoding each Arrow batch to pixel/sample arrays; the batch shape
     and schema contract are exactly those of `binary_features`. The
-    uncompressed container of each modality decodes FOR REAL here:
+    uncompressed container of each modality decodes FOR REAL here —
     PCM WAV audio (`decode_wav_features`), 24-bit BMP images
-    (`decode_bmp_features`), YUV4MPEG2 video (`decode_y4m_features`)."""
+    (`decode_bmp_features`), YUV4MPEG2 video (`decode_y4m_features`) —
+    and so does DEFLATE-compressed PNG (`decode_png_features`)."""
     raise NotImplementedError(
-        "compressed-codec decode needs codec libraries (PIL/ffmpeg); "
-        "uncompressed containers decode for real: decode_wav_features "
-        "(audio), decode_bmp_features (image), decode_y4m_features "
-        "(video) — same mapInPandas batch contract"
+        "JPEG/H.264/Opus-class decode needs codec libraries "
+        "(PIL/ffmpeg); WAV/BMP/y4m/PNG decode for real here: "
+        "decode_wav_features, decode_bmp_features, decode_y4m_features, "
+        "decode_png_features — same mapInPandas batch contract"
     )
 
 
