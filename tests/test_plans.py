@@ -247,6 +247,7 @@ def test_headline_plan_shuffle_budgets(spark):
         "audio_decode_features": 0,  # synth+decode kernels, no shuffle
         "image_decode_features": 0,
         "video_decode_features": 0,
+        "png_decode_features": 0,
         "doc_chunk_windows": 0,  # pure explode, no shuffle
         "near_dedup_keep_best": 3,  # pairs + CC feed a cluster window + agg
         "copurchase_triangles": 7,  # edges/deg checkpointed (was 46 without)
