@@ -7540,6 +7540,383 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 171. min_cost_part_supplier — TPC-H Q2 shape: correlated per-part MIN
+# subquery ("the supplier offering the minimum price for each part"),
+# rewritten as ONE window min over the part-pruned lineitem (no
+# self-join, one shuffle on l_partkey), then broadcast dimension
+# lookups. Ties keep every minimum-price supplier, exactly like Q2.
+# The equality join is on the UNROUNDED double — both engines take the
+# min over the identical value set, so the comparison is exact.
+
+def _min_cost_part_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .where((F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 15))
+        .select("p_partkey", "p_brand")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("l_partkey")
+    winners = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "p_brand", "l_suppkey", "l_extendedprice")
+        .withColumn("min_price", F.min("l_extendedprice").over(w))
+        .where(F.col("l_extendedprice") == F.col("min_price"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_brand",
+            "l_suppkey",
+            F.round("min_price", 2).alias("min_price"),
+        )
+        .distinct()
+    )
+    return (
+        winners.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("p_partkey", "p_brand", "s_name", F.col("n_name").alias("supplier_nation"), "min_price")
+    )
+
+
+_register(
+    "min_cost_part_supplier",
+    _min_cost_part_supplier,
+    """
+    WITH sub AS (
+        SELECT p_partkey, p_brand FROM part
+        WHERE p_type = 'ECONOMY' AND p_size <= 15),
+    w AS (
+        SELECT l.l_partkey, sub.p_brand, l.l_suppkey, l.l_extendedprice,
+               min(l.l_extendedprice) OVER (PARTITION BY l.l_partkey) AS min_price
+        FROM lineitem l JOIN sub ON l.l_partkey = sub.p_partkey)
+    SELECT DISTINCT w.l_partkey AS p_partkey, w.p_brand, s.s_name,
+           n.n_name AS supplier_nation,
+           round(w.min_price, 2) AS min_price
+    FROM w
+    JOIN supplier s ON w.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE w.l_extendedprice = w.min_price
+    """,
+    "engine extension: TPC-H Q2 plan shape (correlated MIN subquery as "
+    "a single window-min pass; tie-preserving; broadcast dims)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 172. priority_returned_orders — TPC-H Q4 shape: EXISTS decorrelated
+# to a LEFT SEMI join. The orders side is date-pruned at the scan; the
+# lineitem side is filtered to returned lines before the semi join, so
+# the shuffle carries only qualifying keys.
+
+def _priority_returned_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    returned = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_register(
+    "priority_returned_orders",
+    _priority_returned_orders,
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+    "engine extension: TPC-H Q4 plan shape (EXISTS -> left-semi join, "
+    "date-pruned probe side)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 173. part_revenue_concentration — TPC-H Q11 shape: per-group value
+# HAVING > fraction-of-global-total. The global total is a scalar
+# aggregate of the SAME per-part frame (computed once, broadcast via a
+# single-row cross join — no second lineitem scan); the threshold
+# comparison is exact decimal x integer arithmetic (rev * 2000 > total
+# ⇔ rev > 0.05% of total), so no float boundary can drift.
+
+def _part_revenue_concentration(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("rev")
+    )
+    total = per.agg(F.sum("rev").alias("total"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .where(F.col("rev") * 2000 > F.col("total"))
+        .select(
+            "l_partkey",
+            F.round("rev", 2).cast("double").alias("part_revenue"),
+        )
+    )
+
+
+_register(
+    "part_revenue_concentration",
+    _part_revenue_concentration,
+    """
+    WITH pr AS (
+        SELECT l_partkey,
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev
+        FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT sum(rev) AS total FROM pr)
+    SELECT l_partkey, CAST(round(rev, 2) AS DOUBLE) AS part_revenue
+    FROM pr, tot
+    WHERE rev * 2000 > total
+    """,
+    "engine extension: TPC-H Q11 plan shape (group HAVING vs global "
+    "scalar; one aggregation reused for both levels; exact decimal cut)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 174. top_revenue_supplier — TPC-H Q15 shape: the revenue view + max
+# scalar subquery. Revenue accumulates in decimal so the max-equality
+# join cannot split on a float ulp; the scalar max is a broadcast
+# single-row cross join against the SAME aggregated frame (the view is
+# built once, like Q15's CREATE VIEW, not re-scanned).
+
+def _top_revenue_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_rev", 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+_register(
+    "top_revenue_supplier",
+    _top_revenue_supplier,
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(round(r.total_rev, 2) AS DOUBLE) AS total_revenue
+    FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+    "engine extension: TPC-H Q15 plan shape (revenue view + scalar max "
+    "subquery; decimal-exact tie semantics)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 175. supplier_diversity_by_type — TPC-H Q16 shape: NOT IN (an
+# excluded-supplier dim predicate) decorrelated to a broadcast
+# LEFT ANTI join, then a count(DISTINCT supplier) per part attribute
+# group. The exclusion set (distressed suppliers, s_acctbal < 0) is
+# tiny and broadcast; distinct-counting happens AFTER the anti join so
+# excluded suppliers never enter the aggregation shuffle.
+
+def _supplier_diversity_by_type(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .where((F.col("p_brand") != "Brand#45") & (F.col("p_size") % 4 == 1))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    excluded = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(excluded),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_register(
+    "supplier_diversity_by_type",
+    _supplier_diversity_by_type,
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#45' AND p.p_size % 4 = 1
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    "engine extension: TPC-H Q16 plan shape (NOT IN -> broadcast anti "
+    "join + grouped count distinct)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 176. dominant_part_suppliers — TPC-H Q20 shape: the nested IN chain
+# (suppliers having a qualifying part-level aggregate) as one grouped
+# pass + window total + semi join. A supplier qualifies if, for some
+# 'red %' part, it shipped >30% of that part's total 1996 quantity.
+# Quantities are integral, so the 30% cut is exact integer arithmetic
+# (qty*10 > total*3). One shuffle on (partkey, suppkey), one window on
+# partkey, then broadcast dimension joins.
+
+def _dominant_part_suppliers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("red %"))
+        .select("p_partkey")
+    )
+    per = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("supp_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        per.withColumn("part_qty", F.sum("supp_qty").over(w))
+        .where(F.col("supp_qty") * 10 > F.col("part_qty") * 3)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("supplier_nation"))
+    )
+
+
+_register(
+    "dominant_part_suppliers",
+    _dominant_part_suppliers,
+    """
+    WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red %'),
+    per AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(sum(l_quantity) AS BIGINT) AS supp_qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_partkey IN (SELECT p_partkey FROM red)
+        GROUP BY l_partkey, l_suppkey),
+    tot AS (
+        SELECT *, sum(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+        FROM per)
+    SELECT s.s_suppkey, s.s_name, n.n_name AS supplier_nation
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN
+          (SELECT l_suppkey FROM tot WHERE supp_qty * 10 > part_qty * 3)
+    """,
+    "engine extension: TPC-H Q20 plan shape (nested IN chain -> grouped "
+    "pass + window total + semi join; exact integer share cut)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 177. lapsed_rich_customers — TPC-H Q22 shape: customers above the
+# global average positive balance with no RECENT orders (all sf
+# customers have some order, so the inactivity gate is date-bounded).
+# The average is never materialized: the cut is the exact cross-
+# multiplied decimal comparison bal * n_pos > total_pos, so no float
+# average can drift the boundary. Scalar aggregate broadcast via a
+# single-row cross join; the anti join's right side is the date-pruned
+# distinct custkey set.
+
+def _lapsed_rich_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "bal", F.col("c_acctbal").cast("decimal(12,2)")
+    )
+    stats = c.where(F.col("c_acctbal") > 0).agg(
+        F.sum("bal").alias("total_pos"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(stats))
+        .where(F.col("bal") * F.col("n_pos") > F.col("total_pos"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("bal"), 2).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+_register(
+    "lapsed_rich_customers",
+    _lapsed_rich_customers,
+    """
+    WITH c AS (SELECT *, CAST(c_acctbal AS DECIMAL(12,2)) AS bal FROM customer),
+    stats AS (
+        SELECT sum(bal) AS total_pos, count(*) AS n_pos
+        FROM c WHERE c_acctbal > 0)
+    SELECT c_mktsegment, count(*) AS numcust,
+           CAST(round(sum(bal), 2) AS DOUBLE) AS totacctbal
+    FROM c, stats
+    WHERE bal * n_pos > total_pos
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c_mktsegment
+    """,
+    "engine extension: TPC-H Q22 plan shape (global-average cut as "
+    "exact decimal cross-multiplication + NOT EXISTS anti join)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 # The driver's correctness harness checks the first 50 declared queries

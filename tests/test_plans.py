@@ -325,6 +325,11 @@ def test_no_scale_killer_joins_anywhere(spark):
         # 1-row aggregate crossJoins (node/edge/triangle counts folded
         # into the single output row)
         "copurchase_triangles",
+        # TPC-H Q11/Q15/Q22 shapes: the global scalar (total revenue /
+        # max revenue / avg positive balance) is a broadcast 1-row
+        # aggregate cross join against the reused grouped frame
+        "part_revenue_concentration", "top_revenue_supplier",
+        "lapsed_rich_customers",
     }
     # measured ceilings for the two legitimately widest plans; anything
     # beyond these usually means a shared subplan is being re-executed
