@@ -7940,10 +7940,13 @@ _PRIORITY: tuple[str, ...] = (
     # multimodal_features — all r2-driver-green, families still
     # evidenced — out for audio_decode_features, near_dedup_keep_best,
     # doc_chunk_windows)
+    # (fourth mid-round-3 swap: seven r2-driver-green spine queries —
+    # dedup_min_by, nation_cogroup, order_priority_dims,
+    # lineitem_retention, events_classified, price_stats_by_flag,
+    # segment_sets_by_region; their green rows persist in
+    # CORRECTNESS_r02.json — out for the seven never-driver-checked
+    # TPC-H plan shapes Q2/Q4/Q11/Q15/Q16/Q20/Q22 added this session)
     "q1_pricing_summary", "revenue_by_nation", "inactive_customers",
-    "dedup_min_by", "nation_cogroup", "order_priority_dims",
-    "lineitem_retention", "events_classified",
-    "price_stats_by_flag", "segment_sets_by_region",
     "deep_nested_rollup", "full_metadata_roundtrip",
     # (third mid-round-3 swap: part_urls + nested_order_rollup out —
     # r2-driver-green, families covered by provenance_requests /
@@ -7978,9 +7981,13 @@ _PRIORITY: tuple[str, ...] = (
     "audio_decode_features", "near_dedup_keep_best", "doc_chunk_windows",
     "copurchase_triangles",
     "paragraph_dedup_reassembly", "bpe_pair_merge",
-    # TPC-H plan-shape family (Q13/Q17/Q19/Q21)
+    # TPC-H plan-shape family (Q13/Q17/Q19/Q21 + Q2/Q4/Q11/Q15/Q16/Q20/Q22)
     "order_count_distribution", "small_quantity_revenue",
     "promo_disjunctive_filter", "sole_return_supplier",
+    "min_cost_part_supplier", "priority_returned_orders",
+    "part_revenue_concentration", "top_revenue_supplier",
+    "supplier_diversity_by_type", "dominant_part_suppliers",
+    "lapsed_rich_customers",
     # geo kernels
     "points_in_region", "climate_zonal_grid",
     # event-time / streaming / temporal-table families
