@@ -7917,6 +7917,49 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 178. embedding_random_projection — Johnson-Lindenstrauss dim
+# reduction 64 -> 8 with a deterministic Rademacher matrix (LCG-mixed
+# signs, plan-literal, broadcast with the plan). The at-scale lever:
+# shrink vectors BEFORE any LSH/banding shuffle so downstream stages
+# move 8x less data. Per-component sums are left-to-right folds on both
+# engines (F.aggregate vs list_reduce), so the comparison is exact.
+
+def _embedding_random_projection(spark, sf_dir):
+    from ..operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.random_projection(emb, "vec_id", "embedding", 64, 8)
+
+
+_register(
+    "embedding_random_projection",
+    _embedding_random_projection,
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT vec_id, j,
+           round(
+             list_reduce(
+               list_transform(generate_series(0, 63),
+                 i -> (CASE WHEN (xor(
+                          xor((i*8+j+1)*2654435761 % 2147483648,
+                              ((i*8+j+1)*2654435761 % 2147483648) // 65536)
+                            * 1597334677 % 2147483648,
+                          (xor((i*8+j+1)*2654435761 % 2147483648,
+                               ((i*8+j+1)*2654435761 % 2147483648) // 65536)
+                             * 1597334677 % 2147483648) // 8192
+                        ) // 16) % 2 = 0
+                            THEN CAST(1.0 AS DOUBLE)
+                            ELSE CAST(-1.0 AS DOUBLE) END) * v[i+1]),
+               (acc, x) -> acc + x) / sqrt(8.0),
+             6) AS comp
+    FROM e, unnest(generate_series(0, 7)) t(j)
+    """,
+    "north star: JL random projection (deterministic Rademacher plan "
+    "literal; fold-exact parity; dim cut ahead of LSH shuffles)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 # The driver's correctness harness checks the first 50 declared queries

@@ -639,3 +639,44 @@ def test_redact_pii_scrubs_everything(spark):
     for pat in PII_PATTERNS.values():
         residual = out.where(F.col("redacted").rlike(pat)).count()
         assert residual == 0, pat
+
+
+def test_random_projection_preserves_distances(spark):
+    # JL property: with d_out=32 deterministic Rademacher signs, all
+    # pairwise distance ratios ||P(a)-P(b)|| / ||a-b|| stay in a
+    # moderate band (measured on this data: [0.60, 1.42]; numpy
+    # true-random signs give the same band — the xor-shift mixer is
+    # as good as random). A correlated sign matrix (e.g. a plain LCG)
+    # fails this with ratios down to 0.27.
+    from itertools import combinations
+
+    from biodiversity_data_ingestion_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(60)
+    V = {
+        r["vec_id"]: np.array(r["embedding"], dtype=float)
+        for r in emb.collect()
+    }
+    proj = similarity.random_projection(emb, "vec_id", "embedding", 64, 32)
+    P = {}
+    for r in proj.collect():
+        P.setdefault(r["vec_id"], {})[r["j"]] = r["comp"]
+    Pv = {k: np.array([d[j] for j in sorted(d)]) for k, d in P.items()}
+    assert all(len(v) == 32 for v in Pv.values())
+    ratios = []
+    for a, b in combinations(sorted(V), 2):
+        do = np.linalg.norm(V[a] - V[b])
+        if do > 1e-9:
+            ratios.append(np.linalg.norm(Pv[a] - Pv[b]) / do)
+    lo, hi = min(ratios), max(ratios)
+    assert 0.45 < lo and hi < 1.75, (lo, hi)
+    # sign matrix itself: columns must be near-orthogonal (the failure
+    # mode this test exists to catch is inter-column correlation)
+    R = np.array(
+        [
+            [similarity._jl_sign(i, j, 32) for j in range(32)]
+            for i in range(64)
+        ]
+    )
+    C = (R.T @ R) / 64 - np.eye(32)
+    assert np.abs(C).max() < 0.6, np.abs(C).max()
