@@ -56,6 +56,10 @@ HEADLINE = (
     "video_decode_features",
     "png_decode_features",
     "promo_disjunctive_filter",
+    # round-3 additions: the scalar-subquery TPC-H shape (checkpointed
+    # shared aggregation) and the JL dim-reduction kernel
+    "part_revenue_concentration",
+    "embedding_random_projection",
 )
 
 # queries whose builder EXECUTES the work eagerly (streaming drains,

@@ -7652,12 +7652,18 @@ _register(
 
 def _part_revenue_concentration(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    per = li.groupBy("l_partkey").agg(
-        F.sum(
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                "decimal(18,4)"
-            )
-        ).alias("rev")
+    per = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("rev")
+        )
+        # shared by the per-part side AND the scalar total: checkpoint so
+        # the fact table is scanned+aggregated once, not once per branch
+        .localCheckpoint(eager=False)
     )
     total = per.agg(F.sum("rev").alias("total"))
     return (
@@ -7700,12 +7706,18 @@ def _top_revenue_supplier(spark, sf_dir):
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
-    rev = li.groupBy("l_suppkey").agg(
-        F.sum(
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                "decimal(18,4)"
-            )
-        ).alias("total_rev")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("total_rev")
+        )
+        # the view feeds both the max scalar and the equality filter:
+        # checkpoint = one lineitem scan total (Q15's CREATE VIEW intent)
+        .localCheckpoint(eager=False)
     )
     mx = rev.agg(F.max("total_rev").alias("max_rev"))
     s = _t(spark, sf_dir, "supplier")

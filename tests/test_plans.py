@@ -251,6 +251,15 @@ def test_headline_plan_shuffle_budgets(spark):
         "doc_chunk_windows": 0,  # pure explode, no shuffle
         "near_dedup_keep_best": 3,  # pairs + CC feed a cluster window + agg
         "copurchase_triangles": 7,  # edges/deg checkpointed (was 46 without)
+        # TPC-H Q2/Q4/Q11/Q15/Q16/Q20/Q22 shapes (measured like the rest)
+        "min_cost_part_supplier": 1,  # one window-min pass; dims broadcast
+        "priority_returned_orders": 1,  # semi join + grouped count
+        "part_revenue_concentration": 1,  # per-part agg checkpointed once
+        "top_revenue_supplier": 1,  # revenue view checkpointed once
+        "supplier_diversity_by_type": 2,  # anti join feeds distinct count
+        "dominant_part_suppliers": 3,  # (part,supp) agg + window + semi
+        "lapsed_rich_customers": 2,  # scalar stats + anti join + rollup
+        "embedding_random_projection": 0,  # per-row fold, plan-literal matrix
     }
     over = {}
     for name, budget in budgets.items():
