@@ -260,6 +260,15 @@ def test_headline_plan_shuffle_budgets(spark):
         "dominant_part_suppliers": 3,  # (part,supp) agg + window + semi
         "lapsed_rich_customers": 2,  # scalar stats + anti join + rollup
         "embedding_random_projection": 0,  # per-row fold, plan-literal matrix
+        # TPC-H Q5/Q7/Q8/Q9/Q10/Q12/Q14 shapes: broadcast snowflakes,
+        # one rollup exchange each (measured at sf0.001, AQE on)
+        "regional_supplier_revenue": 1,
+        "bilateral_shipping_volume": 1,
+        "national_market_share": 1,
+        "part_type_profit": 1,
+        "returned_item_top_customers": 1,
+        "priority_class_line_counts": 1,
+        "promo_revenue_share": 1,
     }
     over = {}
     for name, budget in budgets.items():
