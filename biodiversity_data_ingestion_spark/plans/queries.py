@@ -8467,7 +8467,6 @@ _PRIORITY: tuple[str, ...] = (
     "ngram_jaccard_dups",
     "ann_cosine_topk", "dedup_components",
     "corpus_quality_gate", "sequence_packing",
-    "tfidf_top_terms",
     "audio_decode_features", "near_dedup_keep_best", "doc_chunk_windows",
     "copurchase_triangles",
     "paragraph_dedup_reassembly", "bpe_pair_merge",
@@ -8478,8 +8477,13 @@ _PRIORITY: tuple[str, ...] = (
     "part_revenue_concentration", "top_revenue_supplier",
     "supplier_diversity_by_type", "dominant_part_suppliers",
     "lapsed_rich_customers",
-    # geo kernels
-    "points_in_region", "climate_zonal_grid",
+    # (fifth mid-round-3 swap: points_in_region, climate_zonal_grid and
+    # tfidf_top_terms — all r2-driver-green; geo stays evidenced
+    # in-window by uncertainty_buffer_wkt / ecoregion_zones and the
+    # cleaning pipeline's centroid path — out for the JL projection and
+    # two Q5-Q14-family representatives)
+    "embedding_random_projection",
+    "national_market_share", "returned_item_top_customers",
     # event-time / streaming / temporal-table families
     "stream_event_window",
 )
