@@ -405,3 +405,49 @@ def random_projection(
         F.col("j").cast("long").alias("j"),
         F.round("comp", 6).alias("comp"),
     )
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 3,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style blocked embedding dedup (Abbas et al. 2023):
+    cluster the corpus with deterministic k-means, then score exact
+    cosine pairs WITHIN each cluster only. The cluster id is the
+    blocking key — pairwise work drops from n^2 to sum(|cluster|^2),
+    and the per-cluster join shuffles on the cluster id instead of
+    cross-joining the corpus. Near-duplicates by construction sit close
+    in embedding space, so they share a cluster at any reasonable k;
+    k trades recall (bigger clusters) against cost (smaller).
+
+    Returns (id_a < id_b, cos_sim >= threshold, cluster) candidate
+    pairs, cosine rounded to 6dp like `cosine_dup_pairs` (whose
+    unblocked output this matches on separated data — unit-tested).
+    """
+    clusters = kmeans_lloyd(corpus, id_col, vec_col, k=k, n_iter=n_iter)
+    with_c = corpus.join(clusters, id_col).select(
+        F.col(id_col).alias("vid"),
+        as_double_vec(F.col(vec_col)).alias("v"),
+        "cluster",
+    )
+    a = with_c.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"), "cluster"
+    )
+    b = with_c.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"), "cluster"
+    )
+    return (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            "cluster",
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -8407,6 +8407,41 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 186. semantic_dedup_corpus — SemDeDup (Abbas et al. 2023): k-means
+# clusters as the blocking key, exact cosine pairs inside each cluster,
+# connected components, keep the min-id member per duplicate cluster.
+# Rows-only by design (Lloyd iterations are not SQL-expressible);
+# correctness is covered by test_semantic_dedup_matches_brute_force
+# (blocked pair set == unblocked all-pairs set on separated data).
+
+def _semantic_dedup_corpus(spark, sf_dir):
+    from ..operators import corpus as corpus_ops
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.semantic_dedup_pairs(
+        emb, "vec_id", "embedding", k=8, n_iter=2, threshold=0.4
+    )
+    retained = corpus_ops.near_dedup_retained(
+        emb.select("vec_id"),
+        pairs.select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+        ),
+        "vec_id",
+    )
+    return retained.select("vec_id").orderBy("vec_id")
+
+
+_register(
+    "semantic_dedup_corpus",
+    _semantic_dedup_corpus,
+    None,  # rows-only: iterative k-means blocking is not SQL-expressible
+    "north star: SemDeDup-style embedding dedup (cluster-blocked exact "
+    "cosine + CC + canonical keep; pairwise cost sum(|cluster|^2), "
+    "never n^2)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 # The driver's correctness harness checks the first 50 declared queries

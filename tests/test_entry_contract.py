@@ -34,4 +34,5 @@ def test_queries_and_oracles_align():
         "hll_mergeable_rollup",
         "theta_user_overlap",
         "kll_value_quantiles",
+        "semantic_dedup_corpus",
     }

@@ -680,3 +680,33 @@ def test_random_projection_preserves_distances(spark):
     )
     C = (R.T @ R) / 64 - np.eye(32)
     assert np.abs(C).max() < 0.6, np.abs(C).max()
+
+
+def test_semantic_dedup_matches_brute_force(spark):
+    # SemDeDup blocking is an optimization, not an approximation, when
+    # near-duplicates share a cluster: on well-separated blobs the
+    # cluster-blocked pair set must EQUAL the unblocked all-pairs set.
+    rng = np.random.default_rng(7)
+    rows, vid = [], 0
+    for blob in range(3):
+        center = rng.normal(size=8) * 10 + blob * 100
+        for member in range(6):
+            # first three are near-duplicates of the center, rest unique
+            noise = rng.normal(size=8) * (0.01 if member < 3 else 8.0)
+            rows.append((vid, [float(x) for x in center + noise]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_dup_pairs(
+            df, "vec_id", "embedding", threshold=0.999
+        ).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.semantic_dedup_pairs(
+            df, "vec_id", "embedding", k=3, n_iter=3, threshold=0.999
+        ).collect()
+    }
+    assert brute, "fixture produced no near-duplicate pairs"
+    assert blocked == brute
