@@ -8442,6 +8442,77 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 187. quality_threshold_sweep — filter-calibration sweep: docs/tokens
+# retained at EVERY quality threshold from one corpus pass. The trick:
+# bucket each doc once (floor(quality*10)), aggregate the histogram,
+# then a suffix-cumulative window over the ≤11 bucket rows — choosing
+# the operating point of a quality gate costs one scan, not one scan
+# per candidate threshold. The global window runs on the tiny
+# aggregated frame, never on the corpus.
+
+def _quality_threshold_sweep(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    q = textops.quality_score(docs, "doc_id", "text").select("n_words", "quality")
+    hist = (
+        q.select(
+            F.floor(F.col("quality") * 10).cast("int").alias("bucket"),
+            "n_words",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_b"),
+            F.sum("n_words").cast("long").alias("words_b"),
+        )
+    )
+    w = (
+        Window.orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return hist.select(
+        (F.col("bucket").cast("double") / 10).alias("threshold"),
+        F.sum("n_docs_b").over(w).cast("long").alias("docs_retained"),
+        F.sum("words_b").over(w).cast("long").alias("words_retained"),
+    )
+
+
+_register(
+    "quality_threshold_sweep",
+    _quality_threshold_sweep,
+    f"""
+    WITH w AS (SELECT doc_id, text, {_DD_WORDS} AS words FROM documents),
+    b AS (
+        SELECT doc_id, len(words) AS n_words,
+               len(list_filter(words, x -> x IN ('the','a','of','and','to'))) AS n_stop,
+               length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+               length(text) AS n_chars_t
+        FROM w),
+    q AS (
+        SELECT doc_id, n_words,
+               round((CASE WHEN n_words >= 5 THEN 1.0 ELSE 0.0 END)
+                     * (1.0 - round(n_punct / greatest(n_chars_t, 1), 4))
+                     * (CASE WHEN round(n_stop / n_words, 4) > 0.01
+                             THEN 1.0 ELSE 0.5 END), 4) AS quality
+        FROM b),
+    h AS (
+        SELECT CAST(floor(quality * 10) AS INT) AS bucket,
+               count(*) AS n_docs_b,
+               CAST(sum(n_words) AS BIGINT) AS words_b
+        FROM q GROUP BY 1)
+    SELECT CAST(bucket AS DOUBLE) / 10 AS threshold,
+           CAST(sum(n_docs_b) OVER (ORDER BY bucket DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS docs_retained,
+           CAST(sum(words_b) OVER (ORDER BY bucket DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS words_retained
+    FROM h
+    """,
+    "north star: quality-gate calibration sweep (histogram + suffix "
+    "cumulative; every threshold's retention from ONE corpus pass)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 # The driver's correctness harness checks the first 50 declared queries
