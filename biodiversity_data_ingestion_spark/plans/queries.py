@@ -8513,6 +8513,57 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 188. forecast_revenue_change — TPC-H Q6 shape: the pure-pushdown
+# query. Three range predicates all reach the parquet scan
+# (PushedFilters), no join, one global decimal sum — the sanity floor
+# of the scan spine: if this plan ever grows an exchange beyond the
+# single-partition combine or loses pushdown, scanning broke.
+
+def _forecast_revenue_change(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_register(
+    "forecast_revenue_change",
+    _forecast_revenue_change,
+    """
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount
+                               AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS revenue_delta,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    "engine extension: TPC-H Q6 plan shape (all predicates pushed to "
+    "the scan, no join, one global decimal sum)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 # The driver's correctness harness checks the first 50 declared queries
