@@ -30,6 +30,18 @@ def test_q1_filter_pushdown_and_column_pruning(spark):
     assert "l_quantity" in read and "l_discount" in read
 
 
+def test_q6_pure_pushdown_no_join(spark):
+    # TPC-H Q6 shape: every predicate reaches the scan; the only
+    # exchange is the single-partition combine of the global aggregate
+    plan = _plan(spark, "forecast_revenue_change")
+    assert "PushedFilters" in plan
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    assert "Join" not in plan
+    import re
+    assert len(re.findall(r"Exchange (?:hash|range)partitioning", plan)) == 0
+
+
 def test_dimension_joins_are_broadcast(spark):
     plan = _plan(spark, "revenue_by_nation")
     assert plan.count("BroadcastHashJoin") >= 2  # nation + region at minimum
