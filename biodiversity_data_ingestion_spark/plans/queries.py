@@ -8564,6 +8564,31 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 189. stream_dedup_within_watermark — the state-BOUNDED streaming
+# dedup: dropDuplicatesWithinWatermark holds one entry per key with an
+# event-time TTL (vs plain dropDuplicates' forever-state). Delay spans
+# the dataset so the emitted key set == batch DISTINCT independent of
+# micro-batch boundaries (see the runner's docstring).
+
+def _stream_dedup_within_watermark(spark, sf_dir):
+    from ..streaming.stateful import (
+        run_stream_dedup_within_watermark_over_events,
+    )
+
+    return run_stream_dedup_within_watermark_over_events(spark, sf_dir)
+
+
+_register(
+    "stream_dedup_within_watermark",
+    _stream_dedup_within_watermark,
+    "SELECT DISTINCT user_id, event_type FROM events",
+    "engine extension §2.9: dropDuplicatesWithinWatermark — per-key "
+    "event-time-TTL dedup state (bounded by the duplicate window, not "
+    "key-cardinality history)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 # The driver's correctness harness checks the first 50 declared queries

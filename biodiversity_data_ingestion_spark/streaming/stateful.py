@@ -302,3 +302,31 @@ def run_stream_left_join_over_events(
             ),
         )
     )
+
+
+def run_stream_dedup_within_watermark_over_events(
+    spark, sf_dir: str, query_name: str = "bdi_stream_wm_dedup"
+) -> DataFrame:
+    """Streaming dedup via ``dropDuplicatesWithinWatermark``: unlike
+    plain ``dropDuplicates`` (whose state holds every key forever unless
+    the watermark column is part of the key), the WithinWatermark
+    variant keeps ONE state entry per key with an event-time TTL — the
+    right primitive when duplicates arrive close together (at-least-once
+    sources, retried writes) and state must stay bounded by the
+    duplicate-arrival window, not by key cardinality history.
+
+    The delay here deliberately exceeds the dataset's full time span so
+    no state eviction can fire mid-run: the emitted key set is then
+    provably the batch DISTINCT regardless of how the file stream is
+    micro-batched (the oracle contract). Production pipelines set the
+    delay to the real duplicate window (minutes), which is where the
+    state bound pays off.
+    """
+    stream = _events_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "3650 days")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _drain(deduped, query_name)
