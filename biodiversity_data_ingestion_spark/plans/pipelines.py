@@ -117,3 +117,39 @@ def materialize_tokenized_corpus(docs: DataFrame, path: str) -> DataFrame:
     ).withColumn("n_toks", F.size("toks").cast("long"))
     prepped.write.mode("overwrite").parquet(path)
     return docs.sparkSession.read.parquet(path)
+
+
+def clean_with_observed_metrics(
+    occ: DataFrame,
+    centroids: DataFrame,
+    **kwargs,
+):
+    """Cleaning chain instrumented with ``Observation`` metrics: row
+    counts and null/filter tallies accumulate DURING the one cleaning
+    pass instead of re-scanning per metric (each `count()`-style audit
+    on a 100 TB input is another full scan; observations are free —
+    they ride the existing job as accumulators).
+
+    Returns (cleaned_df, observations) where observations maps stage ->
+    Observation; call ``obs.get`` AFTER an action on cleaned_df to read
+    {rows_in, null_coords, rows_out}. The reference's cleaning summary
+    (A2) is a *separate* counting pipeline; this is the in-flight
+    equivalent for pipeline health gates (alert if retained % collapses)
+    without a second pass.
+    """
+    from pyspark.sql import Observation
+
+    obs_in = Observation("cleaning_in")
+    obs_out = Observation("cleaning_out")
+    lat = kwargs.get("lat", "lat")
+    lon = kwargs.get("lon", "lon")
+    observed_in = occ.observe(
+        obs_in,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(
+            (F.col(lat).isNull() | F.col(lon).isNull()).cast("long")
+        ).alias("null_coords"),
+    )
+    cleaned = clean_occurrence_records(observed_in, centroids, **kwargs)
+    cleaned = cleaned.observe(obs_out, F.count(F.lit(1)).alias("rows_out"))
+    return cleaned, {"in": obs_in, "out": obs_out}

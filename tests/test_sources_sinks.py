@@ -431,3 +431,29 @@ def test_load_table_nanos_fallback_without_session_conf(spark, tmp_path):
         assert out.first()["ts"] == datetime.datetime(2023, 11, 14, 22, 13, 20)
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def test_observed_metrics_ride_the_cleaning_pass(spark):
+    # Observation metrics must match the standalone counts WITHOUT any
+    # additional scan: rows_in / null_coords tally on the input, rows_out
+    # on the survivors, all read after one action on the result.
+    from biodiversity_data_ingestion_spark.plans.pipelines import (
+        clean_with_observed_metrics,
+    )
+
+    occ = spark.createDataFrame(
+        [
+            (1, "a", 0.0, 0.0, 2000.0),
+            (2, "a", None, 10.0, 2000.0),   # null coord (also dropped)
+            (3, "a", 10.0, 10.0, 999.0),
+            (4, "a", 10.0, 10.0, 2000.0),
+            (5, "a", 10.0, 10.0, 3000.0),
+            (6, "b", -20.0, -20.0, 5000.0),
+        ],
+        "occurrence_id INT, species STRING, lat DOUBLE, lon DOUBLE, uncertainty_m DOUBLE",
+    )
+    cents = spark.createDataFrame([(50.0, 50.0)], "c_lat DOUBLE, c_lon DOUBLE")
+    cleaned, obs = clean_with_observed_metrics(occ, cents)
+    assert {r["occurrence_id"] for r in cleaned.collect()} == {4, 6}
+    assert obs["in"].get == {"rows_in": 6, "null_coords": 1}
+    assert obs["out"].get == {"rows_out": 2}
