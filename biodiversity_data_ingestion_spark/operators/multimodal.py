@@ -744,3 +744,258 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         "frame_ts_ms",
         F.explode(F.sequence(F.lit(0), F.greatest(dur - 1, F.lit(0)), F.lit(every_ms))),
     )
+
+
+# --- GIF (LZW) ------------------------------------------------------------
+# A second REAL compressed codec, with the dictionary coder written from
+# scratch (PNG above reuses stdlib zlib; here the LZW bitstream itself
+# is hand-rolled, both directions). GIF variant of LZW: variable code
+# width starting at min_code_size+1 bits, LSB-first packing, CLEAR and
+# EOI codes, width growth capped at 12 bits. Width-sync convention
+# (decoder's table insertion runs one code behind the encoder's): the
+# DECODER widens when its next_code reaches 1<<code_size after an
+# insertion; the ENCODER widens when its next_code reaches
+# (1<<code_size)+1 — exercised across the 512/1024 boundaries by
+# test_lzw_roundtrip_crosses_width_boundaries.
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    bitbuf = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    emit(clear)
+    cur = b""
+    for ch in bytes(indices):
+        nxt = cur + bytes([ch])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        if next_code < 4096:  # 12-bit cap: freeze the table, never CLEAR
+            table[nxt] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        cur = bytes([ch])
+    if cur:
+        emit(table[cur])
+    emit(eoi)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    table = {i: bytes([i]) for i in range(clear)}
+    next_code = eoi + 1
+    bitbuf = 0
+    nbits = 0
+    pos = 0
+    out = bytearray()
+    prev: bytes | None = None
+
+    def read() -> int:
+        nonlocal bitbuf, nbits, pos
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated")
+            bitbuf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = bitbuf & ((1 << code_size) - 1)
+        bitbuf >>= code_size
+        nbits -= code_size
+        return code
+
+    while True:
+        code = read()
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("bad LZW code")
+        out += entry
+        if prev is not None and next_code < 4096:  # mirror the freeze
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+
+
+def synth_gif_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic GIF89a synthesis — the test-data twin for the GIF
+    decode. 8-bit palette image, palette entry i = (i, 2i, 3i); pixel
+    index at (row, col) = id%40 + row + col (max 39+3+7 = 49, so no
+    channel wraps and the means keep closed forms through the LZW
+    compression): mean_idx = id%40 + (h-1)/2 + (w-1)/2, channel means
+    = (1x, 2x, 3x) mean_idx. Same gradient geometry as the BMP/PNG
+    twins (w = 8 + id%8, h = 4 + id%4)."""
+    import struct
+
+    from pyspark.sql.types import BinaryType
+
+    out_schema = StructType(
+        [df.schema[id_col], StructField("payload", BinaryType(), True)]
+    )
+    id_name = id_col
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def build(did: int) -> bytes:
+            w, h = 8 + did % 8, 4 + did % 4
+            palette = bytearray()
+            for i in range(256):
+                palette += bytes([min(i, 255), min(2 * i, 255), min(3 * i, 255)])
+            idx = bytes(
+                did % 40 + r + c for r in range(h) for c in range(w)
+            )
+            lzw = _lzw_encode(idx, 8)
+            blocks = bytearray()
+            for off in range(0, len(lzw), 255):
+                chunk = lzw[off : off + 255]
+                blocks += bytes([len(chunk)]) + chunk
+            return (
+                b"GIF89a"
+                + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT, 256 entries
+                + bytes(palette)
+                + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+                + bytes([8])  # LZW min code size
+                + bytes(blocks)
+                + b"\x00\x3b"
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_name: pdf[id_name],
+                    "payload": [build(int(d)) for d in pdf[id_name]],
+                }
+            )
+
+    return fan_out(df.select(id_name)).mapInPandas(kernel, schema=out_schema)
+
+
+def decode_gif_features(
+    df: DataFrame, id_col: str, payload_col: str = "payload",
+    on_error: str = "raise",
+) -> DataFrame:
+    """REAL GIF decode with a from-scratch LZW: header + logical screen
+    descriptor + global color table + image descriptor parse, then the
+    hand-rolled variable-width LZW decompression of the index stream
+    and palette lookup to per-channel means. Same batch contract and
+    dead-letter option as the other decoders. (Single-image,
+    non-interlaced, global-palette GIFs — the synth twin's envelope;
+    extension blocks are skipped per spec.)"""
+    import struct
+
+    from pyspark.sql.types import DoubleType
+
+    out_schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("n_pixels", LongType(), True),
+            StructField("mean_r", DoubleType(), True),
+            StructField("mean_g", DoubleType(), True),
+            StructField("mean_b", DoubleType(), True),
+        ]
+    )
+    id_name = id_col
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def decode(buf):
+            if buf is None:
+                return (None,) * 6
+            buf = bytes(buf)
+            assert buf[:6] in (b"GIF89a", b"GIF87a"), "not a GIF payload"
+            sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", buf, 6)
+            pos = 13
+            assert packed & 0x80, "global color table required"
+            gct_len = 2 << (packed & 0x07)
+            palette = np.frombuffer(
+                buf[pos : pos + 3 * gct_len], dtype=np.uint8
+            ).reshape(gct_len, 3)
+            pos += 3 * gct_len
+            while True:
+                marker = buf[pos]
+                if marker == 0x21:  # extension: label + sub-blocks
+                    pos += 2
+                    while buf[pos] != 0:
+                        pos += 1 + buf[pos]
+                    pos += 1
+                elif marker == 0x2C:
+                    break
+                else:
+                    raise ValueError("unexpected GIF block")
+            _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", buf, pos + 1)
+            assert not (ipacked & 0x80), "local color tables unsupported"
+            assert not (ipacked & 0x40), "interlace unsupported"
+            pos += 10
+            min_code = buf[pos]
+            pos += 1
+            lzw = bytearray()
+            while buf[pos] != 0:
+                ln = buf[pos]
+                lzw += buf[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _lzw_decode(bytes(lzw), min_code)
+            assert len(idx) == w * h, "decoded pixel count mismatch"
+            rgb = palette[np.frombuffer(idx, dtype=np.uint8)]
+            means = rgb.astype(np.float64).mean(axis=0)
+            return w, h, w * h, float(means[0]), float(means[1]), float(means[2])
+
+        def _safe(b):
+            try:
+                return decode(b)
+            except Exception:
+                if on_error == "raise":
+                    raise
+                return (None,) * 6
+
+        for pdf in batches:
+            feats = [_safe(b) for b in pdf[payload_col]]
+            cols = list(zip(*feats)) if feats else [[]] * 6
+            yield pd.DataFrame(
+                {
+                    id_name: pdf[id_name],
+                    "width": pd.array(cols[0], dtype="Int64"),
+                    "height": pd.array(cols[1], dtype="Int64"),
+                    "n_pixels": pd.array(cols[2], dtype="Int64"),
+                    "mean_r": pd.array(cols[3], dtype="float64"),
+                    "mean_g": pd.array(cols[4], dtype="float64"),
+                    "mean_b": pd.array(cols[5], dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(kernel, schema=out_schema)

@@ -8589,6 +8589,44 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 190. gif_decode_features — the SECOND real compressed codec, with the
+# dictionary coder written from scratch: GIF89a container parse + a
+# hand-rolled variable-width LZW (LSB-first bitstream, CLEAR/EOI,
+# width growth to the 12-bit cap with table freeze) + palette lookup.
+# PNG (#170) exercises stdlib INFLATE; this exercises an entropy-class
+# coder implemented by hand — the stub now covers only JPEG/H.264/Opus
+# class codecs. Synth twin gives closed-form channel means.
+
+def _gif_decode_features(spark, sf_dir):
+    from ..operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    gif = multimodal.synth_gif_payload(docs, "doc_id")
+    return multimodal.decode_gif_features(gif, "doc_id")
+
+
+_register(
+    "gif_decode_features",
+    _gif_decode_features,
+    """
+    SELECT doc_id,
+           CAST(8 + doc_id % 8 AS BIGINT) AS width,
+           CAST(4 + doc_id % 4 AS BIGINT) AS height,
+           CAST((8 + doc_id % 8) * (4 + doc_id % 4) AS BIGINT) AS n_pixels,
+           CAST(doc_id % 40 + (4 + doc_id % 4 - 1) / 2.0
+                + (8 + doc_id % 8 - 1) / 2.0 AS DOUBLE) AS mean_r,
+           CAST(2 * (doc_id % 40 + (4 + doc_id % 4 - 1) / 2.0
+                     + (8 + doc_id % 8 - 1) / 2.0) AS DOUBLE) AS mean_g,
+           CAST(3 * (doc_id % 40 + (4 + doc_id % 4 - 1) / 2.0
+                     + (8 + doc_id % 8 - 1) / 2.0) AS DOUBLE) AS mean_b
+    FROM documents
+    """,
+    "north star: REAL GIF decode with from-scratch variable-width LZW "
+    "(synthesize->decode roundtrip, closed-form oracle)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 # The driver's correctness harness checks the first 50 declared queries

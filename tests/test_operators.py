@@ -710,3 +710,54 @@ def test_semantic_dedup_matches_brute_force(spark):
     }
     assert brute, "fixture produced no near-duplicate pairs"
     assert blocked == brute
+
+
+def test_lzw_roundtrip_crosses_width_boundaries():
+    # the codec claim lives or dies on the bitstream: roundtrip data
+    # large/random enough to cross the 512/1024/2048 width boundaries
+    # AND hit the 12-bit cap (table freeze), plus the KwKwK corner
+    import random
+
+    from biodiversity_data_ingestion_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rng = random.Random(11)
+    cases = [
+        b"",
+        b"\x00",
+        b"aaaaaaaaaa",          # KwKwK: code == next_code on decode
+        b"abcabcabcabc" * 20,
+        bytes(range(256)) * 3,
+        bytes(rng.randrange(256) for _ in range(20000)),  # past the cap
+        (b"the quick brown fox " * 800),
+    ]
+    for data in cases:
+        assert _lzw_decode(_lzw_encode(data, 8), 8) == data
+    small = bytes(rng.randrange(4) for _ in range(5000))
+    assert _lzw_decode(_lzw_encode(small, 2), 2) == small
+
+
+def test_gif_decode_golden_and_dead_letter(spark):
+    from biodiversity_data_ingestion_spark.operators import multimodal
+
+    df = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    feats = {
+        r["doc_id"]: r
+        for r in multimodal.decode_gif_features(
+            multimodal.synth_gif_payload(df, "doc_id"), "doc_id"
+        ).collect()
+    }
+    for did in range(12):
+        w, h = 8 + did % 8, 4 + did % 4
+        mi = did % 40 + (h - 1) / 2.0 + (w - 1) / 2.0
+        r = feats[did]
+        assert (r["width"], r["height"], r["n_pixels"]) == (w, h, w * h)
+        assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (mi, 2 * mi, 3 * mi)
+    # malformed payload -> all-null feature row under on_error='null'
+    bad = spark.createDataFrame(
+        [(99, bytearray(b"NOTAGIF"))], "doc_id long, payload binary"
+    )
+    row = multimodal.decode_gif_features(bad, "doc_id", on_error="null").collect()[0]
+    assert row["width"] is None and row["mean_b"] is None
