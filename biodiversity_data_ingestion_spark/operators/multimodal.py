@@ -18,8 +18,14 @@ features:
 - compressed image: PNG — chunk walk + zlib INFLATE + all-five-filter
   defiltering (`decode_png_features`); DEFLATE is in the stdlib, so
   even this compressed codec decodes for real
+- compressed image: GIF — from-scratch variable-width LZW (the
+  dictionary coder itself is hand-rolled, both directions)
+  (`decode_gif_features`)
+- compressed image: baseline JPEG, grayscale — the Huffman ENTROPY
+  CODER hand-rolled both directions, plus zigzag/dequantize/IDCT
+  (`decode_jpeg_features`)
 
-Only codecs whose entropy coders the stdlib lacks (JPEG/H.264/Opus)
+Only full-color/progressive JPEG and stream codecs (H.264/Opus-class)
 remain a clearly-marked stub (`decode_media` raises
 NotImplementedError) — those need PIL / ffmpeg, which this container
 does not ship. The codec-free feature
@@ -109,20 +115,23 @@ def binary_features(df: DataFrame, id_col: str, payload_col: str = "payload") ->
 
 
 def decode_media(df: DataFrame, payload_col: str = "payload"):
-    """STUB for codecs whose entropy coders the stdlib lacks
-    (JPEG/H.264/Opus/...), which require codec libraries (PIL/ffmpeg)
-    not installed in this container. On a real deployment this becomes a mapInPandas kernel
-    decoding each Arrow batch to pixel/sample arrays; the batch shape
-    and schema contract are exactly those of `binary_features`. The
-    uncompressed container of each modality decodes FOR REAL here —
-    PCM WAV audio (`decode_wav_features`), 24-bit BMP images
-    (`decode_bmp_features`), YUV4MPEG2 video (`decode_y4m_features`) —
-    and so does DEFLATE-compressed PNG (`decode_png_features`)."""
+    """STUB for the remaining codec classes (full-color/progressive
+    JPEG, H.264/Opus-class stream codecs), which require codec
+    libraries (PIL/ffmpeg) not installed in this container. On a real
+    deployment this becomes a mapInPandas kernel decoding each Arrow
+    batch to pixel/sample arrays; the batch shape and schema contract
+    are exactly those of `binary_features`. Everything else decodes
+    FOR REAL here: PCM WAV audio (`decode_wav_features`), 24-bit BMP
+    (`decode_bmp_features`), YUV4MPEG2 video (`decode_y4m_features`),
+    DEFLATE-compressed PNG (`decode_png_features`), LZW-compressed GIF
+    with a hand-rolled dictionary coder (`decode_gif_features`), and
+    baseline grayscale JPEG with a hand-rolled Huffman entropy coder
+    (`decode_jpeg_features`)."""
     raise NotImplementedError(
-        "JPEG/H.264/Opus-class decode needs codec libraries "
-        "(PIL/ffmpeg); WAV/BMP/y4m/PNG decode for real here: "
-        "decode_wav_features, decode_bmp_features, decode_y4m_features, "
-        "decode_png_features — same mapInPandas batch contract"
+        "full-color/progressive JPEG and H.264/Opus-class decode need "
+        "codec libraries (PIL/ffmpeg); WAV/BMP/y4m/PNG/GIF/baseline-"
+        "grayscale-JPEG decode for real here — same mapInPandas batch "
+        "contract"
     )
 
 
@@ -995,6 +1004,321 @@ def decode_gif_features(
                     "mean_r": pd.array(cols[3], dtype="float64"),
                     "mean_g": pd.array(cols[4], dtype="float64"),
                     "mean_b": pd.array(cols[5], dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
+# --- JPEG (baseline, grayscale) -------------------------------------------
+# The THIRD real compressed codec, with the ENTROPY CODER written from
+# scratch: JFIF marker parse, DQT/SOF0/DHT/SOS, canonical Huffman
+# decode of the MSB-first bitstream (0xFF byte-unstuffing), DC
+# difference coding, run/size AC symbols with EOB, de-zigzag,
+# dequantize, full 2D IDCT (numpy cosine basis), level shift. The
+# synth twin restricts CONTENT (each 8x8 block uniform, quant table
+# all ones) so the lossy pipeline is exactly invertible — every AC
+# coefficient quantizes to zero and a DC-only IDCT is DC/8 exactly —
+# giving the oracle closed forms while the decoder logic stays general
+# (any quant table, any DHT set, any run/size stream).
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+# minimal canonical DHT tables the encoder writes and the decoder reads
+# back from the file (nothing is built into the decoder): DC categories
+# 0..11 as 4-bit codes, AC with the single EOB symbol as a 1-bit code
+_JPEG_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [1] + [0] * 15
+_JPEG_AC_VALS = [0x00]  # EOB
+
+
+def _jpeg_canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) canonical assignment per the JPEG spec."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:  # unstuff
+                if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                    self.pos += 1
+                else:
+                    raise ValueError("unexpected marker in entropy data")
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code, length = 0, 0
+        while length <= 16:
+            code = (code << 1) | self.bit()
+            length += 1
+            if (code, length) in table:
+                return table[(code, length)]
+        raise ValueError("bad Huffman code")
+
+
+def _jpeg_amplitude(v: int) -> tuple[int, int]:
+    """(category, appended-bits) per the JPEG magnitude convention."""
+    if v == 0:
+        return 0, 0
+    t = abs(v).bit_length()
+    return t, (v if v > 0 else v + (1 << t) - 1)
+
+
+def _jpeg_extend(bits: int, t: int) -> int:
+    if t == 0:
+        return 0
+    return bits if bits >= (1 << (t - 1)) else bits - (1 << t) + 1
+
+
+def synth_jpeg_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic baseline-JFIF grayscale synthesis — the twin for
+    the JPEG decode. Dimensions are block multiples (w = 8*(1 + id%3),
+    h = 8*(1 + id%2)); each 8x8 block is UNIFORM with value
+    100 + id%64 + 2*block_row + 3*block_col, so all AC coefficients
+    quantize to zero (q = all ones) and the roundtrip is exact:
+    mean_gray = 100 + id%64 + (h/8 - 1) + 1.5*(w/8 - 1)."""
+    import struct
+
+    from pyspark.sql.types import BinaryType
+
+    out_schema = StructType(
+        [df.schema[id_col], StructField("payload", BinaryType(), True)]
+    )
+    id_name = id_col
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def build(did: int) -> bytes:
+            w, h = 8 * (1 + did % 3), 8 * (1 + did % 2)
+            nbw, nbh = w // 8, h // 8
+            wr = _JpegBitWriter()
+            prev_dc = 0
+            for bi in range(nbh):
+                for bj in range(nbw):
+                    v = 100 + did % 64 + 2 * bi + 3 * bj
+                    dc = 8 * (v - 128)  # DC of a uniform block, q=1
+                    t, amp = _jpeg_amplitude(dc - prev_dc)
+                    code, ln = dc_codes[t]
+                    wr.put(code, ln)
+                    if t:
+                        wr.put(amp, t)
+                    prev_dc = dc
+                    code, ln = ac_codes[0x00]  # EOB: all AC zero
+                    wr.put(code, ln)
+            scan = wr.flush()
+
+            def seg(marker: int, payload: bytes) -> bytes:
+                return bytes([0xFF, marker]) + struct.pack(
+                    ">H", len(payload) + 2
+                ) + payload
+
+            dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+            sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+            dht_dc = seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+            dht_ac = seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+            sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            return (
+                b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + scan + b"\xff\xd9"
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_name: pdf[id_name],
+                    "payload": [build(int(d)) for d in pdf[id_name]],
+                }
+            )
+
+    return fan_out(df.select(id_name)).mapInPandas(kernel, schema=out_schema)
+
+
+def decode_jpeg_features(
+    df: DataFrame, id_col: str, payload_col: str = "payload",
+    on_error: str = "raise",
+) -> DataFrame:
+    """REAL baseline JPEG decode, entropy coder and all, stdlib+numpy
+    only: marker walk (DQT/SOF0/DHT/SOS, others skipped by length),
+    canonical Huffman tables rebuilt FROM THE FILE, MSB-first bit
+    reader with 0xFF unstuffing, DC difference + run/size AC decode,
+    de-zigzag, dequantize, exact 2D IDCT via the cosine basis matrix,
+    level shift and clamp. Grayscale baseline (1 component, no
+    subsampling, no restart markers) — asserts otherwise. Features:
+    (width, height, n_pixels, mean_gray)."""
+    import struct
+
+    from pyspark.sql.types import DoubleType
+
+    out_schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("n_pixels", LongType(), True),
+            StructField("mean_gray", DoubleType(), True),
+        ]
+    )
+    id_name = id_col
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        # orthonormal DCT-II basis; IDCT = C.T @ block @ C
+        k = np.arange(8)
+        C = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) * np.where(
+            k[:, None] == 0, np.sqrt(1 / 8), np.sqrt(2 / 8)
+        )
+
+        def decode(buf):
+            if buf is None:
+                return (None,) * 4
+            buf = bytes(buf)
+            assert buf[:2] == b"\xff\xd8", "not a JPEG payload"
+            pos = 2
+            qt = None
+            w = h = None
+            huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+            scan_start = None
+            while pos < len(buf):
+                assert buf[pos] == 0xFF, "marker expected"
+                marker = buf[pos + 1]
+                if marker == 0xD9:
+                    break
+                (ln,) = struct.unpack_from(">H", buf, pos + 2)
+                body = buf[pos + 4 : pos + 2 + ln]
+                if marker == 0xDB:
+                    assert body[0] & 0xF0 == 0, "8-bit quant table only"
+                    qt = np.array(list(body[1:65]), dtype=np.int64)
+                elif marker == 0xC0:
+                    prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+                    assert (prec, ncomp) == (8, 1), "grayscale baseline only"
+                    # per-component spec follows: id, sampling, qtable id
+                    assert body[7] == 0x11, "no subsampling"
+                elif marker == 0xC4:
+                    off = 0
+                    while off < len(body):
+                        cls_id = body[off]
+                        bits = list(body[off + 1 : off + 17])
+                        nv = sum(bits)
+                        vals = list(body[off + 17 : off + 17 + nv])
+                        codes = _jpeg_canonical_codes(bits, vals)
+                        huff[(cls_id >> 4, cls_id & 0x0F)] = {
+                            (c, l): s for s, (c, l) in codes.items()
+                        }
+                        off += 17 + nv
+                elif marker == 0xDA:
+                    ndc, nac = body[2] >> 4, body[2] & 0x0F
+                    scan_start = pos + 2 + ln
+                    break
+                pos += 2 + ln
+            assert scan_start is not None and qt is not None and w is not None
+            end = buf.rindex(b"\xff\xd9")
+            rd = _JpegBitReader(buf[scan_start:end])
+            dc_tab, ac_tab = huff[(0, ndc)], huff[(1, nac)]
+            nbw, nbh = w // 8, h // 8
+            img = np.zeros((h, w), dtype=np.uint8)
+            prev_dc = 0
+            for bi in range(nbh):
+                for bj in range(nbw):
+                    zz = np.zeros(64, dtype=np.int64)
+                    t = rd.huff(dc_tab)
+                    prev_dc += _jpeg_extend(rd.bits(t), t)
+                    zz[0] = prev_dc
+                    i = 1
+                    while i < 64:
+                        sym = rd.huff(ac_tab)
+                        if sym == 0x00:  # EOB
+                            break
+                        if sym == 0xF0:  # ZRL
+                            i += 16
+                            continue
+                        run, size = sym >> 4, sym & 0x0F
+                        i += run
+                        zz[i] = _jpeg_extend(rd.bits(size), size)
+                        i += 1
+                    coef = np.zeros(64, dtype=np.float64)
+                    coef[_JPEG_ZIGZAG] = zz * qt
+                    block = C.T @ coef.reshape(8, 8) @ C
+                    px = np.clip(np.round(block + 128), 0, 255).astype(np.uint8)
+                    img[bi * 8 : bi * 8 + 8, bj * 8 : bj * 8 + 8] = px
+            return w, h, w * h, float(img.astype(np.float64).mean())
+
+        def _safe(b):
+            try:
+                return decode(b)
+            except Exception:
+                if on_error == "raise":
+                    raise
+                return (None,) * 4
+
+        for pdf in batches:
+            feats = [_safe(b) for b in pdf[payload_col]]
+            cols = list(zip(*feats)) if feats else [[]] * 4
+            yield pd.DataFrame(
+                {
+                    id_name: pdf[id_name],
+                    "width": pd.array(cols[0], dtype="Int64"),
+                    "height": pd.array(cols[1], dtype="Int64"),
+                    "n_pixels": pd.array(cols[2], dtype="Int64"),
+                    "mean_gray": pd.array(cols[3], dtype="float64"),
                 }
             )
 

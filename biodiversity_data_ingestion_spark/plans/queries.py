@@ -8627,6 +8627,44 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 191. jpeg_decode_features — the flagship codec: baseline JFIF
+# grayscale with the ENTROPY CODER hand-rolled on both sides (canonical
+# Huffman from DHT, MSB-first bits + 0xFF stuffing, DC difference
+# coding, run/size AC with EOB/ZRL, de-zigzag, dequantize, exact
+# cosine-basis IDCT). The synth twin keeps each 8x8 block uniform with
+# an all-ones quant table, so the lossy pipeline is exactly invertible
+# and the oracle states the means in closed form; the decoder logic
+# itself is general (any DHT/DQT, any run/size stream — AC path
+# unit-tested with a hand-crafted coefficient stream).
+
+def _jpeg_decode_features(spark, sf_dir):
+    from ..operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    jp = multimodal.synth_jpeg_payload(docs, "doc_id")
+    return multimodal.decode_jpeg_features(jp, "doc_id")
+
+
+_register(
+    "jpeg_decode_features",
+    _jpeg_decode_features,
+    """
+    SELECT doc_id,
+           CAST(8 * (1 + doc_id % 3) AS BIGINT) AS width,
+           CAST(8 * (1 + doc_id % 2) AS BIGINT) AS height,
+           CAST(64 * (1 + doc_id % 3) * (1 + doc_id % 2) AS BIGINT) AS n_pixels,
+           CAST(100 + doc_id % 64 + (doc_id % 2)
+                + 1.5 * (doc_id % 3) AS DOUBLE) AS mean_gray
+    FROM documents
+    """,
+    "north star: REAL baseline-JPEG decode, hand-rolled Huffman entropy "
+    "coder both directions (synthesize->decode roundtrip, closed-form "
+    "oracle; uniform-block content makes the lossy path exactly "
+    "invertible)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 # The driver's correctness harness checks the first 50 declared queries

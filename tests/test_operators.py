@@ -761,3 +761,84 @@ def test_gif_decode_golden_and_dead_letter(spark):
     )
     row = multimodal.decode_gif_features(bad, "doc_id", on_error="null").collect()[0]
     assert row["width"] is None and row["mean_b"] is None
+
+
+def test_jpeg_decode_general_ac_path(spark):
+    # the declared queries only exercise DC+EOB streams (uniform blocks);
+    # this hand-crafts a single-block JPEG whose entropy stream carries a
+    # real AC coefficient (run/size symbol 0x12 + amplitude bits) and a
+    # non-trivial quant table, then checks the decoded mean against an
+    # independent numpy dequantize+IDCT reference.
+    import struct
+
+    import numpy as np
+
+    from biodiversity_data_ingestion_spark.operators import multimodal as mm
+
+    dc_bits = [0, 0, 0, 12] + [0] * 12
+    dc_vals = list(range(12))
+    ac_bits = [0, 2] + [0] * 14
+    ac_vals = [0x00, 0x12]  # EOB and (run=1, size=2)
+    dcc = mm._jpeg_canonical_codes(dc_bits, dc_vals)
+    acc = mm._jpeg_canonical_codes(ac_bits, ac_vals)
+
+    wr = mm._JpegBitWriter()
+    dc_val, ac_val = -37, 3  # DC=-37; zz[2]=3 after a run of one zero
+    t, amp = mm._jpeg_amplitude(dc_val)
+    wr.put(*dcc[t]); wr.put(amp, t)
+    t2, amp2 = mm._jpeg_amplitude(ac_val)
+    assert t2 == 2
+    wr.put(*acc[0x12]); wr.put(amp2, t2)
+    wr.put(*acc[0x00])
+    scan = wr.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    buf = (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + bytes([2] * 64))  # qt=2: dequant must apply
+        + seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        + seg(0xC4, b"\x00" + bytes(dc_bits) + bytes(dc_vals))
+        + seg(0xC4, b"\x10" + bytes(ac_bits) + bytes(ac_vals))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + scan
+        + b"\xff\xd9"
+    )
+
+    zz = np.zeros(64); zz[0] = dc_val; zz[2] = ac_val
+    coef = np.zeros(64); coef[mm._JPEG_ZIGZAG] = zz * 2
+    k = np.arange(8)
+    C = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) * np.where(
+        k[:, None] == 0, np.sqrt(1 / 8), np.sqrt(2 / 8)
+    )
+    ref = np.clip(np.round(C.T @ coef.reshape(8, 8) @ C + 128), 0, 255)
+
+    df = spark.createDataFrame([(1, bytearray(buf))], "doc_id long, payload binary")
+    row = mm.decode_jpeg_features(df, "doc_id").collect()[0]
+    assert (row["width"], row["height"], row["n_pixels"]) == (8, 8, 64)
+    assert row["mean_gray"] == float(ref.mean())
+
+
+def test_jpeg_decode_golden_roundtrip(spark):
+    from biodiversity_data_ingestion_spark.operators import multimodal
+
+    df = spark.range(0, 18).withColumnRenamed("id", "doc_id")
+    feats = {
+        r["doc_id"]: r
+        for r in multimodal.decode_jpeg_features(
+            multimodal.synth_jpeg_payload(df, "doc_id"), "doc_id"
+        ).collect()
+    }
+    for did in range(18):
+        w, h = 8 * (1 + did % 3), 8 * (1 + did % 2)
+        mean = 100 + did % 64 + (h // 8 - 1) + 1.5 * (w // 8 - 1)
+        r = feats[did]
+        assert (r["width"], r["height"], r["n_pixels"], r["mean_gray"]) == (
+            w, h, w * h, mean,
+        )
+    bad = spark.createDataFrame(
+        [(7, bytearray(b"NOTAJPEG"))], "doc_id long, payload binary"
+    )
+    row = multimodal.decode_jpeg_features(bad, "doc_id", on_error="null").collect()[0]
+    assert row["width"] is None and row["mean_gray"] is None
