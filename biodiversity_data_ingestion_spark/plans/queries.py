@@ -8722,8 +8722,11 @@ _PRIORITY: tuple[str, ...] = (
     # Rotated IN: the six never-driver-checked round-3 additions
     # (TPC-H Q13/Q17/Q19/Q21 plan shapes + paragraph-dedup reassembly +
     # BPE pair-merge).
+    # (sixth mid-round-3 swap: ann_cosine_topk — r2-driver-green,
+    # similarity family stays evidenced in-window by the JL projection —
+    # out for the flagship hand-rolled-Huffman JPEG decode)
     "ngram_jaccard_dups",
-    "ann_cosine_topk", "dedup_components",
+    "jpeg_decode_features", "dedup_components",
     "corpus_quality_gate", "sequence_packing",
     "audio_decode_features", "near_dedup_keep_best", "doc_chunk_windows",
     "copurchase_triangles",
