@@ -60,6 +60,9 @@ HEADLINE = (
     # shared aggregation) and the JL dim-reduction kernel
     "part_revenue_concentration",
     "embedding_random_projection",
+    # round-3 third-session codecs: hand-rolled LZW and Huffman
+    "gif_decode_features",
+    "jpeg_decode_features",
 )
 
 # queries whose builder EXECUTES the work eagerly (streaming drains,

@@ -274,6 +274,8 @@ def test_headline_plan_shuffle_budgets(spark):
         "embedding_random_projection": 0,  # per-row fold, plan-literal matrix
         # TPC-H Q5/Q7/Q8/Q9/Q10/Q12/Q14 shapes: broadcast snowflakes,
         # one rollup exchange each (measured at sf0.001, AQE on)
+        "gif_decode_features": 0,  # synth+decode kernels, no shuffle
+        "jpeg_decode_features": 0,
         "regional_supplier_revenue": 1,
         "bilateral_shipping_volume": 1,
         "national_market_share": 1,
