@@ -257,3 +257,105 @@ def contamination_report(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
     )
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    text: str = "text",
+    n_rounds: int = 3,
+) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING — n_rounds of merge learning,
+    not just one pair count. Per round: (1) adjacent-symbol pair counts
+    weighted by word frequency (the only shuffle, bounded by |vocab| x
+    word length); (2) deterministic argmax (count desc, pair lexical
+    tie-break) kept as a 1-row frame and broadcast — the chosen pair
+    never touches the driver; (3) every vocab word replays the merge as
+    a LEFT-TO-RIGHT NON-OVERLAPPING fold over its symbol array — pure
+    Catalyst `aggregate` with a (out, carry) struct accumulator, no
+    regex, no Python, no shuffle. Vocab is localCheckpoint'ed per round
+    so the iteration's lineage stays flat (same pattern as k-means /
+    connected components).
+
+    Matches the sequential reference algorithm exactly (unit-tested
+    against a dict-based Python BPE), and the SQL oracle replays the
+    same rounds with a window-parity formulation of the L2R merge.
+    Returns (rnd, sym_a, sym_b, pair_count): the learned merge table.
+    """
+    words = F.split(F.trim(F.lower(F.col(text))), r"\s+")
+    vocab = (
+        docs.select(F.explode(words).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("w_count"))
+        .select(F.split("word", "").alias("syms"), "w_count")
+        .localCheckpoint(eager=False)
+    )
+
+    def _merge_fold(syms, a, b):
+        init = F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(None).cast("string").alias("carry"),
+        )
+
+        def step(acc, s):
+            is_merge = (
+                acc["carry"].isNotNull() & (acc["carry"] == a) & (s == b)
+            )
+            out = F.when(
+                is_merge, F.concat(acc["out"], F.array(F.concat(a, b)))
+            ).otherwise(
+                F.when(
+                    acc["carry"].isNotNull(),
+                    F.concat(acc["out"], F.array(acc["carry"])),
+                ).otherwise(acc["out"])
+            )
+            carry = F.when(is_merge, F.lit(None).cast("string")).otherwise(s)
+            return F.struct(out.alias("out"), carry.alias("carry"))
+
+        def fin(acc):
+            return F.when(
+                acc["carry"].isNotNull(),
+                F.concat(acc["out"], F.array(acc["carry"])),
+            ).otherwise(acc["out"])
+
+        return F.aggregate(syms, init, step, fin)
+
+    rounds = []
+    for rnd in range(1, n_rounds + 1):
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.size("syms") - 1),
+            lambda i: F.struct(
+                F.element_at("syms", i).alias("a"),
+                F.element_at("syms", i + 1).alias("b"),
+            ),
+        )
+        best = (
+            vocab.where(F.size("syms") >= 2)
+            .select(F.explode(pairs).alias("p"), "w_count")
+            .groupBy(F.col("p.a").alias("sym_a"), F.col("p.b").alias("sym_b"))
+            .agg(F.sum("w_count").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "sym_a", "sym_b")
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        rounds.append(best.withColumn("rnd", F.lit(rnd).cast("long")))
+        vocab = (
+            vocab.crossJoin(
+                F.broadcast(
+                    best.select(
+                        F.col("sym_a").alias("m_a"), F.col("sym_b").alias("m_b")
+                    )
+                )
+            )
+            .select(
+                _merge_fold(F.col("syms"), F.col("m_a"), F.col("m_b")).alias(
+                    "syms"
+                ),
+                "w_count",
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out.select("rnd", "sym_a", "sym_b", "pair_count")

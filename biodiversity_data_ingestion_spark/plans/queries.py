@@ -8665,6 +8665,101 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 192. bpe_train_vocab — multi-round distributed BPE TRAINING (the
+# iterative upgrade of #163's single pair-count round): 3 learned
+# merges over the documents vocabulary. Engine side merges via a pure
+# Catalyst fold (operators/corpus.py::bpe_train_merges); the oracle
+# replays the same rounds in SQL, expressing the left-to-right
+# non-overlapping merge with a window-parity trick (runs of
+# consecutive matches keep even offsets). Also unit-tested against a
+# sequential dict-based reference implementation.
+
+
+def _bpe_oracle_round(prev: str, rnd: int) -> str:
+    """One BPE round as chained CTEs over `{prev}` (id, syms, w_count)."""
+    p = f"r{rnd}"
+    return f"""
+    {p}_pc AS (
+        SELECT syms[i] AS sym_a, syms[i+1] AS sym_b,
+               CAST(sum(w_count) AS BIGINT) AS pair_count
+        FROM {prev}, UNNEST(generate_series(1, len(syms) - 1)) AS t(i)
+        WHERE len(syms) >= 2 GROUP BY 1, 2),
+    {p}_best AS (
+        SELECT sym_a, sym_b, pair_count FROM {p}_pc
+        ORDER BY pair_count DESC, sym_a, sym_b LIMIT 1),
+    {p}_s AS (
+        SELECT w.id, w.w_count, unnest(w.syms) AS sym,
+               generate_subscripts(w.syms, 1) AS i, b.sym_a, b.sym_b
+        FROM {prev} w, {p}_best b),
+    {p}_m AS (
+        SELECT *, coalesce(sym = sym_a
+                   AND lead(sym) OVER (PARTITION BY id ORDER BY i) = sym_b,
+                   false) AS is_pair
+        FROM {p}_s),
+    {p}_r AS (
+        SELECT *, i - row_number() OVER (PARTITION BY id, is_pair ORDER BY i)
+                  AS grp
+        FROM {p}_m),
+    {p}_v AS (
+        SELECT *, is_pair AND (i - min(i) OVER
+                   (PARTITION BY id, is_pair, grp)) % 2 = 0 AS valid
+        FROM {p}_r),
+    {p}_o AS (
+        SELECT id, w_count, i,
+               CASE WHEN valid
+                    THEN sym || lead(sym) OVER (PARTITION BY id ORDER BY i)
+                    ELSE sym END AS out_sym,
+               coalesce(lag(valid) OVER (PARTITION BY id ORDER BY i), false)
+                   AS consumed
+        FROM {p}_v),
+    {p} AS (
+        SELECT id, list(out_sym ORDER BY i) AS syms, any_value(w_count)
+               AS w_count
+        FROM {p}_o WHERE NOT consumed GROUP BY id)"""
+
+
+_BPE_TRAIN_ORACLE = (
+    r"""
+    WITH v0 AS (
+        SELECT row_number() OVER (ORDER BY word) AS id,
+               string_split(word, '') AS syms, w_count
+        FROM (
+            SELECT word, count(*) AS w_count
+            FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+                  AS word FROM documents)
+            WHERE word <> '' GROUP BY word)),"""
+    + ",".join(
+        _bpe_oracle_round(f"r{r - 1}" if r > 1 else "v0", r) for r in (1, 2, 3)
+    )
+    + """
+    SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS rnd, sym_a, sym_b, pair_count FROM r1_best
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), sym_a, sym_b, pair_count FROM r2_best
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), sym_a, sym_b, pair_count FROM r3_best)
+    """
+)
+
+
+def _bpe_train_vocab(spark, sf_dir):
+    from ..operators import corpus as corpus_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_ops.bpe_train_merges(docs, "text", n_rounds=3)
+
+
+_register(
+    "bpe_train_vocab",
+    _bpe_train_vocab,
+    _BPE_TRAIN_ORACLE,
+    "north star: multi-round distributed BPE tokenizer training "
+    "(iterative merge learning; Catalyst fold merge, broadcast argmax, "
+    "checkpointed rounds)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 # The driver's correctness harness checks the first 50 declared queries

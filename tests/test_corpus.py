@@ -457,3 +457,62 @@ def test_bpe_pair_merge_shape(spark):
     counts = [r.pair_count for r in rows]
     assert counts == sorted(counts, reverse=True)
     assert all(len(r.pair) == 2 for r in rows)
+
+
+def test_bpe_train_merges_matches_sequential_reference(spark):
+    # the distributed trainer must replay the exact sequential BPE
+    # algorithm: per round, count adjacent pairs weighted by word
+    # frequency, take the (count desc, lexical) argmax, merge
+    # left-to-right non-overlapping in every word.
+    from collections import Counter
+
+    from biodiversity_data_ingestion_spark.operators.corpus import (
+        bpe_train_merges,
+    )
+
+    texts = [
+        "the thin thing then",
+        "that the then there",
+        "aaa aab the",
+        "x the thee",
+    ]
+
+    def reference(texts, n_rounds):
+        words = Counter()
+        for t in texts:
+            for w in t.lower().split():
+                words[w] += 1
+        vocab = {tuple(w): c for w, c in words.items()}
+        merges = []
+        for rnd in range(1, n_rounds + 1):
+            pc = Counter()
+            for syms, c in vocab.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += c
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append((rnd, best[0], best[1], pc[best]))
+            new_vocab = {}
+            for syms, c in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and (syms[i], syms[i + 1]) == best
+                    ):
+                        out.append(syms[i] + syms[i + 1])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+            vocab = new_vocab
+        return merges
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = [
+        (r["rnd"], r["sym_a"], r["sym_b"], r["pair_count"])
+        for r in bpe_train_merges(df, "text", n_rounds=4)
+        .orderBy("rnd")
+        .collect()
+    ]
+    assert got == reference(texts, 4)
