@@ -50,7 +50,7 @@ HEADLINE = (
     # round-3 breadth: sub-document dedup mutation, the BPE merge round,
     # the REAL audio decode roundtrip, and a TPC-H plan-shape rep
     "paragraph_dedup_reassembly",
-    "bpe_pair_merge",
+    "bpe_train_vocab",
     "audio_decode_features",
     "image_decode_features",
     "video_decode_features",

@@ -8825,7 +8825,9 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_quality_gate", "sequence_packing",
     "audio_decode_features", "near_dedup_keep_best", "doc_chunk_windows",
     "copurchase_triangles",
-    "paragraph_dedup_reassembly", "bpe_pair_merge",
+    # (seventh mid-round-3 swap: bpe_pair_merge out for its superset —
+    # the multi-round trainer whose round 1 IS the single-round query)
+    "paragraph_dedup_reassembly", "bpe_train_vocab",
     # TPC-H plan-shape family (Q13/Q17/Q19/Q21 + Q2/Q4/Q11/Q15/Q16/Q20/Q22)
     "order_count_distribution", "small_quantity_revenue",
     "promo_disjunctive_filter", "sole_return_supplier",

@@ -256,6 +256,7 @@ def test_headline_plan_shuffle_budgets(spark):
         "sole_return_supplier": 3,  # order rollup + supplier rollup + dims
         "paragraph_dedup_reassembly": 2,  # span window + per-doc rollup
         "bpe_pair_merge": 2,  # vocab rollup + pair rollup (top-k is TakeOrdered)
+        "bpe_train_vocab": 2,  # per-round checkpoints flatten the final plan
         "audio_decode_features": 0,  # synth+decode kernels, no shuffle
         "image_decode_features": 0,
         "video_decode_features": 0,
