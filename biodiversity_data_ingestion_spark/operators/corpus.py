@@ -259,11 +259,11 @@ def contamination_report(
     )
 
 
-def bpe_train_merges(
+def _bpe_rounds(
     docs: DataFrame,
     text: str = "text",
     n_rounds: int = 3,
-) -> DataFrame:
+):
     """Distributed BPE tokenizer TRAINING — n_rounds of merge learning,
     not just one pair count. Per round: (1) adjacent-symbol pair counts
     weighted by word frequency (the only shuffle, bounded by |vocab| x
@@ -287,7 +287,7 @@ def bpe_train_merges(
         .where(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("w_count"))
-        .select(F.split("word", "").alias("syms"), "w_count")
+        .select("word", F.split("word", "").alias("syms"), "w_count")
         .localCheckpoint(eager=False)
     )
 
@@ -348,6 +348,7 @@ def bpe_train_merges(
                 )
             )
             .select(
+                "word",
                 _merge_fold(F.col("syms"), F.col("m_a"), F.col("m_b")).alias(
                     "syms"
                 ),
@@ -358,4 +359,31 @@ def bpe_train_merges(
     out = rounds[0]
     for r in rounds[1:]:
         out = out.unionByName(r)
-    return out.select("rnd", "sym_a", "sym_b", "pair_count")
+    return out.select("rnd", "sym_a", "sym_b", "pair_count"), vocab
+
+
+def bpe_train_merges(
+    docs: DataFrame, text: str = "text", n_rounds: int = 3
+) -> DataFrame:
+    """The learned merge table (rnd, sym_a, sym_b, pair_count) — see
+    `_bpe_rounds` for the algorithm."""
+    merges, _vocab = _bpe_rounds(docs, text, n_rounds)
+    return merges
+
+
+def bpe_encode_vocab(
+    docs: DataFrame, text: str = "text", n_rounds: int = 3
+) -> DataFrame:
+    """Tokenizer APPLY: every distinct word encoded with the learned
+    merges — train and apply in one lineage (the vocab IS the frame the
+    merges were folded over, so no re-encoding pass is needed; at scale
+    the encoded vocab joins back to the corpus by word, which is how
+    production tokenizer application amortizes: encode |vocab| words
+    once, not |corpus| tokens). Returns (word, n_bpe_tokens, encoded)
+    with `encoded` the space-joined BPE symbols."""
+    _merges, vocab = _bpe_rounds(docs, text, n_rounds)
+    return vocab.select(
+        "word",
+        F.size("syms").cast("long").alias("n_bpe_tokens"),
+        F.array_join("syms", " ").alias("encoded"),
+    )

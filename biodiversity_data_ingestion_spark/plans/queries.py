@@ -8688,7 +8688,7 @@ def _bpe_oracle_round(prev: str, rnd: int) -> str:
         SELECT sym_a, sym_b, pair_count FROM {p}_pc
         ORDER BY pair_count DESC, sym_a, sym_b LIMIT 1),
     {p}_s AS (
-        SELECT w.id, w.w_count, unnest(w.syms) AS sym,
+        SELECT w.id, w.word, w.w_count, unnest(w.syms) AS sym,
                generate_subscripts(w.syms, 1) AS i, b.sym_a, b.sym_b
         FROM {prev} w, {p}_best b),
     {p}_m AS (
@@ -8705,7 +8705,7 @@ def _bpe_oracle_round(prev: str, rnd: int) -> str:
                    (PARTITION BY id, is_pair, grp)) % 2 = 0 AS valid
         FROM {p}_r),
     {p}_o AS (
-        SELECT id, w_count, i,
+        SELECT id, word, w_count, i,
                CASE WHEN valid
                     THEN sym || lead(sym) OVER (PARTITION BY id ORDER BY i)
                     ELSE sym END AS out_sym,
@@ -8713,15 +8713,16 @@ def _bpe_oracle_round(prev: str, rnd: int) -> str:
                    AS consumed
         FROM {p}_v),
     {p} AS (
-        SELECT id, list(out_sym ORDER BY i) AS syms, any_value(w_count)
-               AS w_count
+        SELECT id, any_value(word) AS word,
+               list(out_sym ORDER BY i) AS syms,
+               any_value(w_count) AS w_count
         FROM {p}_o WHERE NOT consumed GROUP BY id)"""
 
 
 _BPE_TRAIN_ORACLE = (
     r"""
     WITH v0 AS (
-        SELECT row_number() OVER (ORDER BY word) AS id,
+        SELECT row_number() OVER (ORDER BY word) AS id, word,
                string_split(word, '') AS syms, w_count
         FROM (
             SELECT word, count(*) AS w_count
@@ -8756,6 +8757,38 @@ _register(
     "north star: multi-round distributed BPE tokenizer training "
     "(iterative merge learning; Catalyst fold merge, broadcast argmax, "
     "checkpointed rounds)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 193. bpe_vocab_encoding — the tokenizer APPLY side of #192: every
+# distinct word encoded with the 3 learned merges (train and apply in
+# one lineage — the vocab is the frame the merges were folded over).
+# At scale the encoded vocab joins back to the corpus by word, which
+# is how production tokenizer application amortizes.
+
+_BPE_ENCODE_ORACLE = (
+    _BPE_TRAIN_ORACLE[: _BPE_TRAIN_ORACLE.rindex("SELECT * FROM (")]
+    + """SELECT word, CAST(len(syms) AS BIGINT) AS n_bpe_tokens,
+           array_to_string(syms, ' ') AS encoded
+    FROM r3
+    """
+)
+
+
+def _bpe_vocab_encoding(spark, sf_dir):
+    from ..operators import corpus as corpus_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_ops.bpe_encode_vocab(docs, "text", n_rounds=3)
+
+
+_register(
+    "bpe_vocab_encoding",
+    _bpe_vocab_encoding,
+    _BPE_ENCODE_ORACLE,
+    "north star: BPE tokenizer application (per-word encoding under "
+    "the learned merge table; amortized vocab-level encode)",
 )
 
 

@@ -363,9 +363,9 @@ def test_no_scale_killer_joins_anywhere(spark):
         # aggregate cross join against the reused grouped frame
         "part_revenue_concentration", "top_revenue_supplier",
         "lapsed_rich_customers",
-        # BPE trainer: the per-round argmax is a broadcast 1-row cross
-        # join carrying the chosen merge pair to every vocab word
-        "bpe_train_vocab",
+        # BPE trainer/apply: the per-round argmax is a broadcast 1-row
+        # cross join carrying the chosen merge pair to every vocab word
+        "bpe_train_vocab", "bpe_vocab_encoding",
     }
     # measured ceilings for the two legitimately widest plans; anything
     # beyond these usually means a shared subplan is being re-executed
