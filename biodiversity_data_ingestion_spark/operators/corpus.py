@@ -387,3 +387,73 @@ def bpe_encode_vocab(
         F.size("syms").cast("long").alias("n_bpe_tokens"),
         F.array_join("syms", " ").alias("encoded"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Deterministic PageRank over a directed edge list, the third
+    iterative graph primitive next to connected components and triangle
+    counting. Per iteration: contributions shuffle on the destination
+    id (the only large exchange, size = |edges|); the dangling-node
+    mass and the node count are 1-row aggregates broadcast via cross
+    join, never collected; ranks round to 12dp per iteration so the
+    trajectory is independent of float accumulation order (the k-means
+    determinism recipe). Lineage flattened per round with lazy
+    localCheckpoint.
+
+    Returns (node, rank) with rank rounded to 10dp.
+    """
+    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    nodes = (
+        e.select(F.col("e_src").alias("node"))
+        .unionByName(e.select(F.col("e_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_total = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    deg = e.groupBy(F.col("e_src").alias("deg_node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    ranks = (
+        nodes.crossJoin(F.broadcast(n_total))
+        .select("node", (F.lit(1.0) / F.col("n_nodes")).alias("rank"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(n_iter):
+        with_deg = ranks.join(
+            deg, ranks["node"] == deg["deg_node"], "left"
+        ).drop("deg_node")
+        contribs = (
+            with_deg.where(F.col("out_deg").isNotNull())
+            .join(e, F.col("node") == F.col("e_src"))
+            .groupBy(F.col("e_dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("contrib"))
+        )
+        dangling = (
+            with_deg.where(F.col("out_deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .crossJoin(F.broadcast(n_total))
+            .select(
+                "node",
+                F.round(
+                    (1.0 - damping) / F.col("n_nodes")
+                    + damping
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dangling_mass") / F.col("n_nodes")
+                    ),
+                    12,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", F.round("rank", 10).alias("rank"))

@@ -8793,6 +8793,52 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 194. copurchase_pagerank — deterministic PageRank over the
+# co-purchase part graph (join-free basket edges, same construction as
+# copurchase_triangles), 3 iterations with dangling-mass
+# redistribution. Rows-only by design: per-iteration float sums round
+# at 12dp which makes the TRAJECTORY partition-independent, but an
+# exact-hash SQL oracle would race the rounding boundary (the k-means
+# rationale); correctness is pinned by the numpy-reference test
+# instead (test_pagerank_matches_numpy_reference).
+
+def _copurchase_pagerank(spark, sf_dir):
+    from ..operators import corpus as corpus_ops
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                "parts",
+                lambda x: F.transform(
+                    "parts",
+                    lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                ),
+            )
+        ),
+        lambda p: p["src"] != p["dst"],
+    )
+    edges = (
+        baskets.select(F.explode(pairs).alias("p"))
+        .select("p.src", "p.dst")
+        .distinct()
+    )
+    return corpus_ops.pagerank(edges, "src", "dst", n_iter=3).orderBy("node")
+
+
+_register(
+    "copurchase_pagerank",
+    _copurchase_pagerank,
+    None,  # rows-only: float trajectory, see docstring
+    "north star: PageRank over the co-purchase graph (iterative; "
+    "dangling mass and node count broadcast as 1-row aggregates)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 # The driver's correctness harness checks the first 50 declared queries

@@ -516,3 +516,34 @@ def test_bpe_train_merges_matches_sequential_reference(spark):
         .collect()
     ]
     assert got == reference(texts, 4)
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    import numpy as np
+
+    from biodiversity_data_ingestion_spark.operators.corpus import pagerank
+
+    # directed graph with a dangling node (4) and a hub (0)
+    E = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 0), (3, 2), (2, 4)]
+    df = spark.createDataFrame(E, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=8).collect()}
+
+    nodes = sorted({u for e in E for u in e})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for s, _ in E:
+        out[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    d = 0.85
+    for _ in range(8):
+        contrib = np.zeros(n)
+        for s, t in E:
+            contrib[idx[t]] += r[idx[s]] / out[idx[s]]
+        dangling = r[out == 0].sum()
+        r = np.round((1 - d) / n + d * (contrib + dangling / n), 12)
+    for u in nodes:
+        assert abs(got[u] - r[idx[u]]) < 1e-9, (u, got[u], r[idx[u]])
+    # rank is a probability distribution (mass conserved by the
+    # dangling redistribution)
+    assert abs(sum(got.values()) - 1.0) < 1e-6

@@ -35,4 +35,5 @@ def test_queries_and_oracles_align():
         "theta_user_overlap",
         "kll_value_quantiles",
         "semantic_dedup_corpus",
+        "copurchase_pagerank",
     }
