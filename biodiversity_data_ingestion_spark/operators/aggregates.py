@@ -18,7 +18,7 @@ before joining (SURVEY.md A12 note).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -226,4 +226,73 @@ def kll_quantile_rollup(
         )
         .withColumn("_merged", merged)
         .select(*coarse_keys, "n_fine_groups", *out_cols)
+    )
+
+
+def cms_build(
+    df: DataFrame, value: str, width: int = 256, depth: int = 4
+) -> DataFrame:
+    """Count-Min Sketch as a native cell table: every value maps to one
+    cell per depth row (xxhash64 seeded by the depth index), and the
+    sketch IS the grouped count over (depth, cell) — at most
+    depth x width rows regardless of cardinality, mergeable across
+    shards/days by plain addition (map-side combinable, the same
+    mergeable-state story as hll_rollup/kll_quantile_rollup but for
+    FREQUENCIES). Returns (depth, cell, cnt)."""
+    cells = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(depth - 1)),
+            lambda j: F.struct(
+                j.alias("depth"),
+                F.pmod(F.xxhash64(F.col(value), j), F.lit(width)).alias("cell"),
+            ),
+        )
+    )
+    return (
+        df.select(cells.alias("c"))
+        .groupBy(F.col("c.depth").alias("depth"), F.col("c.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    value: str,
+    width: int = 256,
+    depth: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """Heavy hitters via the Count-Min Sketch: estimate(v) = min over
+    depths of the v's cell count. The sketch is kilobytes, so the
+    estimate join BROADCASTS it and candidate scoring is map-side; the
+    only shuffles are the sketch build and the candidate distinct.
+    Estimates never undercount (CMS guarantee: est >= true, and
+    est <= true + eps*N w.h.p.); ranking is deterministic
+    (est desc, value tie-break). Returns (value, est_count, rank)."""
+    sketch = cms_build(df, value, width, depth)
+    cand = df.select(F.col(value).alias("v")).distinct()
+    probes = cand.select(
+        "v",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(depth - 1)),
+                lambda j: F.struct(
+                    j.alias("depth"),
+                    F.pmod(F.xxhash64(F.col("v"), j), F.lit(width)).alias(
+                        "cell"
+                    ),
+                ),
+            )
+        ).alias("p"),
+    ).select("v", "p.depth", "p.cell")
+    est = (
+        probes.join(F.broadcast(sketch), ["depth", "cell"])
+        .groupBy("v")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    w = Window.orderBy(F.desc("est_count"), "v")
+    return (
+        est.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(F.col("v").alias(value), "est_count", "rank")
     )

@@ -8839,6 +8839,32 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 195. word_heavy_hitters_cms — frequency sketching completes the
+# mergeable-sketch family (HLL distinct / theta set algebra / KLL
+# quantiles / CMS frequencies): word heavy hitters off a
+# depth x width Count-Min cell table that is mergeable by addition and
+# broadcast for map-side estimation. Rows-only (xxhash64 has no DuckDB
+# twin); the CMS guarantees are unit-tested
+# (test_cms_heavy_hitters_bounds_and_recovery).
+
+def _word_heavy_hitters_cms(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
+    ).where(F.col("word") != "")
+    return aggregates.cms_heavy_hitters(words, "word", width=1024, depth=4, k=15)
+
+
+_register(
+    "word_heavy_hitters_cms",
+    _word_heavy_hitters_cms,
+    None,  # rows-only: hash-sketch estimates, no SQL twin for xxhash64
+    "north star: Count-Min heavy hitters (mergeable frequency sketch, "
+    "broadcast estimate join)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 # The driver's correctness harness checks the first 50 declared queries

@@ -36,4 +36,5 @@ def test_queries_and_oracles_align():
         "kll_value_quantiles",
         "semantic_dedup_corpus",
         "copurchase_pagerank",
+        "word_heavy_hitters_cms",
     }

@@ -842,3 +842,28 @@ def test_jpeg_decode_golden_roundtrip(spark):
     )
     row = multimodal.decode_jpeg_features(bad, "doc_id", on_error="null").collect()[0]
     assert row["width"] is None and row["mean_gray"] is None
+
+
+def test_cms_heavy_hitters_bounds_and_recovery(spark):
+    # CMS guarantees: estimates never undercount, overcount bounded by
+    # the colliding mass, and on skewed data the true heavy hitters are
+    # recovered at the top.
+    from collections import Counter
+
+    from biodiversity_data_ingestion_spark.operators.aggregates import (
+        cms_heavy_hitters,
+    )
+
+    vals = (
+        ["alpha"] * 500 + ["beta"] * 300 + ["gamma"] * 150
+        + [f"tail_{i}" for i in range(200) for _ in (0, 1)]  # 200 x 2
+    )
+    true = Counter(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "term string")
+    top = cms_heavy_hitters(df, "term", width=512, depth=4, k=5).collect()
+    est = {r["term"]: r["est_count"] for r in top}
+    # top-3 recovered in order
+    assert [r["term"] for r in top[:3]] == ["alpha", "beta", "gamma"]
+    for t, e in est.items():
+        assert e >= true[t]  # never undercounts
+        assert e <= true[t] + len(vals) * 4 / 512  # eps*N slack
