@@ -1323,3 +1323,247 @@ def decode_jpeg_features(
             )
 
     return df.mapInPandas(kernel, schema=out_schema)
+
+
+# --- JPEG (baseline, YCbCr 4:4:4 color) -----------------------------------
+# Full-color extension of the grayscale baseline: three components with
+# no subsampling, interleaved MCUs (Y, Cb, Cr block per MCU position),
+# one DC difference predictor PER COMPONENT, per-component DHT/DQT
+# selectors honored from the file. Features stay in YCbCr space — no
+# colorspace conversion — so the uniform-block synth envelope keeps the
+# roundtrip exactly invertible per channel.
+
+def synth_jpeg444_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic baseline-JFIF 4:4:4 color synthesis. Per-block
+    uniform channel values (q = all ones):
+    Y = 90 + id%60 + 2*bi + 3*bj, Cb = 60 + id%40 + bi, Cr = 40 +
+    id%30 + bj — closed-form channel means:
+    mean_y = 90 + id%60 + (h/8-1) + 1.5*(w/8-1),
+    mean_cb = 60 + id%40 + 0.5*(h/8-1), mean_cr = 40 + id%30 +
+    0.5*(w/8-1)."""
+    import struct
+
+    from pyspark.sql.types import BinaryType
+
+    out_schema = StructType(
+        [df.schema[id_col], StructField("payload", BinaryType(), True)]
+    )
+    id_name = id_col
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def build(did: int) -> bytes:
+            w, h = 8 * (1 + did % 3), 8 * (1 + did % 2)
+            nbw, nbh = w // 8, h // 8
+            wr = _JpegBitWriter()
+            prev = [0, 0, 0]
+            for bi in range(nbh):
+                for bj in range(nbw):
+                    chans = (
+                        90 + did % 60 + 2 * bi + 3 * bj,
+                        60 + did % 40 + bi,
+                        40 + did % 30 + bj,
+                    )
+                    for ci, v in enumerate(chans):
+                        dc = 8 * (v - 128)
+                        t, amp = _jpeg_amplitude(dc - prev[ci])
+                        code, ln = dc_codes[t]
+                        wr.put(code, ln)
+                        if t:
+                            wr.put(amp, t)
+                        prev[ci] = dc
+                        code, ln = ac_codes[0x00]
+                        wr.put(code, ln)
+            scan = wr.flush()
+
+            def seg(marker: int, payload: bytes) -> bytes:
+                return bytes([0xFF, marker]) + struct.pack(
+                    ">H", len(payload) + 2
+                ) + payload
+
+            comps = b"".join(bytes([cid, 0x11, 0]) for cid in (1, 2, 3))
+            sos_comps = b"".join(bytes([cid, 0x00]) for cid in (1, 2, 3))
+            return (
+                b"\xff\xd8"
+                + seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+                + seg(0xC0, struct.pack(">BHHB", 8, h, w, 3) + comps)
+                + seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+                + seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+                + seg(0xDA, bytes([3]) + sos_comps + bytes([0, 63, 0]))
+                + scan
+                + b"\xff\xd9"
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_name: pdf[id_name],
+                    "payload": [build(int(d)) for d in pdf[id_name]],
+                }
+            )
+
+    return fan_out(df.select(id_name)).mapInPandas(kernel, schema=out_schema)
+
+
+def decode_jpeg444_features(
+    df: DataFrame, id_col: str, payload_col: str = "payload",
+    on_error: str = "raise",
+) -> DataFrame:
+    """REAL full-color baseline JPEG decode (YCbCr 4:4:4): interleaved
+    MCU entropy decode with one DC predictor per component,
+    per-component quant/Huffman table selectors honored from SOF/SOS,
+    exact cosine-basis IDCT per block. Features are per-channel means
+    in YCbCr space (no colorspace conversion — the lossless part of
+    the pipeline)."""
+    import struct
+
+    from pyspark.sql.types import DoubleType
+
+    out_schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("n_pixels", LongType(), True),
+            StructField("mean_y", DoubleType(), True),
+            StructField("mean_cb", DoubleType(), True),
+            StructField("mean_cr", DoubleType(), True),
+        ]
+    )
+    id_name = id_col
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        k = np.arange(8)
+        C = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) * np.where(
+            k[:, None] == 0, np.sqrt(1 / 8), np.sqrt(2 / 8)
+        )
+
+        def decode(buf):
+            if buf is None:
+                return (None,) * 6
+            buf = bytes(buf)
+            assert buf[:2] == b"\xff\xd8", "not a JPEG payload"
+            pos = 2
+            qts: dict[int, "np.ndarray"] = {}
+            w = h = None
+            comp_q: dict[int, int] = {}
+            huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+            comp_tabs: dict[int, tuple[int, int]] = {}
+            comp_order: list[int] = []
+            scan_start = None
+            while pos < len(buf):
+                assert buf[pos] == 0xFF, "marker expected"
+                marker = buf[pos + 1]
+                if marker == 0xD9:
+                    break
+                (ln,) = struct.unpack_from(">H", buf, pos + 2)
+                body = buf[pos + 4 : pos + 2 + ln]
+                if marker == 0xDB:
+                    assert body[0] & 0xF0 == 0, "8-bit quant table only"
+                    qts[body[0] & 0x0F] = np.array(
+                        list(body[1:65]), dtype=np.int64
+                    )
+                elif marker == 0xC0:
+                    prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+                    assert prec == 8 and ncomp in (1, 3), "baseline 1/3-comp"
+                    for ci in range(ncomp):
+                        cid, samp, qid = body[6 + 3 * ci : 9 + 3 * ci]
+                        assert samp == 0x11, "no subsampling (4:4:4 only)"
+                        comp_q[cid] = qid
+                elif marker == 0xC4:
+                    off = 0
+                    while off < len(body):
+                        cls_id = body[off]
+                        bits = list(body[off + 1 : off + 17])
+                        nv = sum(bits)
+                        vals = list(body[off + 17 : off + 17 + nv])
+                        codes = _jpeg_canonical_codes(bits, vals)
+                        huff[(cls_id >> 4, cls_id & 0x0F)] = {
+                            (c, l): s for s, (c, l) in codes.items()
+                        }
+                        off += 17 + nv
+                elif marker == 0xDA:
+                    ns = body[0]
+                    for ci in range(ns):
+                        cid = body[1 + 2 * ci]
+                        sel = body[2 + 2 * ci]
+                        comp_tabs[cid] = (sel >> 4, sel & 0x0F)
+                        comp_order.append(cid)
+                    scan_start = pos + 2 + ln
+                    break
+                pos += 2 + ln
+            assert scan_start is not None and w is not None
+            end = buf.rindex(b"\xff\xd9")
+            rd = _JpegBitReader(buf[scan_start:end])
+            nbw, nbh = w // 8, h // 8
+            planes = {
+                cid: np.zeros((h, w), dtype=np.uint8) for cid in comp_order
+            }
+            prev_dc = {cid: 0 for cid in comp_order}
+            for bi in range(nbh):
+                for bj in range(nbw):
+                    for cid in comp_order:
+                        dc_tab = huff[(0, comp_tabs[cid][0])]
+                        ac_tab = huff[(1, comp_tabs[cid][1])]
+                        zz = np.zeros(64, dtype=np.int64)
+                        t = rd.huff(dc_tab)
+                        prev_dc[cid] += _jpeg_extend(rd.bits(t), t)
+                        zz[0] = prev_dc[cid]
+                        i = 1
+                        while i < 64:
+                            sym = rd.huff(ac_tab)
+                            if sym == 0x00:
+                                break
+                            if sym == 0xF0:
+                                i += 16
+                                continue
+                            run, size = sym >> 4, sym & 0x0F
+                            i += run
+                            zz[i] = _jpeg_extend(rd.bits(size), size)
+                            i += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[_JPEG_ZIGZAG] = zz * qts[comp_q[cid]]
+                        block = C.T @ coef.reshape(8, 8) @ C
+                        px = np.clip(np.round(block + 128), 0, 255).astype(
+                            np.uint8
+                        )
+                        planes[cid][
+                            bi * 8 : bi * 8 + 8, bj * 8 : bj * 8 + 8
+                        ] = px
+            means = [
+                float(planes[cid].astype(np.float64).mean())
+                if cid in planes
+                else None
+                for cid in (1, 2, 3)
+            ]
+            if len(comp_order) == 1:
+                means = [means[0], None, None]
+            return w, h, w * h, means[0], means[1], means[2]
+
+        def _safe(b):
+            try:
+                return decode(b)
+            except Exception:
+                if on_error == "raise":
+                    raise
+                return (None,) * 6
+
+        for pdf in batches:
+            feats = [_safe(b) for b in pdf[payload_col]]
+            cols = list(zip(*feats)) if feats else [[]] * 6
+            yield pd.DataFrame(
+                {
+                    id_name: pdf[id_name],
+                    "width": pd.array(cols[0], dtype="Int64"),
+                    "height": pd.array(cols[1], dtype="Int64"),
+                    "n_pixels": pd.array(cols[2], dtype="Int64"),
+                    "mean_y": pd.array(cols[3], dtype="float64"),
+                    "mean_cb": pd.array(cols[4], dtype="float64"),
+                    "mean_cr": pd.array(cols[5], dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(kernel, schema=out_schema)

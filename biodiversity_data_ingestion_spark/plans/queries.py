@@ -8865,6 +8865,41 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 196. jpeg_color_decode_features — full-COLOR baseline JPEG (YCbCr
+# 4:4:4): interleaved MCUs, one DC predictor per component,
+# per-component table selectors honored from the file. Features stay
+# in YCbCr space so the uniform-block envelope keeps exact closed
+# forms per channel.
+
+def _jpeg_color_decode_features(spark, sf_dir):
+    from ..operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    jp = multimodal.synth_jpeg444_payload(docs, "doc_id")
+    return multimodal.decode_jpeg444_features(jp, "doc_id")
+
+
+_register(
+    "jpeg_color_decode_features",
+    _jpeg_color_decode_features,
+    """
+    SELECT doc_id,
+           CAST(8 * (1 + doc_id % 3) AS BIGINT) AS width,
+           CAST(8 * (1 + doc_id % 2) AS BIGINT) AS height,
+           CAST(64 * (1 + doc_id % 3) * (1 + doc_id % 2) AS BIGINT) AS n_pixels,
+           CAST(90 + doc_id % 60 + (doc_id % 2)
+                + 1.5 * (doc_id % 3) AS DOUBLE) AS mean_y,
+           CAST(60 + doc_id % 40 + 0.5 * (doc_id % 2) AS DOUBLE) AS mean_cb,
+           CAST(40 + doc_id % 30 + 0.5 * (doc_id % 3) AS DOUBLE) AS mean_cr
+    FROM documents
+    """,
+    "north star: full-color baseline-JPEG decode (YCbCr 4:4:4 "
+    "interleaved MCUs, per-component predictors/tables; closed-form "
+    "channel means)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 # The driver's correctness harness checks the first 50 declared queries

@@ -867,3 +867,33 @@ def test_cms_heavy_hitters_bounds_and_recovery(spark):
     for t, e in est.items():
         assert e >= true[t]  # never undercounts
         assert e <= true[t] + len(vals) * 4 / 512  # eps*N slack
+
+
+def test_jpeg444_color_golden_and_grayscale_fallback(spark):
+    from biodiversity_data_ingestion_spark.operators import multimodal
+
+    df = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    feats = {
+        r["doc_id"]: r
+        for r in multimodal.decode_jpeg444_features(
+            multimodal.synth_jpeg444_payload(df, "doc_id"), "doc_id"
+        ).collect()
+    }
+    for did in range(12):
+        w, h = 8 * (1 + did % 3), 8 * (1 + did % 2)
+        nbw, nbh = w // 8, h // 8
+        r = feats[did]
+        assert (r["mean_y"], r["mean_cb"], r["mean_cr"]) == (
+            90 + did % 60 + (nbh - 1) + 1.5 * (nbw - 1),
+            60 + did % 40 + 0.5 * (nbh - 1),
+            40 + did % 30 + 0.5 * (nbw - 1),
+        )
+    # the color decoder also accepts grayscale files (1 component):
+    gray = multimodal.synth_jpeg_payload(df, "doc_id")
+    row = {
+        r["doc_id"]: r
+        for r in multimodal.decode_jpeg444_features(gray, "doc_id").collect()
+    }[5]
+    w, h = 8 * (1 + 5 % 3), 8 * (1 + 5 % 2)
+    assert row["mean_y"] == 100 + 5 % 64 + (h // 8 - 1) + 1.5 * (w // 8 - 1)
+    assert row["mean_cb"] is None and row["mean_cr"] is None
