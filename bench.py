@@ -70,7 +70,15 @@ HEADLINE = (
 # for lazy builders it must NOT, or driver-side Python expression
 # construction (py4j, ~0.5-2 s for the big HOF plans) pollutes the
 # engine measurement and round-over-round comparability
-EAGER = {"dedup_components", "stream_event_window", "corpus_curation_pipeline"}
+EAGER = {
+    "dedup_components",
+    "stream_event_window",
+    "corpus_curation_pipeline",
+    # localCheckpoint materializes at call time in this Spark build, so
+    # builders that checkpoint (the BPE trainer's rounds) do their work
+    # during construction — time the builder
+    "bpe_train_vocab",
+}
 
 
 def main() -> None:

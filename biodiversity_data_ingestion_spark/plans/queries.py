@@ -7652,22 +7652,21 @@ _register(
 
 def _part_revenue_concentration(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    per = (
-        li.groupBy("l_partkey")
-        .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(18,4)"
-                )
-            ).alias("rev")
-        )
-        # shared by the per-part side AND the scalar total: checkpoint so
-        # the fact table is scanned+aggregated once, not once per branch
-        .localCheckpoint(eager=False)
+    per = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("rev")
     )
-    total = per.agg(F.sum("rev").alias("total"))
+    # global total as a window over the SMALL per-part frame (|parts|
+    # rows through one partition) — one lineitem scan, fully lazy; a
+    # scalar-subquery branch would re-aggregate the fact table, and a
+    # checkpoint would materialize mid-build (localCheckpoint runs its
+    # job at call time in this Spark build)
+    w = Window.partitionBy()
     return (
-        per.crossJoin(F.broadcast(total))
+        per.withColumn("total", F.sum("rev").over(w))
         .where(F.col("rev") * 2000 > F.col("total"))
         .select(
             "l_partkey",
@@ -7706,23 +7705,19 @@ def _top_revenue_supplier(spark, sf_dir):
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
-    rev = (
-        li.groupBy("l_suppkey")
-        .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(18,4)"
-                )
-            ).alias("total_rev")
-        )
-        # the view feeds both the max scalar and the equality filter:
-        # checkpoint = one lineitem scan total (Q15's CREATE VIEW intent)
-        .localCheckpoint(eager=False)
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("total_rev")
     )
-    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    # scalar max as a window over the small per-supplier frame — one
+    # lineitem scan, fully lazy (see part_revenue_concentration)
+    w = Window.partitionBy()
     s = _t(spark, sf_dir, "supplier")
     return (
-        rev.crossJoin(F.broadcast(mx))
+        rev.withColumn("max_rev", F.max("total_rev").over(w))
         .where(F.col("total_rev") == F.col("max_rev"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(

@@ -267,8 +267,8 @@ def test_headline_plan_shuffle_budgets(spark):
         # TPC-H Q2/Q4/Q11/Q15/Q16/Q20/Q22 shapes (measured like the rest)
         "min_cost_part_supplier": 1,  # one window-min pass; dims broadcast
         "priority_returned_orders": 1,  # semi join + grouped count
-        "part_revenue_concentration": 1,  # per-part agg checkpointed once
-        "top_revenue_supplier": 1,  # revenue view checkpointed once
+        "part_revenue_concentration": 2,  # per-part agg + tiny global window
+        "top_revenue_supplier": 2,  # per-supplier agg + tiny global window
         "supplier_diversity_by_type": 2,  # anti join feeds distinct count
         "dominant_part_suppliers": 3,  # (part,supp) agg + window + semi
         "lapsed_rich_customers": 2,  # scalar stats + anti join + rollup
@@ -361,7 +361,6 @@ def test_no_scale_killer_joins_anywhere(spark):
         # TPC-H Q11/Q15/Q22 shapes: the global scalar (total revenue /
         # max revenue / avg positive balance) is a broadcast 1-row
         # aggregate cross join against the reused grouped frame
-        "part_revenue_concentration", "top_revenue_supplier",
         "lapsed_rich_customers",
         # BPE trainer/apply: the per-round argmax is a broadcast 1-row
         # cross join carrying the chosen merge pair to every vocab word
