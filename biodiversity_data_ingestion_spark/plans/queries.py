@@ -8895,6 +8895,39 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 197. warc_record_roundtrip — Common Crawl ingestion format: each doc
+# wrapped as a gzip-member WARC/1.0 response record (the .warc.gz
+# convention that makes crawl shards splittable) and parsed back with
+# the stdlib — version line, named headers, Content-Length-bounded
+# block. The oracle states the features in closed form over documents
+# (byte lengths via the utf-8 encode, same tokenizer as the text ops).
+
+def _warc_record_roundtrip(spark, sf_dir):
+    from ..sources import warc
+
+    docs = _t(spark, sf_dir, "documents")
+    payloads = warc.synth_warc_payload(docs, "doc_id", "text")
+    return warc.parse_warc_features(payloads, "doc_id")
+
+
+_register(
+    "warc_record_roundtrip",
+    _warc_record_roundtrip,
+    r"""
+    SELECT doc_id,
+           'response' AS warc_type,
+           'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+           CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+           CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_words
+    FROM documents
+    """,
+    "north star: WARC (Common Crawl) record synth+parse roundtrip "
+    "(gzip member per record; header walk; Content-Length block)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 # The driver's correctness harness checks the first 50 declared queries

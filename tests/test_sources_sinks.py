@@ -457,3 +457,31 @@ def test_observed_metrics_ride_the_cleaning_pass(spark):
     assert {r["occurrence_id"] for r in cleaned.collect()} == {4, 6}
     assert obs["in"].get == {"rows_in": 6, "null_coords": 1}
     assert obs["out"].get == {"rows_out": 2}
+
+
+def test_warc_roundtrip_and_dead_letter(spark):
+    from biodiversity_data_ingestion_spark.sources import warc
+
+    df = spark.createDataFrame(
+        [(1, "hello crawl world"), (2, ""), (3, "unicode é∂ text")],
+        "doc_id long, text string",
+    )
+    payloads = warc.synth_warc_payload(df, "doc_id", "text")
+    rows = {r["doc_id"]: r for r in warc.parse_warc_features(payloads, "doc_id").collect()}
+    assert rows[1]["warc_type"] == "response"
+    assert rows[1]["target_uri"] == "https://example.org/doc/1"
+    assert rows[1]["content_length"] == len(b"hello crawl world")
+    assert rows[1]["n_words"] == 3
+    assert rows[2]["content_length"] == 0 and rows[2]["n_words"] == 0
+    # unicode content length is BYTES, not chars
+    assert rows[3]["content_length"] == len("unicode é∂ text".encode())
+    # determinism: identical input -> identical gzip bytes (mtime=0)
+    p1 = {r["doc_id"]: bytes(r["payload"]) for r in payloads.collect()}
+    p2 = {r["doc_id"]: bytes(r["payload"])
+          for r in warc.synth_warc_payload(df, "doc_id", "text").collect()}
+    assert p1 == p2
+    # malformed payload -> dead-letter nulls
+    bad = spark.createDataFrame([(9, bytearray(b"\x1f\x8bGARBAGE"))],
+                                "doc_id long, payload binary")
+    row = warc.parse_warc_features(bad, "doc_id", on_error="null").collect()[0]
+    assert row["warc_type"] is None and row["n_words"] is None
