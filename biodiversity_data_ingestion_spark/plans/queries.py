@@ -8988,7 +8988,10 @@ _PRIORITY: tuple[str, ...] = (
     # (sixth mid-round-3 swap: ann_cosine_topk — r2-driver-green,
     # similarity family stays evidenced in-window by the JL projection —
     # out for the flagship hand-rolled-Huffman JPEG decode)
-    "ngram_jaccard_dups",
+    # (eighth swap: ngram_jaccard_dups — r1+r2-driver-green, near-dup
+    # family keeps dedup_components + corpus_quality_gate in-window —
+    # out for the WARC ingestion-format roundtrip)
+    "warc_record_roundtrip",
     "jpeg_decode_features", "dedup_components",
     "corpus_quality_gate", "sequence_packing",
     "audio_decode_features", "near_dedup_keep_best", "doc_chunk_windows",
