@@ -290,9 +290,16 @@ def cms_heavy_hitters(
         .groupBy("v")
         .agg(F.min("cnt").alias("est_count"))
     )
+    # top-k via orderBy+limit = TakeOrdered (partial per-partition
+    # top-k, never a single-task global sort over every distinct value
+    # — that would defeat the sketch's memory/scale rationale). The
+    # rank window then runs over k rows only. At web scale the dominant
+    # cost is the candidate-distinct shuffle above, not this step; a
+    # streaming deployment would keep a bounded candidate set instead.
+    topk = est.orderBy(F.desc("est_count"), "v").limit(k)
     w = Window.orderBy(F.desc("est_count"), "v")
-    return (
-        est.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select(F.col("v").alias(value), "est_count", "rank")
+    return topk.select(
+        F.col("v").alias(value),
+        "est_count",
+        F.row_number().over(w).cast("long").alias("rank"),
     )

@@ -117,8 +117,44 @@ def connected_components(
     return labels
 
 
+# Broadcast-gate ceiling for drop-list anti-joins. Id-only rows are
+# ~16-50 B serialized, so 4M rows is a 64-200 MB broadcast table — far
+# above Catalyst's conservative 10 MB default (safe because we KNOW the
+# frame is key-only), far below executor-memory trouble. On web-scale
+# corpora near-dup drop rates of 30-50% are normal, so the drop list can
+# be billions of ids: an unconditional broadcast OOMs executors at
+# exactly the design point. Hence the gate.
+DROP_LIST_BROADCAST_ROWS = 4_000_000
+
+
+def gated_anti_join(
+    docs: DataFrame,
+    drop: DataFrame,
+    key: str,
+    max_broadcast_rows: int = DROP_LIST_BROADCAST_ROWS,
+) -> DataFrame:
+    """docs MINUS (rows whose key appears in drop), with a broadcast
+    hint applied only when the drop list is provably small.
+
+    The post-iteration CC frontier carries no reliable Catalyst stats,
+    so an unhinted plan may mis-pick; but an unconditional broadcast
+    hint is the opposite failure — at a 30-50% near-dup drop rate the
+    loser set is O(corpus) and force-broadcasting it OOMs executors.
+    The gate counts the drop list (one cheap job over the already-
+    localCheckpoint'ed labels — no recompute of the iterative stage)
+    and hints broadcast only under ``max_broadcast_rows``; otherwise it
+    leaves a plain shuffle ``left_anti`` for AQE to strategize.
+    """
+    if drop.count() <= max_broadcast_rows:
+        drop = F.broadcast(drop)
+    return docs.join(drop, key, "left_anti")
+
+
 def near_dedup_retained(
-    docs: DataFrame, pairs: DataFrame, id_col: str
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_broadcast_rows: int = DROP_LIST_BROADCAST_ROWS,
 ) -> DataFrame:
     """The corpus that survives near-duplicate removal: one canonical
     document (the min-id member) per duplicate cluster, plus every
@@ -126,9 +162,8 @@ def near_dedup_retained(
 
     Composition of connected_components + a left_anti join (the same
     anti-join shape as the reference's incremental gate, SURVEY.md §2.3
-    J2) — the non-canonical members form the drop list. The drop list is
-    tiny relative to the corpus (it IS the duplicate mass), so Catalyst
-    broadcasts it and the retained scan never shuffles.
+    J2) — the non-canonical members form the drop list, anti-joined via
+    :func:`gated_anti_join` (broadcast only when provably small).
     """
     # pair lists from the dedup operators are groupBy-unique => skip the
     # edge-dedup exchange
@@ -136,10 +171,7 @@ def near_dedup_retained(
     losers = cc.where(F.col("component") != F.col("node")).select(
         F.col("node").alias(id_col)
     )
-    # explicit broadcast: the post-iteration frontier has no reliable
-    # Catalyst stats, and the drop list is id-only (the duplicate mass),
-    # so the retained scan stays map-side at any corpus scale
-    return docs.join(F.broadcast(losers), id_col, "left_anti")
+    return gated_anti_join(docs, losers, id_col, max_broadcast_rows)
 
 
 def pack_sequences(
@@ -339,19 +371,28 @@ def _bpe_rounds(
             .localCheckpoint(eager=False)
         )
         rounds.append(best.withColumn("rnd", F.lit(rnd).cast("long")))
+        # LEFT join the (0-or-1)-row best on a constant key, not a
+        # crossJoin: when a round has no mergeable pair left (every word
+        # already one symbol, or empty corpus) a crossJoin against the
+        # empty best would annihilate the whole vocab and silently zero
+        # the encoder output. With the left join m_a is null and the
+        # fold no-ops, which is exactly sequential BPE's "no more
+        # merges" behavior.
+        best_row = best.select(
+            F.lit(1).alias("_k"),
+            F.col("sym_a").alias("m_a"),
+            F.col("sym_b").alias("m_b"),
+        )
         vocab = (
-            vocab.crossJoin(
-                F.broadcast(
-                    best.select(
-                        F.col("sym_a").alias("m_a"), F.col("sym_b").alias("m_b")
-                    )
-                )
-            )
+            vocab.withColumn("_k", F.lit(1))
+            .join(F.broadcast(best_row), "_k", "left")
             .select(
                 "word",
-                _merge_fold(F.col("syms"), F.col("m_a"), F.col("m_b")).alias(
-                    "syms"
-                ),
+                F.when(F.col("m_a").isNull(), F.col("syms"))
+                .otherwise(
+                    _merge_fold(F.col("syms"), F.col("m_a"), F.col("m_b"))
+                )
+                .alias("syms"),
                 "w_count",
             )
             .localCheckpoint(eager=False)

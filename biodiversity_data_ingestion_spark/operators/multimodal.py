@@ -863,9 +863,12 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
 def synth_gif_payload(df: DataFrame, id_col: str) -> DataFrame:
     """Deterministic GIF89a synthesis — the test-data twin for the GIF
     decode. 8-bit palette image, palette entry i = (i, 2i, 3i); pixel
-    index at (row, col) = id%40 + row + col (max 39+3+7 = 49, so no
-    channel wraps and the means keep closed forms through the LZW
-    compression): mean_idx = id%40 + (h-1)/2 + (w-1)/2, channel means
+    index at (row, col) = id%40 + row + col. With w <= 15 and h <= 7
+    the max index is 39 + (7-1) + (15-1) = 59; the real headroom bound
+    is 3*idx_max = 177 < 256, so no palette channel clamps and the
+    means keep closed forms through the LZW compression — any envelope
+    bump must keep 3*idx_max < 256 or mean_b breaks first:
+    mean_idx = id%40 + (h-1)/2 + (w-1)/2, channel means
     = (1x, 2x, 3x) mean_idx. Same gradient geometry as the BMP/PNG
     twins (w = 8 + id%8, h = 4 + id%4)."""
     import struct
@@ -1273,8 +1276,12 @@ def decode_jpeg_features(
             end = buf.rindex(b"\xff\xd9")
             rd = _JpegBitReader(buf[scan_start:end])
             dc_tab, ac_tab = huff[(0, ndc)], huff[(1, nac)]
-            nbw, nbh = w // 8, h // 8
-            img = np.zeros((h, w), dtype=np.uint8)
+            # per spec the scan carries ceil(w/8) x ceil(h/8) blocks —
+            # decode into the padded grid, crop to (h, w) at the end, so
+            # non-multiple-of-8 images (the common case) decode exactly
+            # instead of silently truncating planes
+            nbw, nbh = (w + 7) // 8, (h + 7) // 8
+            img = np.zeros((nbh * 8, nbw * 8), dtype=np.uint8)
             prev_dc = 0
             for bi in range(nbh):
                 for bj in range(nbw):
@@ -1299,6 +1306,7 @@ def decode_jpeg_features(
                     block = C.T @ coef.reshape(8, 8) @ C
                     px = np.clip(np.round(block + 128), 0, 255).astype(np.uint8)
                     img[bi * 8 : bi * 8 + 8, bj * 8 : bj * 8 + 8] = px
+            img = img[:h, :w]
             return w, h, w * h, float(img.astype(np.float64).mean())
 
         def _safe(b):
@@ -1498,9 +1506,12 @@ def decode_jpeg444_features(
             assert scan_start is not None and w is not None
             end = buf.rindex(b"\xff\xd9")
             rd = _JpegBitReader(buf[scan_start:end])
-            nbw, nbh = w // 8, h // 8
+            # ceil-padded MCU grid per spec; planes cropped to (h, w)
+            # after the scan so non-block-multiple dims decode exactly
+            nbw, nbh = (w + 7) // 8, (h + 7) // 8
             planes = {
-                cid: np.zeros((h, w), dtype=np.uint8) for cid in comp_order
+                cid: np.zeros((nbh * 8, nbw * 8), dtype=np.uint8)
+                for cid in comp_order
             }
             prev_dc = {cid: 0 for cid in comp_order}
             for bi in range(nbh):
@@ -1534,7 +1545,7 @@ def decode_jpeg444_features(
                             bi * 8 : bi * 8 + 8, bj * 8 : bj * 8 + 8
                         ] = px
             means = [
-                float(planes[cid].astype(np.float64).mean())
+                float(planes[cid][:h, :w].astype(np.float64).mean())
                 if cid in planes
                 else None
                 for cid in (1, 2, 3)

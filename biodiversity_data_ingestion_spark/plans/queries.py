@@ -6649,13 +6649,15 @@ def _corpus_curation_pipeline(spark, sf_dir):
         .select(F.col("node").alias("doc_id"))
     )
     # fused one-pass language + quality features with source riding
-    # along: the whole downstream is ONE corpus scan + a broadcast
-    # anti-join + the final agg shuffle (the previous shape re-scanned
-    # the corpus for retained ids and shuffle-joined it against feats)
+    # along: the whole downstream is ONE corpus scan + a gated anti-join
+    # + the final agg shuffle (the previous shape re-scanned the corpus
+    # for retained ids and shuffle-joined it against feats). The drop
+    # list is broadcast only when provably small — see
+    # corpus.gated_anti_join for the 100 TB rationale.
     feats = textops.text_features(docs, "doc_id", "text", keep=("source",)).select(
         "doc_id", "source", "predicted_lang", "n_words", "quality"
     )
-    kept = feats.join(F.broadcast(losers), "doc_id", "left_anti").where(
+    kept = corpus.gated_anti_join(feats, losers, "doc_id").where(
         (F.col("quality") >= 0.4) & (F.col("n_words") >= 5)
     )
     return kept.groupBy("source", "predicted_lang").agg(

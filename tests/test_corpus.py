@@ -49,6 +49,39 @@ def test_near_dedup_retained_keeps_canonical_and_untouched(spark):
     assert kept == [1, 2, 4, 5]
 
 
+def test_gated_anti_join_broadcast_only_when_small(spark):
+    # The 100 TB guard: a drop list over the row ceiling must NOT carry
+    # a broadcast hint (plain shuffle left_anti, AQE strategizes); under
+    # the ceiling the hint is applied. Results identical either way.
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"t{i}") for i in range(1, 7)], "doc_id long, text string"
+    )
+    drop = spark.createDataFrame([Row(doc_id=3), Row(doc_id=6)], "doc_id long")
+    hinted = corpus.gated_anti_join(docs, drop, "doc_id", max_broadcast_rows=10)
+    plain = corpus.gated_anti_join(docs, drop, "doc_id", max_broadcast_rows=1)
+    hinted_plan = hinted._jdf.queryExecution().analyzed().toString()
+    plain_plan = plain._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" in hinted_plan.lower()
+    assert "broadcast" not in plain_plan.lower()
+    assert sorted(r["doc_id"] for r in hinted.collect()) == [1, 2, 4, 5]
+    assert sorted(r["doc_id"] for r in plain.collect()) == [1, 2, 4, 5]
+
+
+def test_near_dedup_retained_non_broadcast_path(spark):
+    # same semantics through the gate's shuffle branch
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"t{i}") for i in range(1, 7)], "doc_id long, text string"
+    )
+    pairs = _edges(spark, [(2, 3), (5, 6)])
+    kept = sorted(
+        r["doc_id"]
+        for r in corpus.near_dedup_retained(
+            docs, pairs, "doc_id", max_broadcast_rows=0
+        ).collect()
+    )
+    assert kept == [1, 2, 4, 5]
+
+
 def test_pack_sequences_chunk_semantics(spark):
     docs = spark.createDataFrame(
         [Row(doc_id=i, text="w " * 40) for i in range(1, 9)],
@@ -516,6 +549,31 @@ def test_bpe_train_merges_matches_sequential_reference(spark):
         .collect()
     ]
     assert got == reference(texts, 4)
+
+
+def test_bpe_exhausted_merges_keeps_vocab(spark):
+    # when every word is down to one symbol there is no mergeable pair;
+    # the trainer must emit no further merge rows AND keep the vocab
+    # intact (the old crossJoin-against-empty-best shape annihilated it)
+    from biodiversity_data_ingestion_spark.operators.corpus import (
+        bpe_encode_vocab,
+        bpe_train_merges,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ab ab cd"), (2, "ab cd")], "doc_id long, text string"
+    )
+    # round 1 merges a+b, round 2 merges c+d, rounds 3-4 have nothing
+    merges = bpe_train_merges(df, "text", n_rounds=4).collect()
+    assert sorted((r["rnd"], r["sym_a"], r["sym_b"]) for r in merges) == [
+        (1, "a", "b"),
+        (2, "c", "d"),
+    ]
+    enc = {
+        r["word"]: (r["n_bpe_tokens"], r["encoded"])
+        for r in bpe_encode_vocab(df, "text", n_rounds=4).collect()
+    }
+    assert enc == {"ab": (1, "ab"), "cd": (1, "cd")}
 
 
 def test_pagerank_matches_numpy_reference(spark):

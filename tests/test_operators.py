@@ -820,6 +820,116 @@ def test_jpeg_decode_general_ac_path(spark):
     assert row["mean_gray"] == float(ref.mean())
 
 
+def test_jpeg_decode_non_block_multiple_dims(spark):
+    # the common real-world case the declared synth never hits: w=12,
+    # h=10 (not multiples of 8). The scan carries a ceil-padded 2x2 MCU
+    # grid; the decoder must crop the padding before the mean, not
+    # floor-truncate to a 1x1 grid. Uniform blocks v=100+2*bi+3*bj with
+    # q=1 roundtrip exactly, so the cropped mean is closed-form.
+    import struct
+
+    import numpy as np
+
+    from biodiversity_data_ingestion_spark.operators import multimodal as mm
+
+    w, h = 12, 10
+    dcc = mm._jpeg_canonical_codes(mm._JPEG_DC_BITS, mm._JPEG_DC_VALS)
+    acc = mm._jpeg_canonical_codes(mm._JPEG_AC_BITS, mm._JPEG_AC_VALS)
+    wr = mm._JpegBitWriter()
+    prev_dc = 0
+    for bi in range(2):
+        for bj in range(2):
+            v = 100 + 2 * bi + 3 * bj
+            dc = 8 * (v - 128)
+            t, amp = mm._jpeg_amplitude(dc - prev_dc)
+            wr.put(*dcc[t])
+            if t:
+                wr.put(amp, t)
+            prev_dc = dc
+            wr.put(*acc[0x00])
+    scan = wr.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    buf = (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + bytes([1] * 64))
+        + seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+        + seg(0xC4, b"\x00" + bytes(mm._JPEG_DC_BITS) + bytes(mm._JPEG_DC_VALS))
+        + seg(0xC4, b"\x10" + bytes(mm._JPEG_AC_BITS) + bytes(mm._JPEG_AC_VALS))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + scan
+        + b"\xff\xd9"
+    )
+    ref = np.zeros((16, 16))
+    for bi in range(2):
+        for bj in range(2):
+            ref[bi * 8 : bi * 8 + 8, bj * 8 : bj * 8 + 8] = 100 + 2 * bi + 3 * bj
+    expected = float(ref[:h, :w].mean())
+
+    df = spark.createDataFrame([(1, bytearray(buf))], "doc_id long, payload binary")
+    row = mm.decode_jpeg_features(df, "doc_id").collect()[0]
+    assert (row["width"], row["height"], row["n_pixels"]) == (w, h, w * h)
+    assert row["mean_gray"] == expected
+
+
+def test_jpeg444_decode_non_block_multiple_dims(spark):
+    # color twin of the crop test: 12x10 4:4:4, per-channel uniform
+    # blocks, decoder must ceil-pad the interleaved MCU grid and crop
+    # each plane before the channel means.
+    import struct
+
+    import numpy as np
+
+    from biodiversity_data_ingestion_spark.operators import multimodal as mm
+
+    w, h = 12, 10
+    dcc = mm._jpeg_canonical_codes(mm._JPEG_DC_BITS, mm._JPEG_DC_VALS)
+    acc = mm._jpeg_canonical_codes(mm._JPEG_AC_BITS, mm._JPEG_AC_VALS)
+    wr = mm._JpegBitWriter()
+    prev = [0, 0, 0]
+    chan = lambda bi, bj: (90 + 2 * bi + 3 * bj, 60 + bi, 40 + bj)
+    for bi in range(2):
+        for bj in range(2):
+            for ci, v in enumerate(chan(bi, bj)):
+                dc = 8 * (v - 128)
+                t, amp = mm._jpeg_amplitude(dc - prev[ci])
+                wr.put(*dcc[t])
+                if t:
+                    wr.put(amp, t)
+                prev[ci] = dc
+                wr.put(*acc[0x00])
+    scan = wr.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    comps = b"".join(bytes([cid, 0x11, 0]) for cid in (1, 2, 3))
+    sos_comps = b"".join(bytes([cid, 0x00]) for cid in (1, 2, 3))
+    buf = (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + bytes([1] * 64))
+        + seg(0xC0, struct.pack(">BHHB", 8, h, w, 3) + comps)
+        + seg(0xC4, b"\x00" + bytes(mm._JPEG_DC_BITS) + bytes(mm._JPEG_DC_VALS))
+        + seg(0xC4, b"\x10" + bytes(mm._JPEG_AC_BITS) + bytes(mm._JPEG_AC_VALS))
+        + seg(0xDA, bytes([3]) + sos_comps + bytes([0, 63, 0]))
+        + scan
+        + b"\xff\xd9"
+    )
+    refs = [np.zeros((16, 16)) for _ in range(3)]
+    for bi in range(2):
+        for bj in range(2):
+            for ci, v in enumerate(chan(bi, bj)):
+                refs[ci][bi * 8 : bi * 8 + 8, bj * 8 : bj * 8 + 8] = v
+    exp = [float(r[:h, :w].mean()) for r in refs]
+
+    df = spark.createDataFrame([(1, bytearray(buf))], "doc_id long, payload binary")
+    row = mm.decode_jpeg444_features(df, "doc_id").collect()[0]
+    assert (row["width"], row["height"], row["n_pixels"]) == (w, h, w * h)
+    assert (row["mean_y"], row["mean_cb"], row["mean_cr"]) == tuple(exp)
+
+
 def test_jpeg_decode_golden_roundtrip(spark):
     from biodiversity_data_ingestion_spark.operators import multimodal
 
