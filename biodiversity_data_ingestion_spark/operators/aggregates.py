@@ -229,23 +229,39 @@ def kll_quantile_rollup(
     )
 
 
+def _cms_cell(value_col, j: int, width: int):
+    """Depth-j cell index: the j-th 8-hex slice of ONE md5 of the value,
+    taken mod width. One hash pass yields four independent 32-bit
+    uniform hashes (the seeded_md5_array/chunk_min scheme from
+    functions/hashing.py), and md5 is bit-identical in Spark, DuckDB
+    and Python — so the whole sketch, estimates included, is
+    oracle-portable. (xxhash64 would be ~2x cheaper per row but has no
+    DuckDB twin; at 100 TB the sketch build is dominated by the scan
+    either way.)"""
+    hx = F.substring(F.md5(value_col.cast("string")), 1 + 8 * j, 8)
+    return F.conv(hx, 16, 10).cast("long") % width
+
+
 def cms_build(
     df: DataFrame, value: str, width: int = 256, depth: int = 4
 ) -> DataFrame:
     """Count-Min Sketch as a native cell table: every value maps to one
-    cell per depth row (xxhash64 seeded by the depth index), and the
+    cell per depth row (independent 8-hex slices of one md5), and the
     sketch IS the grouped count over (depth, cell) — at most
     depth x width rows regardless of cardinality, mergeable across
     shards/days by plain addition (map-side combinable, the same
     mergeable-state story as hll_rollup/kll_quantile_rollup but for
     FREQUENCIES). Returns (depth, cell, cnt)."""
+    assert 1 <= depth <= 4, "md5 carries four independent 32-bit slices"
     cells = F.explode(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(depth - 1)),
-            lambda j: F.struct(
-                j.alias("depth"),
-                F.pmod(F.xxhash64(F.col(value), j), F.lit(width)).alias("cell"),
-            ),
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).cast("int").alias("depth"),
+                    _cms_cell(F.col(value), j, width).alias("cell"),
+                )
+                for j in range(depth)
+            ]
         )
     )
     return (
@@ -274,14 +290,14 @@ def cms_heavy_hitters(
     probes = cand.select(
         "v",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(depth - 1)),
-                lambda j: F.struct(
-                    j.alias("depth"),
-                    F.pmod(F.xxhash64(F.col("v"), j), F.lit(width)).alias(
-                        "cell"
-                    ),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("depth"),
+                        _cms_cell(F.col("v"), j, width).alias("cell"),
+                    )
+                    for j in range(depth)
+                ]
             )
         ).alias("p"),
     ).select("v", "p.depth", "p.cell")

@@ -430,25 +430,50 @@ def bpe_encode_vocab(
     )
 
 
+PAGERANK_SCALE = 10**12
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     n_iter: int = 5,
-    damping: float = 0.85,
+    damping_num: int = 17,
+    damping_den: int = 20,
 ) -> DataFrame:
-    """Deterministic PageRank over a directed edge list, the third
-    iterative graph primitive next to connected components and triangle
-    counting. Per iteration: contributions shuffle on the destination
-    id (the only large exchange, size = |edges|); the dangling-node
-    mass and the node count are 1-row aggregates broadcast via cross
-    join, never collected; ranks round to 12dp per iteration so the
-    trajectory is independent of float accumulation order (the k-means
-    determinism recipe). Lineage flattened per round with lazy
+    """Deterministic FIXED-POINT PageRank over a directed edge list,
+    the third iterative graph primitive next to connected components
+    and triangle counting. Ranks are kept as ``PAGERANK_SCALE``-
+    denominated bigints and every step is integer arithmetic
+    (``div`` = floor division, damping = damping_num/damping_den, the
+    0.85 default), so the trajectory is BIT-EXACT: independent of
+    partitioning, of float accumulation order, and of the engine — a
+    plain SQL replay (chained CTEs, one per iteration) reproduces it
+    hash-exactly. The earlier double formulation rounded to 12dp per
+    round, which was partition-independent only up to a rounding-
+    boundary race; fixed-point removes the race class entirely.
+
+    Per iteration: contributions shuffle on the destination id (the
+    only large exchange, size = |edges|); the dangling-node mass and
+    the node count are 1-row aggregates broadcast via cross join,
+    never collected. Lineage flattened per round with lazy
     localCheckpoint.
 
-    Returns (node, rank) with rank rounded to 10dp.
+    Update rule (all integer ops, non-negative operands so floor ==
+    trunc in every engine):
+
+        base      = ((den-num) * SCALE) div (den * n)
+        contrib_v = sum over in-edges (u,v) of (r_u div out_deg_u)
+        r_v'      = base + (num * (contrib_v + dangling div n)) div den
+
+    Floor losses mean sum(rank) drifts a few ulps below 1 — the price
+    of exactness, bounded by n_iter * (n+1) / SCALE.
+
+    Returns (node, rank) with rank = fixed/SCALE as double (exact:
+    fixed < 2^53 and SCALE is a representable power of ten, so the
+    division is correctly rounded identically everywhere).
     """
+    num, den, scale = damping_num, damping_den, PAGERANK_SCALE
     e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
     nodes = (
         e.select(F.col("e_src").alias("node"))
@@ -462,7 +487,7 @@ def pagerank(
     )
     ranks = (
         nodes.crossJoin(F.broadcast(n_total))
-        .select("node", (F.lit(1.0) / F.col("n_nodes")).alias("rank"))
+        .select("node", F.expr(f"CAST({scale} AS BIGINT) div n_nodes").alias("r"))
         .localCheckpoint(eager=False)
     )
     for _ in range(n_iter):
@@ -473,11 +498,13 @@ def pagerank(
             with_deg.where(F.col("out_deg").isNotNull())
             .join(e, F.col("node") == F.col("e_src"))
             .groupBy(F.col("e_dst").alias("node"))
-            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("contrib"))
+            .agg(F.sum(F.expr("r div out_deg")).alias("contrib"))
         )
         dangling = (
             with_deg.where(F.col("out_deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass"))
+            .agg(
+                F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dangling_r")
+            )
         )
         ranks = (
             nodes.join(contribs, "node", "left")
@@ -485,16 +512,16 @@ def pagerank(
             .crossJoin(F.broadcast(n_total))
             .select(
                 "node",
-                F.round(
-                    (1.0 - damping) / F.col("n_nodes")
-                    + damping
-                    * (
-                        F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.col("dangling_mass") / F.col("n_nodes")
-                    ),
-                    12,
-                ).alias("rank"),
+                F.expr(
+                    f"CAST(({den - num} * CAST({scale} AS BIGINT))"
+                    f"     div ({den} * n_nodes)"
+                    f" + ({num} * (coalesce(contrib, 0)"
+                    f"             + dangling_r div n_nodes)) div {den}"
+                    " AS BIGINT)"
+                ).alias("r"),
             )
             .localCheckpoint(eager=False)
         )
-    return ranks.select("node", F.round("rank", 10).alias("rank"))
+    return ranks.select(
+        "node", (F.col("r") / F.lit(float(scale))).alias("rank")
+    )

@@ -8793,11 +8793,12 @@ _register(
 # 194. copurchase_pagerank — deterministic PageRank over the
 # co-purchase part graph (join-free basket edges, same construction as
 # copurchase_triangles), 3 iterations with dangling-mass
-# redistribution. Rows-only by design: per-iteration float sums round
-# at 12dp which makes the TRAJECTORY partition-independent, but an
-# exact-hash SQL oracle would race the rounding boundary (the k-means
-# rationale); correctness is pinned by the numpy-reference test
-# instead (test_pagerank_matches_numpy_reference).
+# redistribution. ORACLE-EXACT since the operator moved to fixed-point
+# integer ranks (PAGERANK_SCALE-denominated bigints, floor division):
+# the trajectory is bit-exact in any engine, so a chained-CTE replay
+# (one CTE per iteration) hash-matches — no rounding-boundary race
+# left. The sequential-replay property is also unit-tested
+# (test_pagerank_matches_fixed_point_reference).
 
 def _copurchase_pagerank(spark, sf_dir):
     from ..operators import corpus as corpus_ops
@@ -8826,11 +8827,41 @@ def _copurchase_pagerank(spark, sf_dir):
     return corpus_ops.pagerank(edges, "src", "dst", n_iter=3).orderBy("node")
 
 
+_PR_STEP = """
+c{i} AS (
+    SELECT e.dst AS node, CAST(sum(r.r // d.out_deg) AS BIGINT) AS contrib
+    FROM edges e JOIN r{p} r ON e.src = r.node JOIN deg d ON e.src = d.node
+    GROUP BY e.dst),
+dg{i} AS (
+    SELECT CAST(coalesce(sum(r.r), 0) AS BIGINT) AS dangling
+    FROM r{p} r LEFT JOIN deg d ON r.node = d.node WHERE d.node IS NULL),
+r{i} AS (
+    SELECT n.node,
+           CAST((3 * 1000000000000) // (20 * nn.n)
+                + (17 * (coalesce(c.contrib, 0) + dg{i}.dangling // nn.n)) // 20
+                AS BIGINT) AS r
+    FROM nodes n LEFT JOIN c{i} c ON n.node = c.node, dg{i}, nn)"""
+
 _register(
     "copurchase_pagerank",
     _copurchase_pagerank,
-    None,  # rows-only: float trajectory, see docstring
+    """
+    WITH edges AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT src AS node, count(*) AS out_deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST(1000000000000 // nn.n AS BIGINT) AS r
+           FROM nodes, nn),"""
+    + ",".join(_PR_STEP.format(i=i, p=i - 1) for i in (1, 2, 3))
+    + """
+    SELECT node, r / 1000000000000.0 AS rank FROM r3 ORDER BY node
+    """,
     "north star: PageRank over the co-purchase graph (iterative; "
+    "fixed-point bigint ranks => bit-exact chained-CTE oracle; "
     "dangling mass and node count broadcast as 1-row aggregates)",
 )
 
@@ -8840,9 +8871,11 @@ _register(
 # mergeable-sketch family (HLL distinct / theta set algebra / KLL
 # quantiles / CMS frequencies): word heavy hitters off a
 # depth x width Count-Min cell table that is mergeable by addition and
-# broadcast for map-side estimation. Rows-only (xxhash64 has no DuckDB
-# twin); the CMS guarantees are unit-tested
-# (test_cms_heavy_hitters_bounds_and_recovery).
+# broadcast for map-side estimation. ORACLE-EXACT since the cell hash
+# moved from xxhash64 to the portable one-md5/four-slice scheme
+# (functions/hashing.py): DuckDB replays sketch build + estimation
+# bit-for-bit, so even the ESTIMATES hash-match. The CMS guarantees
+# stay unit-tested (test_cms_heavy_hitters_bounds_and_recovery).
 
 def _word_heavy_hitters_cms(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
@@ -8855,9 +8888,39 @@ def _word_heavy_hitters_cms(spark, sf_dir):
 _register(
     "word_heavy_hitters_cms",
     _word_heavy_hitters_cms,
-    None,  # rows-only: hash-sketch estimates, no SQL twin for xxhash64
+    r"""
+    WITH words AS (
+        SELECT word
+        FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+                  AS word FROM documents)
+        WHERE word <> ''),
+    js AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(j)),
+    sketch AS (
+        SELECT j AS depth,
+               CAST(('0x' || substr(md5(word), 1 + 8 * j, 8)) AS BIGINT)
+                   % 1024 AS cell,
+               count(*) AS cnt
+        FROM words CROSS JOIN js
+        GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT word FROM words),
+    probes AS (
+        SELECT word, j AS depth,
+               CAST(('0x' || substr(md5(word), 1 + 8 * j, 8)) AS BIGINT)
+                   % 1024 AS cell
+        FROM cand CROSS JOIN js),
+    est AS (
+        SELECT p.word, min(s.cnt) AS est_count
+        FROM probes p JOIN sketch s USING (depth, cell)
+        GROUP BY p.word)
+    SELECT word, est_count,
+           row_number() OVER (ORDER BY est_count DESC, word) AS rank
+    FROM est
+    ORDER BY est_count DESC, word
+    LIMIT 15
+    """,
     "north star: Count-Min heavy hitters (mergeable frequency sketch, "
-    "broadcast estimate join)",
+    "broadcast estimate join; portable md5 cell hashes => the estimates "
+    "themselves are oracle-exact)",
 )
 
 

@@ -576,10 +576,13 @@ def test_bpe_exhausted_merges_keeps_vocab(spark):
     assert enc == {"ab": (1, "ab"), "cd": (1, "cd")}
 
 
-def test_pagerank_matches_numpy_reference(spark):
-    import numpy as np
-
-    from biodiversity_data_ingestion_spark.operators.corpus import pagerank
+def test_pagerank_matches_fixed_point_reference(spark):
+    # the fixed-point trajectory must match a sequential Python-int
+    # replay EXACTLY (that's the whole point: bit-exact in any engine)
+    from biodiversity_data_ingestion_spark.operators.corpus import (
+        PAGERANK_SCALE,
+        pagerank,
+    )
 
     # directed graph with a dangling node (4) and a hub (0)
     E = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 0), (3, 2), (2, 4)]
@@ -587,21 +590,36 @@ def test_pagerank_matches_numpy_reference(spark):
     got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=8).collect()}
 
     nodes = sorted({u for e in E for u in e})
-    idx = {u: i for i, u in enumerate(nodes)}
     n = len(nodes)
-    out = np.zeros(n)
+    out = {u: 0 for u in nodes}
     for s, _ in E:
-        out[idx[s]] += 1
-    r = np.full(n, 1.0 / n)
-    d = 0.85
+        out[s] += 1
+    S = PAGERANK_SCALE
+    num, den = 17, 20
+    r = {u: S // n for u in nodes}
     for _ in range(8):
-        contrib = np.zeros(n)
+        contrib = {u: 0 for u in nodes}
         for s, t in E:
-            contrib[idx[t]] += r[idx[s]] / out[idx[s]]
-        dangling = r[out == 0].sum()
-        r = np.round((1 - d) / n + d * (contrib + dangling / n), 12)
+            contrib[t] += r[s] // out[s]
+        dangling = sum(r[u] for u in nodes if out[u] == 0)
+        r = {
+            u: ((den - num) * S) // (den * n)
+            + (num * (contrib[u] + dangling // n)) // den
+            for u in nodes
+        }
     for u in nodes:
-        assert abs(got[u] - r[idx[u]]) < 1e-9, (u, got[u], r[idx[u]])
-    # rank is a probability distribution (mass conserved by the
-    # dangling redistribution)
-    assert abs(sum(got.values()) - 1.0) < 1e-6
+        assert got[u] == r[u] / S, (u, got[u], r[u] / S)
+    # rank is a probability distribution up to bounded floor loss
+    assert 1.0 - 1e-6 < sum(got.values()) <= 1.0
+    # and the double trajectory it replaces is still approximated:
+    # compare against a float reference to make sure the fixed-point
+    # reformulation didn't change the algorithm, just its arithmetic
+    rf = {u: 1.0 / n for u in nodes}
+    for _ in range(8):
+        cf = {u: 0.0 for u in nodes}
+        for s, t in E:
+            cf[t] += rf[s] / out[s]
+        dm = sum(rf[u] for u in nodes if out[u] == 0)
+        rf = {u: 0.15 / n + 0.85 * (cf[u] + dm / n) for u in nodes}
+    for u in nodes:
+        assert abs(got[u] - rf[u]) < 1e-9

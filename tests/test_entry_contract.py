@@ -35,6 +35,7 @@ def test_queries_and_oracles_align():
         "theta_user_overlap",
         "kll_value_quantiles",
         "semantic_dedup_corpus",
-        "copurchase_pagerank",
-        "word_heavy_hitters_cms",
+        # copurchase_pagerank and word_heavy_hitters_cms graduated to
+        # exact oracles in round 4 (fixed-point ranks / portable md5
+        # cell hashes)
     }
