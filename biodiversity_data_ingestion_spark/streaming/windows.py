@@ -126,10 +126,53 @@ def run_stream_over_events(
 ) -> DataFrame:
     """Execute the windowed aggregation as a REAL streaming query over
     the events parquet (file-stream source, memory sink, complete mode),
-    drain it, and return the final result table."""
+    drain it, and return the final result table.
+
+    HARNESS MODE: complete output + memory sink re-emits full state
+    each batch and collects to the driver — correct for bounded-replay
+    oracle checks, wrong for production. The at-scale path is
+    :func:`run_stream_append_to_files` (append mode, durable sink,
+    watermark-finalized windows, bounded state)."""
     return _drain_to_memory_table(
         spark, windowed_event_counts(events_stream(spark, sf_dir)), query_name
     )
+
+
+def run_stream_append_to_files(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "bdi_stream_append",
+) -> DataFrame:
+    """PRODUCTION-mode streaming: the same windowed aggregation in
+    APPEND output mode with a durable parquet sink and a checkpointed
+    state store.
+
+    This is the shape that runs unbounded at scale, unlike the
+    complete/memory harness: each window row is emitted exactly once —
+    when the watermark passes the window end (watermark-driven
+    finalization) — after which its state is dropped, so state stays
+    bounded by the watermark horizon, the sink is an append-only file
+    log a downstream batch reader can consume, and recovery replays
+    exactly-once from the checkpoint. On a BOUNDED replay the final
+    watermark is max(ts) - delay, so windows still open at end-of-input
+    are (correctly) never emitted; the closed prefix must equal the
+    batch aggregation over the same rows, which is how it is tested
+    (test_append_mode_matches_batch_closed_windows).
+    """
+    agg = windowed_event_counts(events_stream(spark, sf_dir))
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .queryName(query_name)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    return spark.read.parquet(out_dir)
 
 
 def run_stream_sessions_over_events(
