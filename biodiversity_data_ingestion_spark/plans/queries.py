@@ -9001,6 +9001,77 @@ _register(
 # near-duplicate variants of already-proven patterns come after. The
 # full registry is still exported — only the ordering changes.
 _PRIORITY: tuple[str, ...] = (
+    # ROUND-4 ROTATION: every one of the 50 slots goes to a query with
+    # ZERO driver evidence across r1-r3 (the 96 previously-green rows
+    # persist on disk as evidence; local parity stays the regression
+    # gate for them — full-registry sweeps recorded in NOTES.md). 45
+    # carry exact DuckDB oracles (incl. the two round-4 graduations:
+    # fixed-point copurchase_pagerank, portable-hash
+    # word_heavy_hitters_cms); 5 are by-design rows-only sketch/cluster
+    # representatives so those families finally get driver rows at all.
+    # Families earning their FIRST driver row: corpus-curation flagship,
+    # gif/color-jpeg decode, tpch q3/q18, cube+unpivot+rollup+pivot,
+    # retention/funnel/yoy/mad/ttest/corr analytics, 10 streaming
+    # runners, sketches (hll/kll/theta), kmeans+ivf+quantization,
+    # pmi, fuzzy-match, overlap-matrix, bpe-encode, gap-fill,
+    # trailing-window, inverted-index postings, vocab ids, weighted
+    # sampling, snapshot diff, skew report, null-safe join, fk audit,
+    # equi-depth deciles, streaks.
+    "corpus_curation_pipeline",
+    "copurchase_pagerank",
+    "word_heavy_hitters_cms",
+    "gif_decode_features",
+    "jpeg_color_decode_features",
+    "tpch_q3_shipping_priority",
+    "tpch_q18_large_orders",
+    "order_dims_cube",
+    "user_retention_cohorts",
+    "stream_cdc_upsert",
+    "stream_interval_join",
+    "term_pair_pmi",
+    "fuzzy_name_match",
+    "source_overlap_matrix",
+    "bpe_vocab_encoding",
+    "stream_user_sessions",
+    "stream_first_seen",
+    "stream_sliding_windows",
+    "stream_windowed_topk",
+    "stream_dedup_within_watermark",
+    "stream_static_enrichment",
+    "stream_left_outer_join",
+    "stream_distinct_pairs",
+    "hll_mergeable_rollup",
+    "kll_value_quantiles",
+    "theta_user_overlap",
+    "kmeans_clusters",
+    "semantic_dedup_corpus",
+    "ivf_topk_exhaustive",
+    "embedding_quantization_error",
+    "signup_purchase_funnel",
+    "orders_yoy_growth",
+    "event_value_mad",
+    "part_metrics_unpivot",
+    "orders_rollup",
+    "event_type_pivot",
+    "hourly_gap_fill",
+    "trailing_7d_active_users",
+    "user_event_gaps",
+    "inverted_index_postings",
+    "vocab_token_ids",
+    "weighted_doc_sample",
+    "orders_snapshot_diff",
+    "key_skew_report",
+    "null_safe_lang_pairs",
+    "fk_orphan_audit",
+    "price_equidepth_deciles",
+    "price_quantity_corr",
+    "event_value_ab_ttest",
+    "user_longest_daily_streak",
+)
+
+_PRIORITY_R3: tuple[str, ...] = (
+    # ROUND-3 window, kept for the historical record (every row below
+    # is green in CORRECTNESS_r03.json):
     # ROUND-3 ROTATION: 14 queries that were driver-green in
     # CORRECTNESS_r02 and are near-duplicates of families still
     # represented in-window were rotated OUT (their r2 green rows remain
