@@ -86,6 +86,11 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    # record host contention so a noisy box can't masquerade as a code
+    # regression (r3 lesson: 1.5x swings on identical plans between
+    # back-to-back runs; load average makes that visible in the JSON)
+    load_start = round(os.getloadavg()[0], 2)
+
     spark = get_spark(app_name="bdi-bench")
     spark.sparkContext.setLogLevel("ERROR")
     # warm-up: JVM + parquet footer caches
@@ -114,6 +119,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # best-of-3 per query (stronger noise floor than median
+                # for comparability); load averages bracket the run so
+                # contention-shaped "regressions" are self-diagnosing
+                "repeats": 3,
+                "aggregation": "best",
+                "load_avg_1m_start": load_start,
+                "load_avg_1m_end": round(os.getloadavg()[0], 2),
             }
         )
     )

@@ -40,7 +40,8 @@ def connected_components(
     max_iter: int = 25,
     pointer_jump: bool = False,
     dedup_edges: bool = True,
-) -> DataFrame:
+    return_non_root_count: bool = False,
+):
     """Connected components of the undirected graph given as an edge list.
 
     Min-label propagation: every node starts labelled with its own id;
@@ -69,6 +70,14 @@ def connected_components(
     rounds, where plain propagation would need ~200). Every label is
     always some real node's id (labels start as own ids and only
     min-fold over other labels), so the jump join is total.
+
+    ``return_non_root_count=True`` returns ``(labels, n_non_root)``
+    where n_non_root = count of nodes whose label differs from their
+    own id — i.e. the size of the drop list a near-dedup retain pass
+    anti-joins away. It rides along in the per-round convergence
+    aggregate (same scan, second scalar), so callers get the
+    broadcast-gate bound for FREE instead of paying a separate count
+    job over the converged frontier.
     """
     e = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     edges = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
@@ -77,10 +86,23 @@ def connected_components(
         # the per-round join fan-out; callers whose pair list is already
         # unique (every groupBy-produced pair graph) skip this exchange
         edges = edges.distinct()
+    # edges are read by EVERY round's join: localCheckpoint truncates
+    # the (possibly expensive) pair-generation lineage once
     edges = edges.localCheckpoint()
-    # LAZY checkpoints throughout the loop: the convergence aggregate is
-    # the action that materializes each round's frontier, so every round
-    # costs ONE job instead of two (eager checkpoint + sum)
+    # The label frontier persists() for the first rounds and
+    # localCheckpoints from round _CKPT_AFTER on. Why the split: in
+    # this Spark build localCheckpoint(eager=False) still runs its job
+    # at call time, so a checkpointed loop costs TWO jobs per round
+    # (checkpoint + convergence agg), while a persisted frame
+    # materializes lazily INSIDE the aggregate's job — one job per
+    # round. But persist only flattens the PHYSICAL plan (cache lookup
+    # happens at planning time); the LOGICAL plan still nests round
+    # over round and, with the pointer-jump self-join, doubles per
+    # round — 25 un-truncated rounds OOM the analyzer (observed on the
+    # 200-node chain test). Near-dup graphs converge in 1-2 rounds, so
+    # the fast persist path covers the common case and the checkpoint
+    # path bounds plan growth for adversarial diameters. Measured ~2
+    # jobs (~0.4 s fixed overhead) cheaper per CC call at sf0.1.
     # Seed labels with one fold over direct neighbors (component0 =
     # min(self, neighbors)) — same shuffle the plain distinct() init
     # would cost, but it banks a full propagation round. Near-dup
@@ -90,30 +112,48 @@ def connected_components(
     labels = (
         edges.groupBy(F.col("s").alias("node"))
         .agg(F.least(F.min("s"), F.min("d")).alias("component"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
-    prev_sum = labels.agg(F.sum("component")).first()[0]
-    for _ in range(max_iter):
+    # convergence aggregate carries the non-root count as a second
+    # scalar over the same scan — the free broadcast-gate bound
+    conv_agg = [
+        F.sum("component"),
+        F.sum((F.col("node") != F.col("component")).cast("long")),
+    ]
+    _CKPT_AFTER = 2  # rounds on the fast persist path before truncating
+    prev_sum, n_non_root = labels.agg(*conv_agg).first()
+    for rnd in range(max_iter):
         neighbor_labels = edges.join(
             labels.withColumnRenamed("node", "d"), "d"
         ).select(F.col("s").alias("node"), "component")
-        labels = (
+        new_labels = (
             labels.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
         if pointer_jump:
-            parent = labels.select(
+            parent = new_labels.select(
                 F.col("node").alias("component"), F.col("component").alias("_root")
             )
-            labels = labels.join(parent, "component").select(
+            new_labels = new_labels.join(parent, "component").select(
                 "node", F.col("_root").alias("component")
             )
-        labels = labels.localCheckpoint(eager=False)
-        new_sum = labels.agg(F.sum("component")).first()[0]
+        if rnd < _CKPT_AFTER:
+            new_labels = new_labels.persist()
+        else:
+            # truncates the logical plan (LogicalRDD leaf); costs the
+            # extra checkpoint job but bounds plan growth past the
+            # common-case convergence horizon
+            new_labels = new_labels.localCheckpoint(eager=False)
+        new_sum, new_non_root = new_labels.agg(*conv_agg).first()
+        # successor materialized — the parent cache can go
+        labels.unpersist()
+        labels, n_non_root = new_labels, new_non_root
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    if return_non_root_count:
+        return labels, int(n_non_root or 0)
     return labels
 
 
@@ -132,6 +172,7 @@ def gated_anti_join(
     drop: DataFrame,
     key: str,
     max_broadcast_rows: int = DROP_LIST_BROADCAST_ROWS,
+    drop_count: int | None = None,
 ) -> DataFrame:
     """docs MINUS (rows whose key appears in drop), with a broadcast
     hint applied only when the drop list is provably small.
@@ -140,12 +181,16 @@ def gated_anti_join(
     so an unhinted plan may mis-pick; but an unconditional broadcast
     hint is the opposite failure — at a 30-50% near-dup drop rate the
     loser set is O(corpus) and force-broadcasting it OOMs executors.
-    The gate counts the drop list (one cheap job over the already-
-    localCheckpoint'ed labels — no recompute of the iterative stage)
-    and hints broadcast only under ``max_broadcast_rows``; otherwise it
-    leaves a plain shuffle ``left_anti`` for AQE to strategize.
+    The gate hints broadcast only when the drop list is under
+    ``max_broadcast_rows``; otherwise it leaves a plain shuffle
+    ``left_anti`` for AQE to strategize. Pass ``drop_count`` when an
+    upper bound is already known (connected_components returns the
+    non-root count for free inside its convergence aggregate) — then
+    the gate costs ZERO extra jobs; otherwise one cheap count over the
+    already-localCheckpoint'ed frame is paid.
     """
-    if drop.count() <= max_broadcast_rows:
+    n = drop_count if drop_count is not None else drop.count()
+    if n <= max_broadcast_rows:
         drop = F.broadcast(drop)
     return docs.join(drop, key, "left_anti")
 
@@ -166,12 +211,17 @@ def near_dedup_retained(
     :func:`gated_anti_join` (broadcast only when provably small).
     """
     # pair lists from the dedup operators are groupBy-unique => skip the
-    # edge-dedup exchange
-    cc = connected_components(pairs, dedup_edges=False)
+    # edge-dedup exchange; the CC convergence aggregate hands back the
+    # drop-list size so the broadcast gate is free
+    cc, n_losers = connected_components(
+        pairs, dedup_edges=False, return_non_root_count=True
+    )
     losers = cc.where(F.col("component") != F.col("node")).select(
         F.col("node").alias(id_col)
     )
-    return gated_anti_join(docs, losers, id_col, max_broadcast_rows)
+    return gated_anti_join(
+        docs, losers, id_col, max_broadcast_rows, drop_count=n_losers
+    )
 
 
 def pack_sequences(

@@ -64,12 +64,21 @@ def dedup_exact(df: DataFrame, content: str, id_col: str) -> DataFrame:
     )
 
 
-def _doc_shingles(df: DataFrame, id_col: str, text: str, n: int) -> DataFrame:
+def _doc_shingles(
+    df: DataFrame, id_col: str, text: str, n: int, words_col: str | None = None
+) -> DataFrame:
     # shingling + md5 minhashing is CPU-bound per-row and hash/int-valued
-    # (order-insensitive) => safe + profitable to break scan fusion
+    # (order-insensitive) => safe + profitable to break scan fusion.
+    # words_col: a pre-tokenized tokenize(lower(text)) array — lets a
+    # pipeline that also computes text features tokenize the corpus ONCE
+    # (cached) instead of once per branch; values are identical because
+    # the expression is the same Column tree.
+    words = (
+        F.col(words_col) if words_col else tokenize(F.lower(F.col(text)))
+    )
     return fan_out(df).select(
         F.col(id_col).alias("doc_id"),
-        word_shingles(tokenize(F.lower(F.col(text))), n).alias("shingles"),
+        word_shingles(words, n).alias("shingles"),
     )
 
 
@@ -161,6 +170,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    words_col: str | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-duplicate pairs via inverted-index join.
 
@@ -178,7 +188,9 @@ def ngram_jaccard_pairs(
     # computation is two shuffles (groupBy shingle, groupBy pair). The
     # earlier self-join shape computed the shingling three times (both
     # join sides + the sizes branch) and shuffled the index twice.
-    sh = _doc_shingles(df, id_col, text, n).withColumn("n_sh", F.size("shingles"))
+    sh = _doc_shingles(df, id_col, text, n, words_col).withColumn(
+        "n_sh", F.size("shingles")
+    )
     inv = _explode_computed(sh, ["doc_id", "n_sh"], "shingles", "shingle")
     buckets = inv.groupBy("shingle").agg(
         F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("docs")

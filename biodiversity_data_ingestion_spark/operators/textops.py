@@ -100,7 +100,11 @@ def quality_score(df: DataFrame, id_col: str, text: str) -> DataFrame:
 
 
 def text_features(
-    df: DataFrame, id_col: str, text: str, keep: tuple[str, ...] = ()
+    df: DataFrame,
+    id_col: str,
+    text: str,
+    keep: tuple[str, ...] = (),
+    words_col: str | None = None,
 ) -> DataFrame:
     """One-pass fusion of language_id + quality_score: identical output
     columns, computed from a single scan with shared tokenization.
@@ -114,9 +118,14 @@ def text_features(
     are the same Column trees as the standalone operators, so values
     (and oracle hashes) are bit-identical — asserted by
     test_text_features_fusion_matches_joins.
+
+    ``words_col`` optionally supplies a pre-computed
+    tokenize(lower(text)) array (the tokenize-once pipeline pattern —
+    same Column tree, so values are unchanged); raw ``text`` is still
+    required for the punctuation ratio.
     """
     t = F.col(text)
-    words = tokenize(F.lower(t))
+    words = F.col(words_col) if words_col else tokenize(F.lower(t))
     counts = {lang: _count_in(words, vocab) for lang, vocab in _LANG_MARKERS.items()}
     best = None
     for lang, cnt in counts.items():

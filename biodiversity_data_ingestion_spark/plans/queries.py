@@ -6639,14 +6639,30 @@ _register(
 # quality accumulates in decimal so the group mean is engine-exact.
 
 def _corpus_curation_pipeline(spark, sf_dir):
+    from ..functions.partitioning import fan_out
+    from ..functions.textfn import tokenize
+
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    # tokenize ONCE for both branches (the r2 shared-subplan lead): the
+    # dedup shingles and the lang/quality features consume the same
+    # tokenize(lower(text)) array, so the corpus scan + tokenization is
+    # computed a single time and cached (persist materializes inside
+    # the first branch's job). Values are bit-identical to the
+    # per-branch expressions — same Column tree.
+    tok = fan_out(docs).select(
+        "doc_id", "source", "text",
+        tokenize(F.lower(F.col("text"))).alias("_words"),
+    ).persist()
+    pairs = dedup.ngram_jaccard_pairs(
+        tok, "doc_id", "text", n=3, threshold=0.5, words_col="_words"
+    )
     # non-canonical cluster members (tiny: the duplicate mass) — the
     # only output of the graph stage the rest of the pipeline needs
-    losers = (
-        corpus.connected_components(pairs, dedup_edges=False)
-        .where(F.col("component") != F.col("node"))
-        .select(F.col("node").alias("doc_id"))
+    cc, n_losers = corpus.connected_components(
+        pairs, dedup_edges=False, return_non_root_count=True
+    )
+    losers = cc.where(F.col("component") != F.col("node")).select(
+        F.col("node").alias("doc_id")
     )
     # fused one-pass language + quality features with source riding
     # along: the whole downstream is ONE corpus scan + a gated anti-join
@@ -6654,10 +6670,10 @@ def _corpus_curation_pipeline(spark, sf_dir):
     # for retained ids and shuffle-joined it against feats). The drop
     # list is broadcast only when provably small — see
     # corpus.gated_anti_join for the 100 TB rationale.
-    feats = textops.text_features(docs, "doc_id", "text", keep=("source",)).select(
-        "doc_id", "source", "predicted_lang", "n_words", "quality"
-    )
-    kept = corpus.gated_anti_join(feats, losers, "doc_id").where(
+    feats = textops.text_features(
+        tok, "doc_id", "text", keep=("source",), words_col="_words"
+    ).select("doc_id", "source", "predicted_lang", "n_words", "quality")
+    kept = corpus.gated_anti_join(feats, losers, "doc_id", drop_count=n_losers).where(
         (F.col("quality") >= 0.4) & (F.col("n_words") >= 5)
     )
     return kept.groupBy("source", "predicted_lang").agg(
