@@ -152,9 +152,16 @@ def connected_components(
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    # flatten the returned plan: downstream consumers embed the labels
+    # in bigger trees (anti-joins, window keep-best), and a persisted
+    # frame still carries its full lineage in the plan (breaking the
+    # per-query exchange budgets and re-optimizing the loop's tree on
+    # every consumer). The checkpoint job just reads the cache — cheap.
+    final = labels.localCheckpoint()  # eager: materialized before unpersist
+    labels.unpersist()
     if return_non_root_count:
-        return labels, int(n_non_root or 0)
-    return labels
+        return final, int(n_non_root or 0)
+    return final
 
 
 # Broadcast-gate ceiling for drop-list anti-joins. Id-only rows are

@@ -271,6 +271,23 @@ def ivf_topk(
     )
 
 
+KMEANS_SCALE = 1 << 24  # matches float32 mantissa precision at |x| ~ 1
+
+
+def quantize_vec(col: Column, scale: int = KMEANS_SCALE) -> Column:
+    """Embedding coordinates as SCALE-denominated bigints.
+
+    x * 2^24 is an EXACT double product (power-of-two multiply of a
+    float-derived double), so round() sees an unambiguous value and
+    both Spark and DuckDB produce the identical integer (both round
+    half away from zero). 2^-24 ~ 6e-8 equals float32 ulp at |x| ~ 0.5,
+    so quantization loses nothing the input ever had.
+    """
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * F.lit(float(scale))).cast("long")
+    )
+
+
 def kmeans_lloyd(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -278,29 +295,37 @@ def kmeans_lloyd(
     k: int = 8,
     n_iter: int = 5,
 ) -> DataFrame:
-    """Deterministic Lloyd k-means over an embedding column.
+    """Deterministic FIXED-POINT Lloyd k-means over an embedding column.
 
     Init: the k vectors with the smallest ids (reproducible, no RNG).
-    Each iteration: (1) assign every vector to its nearest centroid —
-    squared-L2 rounded to 9 decimals with cluster-id tie-break, computed
-    as a broadcast cross join + map-side min over a (dist, cluster)
-    struct, so the only shuffled bytes are one (id, cluster) pair per
-    vector; (2) recompute centroids dimension-wise via posexplode +
-    groupBy(cluster, dim) avg rounded 6 (map-side combinable; shuffle
-    size = k x dims, independent of corpus size).
+    Coordinates are quantized once to ``KMEANS_SCALE``-denominated
+    bigints (see :func:`quantize_vec`); from there every step is
+    integer arithmetic, so the whole trajectory is BIT-EXACT across
+    partitionings and engines — a chained-CTE SQL replay hash-matches
+    (the round-to-9dp double formulation this replaces was
+    partition-independent only up to a rounding-boundary race).
 
-    Rounding at both steps makes the trajectory independent of float
-    accumulation order, so the SAME clustering falls out on any
-    partitioning/engine — that is what the numpy-reference unit test
-    asserts. Centroids are localCheckpoint'ed per iteration (flat
-    lineage, same pattern as corpus.connected_components). Fixed
-    iteration count, no convergence test: deterministic cost, and at
-    scale you run a known budget anyway.
+    Each iteration: (1) assign every vector to its nearest centroid —
+    integer squared-L2 with cluster-id tie-break, computed as a
+    broadcast cross join + map-side min over a (dist, cluster) struct,
+    so the only shuffled bytes are one (id, cluster) pair per vector;
+    (2) recompute centroids dimension-wise via posexplode +
+    groupBy(cluster, dim) with ``sum div count`` (truncating integer
+    division — identical in Spark ``div``, DuckDB ``//`` and Python
+    int()); map-side combinable, shuffle size = k x dims, independent
+    of corpus size. Overflow headroom: |xq| <= |x|_max * 2^24, so the
+    64-dim squared distance stays ~2^52 << 2^63 for |x| <= 8.
+
+    Centroids are localCheckpoint'ed per iteration (flat lineage, same
+    pattern as corpus.connected_components). Fixed iteration count, no
+    convergence test: deterministic cost, and at scale you run a known
+    budget anyway. A cluster that loses every member simply drops out
+    of the centroid table (same as the SQL replay).
 
     Returns (id, cluster) final assignments.
     """
     vecs = corpus.select(
-        F.col(id_col).alias("vid"), as_double_vec(F.col(vec_col)).alias("v")
+        F.col(id_col).alias("vid"), quantize_vec(F.col(vec_col)).alias("v")
     )
     # seed selection is a global top-k (TakeOrderedAndProject — per-
     # partition heaps, no total sort); the row_number window then runs
@@ -312,10 +337,22 @@ def kmeans_lloyd(
         .localCheckpoint()
     )
 
-    def sq_l2(a: Column, b: Column) -> Column:
+    def sq_l2_int(a: Column, b: Column) -> Column:
+        # exact decimal accumulation: quantized coords can reach ~2^31
+        # for out-of-envelope inputs (unit vectors are ~2^24), and a
+        # bigint square would overflow under ANSI mode. decimal(18,0)
+        # holds any |diff| < 1e18, the square fits decimal(37,0), and
+        # the running sum decimal(38,0) — all exact integers, so the
+        # min-comparison (and the SQL oracle's HUGEINT sum) agree
+        # bit-for-bit.
         return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x - y).cast("decimal(18,0)")
+                * (x - y).cast("decimal(18,0)"),
+            ),
+            F.lit(0).cast("decimal(38,0)"),
             lambda acc, d: acc + d,
         )
 
@@ -325,7 +362,7 @@ def kmeans_lloyd(
             "vid",
             "v",
             F.struct(
-                F.round(sq_l2(F.col("v"), F.col("cvec")), 9).alias("d"),
+                sq_l2_int(F.col("v"), F.col("cvec")).alias("d"),
                 F.col("cluster").alias("c"),
             ).alias("dc"),
         )
@@ -335,7 +372,7 @@ def kmeans_lloyd(
         cents = (
             assigned.select("cluster", F.posexplode("v").alias("dim", "val"))
             .groupBy("cluster", "dim")
-            .agg(F.round(F.avg("val"), 6).alias("cval"))
+            .agg(F.expr("sum(val) div count(1)").alias("cval"))
             .groupBy("cluster")
             .agg(F.array_sort(F.collect_list(F.struct("dim", "cval"))).alias("pairs"))
             .select("cluster", F.transform("pairs", lambda p: p["cval"]).alias("cvec"))

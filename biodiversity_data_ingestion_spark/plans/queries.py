@@ -3207,9 +3207,13 @@ _register(
 
 # ---------------------------------------------------------------------------
 # 87. kmeans_clusters — deterministic Lloyd k-means (iterative ML
-# primitive; rounded trajectory => engine-independent clustering).
-# Iterative + float-array math -> rows-only driver check; exact parity
-# vs an independent numpy implementation in test_kmeans_matches_numpy.
+# primitive). ORACLE-EXACT since the operator moved to fixed-point
+# integer coordinates (2^24 quantization, integer squared-L2,
+# truncating centroid division): the trajectory is bit-exact in any
+# engine, so a chained-CTE replay (one assign+update CTE pair per
+# iteration, the pagerank recipe) hash-matches. Also exact-mirrored
+# against an independent integer numpy loop in
+# test_kmeans_matches_numpy.
 
 def _kmeans_clusters(spark, sf_dir):
     assigned = similarity.kmeans_lloyd(
@@ -3221,13 +3225,46 @@ def _kmeans_clusters(spark, sf_dir):
     )
 
 
+_KM_STEP = """
+a{i} AS (
+    SELECT vec_id, cluster FROM (
+        SELECT p.vec_id, c.cluster,
+               row_number() OVER (PARTITION BY p.vec_id
+                   ORDER BY sum((p.xq - c.cq) * (p.xq - c.cq)), c.cluster)
+                   AS rn
+        FROM pts p JOIN c{p} c USING (dim)
+        GROUP BY p.vec_id, c.cluster) WHERE rn = 1),
+c{i} AS (
+    SELECT a.cluster, p.dim,
+           CAST(CAST(sum(p.xq) AS BIGINT) // count(*) AS BIGINT) AS cq
+    FROM pts p JOIN a{i} a USING (vec_id)
+    GROUP BY a.cluster, p.dim)"""
+
 _register(
     "kmeans_clusters",
     _kmeans_clusters,
-    None,
+    """
+    WITH pts AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 16777216)
+                    AS BIGINT) AS xq
+        FROM embeddings),
+    seed AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8),
+    c0 AS (
+        SELECT CAST(r - 1 AS INTEGER) AS cluster, dim, xq AS cq
+        FROM (SELECT p.dim, p.xq,
+                     dense_rank() OVER (ORDER BY p.vec_id) AS r
+              FROM pts p JOIN seed s USING (vec_id))),"""
+    + ",".join(_KM_STEP.format(i=i, p=i - 1) for i in (1, 2, 3, 4))
+    + """
+    SELECT cluster, count(*) AS n_vecs, min(vec_id) AS min_vec_id
+    FROM a4 GROUP BY cluster
+    """,
     "north star: Lloyd k-means over embeddings (broadcast assign + "
-    "posexplode centroid recompute, checkpointed per round); numpy "
-    "parity in test_kmeans_matches_numpy",
+    "posexplode centroid recompute, checkpointed per round); "
+    "fixed-point => bit-exact chained-CTE oracle + integer numpy "
+    "mirror in test_kmeans_matches_numpy",
 )
 
 

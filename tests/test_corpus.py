@@ -215,12 +215,16 @@ def test_hash_samples_nest_monotonically(spark):
 
 
 def test_kmeans_matches_numpy(spark):
-    # independent numpy re-implementation of the SAME deterministic
-    # trajectory (rounded distances/centroids, id-ordered init) — the
-    # Spark clustering must reproduce it exactly
+    # independent integer re-implementation of the SAME fixed-point
+    # trajectory (2^24 quantization, id-ordered init, truncating
+    # centroid division) — the Spark clustering must reproduce it
+    # EXACTLY; the bit-exactness is the whole point of fixed-point
     import numpy as np
 
-    from biodiversity_data_ingestion_spark.operators.similarity import kmeans_lloyd
+    from biodiversity_data_ingestion_spark.operators.similarity import (
+        KMEANS_SCALE,
+        kmeans_lloyd,
+    )
     from biodiversity_data_ingestion_spark.sources.tables import load_table
 
     k, n_iter = 8, 4
@@ -230,13 +234,22 @@ def test_kmeans_matches_numpy(spark):
         key=lambda t: t[0],
     )
     ids = [t[0] for t in rows]
-    X = np.stack([t[1] for t in rows])
+    # round-half-away-from-zero quantization, exact int64 thereafter
+    Xd = np.stack([t[1] for t in rows]) * KMEANS_SCALE
+    X = (np.sign(Xd) * np.floor(np.abs(Xd) + 0.5)).astype(np.int64)
     cents = X[:k].copy()
     for _ in range(n_iter):
-        d = np.round(((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), 9)
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         assign = d.argmin(axis=1)  # argmin takes lowest index on ties
         cents = np.stack(
-            [np.round(X[assign == c].mean(axis=0), 6) for c in range(k)]
+            [
+                # truncating division (Spark div / DuckDB //), not floor
+                (
+                    np.sign(s := X[assign == c].sum(axis=0))
+                    * (np.abs(s) // max((assign == c).sum(), 1))
+                ).astype(np.int64)
+                for c in range(k)
+            ]
         )
     expected = {ids[i]: int(assign[i]) for i in range(len(ids))}
 

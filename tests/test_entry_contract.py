@@ -29,13 +29,12 @@ def test_queries_and_oracles_align():
         "species_range_hull",
         "ivf_topk_probe",
         "sketch_value_stats",
-        "kmeans_clusters",
         "ivf_kmeans_topk",
         "hll_mergeable_rollup",
         "theta_user_overlap",
         "kll_value_quantiles",
         "semantic_dedup_corpus",
-        # copurchase_pagerank and word_heavy_hitters_cms graduated to
-        # exact oracles in round 4 (fixed-point ranks / portable md5
-        # cell hashes)
+        # copurchase_pagerank, kmeans_clusters and word_heavy_hitters_cms
+        # graduated to exact oracles in round 4 (fixed-point integer
+        # trajectories / portable md5 cell hashes)
     }
