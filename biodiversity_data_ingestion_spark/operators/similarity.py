@@ -231,13 +231,29 @@ def ivf_topk(
     write), so a probe touches n_probe partitions instead of the full
     scan — the partition-pruning path. Recall < 1 by construction; the
     exact `cosine_topk` is the correctness baseline.
+
+    Routing centroids are FIXED-POINT integer means (the kmeans_lloyd
+    quantization: sum(xq) div count, rescaled to exact doubles), not
+    round(avg(double)): float mean accumulation is order-dependent, so
+    the probe choice could race a rounding boundary across
+    partitionings/engines. With integer centroids the routing cosine
+    is computed from bit-identical inputs everywhere, which is what
+    lets ivf_kmeans_topk carry an exact SQL oracle.
     """
     cents = (
-        label_centroids(corpus, label_col, vec_col)
+        corpus.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(quantize_vec(F.col(vec_col))).alias("dim", "val"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.expr("sum(val) div count(1)").alias("cq"))
         .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid_val"))).alias("pairs"))
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cq"))).alias("pairs"))
         .select(
-            "label", F.transform("pairs", lambda p: p["centroid_val"]).alias("cvec")
+            "label",
+            F.transform(
+                "pairs", lambda p: p["cq"] / F.lit(float(KMEANS_SCALE))
+            ).alias("cvec"),
         )
     )
     q = queries.select(

@@ -1473,8 +1473,11 @@ _register(
 )
 
 # ---------------------------------------------------------------------------
-# 40. ivf_topk_probe — IVF-bucketed ANN (recall<1 by design; rows-only gate,
-# recall vs exact checked in tests/test_operators.py)
+# 40. ivf_topk_probe — IVF-bucketed ANN (recall<1 vs brute force by
+# design, but ORACLE-EXACT since round 4: the fixed-point routing
+# centroids make the probe choice race-free, so SQL replays the whole
+# route+rerank path bit-for-bit; recall vs exact additionally checked
+# in tests/test_operators.py)
 
 def _ivf_topk_probe(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
@@ -1486,8 +1489,53 @@ def _ivf_topk_probe(spark, sf_dir):
 _register(
     "ivf_topk_probe",
     _ivf_topk_probe,
-    None,
-    "north star: IVF ANN scale path (centroid routing + bucket-pruned exact rerank)",
+    """
+    WITH pts AS (
+        SELECT vec_id, label,
+               CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 16777216)
+                    AS BIGINT) AS xq
+        FROM embeddings WHERE vec_id >= 5),
+    v AS (SELECT vec_id, label, embedding::DOUBLE[] AS ve FROM embeddings),
+    cent AS (
+        SELECT label, dim,
+               CAST(CAST(sum(xq) AS BIGINT) // count(*) AS BIGINT) AS cq
+        FROM pts GROUP BY label, dim),
+    cvs AS (
+        SELECT label,
+               list_transform(list(cq ORDER BY dim),
+                              q -> q / 16777216.0) AS cvec
+        FROM cent GROUP BY label),
+    routed AS (
+        SELECT q.vec_id AS query_id, q.ve AS qv, c.label,
+               round(list_sum(list_transform(generate_series(1, len(q.ve)),
+                                             i -> q.ve[i] * c.cvec[i]))
+                     / (sqrt(list_sum(list_transform(q.ve, x -> x * x)))
+                        * sqrt(list_sum(list_transform(c.cvec, x -> x * x)))),
+                     6) AS c_sim
+        FROM (SELECT * FROM v WHERE vec_id < 5) q CROSS JOIN cvs c),
+    probes AS (
+        SELECT query_id, qv, label FROM (
+            SELECT query_id, qv, label,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY c_sim DESC, label) AS pr
+            FROM routed) WHERE pr <= 3),
+    scored AS (
+        SELECT p.query_id, b.vec_id AS neighbor_id,
+               round(list_sum(list_transform(generate_series(1, len(p.qv)),
+                                             i -> p.qv[i] * b.ve[i]))
+                     / (sqrt(list_sum(list_transform(p.qv, x -> x * x)))
+                        * sqrt(list_sum(list_transform(b.ve, x -> x * x)))),
+                     6) AS cos_sim
+        FROM (SELECT * FROM v WHERE vec_id >= 5) b JOIN probes p USING (label))
+    SELECT query_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+    "north star: IVF ANN scale path (centroid routing + bucket-pruned "
+    "exact rerank; fixed-point centroids => exact route+rerank oracle)",
 )
 
 # ---------------------------------------------------------------------------
@@ -3240,23 +3288,35 @@ c{i} AS (
     FROM pts p JOIN a{i} a USING (vec_id)
     GROUP BY a.cluster, p.dim)"""
 
-_register(
-    "kmeans_clusters",
-    _kmeans_clusters,
-    """
-    WITH pts AS (
+
+def _km_replay(n_iter: int, k: int = 8) -> str:
+    """SQL replay of the fixed-point kmeans_lloyd trajectory: pts/seed/
+    c0 preamble plus one assign+update CTE pair per iteration. Final
+    assignments land in CTE a{n_iter}. Bit-exact vs the operator
+    because every step is integer arithmetic (2^24 quantization,
+    truncating division)."""
+    pre = f"""pts AS (
         SELECT vec_id,
                CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
                CAST(round(CAST(unnest(embedding) AS DOUBLE) * 16777216)
                     AS BIGINT) AS xq
         FROM embeddings),
-    seed AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8),
+    seed AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}),
     c0 AS (
         SELECT CAST(r - 1 AS INTEGER) AS cluster, dim, xq AS cq
         FROM (SELECT p.dim, p.xq,
                      dense_rank() OVER (ORDER BY p.vec_id) AS r
-              FROM pts p JOIN seed s USING (vec_id))),"""
-    + ",".join(_KM_STEP.format(i=i, p=i - 1) for i in (1, 2, 3, 4))
+              FROM pts p JOIN seed s USING (vec_id)))"""
+    return pre + "," + ",".join(
+        _KM_STEP.format(i=i, p=i - 1) for i in range(1, n_iter + 1)
+    )
+
+
+_register(
+    "kmeans_clusters",
+    _kmeans_clusters,
+    "\n    WITH "
+    + _km_replay(4)
     + """
     SELECT cluster, count(*) AS n_vecs, min(vec_id) AS min_vec_id
     FROM a4 GROUP BY cluster
@@ -3850,8 +3910,11 @@ _register(
 # ---------------------------------------------------------------------------
 # 102. ivf_kmeans_topk — end-to-end learned-partitioning ANN: k-means
 # clusters (not the given labels) as the IVF buckets, then probe-route
-# + exact rerank. The full IVF build/search path; rows-only (iterative
-# trainer), recall-tested vs exact cosine in test_ivf_kmeans_recall.
+# + exact rerank. ORACLE-EXACT since round 4: the fixed-point Lloyd
+# trajectory replays as CTEs (_km_replay), the routing centroids are
+# integer means rescaled to exact doubles (no avg-accumulation race),
+# and the rerank cosine is the proven left-fold expression. Recall vs
+# exact cosine additionally tested in test_ivf_kmeans_recall.
 
 def _ivf_kmeans_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
@@ -3866,10 +3929,54 @@ def _ivf_kmeans_topk(spark, sf_dir):
 _register(
     "ivf_kmeans_topk",
     _ivf_kmeans_topk,
-    None,
+    "\n    WITH "
+    + _km_replay(3)
+    + """,
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+    cent AS (
+        SELECT a.cluster AS label, p.dim,
+               CAST(CAST(sum(p.xq) AS BIGINT) // count(*) AS BIGINT) AS cq
+        FROM pts p JOIN a3 a USING (vec_id)
+        GROUP BY a.cluster, p.dim),
+    cvs AS (
+        SELECT label,
+               list_transform(list(cq ORDER BY dim),
+                              q -> q / 16777216.0) AS cvec
+        FROM cent GROUP BY label),
+    routed AS (
+        SELECT q.vec_id AS query_id, q.ve AS qv, c.label,
+               round(list_sum(list_transform(generate_series(1, len(q.ve)),
+                                             i -> q.ve[i] * c.cvec[i]))
+                     / (sqrt(list_sum(list_transform(q.ve, x -> x * x)))
+                        * sqrt(list_sum(list_transform(c.cvec, x -> x * x)))),
+                     6) AS c_sim
+        FROM (SELECT * FROM v WHERE vec_id % 50 = 0) q CROSS JOIN cvs c),
+    probes AS (
+        SELECT query_id, qv, label FROM (
+            SELECT query_id, qv, label,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY c_sim DESC, label) AS pr
+            FROM routed) WHERE pr <= 3),
+    bucketed AS (
+        SELECT v.vec_id, v.ve, a.cluster AS label
+        FROM v JOIN a3 a USING (vec_id)),
+    scored AS (
+        SELECT p.query_id, b.vec_id AS neighbor_id,
+               round(list_sum(list_transform(generate_series(1, len(p.qv)),
+                                             i -> p.qv[i] * b.ve[i]))
+                     / (sqrt(list_sum(list_transform(p.qv, x -> x * x)))
+                        * sqrt(list_sum(list_transform(b.ve, x -> x * x)))),
+                     6) AS cos_sim
+        FROM bucketed b JOIN probes p USING (label))
+    SELECT query_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
     "north star: learned-partitioning ANN — kmeans_lloyd trains the IVF "
-    "buckets, ivf_topk probes them; recall vs exact in "
-    "test_ivf_kmeans_recall",
+    "buckets, ivf_topk probes them (fixed-point centroids => exact "
+    "chained-CTE oracle); recall vs exact in test_ivf_kmeans_recall",
 )
 
 
@@ -8460,9 +8567,13 @@ _register(
 # 186. semantic_dedup_corpus — SemDeDup (Abbas et al. 2023): k-means
 # clusters as the blocking key, exact cosine pairs inside each cluster,
 # connected components, keep the min-id member per duplicate cluster.
-# Rows-only by design (Lloyd iterations are not SQL-expressible);
-# correctness is covered by test_semantic_dedup_matches_brute_force
-# (blocked pair set == unblocked all-pairs set on separated data).
+# ORACLE-EXACT since round 4: the fixed-point Lloyd trajectory replays
+# as chained CTEs (_km_replay), the within-cluster cosine is the same
+# left-fold double expression the driver-green embedding_cosine_dups
+# oracle proved engine-exact, and the CC stage is the recursive-CTE
+# reachability already used by dedup_components. Also covered by
+# test_semantic_dedup_matches_brute_force (blocked pair set ==
+# unblocked all-pairs set on separated data).
 
 def _semantic_dedup_corpus(spark, sf_dir):
     from ..operators import corpus as corpus_ops
@@ -8484,10 +8595,33 @@ def _semantic_dedup_corpus(spark, sf_dir):
 _register(
     "semantic_dedup_corpus",
     _semantic_dedup_corpus,
-    None,  # rows-only: iterative k-means blocking is not SQL-expressible
+    "\n    WITH RECURSIVE "
+    + _km_replay(2)
+    + """,
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+    wc AS (SELECT v.vec_id, v.ve, a.cluster FROM v JOIN a2 a USING (vec_id)),
+    p AS (
+        SELECT a.vec_id AS s, b.vec_id AS d
+        FROM wc a JOIN wc b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE round(list_sum(list_transform(generate_series(1, len(a.ve)),
+                                            i -> a.ve[i] * b.ve[i]))
+                    / (sqrt(list_sum(list_transform(a.ve, x -> x * x)))
+                       * sqrt(list_sum(list_transform(b.ve, x -> x * x)))),
+                    6) >= 0.4),
+    ed AS (SELECT s, d FROM p UNION SELECT d, s FROM p),
+    reach(node, component) AS (
+        SELECT s, s FROM ed
+        UNION
+        SELECT ed.s, r.component FROM ed JOIN reach r ON r.node = ed.d),
+    comp AS (SELECT node, min(component) AS component FROM reach GROUP BY node)
+    SELECT vec_id FROM embeddings
+    WHERE vec_id NOT IN (SELECT node FROM comp WHERE component <> node)
+    ORDER BY vec_id
+    """,
     "north star: SemDeDup-style embedding dedup (cluster-blocked exact "
     "cosine + CC + canonical keep; pairwise cost sum(|cluster|^2), "
-    "never n^2)",
+    "never n^2; fixed-point Lloyd => full chained-CTE oracle)",
 )
 
 
@@ -9057,11 +9191,12 @@ _PRIORITY: tuple[str, ...] = (
     # ROUND-4 ROTATION: every one of the 50 slots goes to a query with
     # ZERO driver evidence across r1-r3 (the 96 previously-green rows
     # persist on disk as evidence; local parity stays the regression
-    # gate for them — full-registry sweeps recorded in NOTES.md). 45
-    # carry exact DuckDB oracles (incl. the two round-4 graduations:
-    # fixed-point copurchase_pagerank, portable-hash
-    # word_heavy_hitters_cms); 5 are by-design rows-only sketch/cluster
-    # representatives so those families finally get driver rows at all.
+    # gate for them — full-registry sweeps recorded in NOTES.md). 47
+    # carry exact DuckDB oracles (incl. the round-4 graduations:
+    # fixed-point copurchase_pagerank/kmeans_clusters/
+    # semantic_dedup_corpus/ivf, portable-hash word_heavy_hitters_cms);
+    # hll/kll/theta are by-design rows-only sketch representatives so
+    # those families finally get driver rows at all.
     # Families earning their FIRST driver row: corpus-curation flagship,
     # gif/color-jpeg decode, tpch q3/q18, cube+unpivot+rollup+pivot,
     # retention/funnel/yoy/mad/ttest/corr analytics, 10 streaming

@@ -27,14 +27,13 @@ def test_queries_and_oracles_align():
     rows_only = set(qs) - set(osql)
     assert rows_only == {
         "species_range_hull",
-        "ivf_topk_probe",
         "sketch_value_stats",
-        "ivf_kmeans_topk",
         "hll_mergeable_rollup",
         "theta_user_overlap",
         "kll_value_quantiles",
-        "semantic_dedup_corpus",
-        # copurchase_pagerank, kmeans_clusters and word_heavy_hitters_cms
-        # graduated to exact oracles in round 4 (fixed-point integer
-        # trajectories / portable md5 cell hashes)
+        # round 4 graduated copurchase_pagerank, kmeans_clusters,
+        # word_heavy_hitters_cms, semantic_dedup_corpus, ivf_kmeans_topk
+        # and ivf_topk_probe to exact oracles (fixed-point integer
+        # trajectories / race-free integer routing centroids / portable
+        # md5 cell hashes)
     }
