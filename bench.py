@@ -63,6 +63,10 @@ HEADLINE = (
     # round-3 third-session codecs: hand-rolled LZW and Huffman
     "gif_decode_features",
     "jpeg_decode_features",
+    # round-4 additions: the two newly oracle-exact iterative ops
+    # (fixed-point trajectories)
+    "kmeans_clusters",
+    "copurchase_pagerank",
 )
 
 # queries whose builder EXECUTES the work eagerly (streaming drains,
@@ -75,9 +79,12 @@ EAGER = {
     "stream_event_window",
     "corpus_curation_pipeline",
     # localCheckpoint materializes at call time in this Spark build, so
-    # builders that checkpoint (the BPE trainer's rounds) do their work
-    # during construction — time the builder
+    # builders that checkpoint (the BPE trainer's rounds, k-means
+    # centroids, pagerank frontiers) do their work during construction
+    # — time the builder
     "bpe_train_vocab",
+    "kmeans_clusters",
+    "copurchase_pagerank",
 }
 
 

@@ -531,29 +531,53 @@ def pagerank(
     division is correctly rounded identically everywhere).
     """
     num, den, scale = damping_num, damping_den, PAGERANK_SCALE
-    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    # materialize the edge list ONCE: it feeds nodes, out-degrees AND
+    # every iteration's contribution join — without the checkpoint an
+    # expensive edge construction (e.g. the quadratic basket-pair
+    # explode of the co-purchase graph) re-executes per consumer per
+    # round (measured 10.8 s -> ~7 s at sf0.1)
+    e = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
+    ).localCheckpoint()
     nodes = (
         e.select(F.col("e_src").alias("node"))
         .unionByName(e.select(F.col("e_dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
-    n_total = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
-    deg = e.groupBy(F.col("e_src").alias("deg_node")).agg(
-        F.count(F.lit(1)).alias("out_deg")
+    # node count as a plain int: one cheap count over the materialized
+    # node table (a scalar, not data, so "never collect" still holds
+    # for the rank/edge frames). It seeds the init rank, the per-round
+    # base term AND the broadcast gate below.
+    n_nodes = nodes.count()
+    # out-degrees are read TWICE per round (contribution join + dangling
+    # filter): materialize the |nodes|-sized table once instead of
+    # re-running the |edges|-sized groupBy up to 2 x n_iter times
+    deg = (
+        e.groupBy(F.col("e_src").alias("deg_node"))
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+        .localCheckpoint()
     )
-    ranks = (
-        nodes.crossJoin(F.broadcast(n_total))
-        .select("node", F.expr(f"CAST({scale} AS BIGINT) div n_nodes").alias("r"))
-        .localCheckpoint(eager=False)
-    )
+    # Gated broadcast of the rank frontier into the contribution join
+    # (the gated_anti_join pattern): when the node table provably fits
+    # a broadcast, the |edges| side never shuffles — the per-round
+    # exchange drops to the contribution groupBy alone. Above the
+    # ceiling, plain shuffle join and AQE strategizes (the generic
+    # 100 TB path, where ranks are O(nodes) and cannot broadcast).
+    hint_ranks = n_nodes <= DROP_LIST_BROADCAST_ROWS
+    ranks = nodes.select(
+        "node", F.lit(scale // n_nodes).cast("long").alias("r")
+    ).localCheckpoint(eager=False)
+    base = (den - num) * scale // (den * n_nodes)
     for _ in range(n_iter):
         with_deg = ranks.join(
             deg, ranks["node"] == deg["deg_node"], "left"
         ).drop("deg_node")
+        senders = with_deg.where(F.col("out_deg").isNotNull())
+        if hint_ranks:
+            senders = F.broadcast(senders)
         contribs = (
-            with_deg.where(F.col("out_deg").isNotNull())
-            .join(e, F.col("node") == F.col("e_src"))
+            senders.join(e, F.col("node") == F.col("e_src"))
             .groupBy(F.col("e_dst").alias("node"))
             .agg(F.sum(F.expr("r div out_deg")).alias("contrib"))
         )
@@ -566,14 +590,12 @@ def pagerank(
         ranks = (
             nodes.join(contribs, "node", "left")
             .crossJoin(F.broadcast(dangling))
-            .crossJoin(F.broadcast(n_total))
             .select(
                 "node",
                 F.expr(
-                    f"CAST(({den - num} * CAST({scale} AS BIGINT))"
-                    f"     div ({den} * n_nodes)"
+                    f"CAST({base}"
                     f" + ({num} * (coalesce(contrib, 0)"
-                    f"             + dangling_r div n_nodes)) div {den}"
+                    f"             + dangling_r div {n_nodes})) div {den}"
                     " AS BIGINT)"
                 ).alias("r"),
             )

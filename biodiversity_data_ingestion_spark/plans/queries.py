@@ -8994,22 +8994,28 @@ def _copurchase_pagerank(spark, sf_dir):
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("parts")
     )
-    pairs = F.filter(
-        F.flatten(
-            F.transform(
-                "parts",
-                lambda x: F.transform(
-                    "parts",
-                    lambda y: F.struct(x.alias("src"), y.alias("dst")),
-                ),
-            )
-        ),
-        lambda p: p["src"] != p["dst"],
+    # ordered pairs only (src < dst via the sorted array's suffix
+    # slices): halves the explode volume AND the distinct shuffle; the
+    # co-purchase graph is symmetric, so the reversed half is a cheap
+    # post-distinct union — the edge SET is identical to the all-pairs
+    # x != y construction (which is what the oracle states).
+    parts = F.col("parts")
+    pairs = F.flatten(
+        F.transform(
+            parts,
+            lambda x, i: F.transform(
+                F.slice(parts, i + F.lit(2), F.size(parts)),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
     )
-    edges = (
+    half = (
         baskets.select(F.explode(pairs).alias("p"))
         .select("p.src", "p.dst")
         .distinct()
+    )
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return corpus_ops.pagerank(edges, "src", "dst", n_iter=3).orderBy("node")
 
