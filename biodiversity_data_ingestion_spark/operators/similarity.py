@@ -399,7 +399,14 @@ def kmeans_lloyd(
         # the chained multi-round plan re-scans vecs per level and
         # serializes its nested broadcasts inside one job — 3.7 s vs
         # 3.2 s at sf0.1. Per-round checkpoints win.
-    return assigned.select(F.col("vid").alias(id_col), "cluster")
+    # materialize the final assignment (ids only, vectors dropped
+    # first): consumers like SemDeDup and IVF reference the clustering
+    # from BOTH sides of a self-join, and an unmaterialized assignment
+    # plan would re-run the last assign round once per reference —
+    # the same re-execution class the pagerank bench caught.
+    return assigned.select(
+        F.col("vid").alias(id_col), "cluster"
+    ).localCheckpoint()
 
 
 def _jl_sign(i: int, j: int, d_out: int) -> float:
