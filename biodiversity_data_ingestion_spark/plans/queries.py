@@ -942,6 +942,65 @@ _register(
 )
 
 # ---------------------------------------------------------------------------
+# 25b. incremental_minhash_gate — the daily-crawl-increment near-dedup
+# path: a NEW batch (doc_id % 10 == 0) is deduped against the EXISTING
+# corpus's band-bucket index only; the existing corpus is never
+# re-paired against itself. Cost per increment ∝ the new batch's
+# bucket collisions — sublinear in the corpus. Same md5-portable
+# banding as minhash_lsh_dups, so the oracle replays it bit-for-bit.
+
+def _incremental_minhash_gate(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_incremental_pairs(
+        docs.where(F.col("doc_id") % 10 != 0),
+        docs.where(F.col("doc_id") % 10 == 0),
+        "doc_id",
+        "text",
+        n=3,
+        num_hashes=16,
+        band_size=4,
+        threshold=0.5,
+    )
+
+
+_register(
+    "incremental_minhash_gate",
+    _incremental_minhash_gate,
+    f"""
+    WITH sh AS (
+        SELECT doc_id, {_DD_SHINGLES} AS shingles
+        FROM (SELECT doc_id, {_DD_WORDS} AS w FROM documents)),
+    sig AS (
+        SELECT doc_id, shingles,
+               flatten(list_transform(generate_series(0, 3),
+                   g -> list_transform(generate_series(0, 3),
+                       j -> list_min(list_transform(shingles,
+                            s -> substring(md5(g::VARCHAR || ':' || s), 1 + 8*j, 8)))))) AS mh
+        FROM sh),
+    bands AS (
+        SELECT doc_id, shingles,
+               unnest(list_transform(generate_series(0, 3),
+                   b -> md5(b::VARCHAR || ',' || mh[4*b+1] || ',' || mh[4*b+2]
+                            || ',' || mh[4*b+3] || ',' || mh[4*b+4]))) AS bucket
+        FROM sig),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id,
+               a.shingles AS sh_n, b.shingles AS sh_o
+        FROM bands a JOIN bands b ON a.bucket = b.bucket
+        WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+    SELECT new_id, old_id,
+           round(len(list_intersect(sh_n, sh_o))
+                 / (len(sh_n) + len(sh_o) - len(list_intersect(sh_n, sh_o))), 6) AS jaccard
+    FROM cand
+    WHERE round(len(list_intersect(sh_n, sh_o))
+                / (len(sh_n) + len(sh_o) - len(list_intersect(sh_n, sh_o))), 6) >= 0.5
+    """,
+    "north star: INCREMENTAL near-dedup gate — new batch vs the "
+    "persisted band-bucket index of the existing corpus (sublinear "
+    "per-increment cost; the nightly-crawl path)",
+)
+
+# ---------------------------------------------------------------------------
 # 26. ann_cosine_topk — exact brute-force cosine top-k (north star)
 
 def _ann_cosine(spark, sf_dir):
@@ -9233,7 +9292,10 @@ _PRIORITY: tuple[str, ...] = (
     "stream_dedup_within_watermark",
     "stream_static_enrichment",
     "stream_left_outer_join",
-    "stream_distinct_pairs",
+    # (round-4 late swap: stream_distinct_pairs out — the streaming
+    # family keeps NINE in-window representatives — for the new
+    # incremental near-dedup gate, the nightly-crawl path)
+    "incremental_minhash_gate",
     "hll_mergeable_rollup",
     "kll_value_quantiles",
     "theta_user_overlap",

@@ -187,6 +187,37 @@ def test_minhash_lsh_recall(spark):
     assert recall >= 0.9, f"LSH recall {recall} over {len(exact)} true pairs"
 
 
+def test_incremental_minhash_gate_matches_full_run_cross_pairs(spark):
+    # the incremental gate must find exactly the (new, old) pairs the
+    # FULL self-pairing run finds — same banding, same verification —
+    # while never pairing the existing corpus against itself
+    from biodiversity_data_ingestion_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    existing = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, num_hashes=16, band_size=4, threshold=0.5
+        ).collect()
+    }
+    cross_full = {
+        (a, b) if a % 10 == 0 else (b, a): j
+        for (a, b), j in full.items()
+        if (a % 10 == 0) != (b % 10 == 0)
+    }
+    inc = {
+        (r["new_id"], r["old_id"]): r["jaccard"]
+        for r in dedup.minhash_incremental_pairs(
+            existing, new, "doc_id", "text",
+            n=3, num_hashes=16, band_size=4, threshold=0.5,
+        ).collect()
+    }
+    assert inc == cross_full
+    assert inc  # non-vacuous: the corpus does have cross-split dups
+
+
 # ---------------------------------------------------------------------------
 # IVF recall vs exact top-k
 
