@@ -2755,6 +2755,71 @@ _register(
 )
 
 # ---------------------------------------------------------------------------
+# 73b. leakage_safe_splits — split assignment at the NEAR-DUP-CLUSTER
+# granularity, not the document: every connected component of the
+# near-duplicate graph hashes to one split, so no near-duplicate pair
+# can straddle the train/eval boundary (the benchmark-contamination
+# failure mode of naive per-doc splits — a training doc's near-copy
+# landing in the test set). Per-doc hash splits (corpus_split_counts)
+# remain the cheap path for pre-deduplicated corpora; this is the
+# correct path when dedup keeps both members (e.g. perplexity evals).
+# Scale: CC over the pair graph (bounded, iterative), then a per-row
+# md5 bucket — the split itself adds NO shuffle beyond the final agg.
+
+def _leakage_safe_splits(spark, sf_dir):
+    from ..operators import corpus as corpus_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    cc = corpus_ops.connected_components(pairs, dedup_edges=False)
+    assign = docs.join(cc, docs["doc_id"] == cc["node"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("comp"),
+    )
+    bkt = (
+        F.conv(F.substring(F.md5(F.col("comp").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10
+    )
+    split = (
+        F.when(bkt < 8, F.lit("train"))
+        .when(bkt == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return assign.select("doc_id", "comp", split.alias("split")).groupBy(
+        "split"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("comp").alias("n_components"),
+    )
+
+
+_register(
+    "leakage_safe_splits",
+    _leakage_safe_splits,
+    f"""
+    WITH RECURSIVE {_CC_REACH},
+    comp AS (SELECT node, min(component) AS component FROM reach GROUP BY node),
+    assign AS (
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS comp
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+    b AS (
+        SELECT doc_id, comp,
+               CAST(('0x' || substr(md5(CAST(comp AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 10 AS bkt
+        FROM assign)
+    SELECT CASE WHEN bkt < 8 THEN 'train'
+                WHEN bkt = 8 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           count(DISTINCT comp) AS n_components
+    FROM b GROUP BY 1
+    """,
+    "north star: leakage-safe train/val/test splits — whole near-dup "
+    "clusters hash to one split, so no near-duplicate straddles the "
+    "eval boundary (contamination guard)",
+)
+
+# ---------------------------------------------------------------------------
 # 74. stratified_doc_sample — per-stratum deterministic sampling (the
 # source-mixing knob of corpus construction)
 
@@ -9291,11 +9356,13 @@ _PRIORITY: tuple[str, ...] = (
     "stream_windowed_topk",
     "stream_dedup_within_watermark",
     "stream_static_enrichment",
-    "stream_left_outer_join",
-    # (round-4 late swap: stream_distinct_pairs out — the streaming
-    # family keeps NINE in-window representatives — for the new
-    # incremental near-dedup gate, the nightly-crawl path)
+    # (round-4 late swaps: stream_distinct_pairs and
+    # stream_left_outer_join out — the streaming family keeps EIGHT
+    # in-window representatives — for the two queries built this
+    # round: the incremental near-dedup gate (nightly-crawl path) and
+    # the leakage-safe cluster-granular split)
     "incremental_minhash_gate",
+    "leakage_safe_splits",
     "hll_mergeable_rollup",
     "kll_value_quantiles",
     "theta_user_overlap",

@@ -564,6 +564,46 @@ def test_bpe_train_merges_matches_sequential_reference(spark):
     assert got == reference(texts, 4)
 
 
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    # the whole point of cluster-granular splits: every member of a
+    # near-dup component must land in the SAME split, and the md5
+    # bucketing must route components to more than one split overall
+    from pyspark.sql import functions as F
+
+    from biodiversity_data_ingestion_spark.operators import dedup as dd
+
+    # 30 clusters of 3 near-identical docs each; every word carries the
+    # cluster id so clusters share NO shingles and cannot merge
+    rows = []
+    for c in range(30):
+        base = " ".join(f"w{c}x{i}" for i in range(10))
+        for m in range(3):
+            rows.append((c * 10 + m, base + f" tail{m}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    cc = corpus.connected_components(pairs, dedup_edges=False)
+    assign = docs.join(cc, docs["doc_id"] == cc["node"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("comp"),
+    )
+    bkt = (
+        F.conv(F.substring(F.md5(F.col("comp").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10
+    )
+    out = assign.withColumn("split", F.when(bkt < 8, "train").when(bkt == 8, "val").otherwise("test"))
+    # every true cluster (doc_id // 10) maps to exactly one split
+    spans = (
+        out.withColumn("true_cluster", (F.col("doc_id") / 10).cast("long"))
+        .groupBy("true_cluster")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .where(F.col("n_splits") > 1)
+        .count()
+    )
+    assert spans == 0
+    assert out.select("split").distinct().count() >= 2
+
+
 def test_bpe_exhausted_merges_keeps_vocab(spark):
     # when every word is down to one symbol there is no mergeable pair;
     # the trainer must emit no further merge rows AND keep the vocab
