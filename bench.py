@@ -64,9 +64,10 @@ HEADLINE = (
     "gif_decode_features",
     "jpeg_decode_features",
     # round-4 additions: the two newly oracle-exact iterative ops
-    # (fixed-point trajectories)
+    # (fixed-point trajectories) and the incremental near-dedup gate
     "kmeans_clusters",
     "copurchase_pagerank",
+    "incremental_minhash_gate",
 )
 
 # queries whose builder EXECUTES the work eagerly (streaming drains,
