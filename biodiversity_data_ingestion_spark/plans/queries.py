@@ -2987,6 +2987,102 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 77b. gopher_quality_rules — the Gopher repetition/format filter set
+# (Rae et al. 2021, §A1.1): word-count bounds, mean-word-length bounds,
+# alphabetic-word fraction, symbol-to-word ratio, minimum stop-word
+# count. Every rule is stated as an INTEGER cross-multiplication
+# (3n <= sum_len <= 10n instead of 3 <= sum_len/n <= 10), so the gate
+# is engine-exact with zero float arithmetic — the right way to write
+# ratio thresholds for a 100 TB filter where a boundary-racing float
+# divide would make reruns non-reproducible. One scan, one agg shuffle.
+
+def _gopher_quality_rules(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(words)
+    sum_len = F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    n_ell = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / F.lit(3)
+    n_sym = (n_hash + n_ell).cast("long")
+    n_stop = F.size(
+        F.filter(words, lambda w: w.isin("the", "of", "and", "to", "a"))
+    )
+    r_wordcount = (n >= 50) & (n <= 100000)
+    r_wordlen = (3 * n <= sum_len) & (sum_len <= 10 * n)
+    r_alpha = 5 * n_alpha > 4 * n
+    r_symbol = 10 * n_sym < n
+    r_stop = n_stop >= 2
+    flags = docs.select(
+        "source",
+        r_wordcount.alias("p1"), r_wordlen.alias("p2"), r_alpha.alias("p3"),
+        r_symbol.alias("p4"), r_stop.alias("p5"),
+    )
+    def as_fail(c: str, name: str):
+        return F.sum((~F.col(c)).cast("long")).alias(name)
+
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            (F.col("p1") & F.col("p2") & F.col("p3") & F.col("p4") & F.col("p5"))
+            .cast("long")
+        ).alias("n_pass"),
+        as_fail("p1", "fail_wordcount"),
+        as_fail("p2", "fail_wordlen"),
+        as_fail("p3", "fail_alpha"),
+        as_fail("p4", "fail_symbol"),
+        as_fail("p5", "fail_stopwords"),
+    )
+
+
+_register(
+    "gopher_quality_rules",
+    _gopher_quality_rules,
+    r"""
+    WITH w AS (
+        SELECT source, text,
+               string_split_regex(lower(trim(text)), '\s+') AS words
+        FROM documents),
+    m AS (
+        SELECT source,
+               len(words) AS n,
+               CAST(list_sum(list_transform(words, x -> length(x)))
+                    AS BIGINT) AS sum_len,
+               len(list_filter(words, x -> regexp_matches(x, '[a-z]')))
+                   AS n_alpha,
+               CAST(length(text) - length(replace(text, '#', ''))
+                    + (length(text) - length(replace(text, '...', ''))) / 3
+                    AS BIGINT) AS n_sym,
+               len(list_filter(words,
+                   x -> x IN ('the','of','and','to','a'))) AS n_stop
+        FROM w),
+    f AS (
+        SELECT source,
+               (n >= 50 AND n <= 100000) AS p1,
+               (3 * n <= sum_len AND sum_len <= 10 * n) AS p2,
+               (5 * n_alpha > 4 * n) AS p3,
+               (10 * n_sym < n) AS p4,
+               (n_stop >= 2) AS p5
+        FROM m)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN p1 AND p2 AND p3 AND p4 AND p5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(sum(CASE WHEN NOT p1 THEN 1 ELSE 0 END) AS BIGINT) AS fail_wordcount,
+           CAST(sum(CASE WHEN NOT p2 THEN 1 ELSE 0 END) AS BIGINT) AS fail_wordlen,
+           CAST(sum(CASE WHEN NOT p3 THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+           CAST(sum(CASE WHEN NOT p4 THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol,
+           CAST(sum(CASE WHEN NOT p5 THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopwords
+    FROM f GROUP BY source
+    """,
+    "north star: Gopher quality-rule gate (Rae et al. A1.1) — all "
+    "ratio thresholds as integer cross-multiplications, engine-exact, "
+    "one scan + one agg shuffle",
+)
+
+
+# ---------------------------------------------------------------------------
 # 78. event_type_pivot — groupBy().pivot() wide-format aggregation
 # (explicit pivot values: no extra distinct job to discover columns)
 
@@ -9355,14 +9451,16 @@ _PRIORITY: tuple[str, ...] = (
     "stream_sliding_windows",
     "stream_windowed_topk",
     "stream_dedup_within_watermark",
-    "stream_static_enrichment",
-    # (round-4 late swaps: stream_distinct_pairs and
-    # stream_left_outer_join out — the streaming family keeps EIGHT
-    # in-window representatives — for the two queries built this
-    # round: the incremental near-dedup gate (nightly-crawl path) and
-    # the leakage-safe cluster-granular split)
+    # (round-4 late swaps: stream_distinct_pairs,
+    # stream_left_outer_join and stream_static_enrichment out — the
+    # streaming family keeps SEVEN first-time in-window
+    # representatives — for the three queries built this round: the
+    # incremental near-dedup gate (nightly-crawl path), the
+    # leakage-safe cluster-granular split, and the integer-exact
+    # Gopher quality-rule gate)
     "incremental_minhash_gate",
     "leakage_safe_splits",
+    "gopher_quality_rules",
     "hll_mergeable_rollup",
     "kll_value_quantiles",
     "theta_user_overlap",
