@@ -550,6 +550,12 @@ def pagerank(
     # for the rank/edge frames). It seeds the init rank, the per-round
     # base term AND the broadcast gate below.
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # empty graph: no nodes, no ranks — and no division by zero in
+        # the plan literals below
+        return nodes.select(
+            "node", F.lit(None).cast("double").alias("rank")
+        )
     # out-degrees are read TWICE per round (contribution join + dangling
     # filter): materialize the |nodes|-sized table once instead of
     # re-running the |edges|-sized groupBy up to 2 x n_iter times

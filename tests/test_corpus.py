@@ -564,6 +564,15 @@ def test_bpe_train_merges_matches_sequential_reference(spark):
     assert got == reference(texts, 4)
 
 
+def test_pagerank_empty_graph(spark):
+    from biodiversity_data_ingestion_spark.operators.corpus import pagerank
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(empty, n_iter=3)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0
+
+
 def test_leakage_safe_split_keeps_clusters_together(spark):
     # the whole point of cluster-granular splits: every member of a
     # near-dup component must land in the SAME split, and the md5
