@@ -2653,6 +2653,52 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 70b. stream_full_outer_join — the streaming-join family's last
+# member: FULL OUTER under watermarks, with per-side eviction cutoffs
+# (asymmetric because the interval condition is: purchases decide at
+# watermark > p_ts, clicks only at watermark > e_ts + 1h). Matched
+# rows emit unconditionally; each side's null-padded rows only below
+# its own cutoff — mirrored exactly in the oracle.
+
+def _stream_full_outer_join(spark, sf_dir):
+    from ..streaming.stateful import run_stream_full_join_over_events
+
+    return run_stream_full_join_over_events(spark, sf_dir)
+
+
+_register(
+    "stream_full_outer_join",
+    _stream_full_outer_join,
+    """
+    WITH p AS (
+        SELECT event_id AS p_event_id, user_id AS p_user, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'),
+    e AS (
+        SELECT event_id AS e_event_id, user_id AS e_user, ts AS e_ts
+        FROM events WHERE event_type = 'click'),
+    cut AS (
+        SELECT least((SELECT max(p_ts) FROM p), (SELECT max(e_ts) FROM e))
+               - INTERVAL 1 HOUR AS c)
+    SELECT coalesce(CAST(p_event_id AS VARCHAR), 'none') AS p_event_id_s,
+           epoch_us(p_ts) AS p_us,
+           coalesce(CAST(e_event_id AS VARCHAR), 'none') AS e_event_id_s,
+           epoch_us(e_ts) AS e_us
+    FROM p
+    FULL JOIN e ON p_user = e_user
+               AND e_ts >= p_ts - INTERVAL 1 HOUR AND e_ts <= p_ts,
+         cut
+    WHERE (p_event_id IS NOT NULL AND e_event_id IS NOT NULL)
+       OR (e_event_id IS NULL AND p_ts < cut.c)
+       OR (p_event_id IS NULL AND e_ts < cut.c - INTERVAL 1 HOUR)
+    """,
+    "engine extension §2.9: stream-stream FULL OUTER join under "
+    "watermarks — per-side eviction cutoffs (p at wm > p_ts, e at "
+    "wm > e_ts + 1h) applied identically in both engines "
+    "(streaming/stateful.py::run_stream_full_join_over_events)",
+)
+
+
+# ---------------------------------------------------------------------------
 # 71. dedup_components — connected components over the near-dup pair graph
 # (iterative min-label propagation; oracle = recursive-CTE closure)
 

@@ -304,6 +304,94 @@ def run_stream_left_join_over_events(
     )
 
 
+def run_stream_full_join_over_events(
+    spark, sf_dir: str, query_name: str = "bdi_stream_foj"
+) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER join — completes the
+    streaming-join family (inner interval / left outer / full outer):
+    purchases matched to same-user clicks in the preceding hour, with
+    BOTH sides null-padded once the global watermark proves no match
+    can arrive.
+
+    Eviction semantics differ per side because the interval condition
+    is asymmetric: a purchase p can only match clicks with
+    e_ts <= p_ts, so p emits null-padded once watermark > p_ts; a
+    click e can match purchases up to p_ts <= e_ts + 1h, so e emits
+    null-padded only once watermark > e_ts + 1h. On the bounded replay
+    the runner applies those two cutoffs explicitly (computed from the
+    batch table, deterministically), so the result is exactly the
+    batch full join restricted to decidable rows — matched pairs
+    unconditionally, purchase-only rows below cut, click-only rows
+    below cut − 1h. State on an unbounded source is bounded by the
+    same thresholds.
+
+    Returns (p_event_id_s, p_us, e_event_id_s, e_us) with null ids
+    stringified ('none') for the strict comparator; the nullable epoch
+    columns stay BIGINT in both engines.
+    """
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+
+    p = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    e = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("e_event_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    joined = p.join(
+        e,
+        F.expr("p_user = e_user AND e_ts >= p_ts - INTERVAL 1 HOUR AND e_ts <= p_ts"),
+        "full_outer",
+    ).select("p_event_id", "p_ts", "e_event_id", "e_ts")
+    drained = _drain(joined, query_name)
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = (
+        ev.where(F.col("event_type") == "purchase")
+        .agg(F.max("ts").alias("mp"))
+        .crossJoin(
+            ev.where(F.col("event_type") == "click").agg(F.max("ts").alias("me"))
+        )
+        .select(
+            (F.least("mp", "me") - F.expr("INTERVAL 1 HOUR")).alias("cut")
+        )
+    )
+    matched = F.col("p_event_id").isNotNull() & F.col("e_event_id").isNotNull()
+    p_only = F.col("e_event_id").isNull() & (F.col("p_ts") < F.col("cut"))
+    e_only = F.col("p_event_id").isNull() & (
+        F.col("e_ts") < F.col("cut") - F.expr("INTERVAL 1 HOUR")
+    )
+    return (
+        drained.crossJoin(F.broadcast(cut))
+        .where(matched | p_only | e_only)
+        .select(
+            F.coalesce(F.col("p_event_id").cast("string"), F.lit("none")).alias(
+                "p_event_id_s"
+            ),
+            F.unix_micros("p_ts").alias("p_us"),
+            F.coalesce(F.col("e_event_id").cast("string"), F.lit("none")).alias(
+                "e_event_id_s"
+            ),
+            F.unix_micros("e_ts").alias("e_us"),
+        )
+    )
+
+
 def run_stream_dedup_within_watermark_over_events(
     spark, sf_dir: str, query_name: str = "bdi_stream_wm_dedup"
 ) -> DataFrame:
