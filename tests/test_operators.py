@@ -218,6 +218,21 @@ def test_incremental_minhash_gate_matches_full_run_cross_pairs(spark):
     assert inc  # non-vacuous: the corpus does have cross-split dups
 
 
+def test_incremental_minhash_gate_empty_new_batch(spark):
+    # a day with no new documents must yield an empty pair set, not an
+    # error — and never touch the existing corpus quadratically
+    from pyspark.sql import Row
+
+    existing = spark.createDataFrame(
+        [Row(doc_id=i, text="alpha beta gamma delta epsilon zeta") for i in range(5)],
+        "doc_id long, text string",
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = dedup.minhash_incremental_pairs(existing, empty, "doc_id", "text")
+    assert out.columns == ["new_id", "old_id", "jaccard"]
+    assert out.count() == 0
+
+
 # ---------------------------------------------------------------------------
 # IVF recall vs exact top-k
 
