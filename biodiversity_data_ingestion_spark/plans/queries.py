@@ -9460,6 +9460,85 @@ _register(
 # near-duplicate variants of already-proven patterns come after. The
 # full registry is still exported — only the ordering changes.
 _PRIORITY: tuple[str, ...] = (
+    # ROUND-5 ROTATION: all 50 slots go to queries with ZERO driver
+    # evidence across r1-r4 (148 queries are ever-driver-checked; their
+    # green rows persist on disk — local parity sweeps remain the
+    # regression gate). 49 carry exact DuckDB oracles; none are
+    # rows-only. Leads with the families the r4 VERDICT named as
+    # zero-history: the four remaining streaming runners (left/full
+    # outer join, distinct-pairs, static enrichment), the graduated
+    # IVF oracles, the ST_ facade, ETL rollup, map-typed props, PII
+    # stats, salting, two-level distinct, and the event-time
+    # analytics tail. The 10 deferred to round 6 are the closest
+    # twins of already-green rows (bpe_pair_merge ⊂ bpe_train_vocab,
+    # event_sliding_windows = stream_sliding_windows batch twin,
+    # doc_chunking ~ doc_chunk_windows, sketch_value_stats rows-only
+    # with 3 r4 sketch rows, nation_revenue_share ~
+    # national_market_share, regional_supplier_revenue ~
+    # revenue_by_nation, promo_revenue_share ~ conditional-agg reps,
+    # brand_price_percentiles ~ price_stats_by_flag,
+    # customers_with_urgent_orders ~ priority_returned_orders,
+    # priority_class_line_counts ~ order_count_distribution).
+    # verdict-named zero-history family representatives first
+    "stream_left_outer_join",
+    "stream_full_outer_join",
+    "stream_distinct_pairs",
+    "stream_static_enrichment",
+    "ivf_kmeans_topk",
+    "st_points_in_region",
+    "metadata_etl_rollup",
+    "user_props_map",
+    "pii_redaction_stats",
+    "salted_type_counts",
+    "two_level_distinct",
+    "purchase_context_1h",
+    "user_rolling_1h_value",
+    # text / corpus analytics tail
+    "doc_repetition_scores",
+    "doc_redaction",
+    "doc_dupline_ratio",
+    "doc_unigram_logprob",
+    "bow_fingerprint_dups",
+    "span_dedup_stats",
+    "corpus_split_counts",
+    "source_capped_corpus",
+    "source_upsampling",
+    "epoch_shuffle_shards",
+    "mixture_temperature_weights",
+    "quality_threshold_sweep",
+    # multimodal planning plumbing (resize dims / frame sampling)
+    "media_frame_plan",
+    "media_resize_dims",
+    # event-time analytics tail
+    "event_transition_matrix",
+    "most_common_event_per_user",
+    "user_event_entropy",
+    "user_first_last_events",
+    "user_time_weighted_value",
+    "event_value_outliers",
+    "value_histogram",
+    "winsorized_value_stats",
+    "global_topk_events",
+    "incremental_monthly_agg",
+    "nested_customer_doc",
+    # orders / lineitem analytics tail
+    "brand_price_ranks",
+    "lineitem_column_stats",
+    "orders_null_profile",
+    "orders_quarterly_dow",
+    "nation_segment_bitmap",
+    "nation_monthly_running_share",
+    "priority_custkey_setops",
+    "part_copurchase_pairs",
+    "supplier_shipping_coverage",
+    "bilateral_shipping_volume",
+    "part_type_profit",
+    "forecast_revenue_change",
+)
+
+_PRIORITY_R4: tuple[str, ...] = (
+    # ROUND-4 window, kept for the historical record (every row below
+    # is green in CORRECTNESS_r04.json):
     # ROUND-4 ROTATION: every one of the 50 slots goes to a query with
     # ZERO driver evidence across r1-r3 (the 96 previously-green rows
     # persist on disk as evidence; local parity stays the regression
