@@ -685,3 +685,55 @@ def test_pagerank_matches_fixed_point_reference(spark):
         rf = {u: 0.15 / n + 0.85 * (cf[u] + dm / n) for u in nodes}
     for u in nodes:
         assert abs(got[u] - rf[u]) < 1e-9
+
+
+def test_source_overlap_matrix_nonvacuous(spark, tmp_path):
+    # The sf0.01 driver fixture has no cross-source exact-duplicate
+    # texts, so the r4 driver-green row for source_overlap_matrix was
+    # confirmed on empty output. This fixture PLANTS cross-source
+    # duplicates so the fingerprint self-join is proven on non-empty
+    # support, against the same DuckDB oracle the driver runs.
+    import duckdb
+
+    from biodiversity_data_ingestion_spark.plans.queries import QUERIES
+
+    rows = [
+        # "shared news wire" text appears in three sources
+        (1, "breaking: shared wire story", "en", "cc", 27),
+        (2, "breaking: shared wire story", "en", "news", 27),
+        (3, "breaking: shared wire story", "en", "blogs", 27),
+        # a second text shared by two sources (one of them twice —
+        # countDistinct must not double-count the repeated fingerprint)
+        (4, "boilerplate footer", "en", "cc", 18),
+        (5, "boilerplate footer", "en", "forums", 18),
+        (6, "boilerplate footer", "en", "forums", 18),
+        # unique texts that must produce no pairs
+        (7, "only in cc", "en", "cc", 10),
+        (8, "only in news", "en", "news", 12),
+    ]
+    fixture = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    fixture.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    spec = QUERIES["source_overlap_matrix"]
+    got = {
+        (r.src_a, r.src_b): r.shared_texts
+        for r in spec["builder"](spark, str(tmp_path)).collect()
+    }
+    assert got, "overlap matrix must be non-empty on this fixture"
+    assert got == {
+        ("blogs", "cc"): 1,
+        ("blogs", "news"): 1,
+        ("cc", "news"): 1,
+        ("cc", "forums"): 1,
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet/*.parquet'"
+    )
+    oracle = {
+        (a, b): n for a, b, n in con.execute(spec["oracle"]).fetchall()
+    }
+    assert oracle == got
