@@ -22,6 +22,28 @@ def md5_hex(col: Column) -> Column:
     return F.md5(col.cast("string"))
 
 
+def shingle_hash64(shingles: Column) -> Column:
+    """Map an array of shingle STRINGS to a distinct array of 60-bit
+    BIGINT hashes (the 15-hex-char md5 prefix).
+
+    The inverted-index near-dup path shuffles every (shingle, doc)
+    posting; at 100 TB the shingle text (~20-40 bytes of words) is the
+    dominant shuffle payload, so the index is built over a fixed-width
+    8-byte surrogate instead. Portable: the DuckDB oracle applies
+    ``list_distinct(list_transform(sh, s -> CAST(('0x' ||
+    substr(md5(s), 1, 15)) AS BIGINT)))`` — bit-identical md5 on both
+    engines, so the (astronomically rare, ~n^2/2^61 birthday-bound)
+    collisions merge the same shingles on both sides and Jaccard parity
+    HOLDS by construction.
+    """
+    return F.array_distinct(
+        F.transform(
+            shingles,
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+        )
+    )
+
+
 def word_shingles(words: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles from an array<string> of tokens.
 

@@ -28,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import chunk_min, seeded_md5_array, word_shingles
+from ..functions.hashing import (
+    chunk_min,
+    seeded_md5_array,
+    shingle_hash64,
+    word_shingles,
+)
 from ..functions.partitioning import fan_out
 from ..functions.textfn import tokenize
 
@@ -188,9 +193,15 @@ def ngram_jaccard_pairs(
     # computation is two shuffles (groupBy shingle, groupBy pair). The
     # earlier self-join shape computed the shingling three times (both
     # join sides + the sizes branch) and shuffled the index twice.
-    sh = _doc_shingles(df, id_col, text, n, words_col).withColumn(
-        "n_sh", F.size("shingles")
-    )
+    # Shingles are hashed to 64-bit BIGINTs BEFORE the inverted-index
+    # shuffle (shingle_hash64): the posting payload drops from the
+    # n-gram text to 8 fixed bytes — the dominant shuffle-width lever at
+    # 100 TB. Jaccard is computed over the hashed sets on BOTH engines
+    # (oracles use the _DD_SHINGLES_H64 twin), so parity holds even
+    # through a collision.
+    sh = _doc_shingles(df, id_col, text, n, words_col).select(
+        "doc_id", shingle_hash64(F.col("shingles")).alias("shingles")
+    ).withColumn("n_sh", F.size("shingles"))
     inv = _explode_computed(sh, ["doc_id", "n_sh"], "shingles", "shingle")
     buckets = inv.groupBy("shingle").agg(
         F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("docs")

@@ -61,6 +61,16 @@ _DD_SHINGLES = (
     "list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 0)),"
     " i -> array_to_string(w[i:i+2], ' ')))"
 )
+# 60-bit hashed shingle set — twin of functions/hashing.shingle_hash64:
+# md5 is bit-identical in Spark and DuckDB, so the hashed sets (and any
+# collision) match exactly. The engine's ngram-Jaccard path builds its
+# inverted index over these 8-byte surrogates instead of shingle text
+# (shuffle-width lever), so Jaccard-by-intersection oracles must hash
+# identically.
+_DD_SHINGLES_H64 = (
+    f"list_distinct(list_transform({_DD_SHINGLES},"
+    " s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)))"
+)
 
 QUERIES: dict[str, dict] = {}
 
@@ -877,7 +887,7 @@ _register(
     _ngram_jaccard,
     f"""
     WITH sh AS (
-        SELECT doc_id, {_DD_SHINGLES} AS shingles
+        SELECT doc_id, {_DD_SHINGLES_H64} AS shingles
         FROM (SELECT doc_id, {_DD_WORDS} AS w FROM documents))
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            round(len(list_intersect(a.shingles, b.shingles))
@@ -2706,7 +2716,7 @@ _register(
 # transitive closure (recursive CTE), used by #71 and #72
 _CC_REACH = f"""
     sh AS (
-        SELECT doc_id, {_DD_SHINGLES} AS shingles
+        SELECT doc_id, {_DD_SHINGLES_H64} AS shingles
         FROM (SELECT doc_id, {_DD_WORDS} AS w FROM documents)),
     p AS (
         SELECT a.doc_id AS s, b.doc_id AS d

@@ -284,6 +284,15 @@ def test_headline_plan_shuffle_budgets(spark):
         "returned_item_top_customers": 1,
         "priority_class_line_counts": 1,
         "promo_revenue_share": 1,
+        # flagship curation: downstream of the checkpointed CC output the
+        # whole pipeline is ONE agg exchange (feats scan + gated anti-join
+        # + final groupBy); the pairs/CC stages run inside the checkpoint.
+        # This is the round-5 floor lock: ~2.9 s quiet-box at sf0.1 =
+        # pairs (~1.0, 64-bit hashed-shingle index) + CC rounds (~0.7) +
+        # fused feats + agg (~0.7) + job overhead. Structure is final; a
+        # future edit that adds an exchange or re-scans the corpus fails
+        # here.
+        "corpus_curation_pipeline": 1,
     }
     over = {}
     for name, budget in budgets.items():
