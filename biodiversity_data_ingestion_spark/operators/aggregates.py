@@ -277,6 +277,7 @@ def cms_heavy_hitters(
     width: int = 256,
     depth: int = 4,
     k: int = 10,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Heavy hitters via the Count-Min Sketch: estimate(v) = min over
     depths of the v's cell count. The sketch is kilobytes, so the
@@ -284,9 +285,28 @@ def cms_heavy_hitters(
     only shuffles are the sketch build and the candidate distinct.
     Estimates never undercount (CMS guarantee: est >= true, and
     est <= true + eps*N w.h.p.); ranking is deterministic
-    (est desc, value tie-break). Returns (value, est_count, rank)."""
+    (est desc, value tie-break). Returns (value, est_count, rank).
+
+    ``candidates``: optional one-column DataFrame of values to probe.
+    The DEFAULT (None) derives candidates as an exact ``distinct()``
+    over the data — at web scale that shuffle is bounded by the value
+    cardinality, not the sketch size, and dominates the whole operator
+    (it partly defeats the sketch's memory rationale; the sketch then
+    only buys the mergeable per-shard frequency table). When a bounded
+    vocabulary already exists (a vocab table, yesterday's top-N, a
+    dictionary-encoded column's dictionary), pass it here: probing is
+    then sketch-broadcast map-side work with NO candidate shuffle, and
+    the operator's cost collapses to the scan + the depth*width-row
+    sketch build — the shape a 100 TB deployment should run.
+    Estimates for values outside ``candidates`` are simply not
+    reported; values in ``candidates`` absent from the data get the
+    collision mass of their cells (standard CMS overcount)."""
     sketch = cms_build(df, value, width, depth)
-    cand = df.select(F.col(value).alias("v")).distinct()
+    if candidates is not None:
+        c = candidates.columns[0]
+        cand = candidates.select(F.col(c).alias("v")).distinct()
+    else:
+        cand = df.select(F.col(value).alias("v")).distinct()
     probes = cand.select(
         "v",
         F.explode(

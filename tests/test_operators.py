@@ -1025,6 +1025,35 @@ def test_cms_heavy_hitters_bounds_and_recovery(spark):
         assert e <= true[t] + len(vals) * 4 / 512  # eps*N slack
 
 
+def test_cms_heavy_hitters_external_candidates(spark):
+    # A pre-existing vocab replaces the exact distinct() candidate scan
+    # (the web-scale shape): estimates for vocab members must be
+    # IDENTICAL to the default path (same sketch, same probes), values
+    # outside the vocab are not reported, and a vocab entry absent from
+    # the data gets only its cells' collision mass.
+    from biodiversity_data_ingestion_spark.operators.aggregates import (
+        cms_heavy_hitters,
+    )
+
+    vals = ["alpha"] * 500 + ["beta"] * 300 + ["gamma"] * 150 + ["noise"] * 10
+    df = spark.createDataFrame([(v,) for v in vals], "term string")
+    vocab = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",), ("unseen",)], "word string"
+    )
+    full = {
+        r["term"]: r["est_count"]
+        for r in cms_heavy_hitters(df, "term", width=512, depth=4, k=10).collect()
+    }
+    gated = cms_heavy_hitters(
+        df, "term", width=512, depth=4, k=10, candidates=vocab
+    ).collect()
+    got = {r["term"]: r["est_count"] for r in gated}
+    assert set(got) <= {"alpha", "beta", "gamma", "unseen"}  # no off-vocab rows
+    for t in ("alpha", "beta", "gamma"):
+        assert got[t] == full[t]  # identical estimates, same sketch
+    assert got.get("unseen", 0) <= len(vals) * 4 / 512  # collision mass only
+
+
 def test_jpeg444_color_golden_and_grayscale_fallback(spark):
     from biodiversity_data_ingestion_spark.operators import multimodal
 
