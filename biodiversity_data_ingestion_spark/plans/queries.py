@@ -2395,6 +2395,47 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 64b. salted_join_brand_revenue — the JOIN half of the skew story
+# (functions/skew.salted_join): lineitem (big, potentially hot-keyed)
+# joins part (medium dim) on (partkey, salt) with the dim replicated
+# once per salt bucket — the manual de-skew for when AQE can't see the
+# skew. The result must be row-identical to the plain join, so the
+# oracle is the plain join + rollup.
+
+def _salted_join_brand_revenue(spark, sf_dir):
+    from ..functions.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(li, pt, ["p_partkey"], how="inner", salt_buckets=16)
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+_register(
+    "salted_join_brand_revenue",
+    _salted_join_brand_revenue,
+    """
+    SELECT p_brand, count(*) AS n_lines,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    "skew mitigation (reference TODO cleaning_occs_pipeline.py:126 "
+    "--shards): salted equi-join == plain join, rolled up per brand",
+)
+
+
+# ---------------------------------------------------------------------------
 # 65. specimen_doc_projection — P2 characteristics flatten + P3 ES-doc
 # projection: per "specimen" (customer), derive a tracking status from the
 # presence of child records and flatten the child list of {text, unit}
@@ -3299,6 +3340,29 @@ _register(
     QUERIES["user_sessions"]["oracle"],
     "engine extension §2.9: streaming session windows (state = one open "
     "session per user, merged on arrival) == batch session aggregation",
+)
+
+
+# ---------------------------------------------------------------------------
+# 82b. stream_stateful_sessions — the same sessions via grouped-map
+# applyInPandasWithState + EVENT-TIME TIMEOUTS (custom state machine,
+# sentinel-flushed bounded replay) — the hand-rolled twin of 82 for
+# session semantics session_window can't express. Same batch oracle.
+
+def _stream_stateful_sessions(spark, sf_dir):
+    from ..streaming.stateful import run_stream_stateful_sessions_over_events
+
+    return run_stream_stateful_sessions_over_events(spark, sf_dir)
+
+
+_register(
+    "stream_stateful_sessions",
+    _stream_stateful_sessions,
+    QUERIES["user_sessions"]["oracle"],
+    "engine extension §2.9: applyInPandasWithState sessionization "
+    "(EventTimeTimeout state machine; closed-by-data sessions emit "
+    "immediately, the open session is flushed by the watermark) == "
+    "batch gaps-and-islands",
 )
 
 

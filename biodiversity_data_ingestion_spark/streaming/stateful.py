@@ -14,6 +14,7 @@ when keys are unbounded.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Iterator
 
 import pandas as pd
@@ -418,3 +419,175 @@ def run_stream_dedup_within_watermark_over_events(
         .select("user_id", "event_type")
     )
     return _drain(deduped, query_name)
+
+
+def stateful_sessions(
+    keyed: DataFrame, gap_minutes: int, payload_schema: StructType
+) -> DataFrame:
+    """Custom sessionization via grouped-map ``applyInPandasWithState``
+    with EVENT-TIME TIMEOUTS — the hand-rolled twin of the built-in
+    ``session_window`` (windows.py), for session semantics the built-in
+    can't express (dynamic gaps, per-session early emission, custom
+    merge logic). State = ONE open session per user (start_us, end_us,
+    n, sum); sessions closed by a later event (gap exceeded) emit
+    immediately, the open session arms an event-time timeout at
+    end + gap and is emitted by the watermark — so state is bounded by
+    live-user cardinality, never input volume.
+
+    ``keyed`` must carry (user_id, ts, value) with a watermark on ts.
+    Cross-batch merge assumes batches arrive in event-time order per
+    key (watermark discipline — violations mean the out-of-order event
+    belongs to an already-emitted session, exactly the row a watermark
+    would have dropped).
+
+    Gap rule matches the batch oracle: a gap >= ``gap_minutes`` starts
+    a new session (same boundary as session_window / the
+    gaps-and-islands SQL).
+    """
+    gap_us = gap_minutes * 60_000_000
+
+    def _row(user_id, s):
+        return {
+            "session_start": pd.Timestamp(s[0], unit="us"),
+            "user_id": user_id,
+            "n_events": s[2],
+            "sum_value": round(s[3], 2),
+        }
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        user_id = key[0]
+        if state.hasTimedOut:
+            s = list(state.get)
+            state.remove()
+            yield pd.DataFrame([_row(user_id, s)])
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        batch = batch.sort_values(["ts", "value"], ignore_index=True)
+        sessions: list[list] = [list(state.get)] if state.exists else []
+        for us_, val in zip(
+            batch["ts"].astype("int64") // 1000, batch["value"].astype("float64")
+        ):
+            us_ = int(us_)
+            if sessions and us_ - sessions[-1][1] < gap_us:
+                s = sessions[-1]
+                s[1] = max(s[1], us_)
+                s[2] += 1
+                s[3] += float(val)
+            else:
+                sessions.append([us_, us_, 1, float(val)])
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        closed, open_ = sessions[:-1], sessions[-1]
+        if open_[1] + gap_us <= wm_us:
+            closed.append(open_)
+            open_ = None
+        if open_ is not None:
+            state.update(tuple(open_))
+            # strictly after the current watermark by the guard above
+            state.setTimeoutTimestamp((open_[1] + gap_us) // 1000)
+        else:
+            state.remove()
+        if closed:
+            yield pd.DataFrame([_row(user_id, s) for s in closed])
+
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=payload_schema,
+        stateStructType="start_us long, end_us long, n long, sv double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+_SENTINEL_USER = -(10**9)
+
+
+def _stage_events_with_sentinel(
+    spark, sf_dir: str, margin_days: int = 3650
+) -> str:
+    """Copy events.parquet into a temp stage dir plus a one-row SENTINEL
+    file (dummy user, far-future ts, later mtime so the file source
+    replays it last). On bounded replay the sentinel's batch advances
+    the event-time watermark past every real session's end + gap, so
+    the final no-data batch fires all armed timeouts and the append
+    output is COMPLETE — the streaming result equals the batch oracle.
+    (An unbounded production source needs no sentinel: the next real
+    event advances the watermark.)"""
+    import shutil
+    import tempfile
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = tempfile.mkdtemp(prefix="bdi_sess_stage_")
+    dst = os.path.join(stage, "00_events.parquet")
+    shutil.copyfile(src, dst)
+    schema = pq.read_schema(src).remove_metadata()
+    tmax = pq.read_table(src, columns=["ts"])["ts"].to_pylist()
+    sentinel_ts = max(tmax) + pd.Timedelta(days=margin_days)
+    sentinel = pa.Table.from_pylist(
+        [
+            {
+                "event_id": -1,
+                "ts": sentinel_ts,
+                "user_id": _SENTINEL_USER,
+                "event_type": "__sentinel__",
+                "value": 0.0,
+                "props": None,
+            }
+        ],
+        schema=schema,
+    )
+    spath = os.path.join(stage, "01_sentinel.parquet")
+    pq.write_table(sentinel, spath)
+    now = _time.time()
+    os.utime(dst, (now - 60, now - 60))
+    os.utime(spath, (now, now))
+    return stage
+
+
+def run_stream_stateful_sessions_over_events(
+    spark, sf_dir: str, query_name: str = "bdi_stateful_sessions"
+) -> DataFrame:
+    """Execute the custom stateful sessionization as a real streaming
+    query (file source + sentinel flush, memory sink, append mode) and
+    return per-user sessions — must equal the batch gaps-and-islands
+    aggregation (the stream_user_sessions oracle)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        TimestampType,
+    )
+
+    from ..sources.tables import normalize_event_ts
+
+    stage = _stage_events_with_sentinel(spark, sf_dir)
+    batch_schema = spark.read.parquet(os.path.join(stage, "00_events.parquet")).schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    keyed = (
+        stream.withWatermark("ts", "1 minute")
+        .select("user_id", "ts", "value")
+    )
+    out_schema = StructType(
+        [
+            StructField("session_start", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+        ]
+    )
+    sessions = stateful_sessions(keyed, 10, out_schema)
+    return _drain(sessions, query_name).where(
+        F.col("user_id") != F.lit(_SENTINEL_USER)
+    )

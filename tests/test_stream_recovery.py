@@ -96,3 +96,95 @@ def test_append_mode_matches_batch_closed_windows(spark, tmp_path):
     # the bounded replay must actually have exercised both cases
     assert len(exp_set) > 0
     assert batch.count() > len(exp_set)
+
+
+def test_stateful_sessions_merge_across_microbatches(spark, tmp_path):
+    # The applyInPandasWithState sessionizer must MERGE a session that
+    # spans a micro-batch boundary (open state + next batch's events)
+    # and flush the final open sessions via event-time timeout. Stage:
+    # two ts-ordered chunks + a far-future sentinel, mtime-ordered so
+    # the file source replays them as three separate batches.
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biodiversity_data_ingestion_spark.streaming.stateful import (
+        _SENTINEL_USER,
+        stateful_sessions,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    base = 1_700_000_000_000_000  # us epoch
+    MIN = 60_000_000
+    rows = [
+        # user 1: events 0m,5m | boundary | 12m (merges: every gap < 10m),
+        # then 40m (new session)
+        (1, base + 0 * MIN, 1.0), (1, base + 5 * MIN, 2.0),
+        (1, base + 12 * MIN, 3.0), (1, base + 40 * MIN, 4.0),
+        # user 2: 0m | boundary | 30m — gap 30m >= 10m: two sessions
+        (2, base + 0 * MIN, 5.0), (2, base + 30 * MIN, 6.0),
+    ]
+    chunk1 = [r for r in rows if r[1] < base + 10 * MIN]
+    chunk2 = [r for r in rows if r[1] >= base + 10 * MIN]
+    schema = pa.schema(
+        [("user_id", pa.int64()), ("ts", pa.timestamp("us")), ("value", pa.float64())]
+    )
+
+    def write(name, data, mtime):
+        t = pa.Table.from_pylist(
+            [{"user_id": u, "ts": ts, "value": v} for u, ts, v in data], schema=schema
+        )
+        p = str(tmp_path / name)
+        pq.write_table(t, p)
+        os.utime(p, (mtime, mtime))
+
+    now = _time.time()
+    write("00_chunk.parquet", chunk1, now - 120)
+    write("01_chunk.parquet", chunk2, now - 60)
+    write("02_sentinel.parquet", [(_SENTINEL_USER, base + 100_000 * MIN, 0.0)], now)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path))
+        .withWatermark("ts", "1 minute")
+        .select("user_id", "ts", "value")
+    )
+    out_schema = StructType(
+        [
+            StructField("session_start", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+        ]
+    )
+    q = (
+        stateful_sessions(stream, 10, out_schema)
+        .writeStream.format("memory")
+        .queryName("t_sess_merge")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    got = {
+        (r.user_id, r.session_start.timestamp() * 1_000_000, r.n_events, r.sum_value)
+        for r in spark.table("t_sess_merge").collect()
+        if r.user_id != _SENTINEL_USER
+    }
+    # session spanning the batch boundary merged 0m+5m (batch 1) with
+    # 12m (batch 2); the rest split on >= 10m gaps
+    assert got == {
+        (1, float(base), 3, 6.0),
+        (1, float(base + 40 * MIN), 1, 4.0),
+        (2, float(base), 1, 5.0),
+        (2, float(base + 30 * MIN), 1, 6.0),
+    }
