@@ -68,6 +68,11 @@ HEADLINE = (
     "kmeans_clusters",
     "copurchase_pagerank",
     "incremental_minhash_gate",
+    # round-5 additions: the grouped-map stateful sessionizer (its
+    # Python state machine + sentinel-staged replay is the cost to
+    # watch) and the salted-join skew path
+    "stream_stateful_sessions",
+    "salted_join_brand_revenue",
 )
 
 # queries whose builder EXECUTES the work eagerly (streaming drains,
@@ -86,6 +91,8 @@ EAGER = {
     "bpe_train_vocab",
     "kmeans_clusters",
     "copurchase_pagerank",
+    # streaming drain: the builder runs the whole bounded replay
+    "stream_stateful_sessions",
 }
 
 
