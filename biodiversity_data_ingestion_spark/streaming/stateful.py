@@ -591,3 +591,131 @@ def run_stream_stateful_sessions_over_events(
     return _drain(sessions, query_name).where(
         F.col("user_id") != F.lit(_SENTINEL_USER)
     )
+
+
+def _stage_events_chunks(sf_dir: str, n_chunks: int = 2) -> str:
+    """Split events.parquet into ``n_chunks`` ts-ordered files in a temp
+    stage dir with ascending mtimes — bounded replay as N micro-batches
+    so cross-batch state paths actually execute."""
+    import tempfile
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = tempfile.mkdtemp(prefix="bdi_chunk_stage_")
+    t = pq.read_table(src).sort_by("ts")
+    n = t.num_rows
+    now = _time.time()
+    for i in range(n_chunks):
+        lo, hi = i * n // n_chunks, (i + 1) * n // n_chunks
+        path = os.path.join(stage, f"{i:02d}_chunk.parquet")
+        pq.write_table(t.slice(lo, hi - lo), path)
+        os.utime(path, (now - 60 * (n_chunks - i), now - 60 * (n_chunks - i)))
+    return stage
+
+
+def run_stream_running_totals_over_events(
+    spark, sf_dir: str, query_name: str = "bdi_running_totals"
+) -> DataFrame:
+    """Per-user RUNNING totals via ``transformWithStateInPandas`` — the
+    Spark 4.x arbitrary-state API (StatefulProcessor + typed ValueState
+    on the RocksDB state store), the successor to
+    ``applyInPandasWithState``. Each micro-batch emits the user's
+    cumulative (n_events, sum_value); totals are STRICTLY increasing in
+    n_events, so the final per-user row is ``max_by`` over emissions —
+    deterministic however the replay is chunked — and equals the batch
+    groupBy (the oracle).
+
+    Scale: one tiny ValueState record per user on RocksDB (spillable,
+    incremental checkpoints); emission volume is users x batches, not
+    input rows.
+
+    ENVIRONMENT GATE: the transformWithState Python driver worker
+    speaks protobuf to the JVM state server; this container has no
+    ``google.protobuf`` (and installs are off), so the query CANNOT run
+    here — it raises the ImportError below up front instead of crashing
+    mid-stream. The covering test importorskips; re-check the module
+    each round (same policy as the codec libs for decode_media).
+    """
+    import importlib.util
+
+    # find_spec("google.protobuf") itself raises if the parent package
+    # is absent entirely — treat either shape as "not installed"
+    try:
+        have_pb = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        have_pb = False
+    if not have_pb:
+        raise ImportError(
+            "transformWithStateInPandas requires google.protobuf "
+            "(absent in this container; its state server protocol is "
+            "protobuf-framed)"
+        )
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from ..sources.tables import normalize_event_ts
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n long, sv double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self._totals.get()
+            n, sv = (prev[0], prev[1]) if prev is not None else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                sv += float(pdf["value"].sum())
+            self._totals.update((n, sv))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [round(sv, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    stage = _stage_events_chunks(sf_dir, n_chunks=2)
+    batch_schema = spark.read.parquet(os.path.join(stage, "00_chunk.parquet")).schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    # the transformWithState operator requires the RocksDB state store;
+    # scope the provider to this run and restore the previous value so
+    # the HDFS-backed runners keep their (faster-locally) default
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        emitted = (
+            stream.select("user_id", "value")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                RunningTotals(),
+                outputStructType="user_id long, n_events long, sum_value double",
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+        drained = _drain(emitted, query_name, mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev)
+    return drained.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("sum_value", "n_events").alias("sum_value"),
+    )

@@ -188,3 +188,54 @@ def test_stateful_sessions_merge_across_microbatches(spark, tmp_path):
         (2, float(base), 1, 5.0),
         (2, float(base + 30 * MIN), 1, 6.0),
     }
+
+
+def test_transform_with_state_running_totals(spark):
+    # Spark 4.x arbitrary-state API (StatefulProcessor + ValueState on
+    # RocksDB). The container lacks google.protobuf (the state server's
+    # wire protocol), so this skips there — the runner raises a clear
+    # ImportError up front instead of crashing the stream mid-batch.
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from biodiversity_data_ingestion_spark.streaming.stateful import (
+        run_stream_running_totals_over_events,
+    )
+
+    got = {
+        (r.user_id, r.n_events, r.sum_value)
+        for r in run_stream_running_totals_over_events(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    exp = {
+        (r.user_id, r.n_events, r.sum_value)
+        for r in spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == exp
+
+
+def test_transform_with_state_runner_raises_cleanly_without_protobuf(spark):
+    # the gate itself: with protobuf absent the runner must fail fast
+    # with an actionable ImportError, not a mid-stream worker crash
+    import importlib.util
+
+    try:
+        if importlib.util.find_spec("google.protobuf") is not None:
+            return  # gate inactive — covered by the test above
+    except ModuleNotFoundError:
+        pass
+    import pytest
+
+    from biodiversity_data_ingestion_spark.streaming.stateful import (
+        run_stream_running_totals_over_events,
+    )
+
+    with pytest.raises(ImportError, match="protobuf"):
+        run_stream_running_totals_over_events(spark, "/root/testdata/sf0.001")
