@@ -306,6 +306,77 @@ def inverted_index(
     return out
 
 
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text: str,
+    n_queries: int = 3,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 retrieval: top-``k`` documents per query term (Robertson/
+    Sparck-Jones idf, Lucene's +1 smoothing) — the ranking half of the
+    inverted-index story, the retrieval primitive data-curation
+    pipelines use to pull topical slices out of a corpus.
+
+    The query set is DATA-DERIVED for determinism: the ``n_queries``
+    highest-df terms (tie -> term order). Scale shape: the tiny
+    query-term relation and the 1-row corpus stats broadcast, so the
+    per-(doc, term) tf relation streams map-side through the
+    query-term filter and only the MATCHED postings reach the dl join
+    and the per-term ranking window — shuffle is bounded by the query
+    terms' posting lists, never the corpus. (At web scale, add a
+    per-partition pre-top-k before the window if a query term's df is
+    pathological.)
+
+    Ranking sorts by the ROUNDED score (4 dp) with a doc_id tiebreak so
+    the order is reproducible bit-for-bit against a SQL oracle — raw
+    double scores differ across engines in the last ulp (libm ln).
+    Returns (q_term, doc_id, bm25, rank).
+    """
+    toks = fan_out(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(F.lower(F.trim(F.col(text))))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    qt = dfreq.orderBy(F.desc("df"), "term").limit(n_queries)
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "bm25",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                ),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(F.col("term").alias("q_term"), "doc_id", "bm25", "rank")
+    )
+
+
 def contamination_report(
     train: DataFrame,
     bench: DataFrame,

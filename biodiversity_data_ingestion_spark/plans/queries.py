@@ -3010,6 +3010,45 @@ _register(
 )
 
 # ---------------------------------------------------------------------------
+# 76b. bm25_doc_retrieval — BM25 top-k per query term (the ranking half
+# of the inverted-index story; query terms = top-3 df, broadcast; only
+# matched postings shuffle). Ranked on the ROUNDED score so ordering is
+# engine-portable (raw ln differs in the last ulp across libms).
+
+def _bm25_doc_retrieval(spark, sf_dir):
+    return corpus.bm25_topk(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n_queries=3, k=5
+    )
+
+
+_register(
+    "bm25_doc_retrieval",
+    _bm25_doc_retrieval,
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_DD_WORDS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    qt AS (SELECT term, df FROM dfreq ORDER BY df DESC, term LIMIT 3),
+    scored AS (
+        SELECT qt.term, tf.doc_id,
+               round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                     * (tf * 2.2)
+                     / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)), 4) AS bm25
+        FROM tf JOIN qt USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+    SELECT term AS q_term, doc_id, bm25,
+           row_number() OVER (PARTITION BY term
+                              ORDER BY bm25 DESC, doc_id) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+    "north star: BM25 retrieval top-k (broadcast query terms + corpus "
+    "stats; shuffle bounded by matched posting lists)",
+)
+
+# ---------------------------------------------------------------------------
 # 77. corpus_quality_gate — composed cleaning pipeline: exact dedup +
 # language ID + quality filters -> per-language retained counts
 

@@ -139,6 +139,26 @@ def test_tfidf_idf_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_bm25_query_terms_and_stats_are_broadcast(spark):
+    # the query-term relation (n_queries rows) and the corpus stats
+    # (1 row) must broadcast so only MATCHED postings ever shuffle —
+    # a hash exchange of the full tf relation on term would be the
+    # 100 TB killer
+    import re
+
+    from biodiversity_data_ingestion_spark.plans.queries import QUERIES
+
+    plan = (
+        QUERIES["bm25_doc_retrieval"]["builder"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 1  # qt filter join
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats scalar
+    assert "CartesianProduct" not in plan
+
+
 def test_no_accidental_cartesian_or_row_python_udfs(spark):
     # Engine-wide physical-plan sweep: no query may contain an accidental
     # cartesian product or a row-at-a-time Python UDF (BatchEvalPython).
@@ -374,6 +394,9 @@ def test_no_scale_killer_joins_anywhere(spark):
         # BPE trainer/apply: the per-round argmax is a broadcast 1-row
         # cross join carrying the chosen merge pair to every vocab word
         "bpe_train_vocab", "bpe_vocab_encoding",
+        # BM25: the (n_docs, avgdl) corpus stats are a broadcast 1-row
+        # cross join against the matched postings
+        "bm25_doc_retrieval",
     }
     # measured ceilings for the two legitimately widest plans; anything
     # beyond these usually means a shared subplan is being re-executed
