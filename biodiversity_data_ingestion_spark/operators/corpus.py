@@ -392,21 +392,28 @@ def contamination_report(
     Shape: the benchmark n-gram set is DISTINCT'd and broadcast —
     benchmark suites are tiny next to a 100 TB corpus, so the training
     side streams map-side through a broadcast hash semi-join and the
-    only shuffle is the per-doc overlap count. Returns
+    only shuffle is the per-doc overlap count. Both sides hash their
+    n-grams to 64-bit (shingle_hash64, the same shuffle/broadcast-width
+    lever as the near-dup inverted index): the broadcast set carries 8
+    bytes per n-gram instead of the text, ~4x more benchmark before
+    the broadcast ceiling. The oracle hashes identically so collisions
+    merge the same n-grams on both engines. Returns
     (id, n_shared_ngrams).
     """
-    from ..functions.hashing import word_shingles
+    from ..functions.hashing import shingle_hash64, word_shingles
 
     t = fan_out(train).select(
         F.col(id_col),
         F.explode_outer(
-            word_shingles(tokenize(F.lower(F.trim(F.col(text)))), n)
+            shingle_hash64(word_shingles(tokenize(F.lower(F.trim(F.col(text)))), n))
         ).alias("ngram"),
     ).where(F.col("ngram").isNotNull())
     b = (
         bench.select(
             F.explode_outer(
-                word_shingles(tokenize(F.lower(F.trim(F.col(text)))), n)
+                shingle_hash64(
+                    word_shingles(tokenize(F.lower(F.trim(F.col(text)))), n)
+                )
             ).alias("ngram")
         )
         .where(F.col("ngram").isNotNull())

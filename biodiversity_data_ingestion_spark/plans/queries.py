@@ -3576,7 +3576,7 @@ _register(
     _benchmark_contamination,
     f"""
     WITH sh AS (
-        SELECT doc_id, {_DD_SHINGLES} AS shingles
+        SELECT doc_id, {_DD_SHINGLES_H64} AS shingles
         FROM (SELECT doc_id, {_DD_WORDS} AS w FROM documents)),
     t AS (SELECT doc_id, unnest(shingles) AS ngram FROM sh WHERE doc_id % 100 <> 0),
     b AS (SELECT DISTINCT unnest(shingles) AS ngram FROM sh WHERE doc_id % 100 = 0)
