@@ -339,8 +339,15 @@ def bm25_topk(
         F.col(id_col).alias("doc_id"),
         F.explode(tokenize(F.lower(F.trim(F.col(text))))).alias("term"),
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # tf feeds FOUR consumers (dl, corpus stats, df, the scored join):
+    # the lazy checkpoint materializes the corpus scan + tokenize +
+    # count shuffle ONCE instead of once per branch (4 scans -> 1)
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).localCheckpoint(eager=False)
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
