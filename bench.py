@@ -70,9 +70,11 @@ HEADLINE = (
     "incremental_minhash_gate",
     # round-5 additions: the grouped-map stateful sessionizer (its
     # Python state machine + sentinel-staged replay is the cost to
-    # watch) and the salted-join skew path
+    # watch), the salted-join skew path, and BM25 retrieval (shared-tf
+    # checkpoint + broadcast query terms)
     "stream_stateful_sessions",
     "salted_join_brand_revenue",
+    "bm25_doc_retrieval",
 )
 
 # queries whose builder EXECUTES the work eagerly (streaming drains,
@@ -93,6 +95,8 @@ EAGER = {
     "copurchase_pagerank",
     # streaming drain: the builder runs the whole bounded replay
     "stream_stateful_sessions",
+    # the shared-tf localCheckpoint materializes at build time
+    "bm25_doc_retrieval",
 }
 
 
