@@ -588,9 +588,14 @@ def run_stream_stateful_sessions_over_events(
         ]
     )
     sessions = stateful_sessions(keyed, 10, out_schema)
-    return _drain(sessions, query_name).where(
-        F.col("user_id") != F.lit(_SENTINEL_USER)
-    )
+    try:
+        drained = _drain(sessions, query_name)
+    finally:
+        # the memory sink holds the rows; the staged copy is dead weight
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+    return drained.where(F.col("user_id") != F.lit(_SENTINEL_USER))
 
 
 def _stage_events_chunks(sf_dir: str, n_chunks: int = 2) -> str:
@@ -715,6 +720,9 @@ def run_stream_running_totals_over_events(
             spark.conf.unset(prov_key)
         else:
             spark.conf.set(prov_key, prev)
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
     return drained.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
         F.max_by("sum_value", "n_events").alias("sum_value"),
