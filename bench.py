@@ -75,6 +75,7 @@ HEADLINE = (
     "stream_stateful_sessions",
     "salted_join_brand_revenue",
     "bm25_doc_retrieval",
+    "copurchase_kcore",
 )
 
 # queries whose builder EXECUTES the work eagerly (streaming drains,
@@ -97,6 +98,8 @@ EAGER = {
     "stream_stateful_sessions",
     # the shared-tf localCheckpoint materializes at build time
     "bm25_doc_retrieval",
+    # iterative peel: per-round checkpoints run during construction
+    "copurchase_kcore",
 }
 
 

@@ -695,3 +695,67 @@ def pagerank(
     return ranks.select(
         "node", (F.col("r") / F.lit(float(scale))).alias("rank")
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    u: str = "u",
+    v: str = "v",
+    max_rounds: int = 8,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: drop every node whose
+    degree falls below ``k``, recompute degrees on the surviving edges,
+    repeat until stable (or ``max_rounds``) — the fourth iterative
+    graph primitive next to connected components, triangle counting and
+    PageRank. The k-core is the standard density filter before
+    community detection and the graph analogue of a quality gate.
+
+    DETERMINISM: the peel is pure integer arithmetic (degree counts and
+    comparisons), so the surviving node set after any number of rounds
+    is engine- and partition-exact; the oracle unrolls ``max_rounds``
+    chained CTE rounds and matches hash-for-hash — post-convergence
+    rounds are identity on both sides, so early convergence in Spark
+    never diverges from the fixed unroll.
+
+    Scale: each round is one degree aggregation (map-side combinable)
+    plus two semi-joins of the edge list against the survivor set —
+    shuffle is edges + nodes per round, no quadratic term anywhere.
+    Rounds are localCheckpoint'ed (the convergence count materializes
+    each round anyway, same pattern as connected_components), so the
+    logical plan stays flat instead of nesting per round.
+
+    Edges must be undirected-simple: one row per pair, ``u`` < ``v``.
+    Returns the surviving (node, degree) rows.
+    """
+    cur = edges.select(F.col(u).alias("u"), F.col(v).alias("v")).localCheckpoint(
+        eager=False
+    )
+    n_edges = cur.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.where(F.col("d") >= k).select("node")
+        nxt = (
+            cur.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
+            .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+        n_next = nxt.count()
+        cur = nxt
+        if n_next == n_edges:
+            break  # stable: every endpoint already has degree >= k
+        n_edges = n_next
+    return (
+        cur.select(F.col("u").alias("node"))
+        .unionAll(cur.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .where(F.col("degree") >= k)
+    )

@@ -7971,6 +7971,96 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 167b. copurchase_kcore — k-core decomposition by iterative peeling
+# (the fourth iterative graph primitive). Pure integer arithmetic, so
+# the surviving set after any round count is engine-exact; the oracle
+# unrolls max_rounds chained-CTE peel rounds (post-convergence rounds
+# are identity on both sides, so Spark's early break never diverges).
+
+_KCORE_K, _KCORE_ROUNDS = 3, 8
+
+
+def _copurchase_kcore(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+    )
+    items = (
+        li.join(
+            F.broadcast(p.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    baskets = items.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    edges = (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("parts"),
+                        lambda a, i: F.transform(
+                            F.slice(F.col("parts"), i + 2, 64),
+                            lambda b: F.struct(a.alias("u"), b.alias("v")),
+                        ),
+                    )
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .distinct()
+    )
+    return corpus.k_core(edges, k=_KCORE_K, max_rounds=_KCORE_ROUNDS)
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    # AS MATERIALIZED throughout: each peel round references the prior
+    # round's edges 3x — DuckDB's default CTE inlining would expand e0
+    # ~3^rounds times (observed: fd exhaustion from thousands of
+    # duplicated parquet scans). Materialization makes the oracle replay
+    # the same linear peel the engine runs.
+    head = """
+    WITH bp AS MATERIALIZED (SELECT p_partkey FROM part
+                WHERE p_brand IN ('Brand#12','Brand#23','Brand#34')),
+    items AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey
+        FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM bp)),
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT a.pkey AS u, b.pkey AS v
+        FROM items a JOIN items b ON a.okey = b.okey AND a.pkey < b.pkey)"""
+    body = []
+    for r in range(rounds):
+        body.append(f""",
+    s{r} AS MATERIALIZED (
+        SELECT node FROM (
+            SELECT node, count(*) AS d
+            FROM (SELECT u AS node FROM e{r} UNION ALL SELECT v FROM e{r})
+            GROUP BY node) WHERE d >= {k}),
+    e{r + 1} AS MATERIALIZED (
+        SELECT u, v FROM e{r}
+        WHERE u IN (SELECT node FROM s{r}) AND v IN (SELECT node FROM s{r}))""")
+    tail = f"""
+    SELECT node, count(*) AS degree
+    FROM (SELECT u AS node FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+    GROUP BY node HAVING count(*) >= {k}"""
+    return head + "".join(body) + tail
+
+
+_register(
+    "copurchase_kcore",
+    _copurchase_kcore,
+    _kcore_oracle(_KCORE_K, _KCORE_ROUNDS),
+    "engine extension: k-core decomposition (iterative integer peel, "
+    "checkpointed rounds; chained-CTE unrolled oracle — the density "
+    "filter before community detection)",
+)
+
+
+# ---------------------------------------------------------------------------
 # 168. image_decode_features — REAL image decode end-to-end, the BMP
 # twin of audio_decode_features: synthesize a deterministic 24-bit BMP
 # per doc (struct/numpy, real container: padded bottom-up BGR rows),

@@ -737,3 +737,27 @@ def test_source_overlap_matrix_nonvacuous(spark, tmp_path):
         (a, b): n for a, b, n in con.execute(spec["oracle"]).fetchall()
     }
     assert oracle == got
+
+
+def test_k_core_peels_cascade(spark):
+    # classic cascade: a triangle core (1,2,3 all degree >= 2 forever)
+    # with a pendant chain 3-4-5. Round 1 peels 5 (deg 1), which drops
+    # 4 to deg 1; round 2 peels 4 — the iterative part is the point
+    # (a single degree filter would keep 4).
+    from biodiversity_data_ingestion_spark.operators.corpus import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)], "u long, v long"
+    )
+    got = {(r.node, r.degree) for r in k_core(edges, k=2).collect()}
+    assert got == {(1, 2), (2, 2), (3, 2)}
+
+
+def test_k_core_empty_and_overpeel(spark):
+    from biodiversity_data_ingestion_spark.operators.corpus import k_core
+
+    empty = spark.createDataFrame([], "u long, v long")
+    assert k_core(empty, k=2).count() == 0
+    # k above the max degree peels everything
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+    assert k_core(edges, k=3).count() == 0
