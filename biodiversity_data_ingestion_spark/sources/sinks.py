@@ -177,3 +177,93 @@ def compact_files(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return n_files
+
+
+def write_webdataset_shards(
+    df: DataFrame,
+    out_dir: str,
+    key_col: str,
+    text_col: str,
+    meta_cols: list[str] | None = None,
+    samples_per_shard: int = 100,
+) -> DataFrame:
+    """Export a corpus as WebDataset-style tar shards — the sequential
+    training-loader format (each sample = adjacent members
+    ``{key}.txt`` + ``{key}.json`` inside ``shard-%06d.tar``).
+
+    Layout: samples get an md5 rank (deterministic shuffle, the same
+    derandomized scheme as the epoch shuffler), a global position via
+    one rank window, and shard = pos // samples_per_shard — so every
+    shard except the last is exactly full and a loader can stripe
+    shards across workers. Each shard group writes ITS OWN tar
+    (`applyInPandas` per shard): at 100 TB this is the standard
+    creation shape — one whole shard per task, sequential tar write,
+    no driver involvement; tasks write executor-local and the returned
+    manifest carries per-shard byte counts for the upload step. Tar
+    bytes are REPRODUCIBLE (members sorted by rank, mtime=0, uid=gid=0,
+    no user names), so re-exports of identical data are byte-identical
+    — content-addressable shard caching works.
+
+    The global rank window is a single-partition sort of (rank, key)
+    pairs only — at extreme corpus sizes swap it for
+    ``zipWithIndex``-style per-partition offsets; the tar-writing
+    stage is unchanged.
+
+    Returns the manifest DataFrame (shard, n_samples, n_bytes, path).
+    """
+    import tarfile
+
+    from pyspark.sql import Window
+
+    meta_cols = list(meta_cols or [])
+    os.makedirs(out_dir, exist_ok=True)
+
+    keyed = df.select(
+        F.col(key_col).cast("string").alias("_key"),
+        F.col(text_col).cast("string").alias("_text"),
+        F.to_json(F.struct(*[F.col(c) for c in meta_cols])).alias("_meta")
+        if meta_cols
+        else F.lit("{}").alias("_meta"),
+    ).withColumn("_rk", F.md5(F.concat_ws(":", F.lit("wds"), F.col("_key"))))
+    w = Window.orderBy("_rk", "_key")
+    sharded = keyed.withColumn(
+        "_shard",
+        ((F.row_number().over(w) - 1) / F.lit(samples_per_shard)).cast("int"),
+    )
+
+    def _write_shard(pdf):
+        import pandas as pd
+
+        shard = int(pdf["_shard"].iloc[0])
+        path = os.path.join(out_dir, f"shard-{shard:06d}.tar")
+        pdf = pdf.sort_values(["_rk", "_key"], ignore_index=True)
+        n_bytes = 0
+        with tarfile.open(path, "w") as tar:
+            for _, row in pdf.iterrows():
+                for ext, payload in (
+                    ("txt", row["_text"].encode()),
+                    ("json", row["_meta"].encode()),
+                ):
+                    info = tarfile.TarInfo(name=f"{row['_key']}.{ext}")
+                    info.size = len(payload)
+                    info.mtime = 0
+                    info.uid = info.gid = 0
+                    info.uname = info.gname = ""
+                    import io
+
+                    tar.addfile(info, io.BytesIO(payload))
+                    n_bytes += len(payload)
+        return pd.DataFrame(
+            [
+                {
+                    "shard": shard,
+                    "n_samples": len(pdf),
+                    "n_bytes": n_bytes,
+                    "path": path,
+                }
+            ]
+        )
+
+    return sharded.groupBy("_shard").applyInPandas(
+        _write_shard, "shard int, n_samples long, n_bytes long, path string"
+    )

@@ -485,3 +485,55 @@ def test_warc_roundtrip_and_dead_letter(spark):
                                 "doc_id long, payload binary")
     row = warc.parse_warc_features(bad, "doc_id", on_error="null").collect()[0]
     assert row["warc_type"] is None and row["n_words"] is None
+
+
+def test_webdataset_shards_roundtrip_and_determinism(spark, tmp_path):
+    # the training-loader export: every doc appears exactly once across
+    # shards as adjacent {key}.txt/{key}.json members, every shard but
+    # the last is exactly full, and a re-export is BYTE-identical
+    # (sorted members, zeroed tar metadata) — content-addressable
+    # shard caching depends on that.
+    import hashlib
+    import tarfile
+
+    from biodiversity_data_ingestion_spark.sources.sinks import (
+        write_webdataset_shards,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_docs = docs.count()
+    out1, out2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    manifest = write_webdataset_shards(
+        docs, out1, "doc_id", "text", meta_cols=["lang", "source"],
+        samples_per_shard=40,
+    ).collect()
+    assert sum(r.n_samples for r in manifest) == n_docs
+    full = [r for r in manifest if r.shard < max(m.shard for m in manifest)]
+    assert all(r.n_samples == 40 for r in full)
+
+    seen = {}
+    for r in sorted(manifest, key=lambda m: m.shard):
+        with tarfile.open(r.path) as tar:
+            members = tar.getmembers()
+            names = [m.name for m in members]
+            # adjacent sample members: txt immediately followed by json
+            for i in range(0, len(names), 2):
+                k_txt, k_json = names[i], names[i + 1]
+                assert k_txt.endswith(".txt") and k_json.endswith(".json")
+                assert k_txt[:-4] == k_json[:-5]
+                seen[k_txt[:-4]] = len(
+                    tar.extractfile(members[i]).read()
+                )
+    expected = {str(r.doc_id): len(r.text.encode()) for r in docs.collect()}
+    assert seen == expected
+
+    # byte-identical re-export
+    write_webdataset_shards(
+        docs, out2, "doc_id", "text", meta_cols=["lang", "source"],
+        samples_per_shard=40,
+    ).collect()
+    for r in manifest:
+        fname = r.path.split("/")[-1]
+        h1 = hashlib.md5(open(r.path, "rb").read()).hexdigest()
+        h2 = hashlib.md5(open(f"{out2}/{fname}", "rb").read()).hexdigest()
+        assert h1 == h2
