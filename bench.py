@@ -76,6 +76,7 @@ HEADLINE = (
     "salted_join_brand_revenue",
     "bm25_doc_retrieval",
     "copurchase_kcore",
+    "pq_adc_topk",
 )
 
 # queries whose builder EXECUTES the work eagerly (streaming drains,
@@ -100,6 +101,8 @@ EAGER = {
     "bm25_doc_retrieval",
     # iterative peel: per-round checkpoints run during construction
     "copurchase_kcore",
+    # per-subspace kmeans codebooks checkpoint during construction
+    "pq_adc_topk",
 }
 
 

@@ -310,7 +310,8 @@ def kmeans_lloyd(
     vec_col: str = "embedding",
     k: int = 8,
     n_iter: int = 5,
-) -> DataFrame:
+    return_centroids: bool = False,
+):
     """Deterministic FIXED-POINT Lloyd k-means over an embedding column.
 
     Init: the k vectors with the smallest ids (reproducible, no RNG).
@@ -338,7 +339,11 @@ def kmeans_lloyd(
     budget anyway. A cluster that loses every member simply drops out
     of the centroid table (same as the SQL replay).
 
-    Returns (id, cluster) final assignments.
+    Returns (id, cluster) final assignments; with
+    ``return_centroids=True`` returns (assignments, centroids) where
+    centroids is the post-final-assign update (cluster, cvec) with
+    cvec the KMEANS_SCALE-denominated integer coordinates — the
+    code/codebook pair product quantization consumes.
     """
     vecs = corpus.select(
         F.col(id_col).alias("vid"), quantize_vec(F.col(vec_col)).alias("v")
@@ -404,9 +409,10 @@ def kmeans_lloyd(
     # from BOTH sides of a self-join, and an unmaterialized assignment
     # plan would re-run the last assign round once per reference —
     # the same re-execution class the pagerank bench caught.
-    return assigned.select(
-        F.col("vid").alias(id_col), "cluster"
-    ).localCheckpoint()
+    out = assigned.select(F.col("vid").alias(id_col), "cluster").localCheckpoint()
+    if return_centroids:
+        return out, cents
+    return out
 
 
 def _jl_sign(i: int, j: int, d_out: int) -> float:
@@ -515,4 +521,113 @@ def semantic_dedup_pairs(
             "cluster",
         )
         .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 4,
+    codes_per_subspace: int = 4,
+    n_iter: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Product-Quantization ANN with Asymmetric Distance Computation —
+    the embedding-COMPRESSION scale path next to IVF's routing path
+    (Jégou et al., "Product Quantization for Nearest Neighbor Search").
+
+    Train: the vector splits into ``n_subspaces`` contiguous slices;
+    each slice gets its own fixed-point k-means codebook
+    (:func:`kmeans_lloyd` with ``return_centroids``), and a vector's
+    code is its per-subspace cluster ids — storage drops from
+    dims x 4 bytes to n_subspaces x 1 byte per vector (the reason PQ
+    exists at 100 TB: a billion 64-dim float vectors become a 4 GB
+    code table that fits one executor's memory).
+
+    Search (ADC): for each query, the distance to every CENTROID of
+    every subspace is precomputed — a queries x subspaces x codes
+    lookup table of integer squared-L2s, kilobytes, broadcast — and a
+    database vector's approximate distance is the SUM of its codes'
+    table entries: per-vector work is n_subspaces map-side lookups, no
+    vector math, and the only shuffle is the final per-query top-k.
+
+    DETERMINISM: codebooks come from the bit-exact integer k-means and
+    the ADC table is integer arithmetic end-to-end, so distances,
+    ranking (dist, id tie-break) and the oracle's chained-CTE replay
+    agree hash-for-hash.
+
+    Returns (query_id, vec_id, adc_dist, rank), top ``k`` per query.
+    """
+    dims_per = None  # derived per-slice below via F.slice
+
+    def sub(col: Column, s: int, width: int) -> Column:
+        return F.slice(col, s * width + 1, width)
+
+    # subspace width from the first vector (plan literal; embeddings
+    # are fixed-width by contract)
+    width_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    width = width_row["d"] // n_subspaces
+
+    coded = corpus.select(F.col(id_col).alias("vec_id"))
+    tables = []
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), quantize_vec(F.col(vec_col)).alias("qv")
+    )
+    for s in range(n_subspaces):
+        sliced = corpus.select(
+            F.col(id_col).alias("vec_id"), sub(F.col(vec_col), s, width).alias("sv")
+        )
+        assign, cents = kmeans_lloyd(
+            sliced,
+            id_col="vec_id",
+            vec_col="sv",
+            k=codes_per_subspace,
+            n_iter=n_iter,
+            return_centroids=True,
+        )
+        coded = coded.join(
+            assign.withColumnRenamed("cluster", f"code_{s}"), "vec_id"
+        )
+        # query -> centroid integer sq-L2 per (subspace, code): the ADC
+        # lookup table slice (queries x codes rows, kilobytes)
+        qslice = qv.select(
+            "query_id", F.slice(F.col("qv"), s * width + 1, width).alias("qs")
+        )
+        dist = F.aggregate(
+            F.zip_with(
+                F.col("qs"),
+                F.col("cvec"),
+                lambda x, y: (x - y).cast("decimal(18,0)")
+                * (x - y).cast("decimal(18,0)"),
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, d: acc + d,
+        )
+        tables.append(
+            qslice.crossJoin(F.broadcast(cents)).select(
+                "query_id",
+                F.lit(s).alias("subspace"),
+                F.col("cluster").alias(f"code_{s}"),
+                dist.cast("decimal(38,0)").alias(f"d_{s}"),
+            )
+        )
+    # fold the per-subspace lookups into one map-side sum per (query, vec)
+    scored = coded.crossJoin(
+        F.broadcast(qv.select("query_id"))
+    )
+    total = None
+    for s in range(n_subspaces):
+        t = tables[s].select("query_id", f"code_{s}", f"d_{s}")
+        scored = scored.join(F.broadcast(t), ["query_id", f"code_{s}"])
+        total = F.col(f"d_{s}") if total is None else total + F.col(f"d_{s}")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("adc_dist", total.cast("long"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_dist", "rank")
     )

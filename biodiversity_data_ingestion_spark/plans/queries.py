@@ -3708,6 +3708,110 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 87b. pq_adc_topk — Product-Quantization ANN with Asymmetric Distance
+# Computation (Jégou et al.): per-subspace fixed-point k-means
+# codebooks, 1-byte-per-subspace codes, broadcast query->centroid
+# lookup tables, distance = map-side sum of table entries. The
+# embedding-COMPRESSION scale path next to IVF's routing path. All
+# integer arithmetic end-to-end => hash-exact chained-CTE oracle
+# (per-subspace replays, AS MATERIALIZED against CTE re-inlining).
+
+_PQ_SUB, _PQ_CODES, _PQ_ITER, _PQ_TOPK, _PQ_NQ = 4, 4, 2, 5, 3
+
+
+def _pq_adc_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(_PQ_NQ)
+    return similarity.pq_adc_topk(
+        emb,
+        queries,
+        n_subspaces=_PQ_SUB,
+        codes_per_subspace=_PQ_CODES,
+        n_iter=_PQ_ITER,
+        k=_PQ_TOPK,
+    )
+
+
+def _pq_oracle() -> str:
+    sub, codes, iters, topk, nq = _PQ_SUB, _PQ_CODES, _PQ_ITER, _PQ_TOPK, _PQ_NQ
+    width = 64 // sub
+    parts = [
+        f"""
+    WITH ptsall AS MATERIALIZED (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 16777216)
+                    AS BIGINT) AS xq
+        FROM embeddings),
+    seed AS MATERIALIZED (
+        SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {codes}),
+    qsel AS MATERIALIZED (
+        SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id LIMIT {nq})"""
+    ]
+    for s in range(sub):
+        lo, hi = s * width, s * width + width - 1
+        parts.append(f""",
+    pts{s} AS MATERIALIZED (
+        SELECT vec_id, dim, xq FROM ptsall WHERE dim BETWEEN {lo} AND {hi}),
+    c{s}_0 AS MATERIALIZED (
+        SELECT CAST(r - 1 AS INTEGER) AS cluster, dim, xq AS cq
+        FROM (SELECT p.dim, p.xq,
+                     dense_rank() OVER (ORDER BY p.vec_id) AS r
+              FROM pts{s} p JOIN seed sd USING (vec_id)))""")
+        for i in range(1, iters + 1):
+            parts.append(f""",
+    a{s}_{i} AS MATERIALIZED (
+        SELECT vec_id, cluster FROM (
+            SELECT p.vec_id, c.cluster,
+                   row_number() OVER (PARTITION BY p.vec_id
+                       ORDER BY sum((p.xq - c.cq) * (p.xq - c.cq)), c.cluster)
+                       AS rn
+            FROM pts{s} p JOIN c{s}_{i - 1} c USING (dim)
+            GROUP BY p.vec_id, c.cluster) WHERE rn = 1),
+    c{s}_{i} AS MATERIALIZED (
+        SELECT a.cluster, p.dim,
+               CAST(CAST(sum(p.xq) AS BIGINT) // count(*) AS BIGINT) AS cq
+        FROM pts{s} p JOIN a{s}_{i} a USING (vec_id)
+        GROUP BY a.cluster, p.dim)""")
+        parts.append(f""",
+    qd{s} AS MATERIALIZED (
+        SELECT p.vec_id AS query_id, c.cluster,
+               sum((p.xq - c.cq) * (p.xq - c.cq)) AS d
+        FROM pts{s} p JOIN c{s}_{iters} c USING (dim)
+        WHERE p.vec_id IN (SELECT query_id FROM qsel)
+        GROUP BY p.vec_id, c.cluster)""")
+    code_joins = " ".join(
+        f"JOIN a{s}_{iters} a{s} USING (vec_id)" for s in range(sub)
+    )
+    qd_joins = " ".join(
+        f"JOIN qd{s} q{s} ON q{s}.cluster = a{s}.cluster"
+        + ("" if s == 0 else f" AND q{s}.query_id = q0.query_id")
+        for s in range(sub)
+    )
+    dist = " + ".join(f"q{s}.d" for s in range(sub))
+    parts.append(f""",
+    scored AS (
+        SELECT q0.query_id, v.vec_id, CAST({dist} AS BIGINT) AS adc_dist
+        FROM (SELECT vec_id FROM embeddings) v
+        {code_joins} {qd_joins})
+    SELECT query_id, vec_id, adc_dist,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_dist, vec_id) AS rank
+    FROM scored QUALIFY rank <= {topk}""")
+    return "".join(parts)
+
+
+_register(
+    "pq_adc_topk",
+    _pq_adc_topk,
+    _pq_oracle(),
+    "north star: Product-Quantization ANN with asymmetric distance "
+    "(per-subspace fixed-point codebooks, broadcast ADC lookup tables; "
+    "the embedding-compression scale path)",
+)
+
+
+# ---------------------------------------------------------------------------
 # 88. orders_rollup — ROLLUP subtotal hierarchy (A10 family: the
 # dimension-block UNION ALL pattern expressed as one grouping tree)
 

@@ -1082,3 +1082,37 @@ def test_jpeg444_color_golden_and_grayscale_fallback(spark):
     w, h = 8 * (1 + 5 % 3), 8 * (1 + 5 % 2)
     assert row["mean_y"] == 100 + 5 % 64 + (h // 8 - 1) + 1.5 * (w // 8 - 1)
     assert row["mean_cb"] is None and row["mean_cr"] is None
+
+
+def test_pq_adc_recovers_exact_blobs(spark):
+    # Corpus = 4 distinct prototype vectors, each repeated: every
+    # subspace codebook recovers the prototypes exactly (centroid of
+    # identical members == the member), so a query's own blob scores
+    # ADC distance 0 and fills the top ranks before any other blob.
+    from biodiversity_data_ingestion_spark.operators.similarity import pq_adc_topk
+
+    protos = {
+        0: [1.0] * 16 + [0.0] * 48,
+        1: [0.0] * 16 + [1.0] * 16 + [0.0] * 32,
+        2: [0.0] * 32 + [1.0] * 16 + [0.0] * 16,
+        3: [0.0] * 48 + [1.0] * 16,
+    }
+    # ids interleave blobs (id % 4 = blob) so the k lowest-id seeds are
+    # one prototype per blob — the deterministic-seed contract a PQ
+    # caller must respect (seeds from one blob collapse the codebook)
+    rows = [(i * 4 + b, protos[b]) for b in range(4) for i in range(5)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.where(F.col("vec_id").isin(0, 1, 2, 3))
+    got = pq_adc_topk(
+        corpus, queries, n_subspaces=4, codes_per_subspace=4, n_iter=2, k=5
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3}
+    for q, rs in by_q.items():
+        blob = q % 4
+        assert len(rs) == 5
+        for r in rs:
+            assert r.vec_id % 4 == blob  # all top-5 from the query's blob
+            assert r.adc_dist == 0  # codebook reconstructs the blob exactly

@@ -397,6 +397,9 @@ def test_no_scale_killer_joins_anywhere(spark):
         # BM25: the (n_docs, avgdl) corpus stats are a broadcast 1-row
         # cross join against the matched postings
         "bm25_doc_retrieval",
+        # PQ/ADC: the 3-row query-id set and the kilobyte per-subspace
+        # lookup tables are broadcast against the code table
+        "pq_adc_topk",
     }
     # measured ceilings for the two legitimately widest plans; anything
     # beyond these usually means a shared subplan is being re-executed
