@@ -533,6 +533,7 @@ def pq_adc_topk(
     codes_per_subspace: int = 4,
     n_iter: int = 2,
     k: int = 5,
+    rerank: int | None = None,
 ) -> DataFrame:
     """Product-Quantization ANN with Asymmetric Distance Computation —
     the embedding-COMPRESSION scale path next to IVF's routing path
@@ -625,9 +626,42 @@ def pq_adc_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("vec_id").asc()
     )
-    return (
+    adc = (
         scored.withColumn("adc_dist", total.cast("long"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
+        .where(F.col("rank") <= (k if rerank is None else rerank))
         .select("query_id", "vec_id", "adc_dist", "rank")
+    )
+    if rerank is None:
+        return adc
+    # ADC-shortlist + EXACT rerank — the production IVF-PQ tail: the
+    # compressed codes prune the corpus to `rerank` candidates per
+    # query, then true integer squared-L2 (one join against the
+    # shortlisted vectors only — queries x rerank rows, never the
+    # corpus) fixes the quantization error in the final order. Still
+    # integer end-to-end, so it stays engine-exact.
+    cvq = corpus.select(
+        F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col)).alias("cv")
+    )
+    exact_d = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("cv"),
+            lambda x, y: (x - y).cast("decimal(18,0)")
+            * (x - y).cast("decimal(18,0)"),
+        ),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, d: acc + d,
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("exact_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.select("query_id", "vec_id")
+        .join(cvq, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("exact_dist", exact_d.cast("long"))
+        .withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "exact_dist", "rank")
     )

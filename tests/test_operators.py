@@ -1116,3 +1116,51 @@ def test_pq_adc_recovers_exact_blobs(spark):
         for r in rs:
             assert r.vec_id % 4 == blob  # all top-5 from the query's blob
             assert r.adc_dist == 0  # codebook reconstructs the blob exactly
+
+
+def test_pq_rerank_improves_recall(spark):
+    # the production IVF-PQ tail: exact rerank over the ADC shortlist
+    # must recover most of what coarse quantization loses. Fixed-point
+    # arithmetic makes these recalls deterministic, so the floors are
+    # tight (measured 0.36 plain / 0.84 with a 100-candidate rerank on
+    # this corpus).
+    from biodiversity_data_ingestion_spark.operators.similarity import (
+        pq_adc_topk,
+        quantize_vec,
+    )
+    from biodiversity_data_ingestion_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.orderBy("vec_id").limit(10)
+    qv = {
+        r.vec_id: r.e
+        for r in q.select("vec_id", quantize_vec(F.col("embedding")).alias("e")).collect()
+    }
+    cv = {
+        r.vec_id: r.e
+        for r in emb.select(
+            "vec_id", quantize_vec(F.col("embedding")).alias("e")
+        ).collect()
+    }
+
+    def l2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    exact = {
+        qid: set(sorted(cv, key=lambda v: (l2(qv[qid], cv[v]), v))[:5]) for qid in qv
+    }
+
+    def recall(rerank):
+        got = {}
+        rows = pq_adc_topk(
+            emb, q, n_subspaces=4, codes_per_subspace=8, n_iter=3, k=5,
+            rerank=rerank,
+        ).collect()
+        for r in rows:
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        return sum(len(got[qid] & exact[qid]) / 5 for qid in exact) / len(exact)
+
+    plain, reranked = recall(None), recall(100)
+    assert plain >= 0.3
+    assert reranked >= 0.8
+    assert reranked > plain
