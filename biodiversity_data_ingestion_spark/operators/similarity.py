@@ -576,11 +576,19 @@ def pq_adc_topk(
     qv = queries.select(
         F.col(id_col).alias("query_id"), quantize_vec(F.col(vec_col)).alias("qv")
     )
-    for s in range(n_subspaces):
+
+    # train the per-subspace codebooks CONCURRENTLY: each k-means is
+    # independent and dominated by fixed per-job overhead (checkpoint
+    # jobs over a broadcast-assign), so submitting them from worker
+    # threads lets the scheduler interleave the rounds — results are
+    # unchanged (no shared state between subspaces)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _train(s: int):
         sliced = corpus.select(
             F.col(id_col).alias("vec_id"), sub(F.col(vec_col), s, width).alias("sv")
         )
-        assign, cents = kmeans_lloyd(
+        return kmeans_lloyd(
             sliced,
             id_col="vec_id",
             vec_col="sv",
@@ -588,6 +596,12 @@ def pq_adc_topk(
             n_iter=n_iter,
             return_centroids=True,
         )
+
+    with ThreadPoolExecutor(max_workers=n_subspaces) as pool:
+        trained = list(pool.map(_train, range(n_subspaces)))
+
+    for s in range(n_subspaces):
+        assign, cents = trained[s]
         coded = coded.join(
             assign.withColumnRenamed("cluster", f"code_{s}"), "vec_id"
         )
