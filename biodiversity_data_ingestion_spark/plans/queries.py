@@ -4993,6 +4993,55 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 112b. user_value_ewma — exponentially-weighted moving average per
+# user as a deterministic LEFT FOLD: vals sorted by (ts, event_id),
+# s0 = first value, s = 0.8*s + 0.2*x thereafter. The fold tree is
+# identical in both engines (Spark `aggregate` with element_at(1)
+# init == DuckDB `list_reduce`, acc-first, first-element init), so
+# the doubles agree bit-for-bit before the final round. One shuffle
+# (the groupBy); per-key state is the collected value list — at scale
+# cap the lookback window or fold incrementally per day.
+
+def _user_value_ewma(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    sorted_vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s["value"],
+    )
+    g = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        sorted_vals.alias("vals"),
+    )
+    ewma = F.aggregate(
+        F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: F.lit(0.8) * acc + F.lit(0.2) * x,
+    )
+    return g.select(
+        "user_id", "n_events", F.round(ewma, 6).alias("ewma_value")
+    )
+
+
+_register(
+    "user_value_ewma",
+    _user_value_ewma,
+    """
+    WITH v AS (
+        SELECT user_id, count(*) AS n_events,
+               list(value ORDER BY ts, event_id) AS vals
+        FROM events GROUP BY user_id)
+    SELECT user_id, n_events,
+           round(list_reduce(vals::DOUBLE[],
+                 (acc, x) -> CAST(0.8 AS DOUBLE) * acc
+                             + CAST(0.2 AS DOUBLE) * x), 6) AS ewma_value
+    FROM v
+    """,
+    "engine extension: per-key EWMA smoothing as a deterministic left "
+    "fold (identical fold tree both engines => bit-exact doubles)",
+)
+
+
+# ---------------------------------------------------------------------------
 # 114. orders_yoy_growth — year-over-year growth per priority: grouped
 # yearly revenue, then lag() over the year axis. The growth ratio is
 # computed FROM the rounded revenue so both engines divide identical
