@@ -4216,6 +4216,125 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 97b. customer_record_linkage — Fellegi-Sunter probabilistic record
+# linkage: nation-blocked candidate pairs scored by field-agreement
+# log-odds. u-probabilities (chance agreement between NON-matches) are
+# DATA-DERIVED — u_f = sum_v (n_v/N)^2, the random-pair agreement rate
+# — and the tiny (1-row) u frame broadcasts; m-probabilities are the
+# standard literals. Scale shape: blocking bounds the quadratic
+# (per-block pairs, the same discipline as every near-dup generator),
+# scoring is pure map-side arithmetic, and the only shuffles are the
+# u aggregates + the block window. Scores round to 4dp in BOTH engines
+# before the threshold compare, so the cut is engine-portable.
+
+_FS_M = {"seg": 0.95, "bucket": 0.85, "sign": 0.9}
+_FS_THRESHOLD = 4.0
+
+
+def _customer_record_linkage(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bucket"),
+        (F.col("c_acctbal") >= 0).alias("sign"),
+    )
+    n_total = cust.agg(F.count(F.lit(1)).alias("n"))
+
+    def u_of(col: str):
+        return (
+            cust.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("nv"))
+            .crossJoin(F.broadcast(n_total))
+            .agg(
+                F.sum(
+                    (F.col("nv") / F.col("n")) * (F.col("nv") / F.col("n"))
+                ).alias(f"u_{col}")
+            )
+        )
+
+    u = (
+        u_of("c_mktsegment")
+        .crossJoin(u_of("bucket"))
+        .crossJoin(u_of("sign"))
+        .withColumnRenamed("u_c_mktsegment", "u_seg")
+        .withColumnRenamed("u_bucket", "u_bucket")
+        .withColumnRenamed("u_sign", "u_sign")
+    )
+    a = cust.select(*[F.col(c).alias(f"a_{c}") for c in cust.columns])
+    b = cust.select(*[F.col(c).alias(f"b_{c}") for c in cust.columns])
+    pairs = a.join(
+        b,
+        (F.col("a_c_nationkey") == F.col("b_c_nationkey"))
+        & (F.col("a_c_custkey") < F.col("b_c_custkey")),
+    ).crossJoin(F.broadcast(u))
+
+    def w(agree, m: float, u_col: str):
+        return F.when(
+            agree, F.log2(F.lit(m) / F.col(u_col))
+        ).otherwise(F.log2(F.lit(1.0 - m) / (F.lit(1.0) - F.col(u_col))))
+
+    score = (
+        w(F.col("a_c_mktsegment") == F.col("b_c_mktsegment"), _FS_M["seg"], "u_seg")
+        + w(F.col("a_bucket") == F.col("b_bucket"), _FS_M["bucket"], "u_bucket")
+        + w(F.col("a_sign") == F.col("b_sign"), _FS_M["sign"], "u_sign")
+    )
+    return (
+        pairs.withColumn("fs_score", F.round(score, 4))
+        .where(F.col("fs_score") >= _FS_THRESHOLD)
+        .select(
+            F.col("a_c_custkey").alias("custkey_a"),
+            F.col("b_c_custkey").alias("custkey_b"),
+            "fs_score",
+        )
+    )
+
+
+_register(
+    "customer_record_linkage",
+    _customer_record_linkage,
+    f"""
+    WITH c AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bucket,
+               c_acctbal >= 0 AS sign
+        FROM customer),
+    n AS (SELECT count(*) AS n FROM c),
+    useg AS (
+        SELECT sum((nv / n) * (nv / n)) AS u_seg
+        FROM (SELECT count(*) AS nv FROM c GROUP BY c_mktsegment), n),
+    ubucket AS (
+        SELECT sum((nv / n) * (nv / n)) AS u_bucket
+        FROM (SELECT count(*) AS nv FROM c GROUP BY bucket), n),
+    usign AS (
+        SELECT sum((nv / n) * (nv / n)) AS u_sign
+        FROM (SELECT count(*) AS nv FROM c GROUP BY sign), n),
+    scored AS (
+        SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+               round(
+                 (CASE WHEN a.c_mktsegment = b.c_mktsegment
+                       THEN log2({_FS_M["seg"]} / u_seg)
+                       ELSE log2({1.0 - _FS_M["seg"]} / (1.0 - u_seg)) END)
+               + (CASE WHEN a.bucket = b.bucket
+                       THEN log2({_FS_M["bucket"]} / u_bucket)
+                       ELSE log2({1.0 - _FS_M["bucket"]} / (1.0 - u_bucket)) END)
+               + (CASE WHEN a.sign = b.sign
+                       THEN log2({_FS_M["sign"]} / u_sign)
+                       ELSE log2({1.0 - _FS_M["sign"]} / (1.0 - u_sign)) END), 4)
+                   AS fs_score
+        FROM c a JOIN c b
+          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        CROSS JOIN useg CROSS JOIN ubucket CROSS JOIN usign)
+    SELECT custkey_a, custkey_b, fs_score
+    FROM scored WHERE fs_score >= {_FS_THRESHOLD}
+    """,
+    "engine extension: Fellegi-Sunter probabilistic record linkage "
+    "(nation-blocked pairs, data-derived u-probabilities, field-"
+    "agreement log-odds; blocking bounds the quadratic)",
+)
+
+
+# ---------------------------------------------------------------------------
 # 98. signup_purchase_funnel — conversion funnel: first signup, first
 # subsequent purchase, conversion-within-1h flag, aggregated per cohort
 # day. One groupBy(user) with conditional aggregates — no self-join.

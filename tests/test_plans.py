@@ -400,6 +400,10 @@ def test_no_scale_killer_joins_anywhere(spark):
         # PQ/ADC: the 3-row query-id set and the kilobyte per-subspace
         # lookup tables are broadcast against the code table
         "pq_adc_topk",
+        # Fellegi-Sunter: the 1-row u-probability frame cross-joins the
+        # blocked pairs (pairs themselves are a BroadcastHashJoin on
+        # the nation block key)
+        "customer_record_linkage",
     }
     # measured ceilings for the two legitimately widest plans; anything
     # beyond these usually means a shared subplan is being re-executed
