@@ -183,3 +183,86 @@ def test_scd2_point_in_time_equals_naive_replay(spark_prop, data, probe):
         )
         for (a_f, a_t), (b_f, _) in zip(spans, spans[1:]):
             assert a_t == b_f
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=0,
+        max_size=40,
+    ),
+    k=st.integers(2, 4),
+)
+@settings(**_SETTINGS)
+def test_k_core_invariants(spark_prop, edges, k):
+    # invariants of the peel: (1) every surviving node has degree >= k
+    # WITHIN the surviving subgraph; (2) the result is the MAXIMUM such
+    # subgraph — no peeled node could have survived (checked against a
+    # brute-force python peel).
+    from biodiversity_data_ingestion_spark.operators.corpus import k_core
+
+    simple = sorted({(min(u, v), max(u, v)) for u, v in edges if u != v})
+    if not simple:
+        return
+    df = spark_prop.createDataFrame(simple, "u long, v long")
+    got = {r.node: r.degree for r in k_core(df, k=k, max_rounds=20).collect()}
+
+    # brute-force reference peel
+    es = set(simple)
+    while True:
+        deg = {}
+        for u, v in es:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        drop = {n for n, d in deg.items() if d < k}
+        if not drop:
+            break
+        es = {(u, v) for u, v in es if u not in drop and v not in drop}
+    want = {}
+    for u, v in es:
+        want[u] = want.get(u, 0) + 1
+        want[v] = want.get(v, 0) + 1
+    assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=40),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_shingle_hash_preserves_jaccard(spark_prop, texts):
+    # hashing shingles to 64-bit must not change any Jaccard value on
+    # realistic inputs (collisions are ~n^2/2^61): pair sets and
+    # scores from the hashed inverted index == a python string-set
+    # reference.
+    from biodiversity_data_ingestion_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark_prop.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", n=2, threshold=0.01).collect()
+    }
+
+    def sh(t):
+        w = [x for x in t.strip().lower().split()]
+        return {" ".join(w[i : i + 2]) for i in range(len(w) - 1)} if len(w) >= 2 else set()
+
+    want = {}
+    for i, a in rows:
+        for j, b in rows:
+            if i >= j:
+                continue
+            sa, sb = sh(a), sh(b)
+            inter = len(sa & sb)
+            if not sa or not sb or inter == 0:
+                continue
+            jac = round(inter / (len(sa) + len(sb) - inter), 6)
+            if jac >= 0.01:
+                want[(i, j)] = jac
+    assert got == want
