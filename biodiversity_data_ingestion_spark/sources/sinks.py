@@ -49,14 +49,17 @@ def write_per_group(df: DataFrame, path: str, group_col: str, mode: str = "overw
     df.repartition(F.col(group_col)).write.mode(mode).partitionBy(group_col).parquet(path)
 
 
-def append_table(df: DataFrame, path: str) -> None:
-    """S9 WRITE_APPEND."""
-    df.write.mode("append").parquet(path)
+def append_table(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """S9 WRITE_APPEND. ``fmt``: any session-available columnar format
+    (parquet default; orc is built-in — same pushdown/pruning story,
+    see test_orc_roundtrip_and_pushdown; avro needs the external
+    spark-avro module, absent in this container)."""
+    df.write.mode("append").format(fmt).save(path)
 
 
-def overwrite_table(df: DataFrame, path: str) -> None:
-    """S9 WRITE_TRUNCATE."""
-    df.write.mode("overwrite").parquet(path)
+def overwrite_table(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """S9 WRITE_TRUNCATE (same ``fmt`` contract as append_table)."""
+    df.write.mode("overwrite").format(fmt).save(path)
 
 
 def write_bucketed_table(
