@@ -26,3 +26,35 @@ def read_gtf(spark: SparkSession, path: str) -> DataFrame:
             cols.getItem(8).alias("info"),
         )
     )
+
+
+def read_csv_with_dead_letters(
+    spark, path: str, schema, header: bool = True, sep: str = ","
+):
+    """CSV scan with the same dead-letter discipline as the JSONL source
+    (sources/jsonl.py::read_jsonl_with_dead_letters): PERMISSIVE mode
+    routes malformed lines (wrong arity, uncastable fields) into
+    ``_corrupt_record`` instead of failing the job. Returns
+    (good, dead); ``dead.raw_line`` carries the offending text for
+    quarantine writes. One scan serves both branches (cached split).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    with_corrupt = StructType(
+        [*schema.fields, StructField("_corrupt_record", StringType(), True)]
+    )
+    df = (
+        spark.read.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .csv(path)
+        .cache()
+    )
+    good = df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    dead = df.where(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return good, dead

@@ -580,3 +580,41 @@ def test_avro_unavailable_fails_cleanly(spark, tmp_path):
         return
     # if the module ever appears, the write must have actually worked
     assert spark.read.format("avro").load(str(tmp_path / "a")).count() == 3
+
+
+def test_csv_dead_letter_channel(spark, tmp_path):
+    # the CSV twin of the JSONL dead-letter scan: well-formed rows parse
+    # against the schema, malformed lines (bad arity / uncastable ints)
+    # land in the quarantine channel with their raw text.
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from biodiversity_data_ingestion_spark.sources.text import (
+        read_csv_with_dead_letters,
+    )
+
+    p = tmp_path / "rows.csv"
+    p.write_text(
+        "id,name,qty\n"
+        "1,alpha,10\n"
+        "2,beta,notanumber\n"
+        "3,gamma,7\n"
+    )
+    schema = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("name", StringType()),
+            StructField("qty", IntegerType()),
+        ]
+    )
+    good, dead = read_csv_with_dead_letters(spark, str(p), schema)
+    assert {(r.id, r.name, r.qty) for r in good.collect()} == {
+        (1, "alpha", 10),
+        (3, "gamma", 7),
+    }
+    dead_rows = [r.raw_line for r in dead.collect()]
+    assert len(dead_rows) == 1 and "notanumber" in dead_rows[0]
