@@ -194,3 +194,46 @@ def upsert_merge(
             for c in cols
         ],
     )
+
+
+def bloom_prefilter_semi_join(
+    big: DataFrame,
+    keys: DataFrame,
+    on: str,
+    width: int = 4096,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Semi-join with an explicit BLOOM PREFILTER: the filter side's
+    keys are hashed into ``n_hashes`` cells of a ``width``-cell bloom
+    (md5 slices — the portable scheme from functions/hashing), the
+    distinct-cell set (<= width rows, CONSTANT size regardless of key
+    cardinality) broadcasts, and a big-side row survives the prefilter
+    only if ALL its cells are present. The exact semi join then runs on
+    the (usually tiny) surviving fraction, so the RESULT is exactly
+    ``big.join(keys, on, "left_semi")`` — false positives are removed
+    by the final join, false negatives are impossible.
+
+    When to reach for it at 100 TB: the keys side is too large to
+    broadcast raw (say 500M ids = 4 GB) but its bloom is a few KB —
+    the same gap Spark's runtime row-group bloom filters exploit,
+    available here as an explicit operator for when the optimizer's
+    size thresholds don't fire (e.g. keys produced mid-query). The
+    shuffle saved is the big side's non-matching mass, which for
+    selective gates is nearly all of it.
+    """
+
+    def cell(col, j: int):
+        hx = F.substring(F.md5(col.cast("string")), 1 + 8 * j, 8)
+        return (F.conv(hx, 16, 10).cast("long") % width).cast("int")
+
+    pre = big
+    for j in range(n_hashes):
+        cells_j = (
+            keys.select(cell(F.col(on), j).alias(f"_bloom_{j}")).distinct()
+        )
+        pre = pre.join(
+            F.broadcast(cells_j),
+            cell(F.col(on), j) == F.col(f"_bloom_{j}"),
+            "left_semi",
+        )
+    return pre.join(keys.select(on).distinct(), on, "left_semi")

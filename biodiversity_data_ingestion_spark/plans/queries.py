@@ -4335,6 +4335,46 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 97c. bloom_gated_order_rollup — semi join through an explicit BLOOM
+# PREFILTER (joins.bloom_prefilter_semi_join): the gate-key bloom is a
+# CONSTANT-size broadcast (<= width cells) however many keys there
+# are; the exact semi join then touches only the surviving fraction.
+# Result == the plain IN-subquery (false positives die in the exact
+# join), which is the oracle.
+
+def _bloom_gated_order_rollup(spark, sf_dir):
+    from ..operators.joins import bloom_prefilter_semi_join
+
+    orders = _t(spark, sf_dir, "orders")
+    rich = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    gated = bloom_prefilter_semi_join(orders, rich, "o_custkey")
+    return gated.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+    )
+
+
+_register(
+    "bloom_gated_order_rollup",
+    _bloom_gated_order_rollup,
+    """
+    SELECT o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_total
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+    GROUP BY o_orderpriority
+    """,
+    "engine extension: explicit bloom-prefilter semi join (constant-"
+    "size broadcast gate; exact join removes false positives — the "
+    "manual analogue of runtime row-group bloom pushdown)",
+)
+
+
+# ---------------------------------------------------------------------------
 # 98. signup_purchase_funnel — conversion funnel: first signup, first
 # subsequent purchase, conversion-within-1h flag, aggregated per cohort
 # day. One groupBy(user) with conditional aggregates — no self-join.

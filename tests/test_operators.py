@@ -1164,3 +1164,31 @@ def test_pq_rerank_improves_recall(spark):
     assert plain >= 0.3
     assert reranked >= 0.8
     assert reranked > plain
+
+
+def test_bloom_prefilter_semi_join_equals_plain(spark):
+    # the bloom prefilter must be RESULT-invariant (false positives die
+    # in the exact join; false negatives impossible), including at a
+    # deliberately tiny width where almost every cell collides
+    from biodiversity_data_ingestion_spark.operators.joins import (
+        bloom_prefilter_semi_join,
+    )
+    from biodiversity_data_ingestion_spark.sources.tables import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    keys = (
+        load_table(spark, "/root/testdata/sf0.001", "customer")
+        .where(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    plain = sorted(
+        r.o_orderkey for r in orders.join(keys, "o_custkey", "left_semi").collect()
+    )
+    for width in (8, 4096):  # width 8: collision-saturated bloom
+        got = sorted(
+            r.o_orderkey
+            for r in bloom_prefilter_semi_join(
+                orders, keys, "o_custkey", width=width
+            ).collect()
+        )
+        assert got == plain
