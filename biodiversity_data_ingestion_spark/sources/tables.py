@@ -92,3 +92,20 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     BigQuery dataset (airflow/dags/biodiversity_metadata_dag.py:330-575)."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def read_evolving_table(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Read a table whose schema DRIFTED across partition writes (new
+    nullable columns added over time — the schema-evolution case every
+    long-lived ingestion hits). ``mergeSchema`` unions the parquet
+    footers: rows from older files carry NULL for columns they predate,
+    so downstream code sees one stable superset schema.
+
+    Scale note: footer merging reads metadata only (one footer per
+    file, parallelized); the data scan still prunes to the queried
+    columns. For tables with thousands of files, prefer declaring the
+    superset schema explicitly (spark.read.schema(...)) and skipping
+    the merge pass — this helper is for the exploratory/first-read
+    path.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

@@ -618,3 +618,22 @@ def test_csv_dead_letter_channel(spark, tmp_path):
     }
     dead_rows = [r.raw_line for r in dead.collect()]
     assert len(dead_rows) == 1 and "notanumber" in dead_rows[0]
+
+
+def test_evolving_schema_read_merges_and_backfills(spark, tmp_path):
+    # two generations of the same table: gen2 adds a column. The merged
+    # read must expose the superset schema with NULL backfill for gen1
+    # rows, and keep every row.
+    from biodiversity_data_ingestion_spark.sources.tables import (
+        read_evolving_table,
+    )
+
+    g1, g2 = str(tmp_path / "gen1"), str(tmp_path / "gen2")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string").write.parquet(g1)
+    spark.createDataFrame(
+        [(3, "c", 9.5)], "id long, name string, score double"
+    ).write.parquet(g2)
+    merged = read_evolving_table(spark, [g1, g2])
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {(r.id, r.name, r.score) for r in merged.collect()}
+    assert rows == {(1, "a", None), (2, "b", None), (3, "c", 9.5)}
