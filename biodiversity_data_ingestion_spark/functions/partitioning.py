@@ -21,7 +21,55 @@ oracle parity depends on file-order summation must not fan out.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out: str = "rn",
+) -> DataFrame:
+    """Dense global 1-based row numbers in ``order_cols`` order WITHOUT
+    a single-partition window.
+
+    ``row_number() OVER (ORDER BY ...)`` is the textbook scale trap: an
+    empty PARTITION BY collapses the whole relation into ONE window
+    task. This primitive keeps the sort distributed — the two-pass
+    rank trick every shared-nothing engine uses:
+
+    1. ``repartitionByRange(order_cols)`` — a distributed range sort;
+       partitions are contiguous, ordered slices of the total order.
+    2. Per-partition row counts (a map-side-combinable aggregate over
+       the partition id) -> prefix-summed into per-partition OFFSETS; a
+       window over that frame is fine — it has one row per partition.
+    3. Within-partition ``row_number`` (each range slice is its own
+       window group, so every task ranks only its own slice) plus the
+       broadcast offset = the global rank.
+
+    The stamped frame is checkpointed once so the count branch and the
+    rank branch see the SAME range-partition assignment. Ranks are
+    deterministic whenever ``order_cols`` is a total order (include a
+    unique tiebreak column): global order is then unique regardless of
+    where the range boundaries land.
+    """
+    ranged = df.repartitionByRange(*order_cols)
+    stamped = ranged.withColumn("_gpid", F.spark_partition_id()).localCheckpoint(
+        eager=False
+    )
+    counts = stamped.groupBy("_gpid").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_gpid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "_gpid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_in = Window.partitionBy("_gpid").orderBy(*order_cols)
+    return (
+        stamped.join(F.broadcast(offsets), "_gpid")
+        .withColumn(out, (F.row_number().over(w_in) + F.col("_off")).cast("long"))
+        .drop("_gpid", "_off")
+    )
 
 
 def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:

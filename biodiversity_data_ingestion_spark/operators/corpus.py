@@ -26,6 +26,8 @@ cap so a hot term cannot quadratically load one reducer.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -326,9 +328,11 @@ def bm25_topk(
     per-(doc, term) tf relation streams map-side through the
     query-term filter and only the MATCHED postings reach the dl join
     and the per-term ranking window — shuffle is bounded by the query
-    terms' posting lists, never the corpus. (At web scale, add a
-    per-partition pre-top-k before the window if a query term's df is
-    pathological.)
+    terms' posting lists, never the corpus. A PARTIAL TOP-K per
+    (term, scan shard) runs before the final ranking window, so a
+    pathological query term (df ~ corpus size) feeds the single-window
+    partition at most n_shards * k rows instead of its whole posting
+    list.
 
     Ranking sorts by the ROUNDED score (4 dp) with a doc_id tiebreak so
     the order is reproducible bit-for-bit against a SQL oracle — raw
@@ -376,9 +380,25 @@ def bm25_topk(
             ),
         )
     )
+    # PARTIAL TOP-K before the per-term ranking window: a pathological
+    # query term (df ~ corpus size) would otherwise serialize its whole
+    # posting list into ONE window partition. Pre-ranking within
+    # (term, shard) — shard = current scan partition — caps what the
+    # final window sees at n_shards * k rows per term, and the true
+    # global top-k provably survives (each of its rows ranks <= k
+    # inside its own shard). Result is partitioning-invariant because
+    # the final window re-ranks with the same deterministic order.
+    w_pre = Window.partitionBy("term", "_shard").orderBy(
+        F.desc("bm25"), F.asc("doc_id")
+    )
+    pre = (
+        scored.withColumn("_shard", F.spark_partition_id())
+        .withColumn("_pre_rank", F.row_number().over(w_pre))
+        .where(F.col("_pre_rank") <= k)
+    )
     w = Window.partitionBy("term").orderBy(F.desc("bm25"), F.asc("doc_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        pre.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(F.col("term").alias("q_term"), "doc_id", "bm25", "rank")
     )
@@ -703,6 +723,7 @@ def k_core(
     u: str = "u",
     v: str = "v",
     max_rounds: int = 8,
+    strict: bool = False,
 ) -> DataFrame:
     """k-core decomposition by iterative peeling: drop every node whose
     degree falls below ``k``, recompute degrees on the surviving edges,
@@ -725,6 +746,13 @@ def k_core(
     each round anyway, same pattern as connected_components), so the
     logical plan stays flat instead of nesting per round.
 
+    CONVERGENCE HONESTY: if the LAST allowed round still removed edges,
+    the peel is not confirmed stable and the result may be a SUPERSET
+    of the true k-core. That state is surfaced — logged as a warning by
+    default, raised as ``ValueError`` under ``strict=True`` — using the
+    per-round edge count the checkpoint already materializes, so the
+    check costs nothing. Converged runs are bit-identical to before.
+
     Edges must be undirected-simple: one row per pair, ``u`` < ``v``.
     Returns the surviving (node, degree) rows.
     """
@@ -732,8 +760,10 @@ def k_core(
         eager=False
     )
     n_edges = cur.count()
+    converged = n_edges == 0
     for _ in range(max_rounds):
         if n_edges == 0:
+            converged = True
             break
         deg = (
             cur.select(F.col("u").alias("node"))
@@ -750,8 +780,19 @@ def k_core(
         n_next = nxt.count()
         cur = nxt
         if n_next == n_edges:
+            converged = True
             break  # stable: every endpoint already has degree >= k
         n_edges = n_next
+    if not converged:
+        msg = (
+            f"k_core did not confirm convergence within max_rounds="
+            f"{max_rounds} (the final round still removed edges); the "
+            f"result may be a superset of the true {k}-core — raise "
+            f"max_rounds to converge (strict=True makes this an error)"
+        )
+        if strict:
+            raise ValueError(msg)
+        warnings.warn(msg, stacklevel=2)
     return (
         cur.select(F.col("u").alias("node"))
         .unionAll(cur.select(F.col("v").alias("node")))

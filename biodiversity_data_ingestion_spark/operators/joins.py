@@ -223,7 +223,12 @@ def bloom_prefilter_semi_join(
     """
 
     def cell(col, j: int):
-        hx = F.substring(F.md5(col.cast("string")), 1 + 8 * j, 8)
+        # each hash is a SEEDED md5 (seed prefix j), not a slice of one
+        # digest — slicing caps n_hashes at 4 (32 hex chars / 8) and
+        # silently yields NULL cells (-> empty result) beyond that
+        hx = F.substring(
+            F.md5(F.concat(F.lit(f"{j}:"), col.cast("string"))), 1, 8
+        )
         return (F.conv(hx, 16, 10).cast("long") % width).cast("int")
 
     pre = big

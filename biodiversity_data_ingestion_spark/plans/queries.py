@@ -4217,25 +4217,35 @@ _register(
 
 # ---------------------------------------------------------------------------
 # 97b. customer_record_linkage — Fellegi-Sunter probabilistic record
-# linkage: nation-blocked candidate pairs scored by field-agreement
-# log-odds. u-probabilities (chance agreement between NON-matches) are
+# linkage with SORTED-NEIGHBORHOOD candidate generation: records sort
+# by (nation, acctbal, custkey) and each record pairs with its next
+# _FS_WINDOW neighbors in that order (same nation only), so candidate
+# pairs are EXACTLY <= n * _FS_WINDOW — linear in data, at any scale.
+# (The earlier nation-only blocking was O(n^2 / 25): 25 constant
+# blocks, quadratic within block — an all-pairs join in disguise.)
+# The global sort rank comes from functions.partitioning.
+# global_row_number (distributed range sort + per-partition offsets,
+# never a single-partition window), and the neighbor join is a pure
+# equi-join on the unique rank — perfectly balanced, no skew possible.
+# u-probabilities (chance agreement between NON-matches) are
 # DATA-DERIVED — u_f = sum_v (n_v/N)^2, the random-pair agreement rate
 # — and the tiny (1-row) u frame broadcasts; m-probabilities are the
-# standard literals. Scale shape: blocking bounds the quadratic
-# (per-block pairs, the same discipline as every near-dup generator),
-# scoring is pure map-side arithmetic, and the only shuffles are the
-# u aggregates + the block window. Scores round to 4dp in BOTH engines
-# before the threshold compare, so the cut is engine-portable.
+# standard literals. Scores round to 4dp in BOTH engines before the
+# threshold compare, so the cut is engine-portable.
 
 _FS_M = {"seg": 0.95, "bucket": 0.85, "sign": 0.9}
 _FS_THRESHOLD = 4.0
+_FS_WINDOW = 10
 
 
 def _customer_record_linkage(spark, sf_dir):
+    from ..functions.partitioning import global_row_number
+
     cust = _t(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_nationkey",
         "c_mktsegment",
+        "c_acctbal",
         F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bucket"),
         (F.col("c_acctbal") >= 0).alias("sign"),
     )
@@ -4261,13 +4271,18 @@ def _customer_record_linkage(spark, sf_dir):
         .withColumnRenamed("u_bucket", "u_bucket")
         .withColumnRenamed("u_sign", "u_sign")
     )
-    a = cust.select(*[F.col(c).alias(f"a_{c}") for c in cust.columns])
-    b = cust.select(*[F.col(c).alias(f"b_{c}") for c in cust.columns])
-    pairs = a.join(
-        b,
-        (F.col("a_c_nationkey") == F.col("b_c_nationkey"))
-        & (F.col("a_c_custkey") < F.col("b_c_custkey")),
-    ).crossJoin(F.broadcast(u))
+    ranked = global_row_number(
+        cust, ["c_nationkey", "c_acctbal", "c_custkey"], out="rn"
+    ).drop("c_acctbal")
+    a = ranked.select(*[F.col(c).alias(f"a_{c}") for c in ranked.columns])
+    b = ranked.select(*[F.col(c).alias(f"b_{c}") for c in ranked.columns])
+    pairs = (
+        a.withColumn("_off", F.explode(F.sequence(F.lit(1), F.lit(_FS_WINDOW))))
+        .withColumn("_nbr_rn", F.col("_off") + F.col("a_rn"))
+        .join(b, F.col("_nbr_rn") == F.col("b_rn"))
+        .where(F.col("a_c_nationkey") == F.col("b_c_nationkey"))
+        .crossJoin(F.broadcast(u))
+    )
 
     def w(agree, m: float, u_col: str):
         return F.when(
@@ -4283,8 +4298,8 @@ def _customer_record_linkage(spark, sf_dir):
         pairs.withColumn("fs_score", F.round(score, 4))
         .where(F.col("fs_score") >= _FS_THRESHOLD)
         .select(
-            F.col("a_c_custkey").alias("custkey_a"),
-            F.col("b_c_custkey").alias("custkey_b"),
+            F.least("a_c_custkey", "b_c_custkey").alias("custkey_a"),
+            F.greatest("a_c_custkey", "b_c_custkey").alias("custkey_b"),
             "fs_score",
         )
     )
@@ -4295,10 +4310,14 @@ _register(
     _customer_record_linkage,
     f"""
     WITH c AS (
-        SELECT c_custkey, c_nationkey, c_mktsegment,
+        SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal,
                CAST(floor(c_acctbal / 1000) AS BIGINT) AS bucket,
                c_acctbal >= 0 AS sign
         FROM customer),
+    r AS (
+        SELECT c.*, row_number() OVER (
+            ORDER BY c_nationkey, c_acctbal, c_custkey) AS rn
+        FROM c),
     n AS (SELECT count(*) AS n FROM c),
     useg AS (
         SELECT sum((nv / n) * (nv / n)) AS u_seg
@@ -4310,7 +4329,8 @@ _register(
         SELECT sum((nv / n) * (nv / n)) AS u_sign
         FROM (SELECT count(*) AS nv FROM c GROUP BY sign), n),
     scored AS (
-        SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+        SELECT least(a.c_custkey, b.c_custkey) AS custkey_a,
+               greatest(a.c_custkey, b.c_custkey) AS custkey_b,
                round(
                  (CASE WHEN a.c_mktsegment = b.c_mktsegment
                        THEN log2({_FS_M["seg"]} / u_seg)
@@ -4322,15 +4342,17 @@ _register(
                        THEN log2({_FS_M["sign"]} / u_sign)
                        ELSE log2({1.0 - _FS_M["sign"]} / (1.0 - u_sign)) END), 4)
                    AS fs_score
-        FROM c a JOIN c b
-          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        FROM r a JOIN r b
+          ON b.rn - a.rn BETWEEN 1 AND {_FS_WINDOW}
+         AND a.c_nationkey = b.c_nationkey
         CROSS JOIN useg CROSS JOIN ubucket CROSS JOIN usign)
     SELECT custkey_a, custkey_b, fs_score
     FROM scored WHERE fs_score >= {_FS_THRESHOLD}
     """,
     "engine extension: Fellegi-Sunter probabilistic record linkage "
-    "(nation-blocked pairs, data-derived u-probabilities, field-"
-    "agreement log-odds; blocking bounds the quadratic)",
+    "(sorted-neighborhood candidates over (nation, acctbal) — pairs "
+    "<= n * window, linear at any scale; data-derived u-probabilities, "
+    "field-agreement log-odds)",
 )
 
 

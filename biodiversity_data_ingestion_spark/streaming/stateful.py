@@ -435,23 +435,31 @@ def stateful_sessions(
     live-user cardinality, never input volume.
 
     ``keyed`` must carry (user_id, ts, value) with a watermark on ts.
-    Cross-batch merge assumes batches arrive in event-time order per
-    key (watermark discipline — violations mean the out-of-order event
-    belongs to an already-emitted session, exactly the row a watermark
-    would have dropped).
+    Cross-batch merge handles within-watermark LATE data correctly: a
+    late event older than the open session's start folds into both
+    bounds (min start / max end). What it cannot recover — by
+    construction of append mode — is an event late enough to belong to
+    an ALREADY-EMITTED session; that is exactly the row the watermark
+    contract allows dropping.
 
     Gap rule matches the batch oracle: a gap >= ``gap_minutes`` starts
     a new session (same boundary as session_window / the
     gaps-and-islands SQL).
     """
+    from pyspark.sql import functions as F
+
     gap_us = gap_minutes * 60_000_000
 
     def _row(user_id, s):
+        # emit the RAW sum — Python round() is banker's (half-to-even)
+        # while the batch oracle / session_window twin use engine round
+        # (half away from zero); F.round on the output DataFrame below
+        # keeps rounding semantics engine-identical
         return {
             "session_start": pd.Timestamp(s[0], unit="us"),
             "user_id": user_id,
             "n_events": s[2],
-            "sum_value": round(s[3], 2),
+            "sum_value": s[3],
         }
 
     def fn(
@@ -474,6 +482,10 @@ def stateful_sessions(
             us_ = int(us_)
             if sessions and us_ - sessions[-1][1] < gap_us:
                 s = sessions[-1]
+                # a late-but-within-watermark event can predate the open
+                # session's start (cross-batch merge with an unordered
+                # source) — fold it into BOTH bounds
+                s[0] = min(s[0], us_)
                 s[1] = max(s[1], us_)
                 s[2] += 1
                 s[3] += float(val)
@@ -493,13 +505,15 @@ def stateful_sessions(
         if closed:
             yield pd.DataFrame([_row(user_id, s) for s in closed])
 
-    return keyed.groupBy("user_id").applyInPandasWithState(
+    out = keyed.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType=payload_schema,
         stateStructType="start_us long, end_us long, n long, sv double",
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+    # engine round (half away from zero), matching the batch oracle
+    return out.withColumn("sum_value", F.round("sum_value", 2))
 
 
 _SENTINEL_USER = -(10**9)

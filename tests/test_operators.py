@@ -1192,3 +1192,14 @@ def test_bloom_prefilter_semi_join_equals_plain(spark):
             ).collect()
         )
         assert got == plain
+    # n_hashes > 4 used to silently return EMPTY (hash j was an 8-hex
+    # slice of ONE md5, so j >= 4 sliced past the digest -> NULL cells
+    # that never match); seeded per-hash md5 makes any n_hashes valid
+    for n_hashes in (1, 6):
+        got = sorted(
+            r.o_orderkey
+            for r in bloom_prefilter_semi_join(
+                orders, keys, "o_custkey", n_hashes=n_hashes
+            ).collect()
+        )
+        assert got == plain
