@@ -53,6 +53,15 @@ def global_row_number(
     unique tiebreak column): global order is then unique regardless of
     where the range boundaries land.
     """
+    # the two working columns would silently collide with (or drop)
+    # same-named user data — refuse up front
+    reserved = {"_gpid", "_off"} & set(df.columns)
+    if reserved or out in df.columns:
+        bad = sorted(reserved | ({out} if out in df.columns else set()))
+        raise ValueError(
+            f"global_row_number: input already has column(s) {bad}; "
+            "rename them (or pass a different `out`) first"
+        )
     ranged = df.repartitionByRange(*order_cols)
     stamped = ranged.withColumn("_gpid", F.spark_partition_id()).localCheckpoint(
         eager=False

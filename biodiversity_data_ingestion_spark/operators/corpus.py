@@ -783,6 +783,10 @@ def k_core(
             converged = True
             break  # stable: every endpoint already has degree >= k
         n_edges = n_next
+    # an empty edge set is converged even when reached exactly on the
+    # final allowed round (range exhaustion): the empty k-core is exact
+    if n_edges == 0:
+        converged = True
     if not converged:
         msg = (
             f"k_core did not confirm convergence within max_rounds="

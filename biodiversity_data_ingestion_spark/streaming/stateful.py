@@ -421,6 +421,25 @@ def run_stream_dedup_within_watermark_over_events(
     return _drain(deduped, query_name)
 
 
+def _merge_session_items(items: list[list], gap_us: int) -> list[list]:
+    """Gaps-and-islands interval merge over [start_us, end_us, n, sum]
+    items (point events are [ts, ts, 1, v]): sort by bounds, coalesce
+    consecutive items whose start is within ``gap_us`` of the running
+    session's end. Module-level so the cross-batch late-data semantics
+    of ``stateful_sessions`` are unit-testable without a stream."""
+    items = sorted(items, key=lambda it: (it[0], it[1]))
+    sessions: list[list] = []
+    for it in items:
+        if sessions and it[0] - sessions[-1][1] < gap_us:
+            s = sessions[-1]
+            s[1] = max(s[1], it[1])
+            s[2] += it[2]
+            s[3] += it[3]
+        else:
+            sessions.append(list(it))
+    return sessions
+
+
 def stateful_sessions(
     keyed: DataFrame, gap_minutes: int, payload_schema: StructType
 ) -> DataFrame:
@@ -435,9 +454,12 @@ def stateful_sessions(
     live-user cardinality, never input volume.
 
     ``keyed`` must carry (user_id, ts, value) with a watermark on ts.
-    Cross-batch merge handles within-watermark LATE data correctly: a
-    late event older than the open session's start folds into both
-    bounds (min start / max end). What it cannot recover — by
+    Cross-batch merge handles within-watermark LATE data via a full
+    interval merge (state session + batch events sorted by start,
+    merged on the gap rule): a late event within gap of the open
+    session's start extends it backward; one >= gap earlier becomes its
+    own immediately-closed session, exactly as the batch
+    gaps-and-islands oracle would emit. What it cannot recover — by
     construction of append mode — is an event late enough to belong to
     an ALREADY-EMITTED session; that is exactly the row the watermark
     contract allows dropping.
@@ -475,22 +497,20 @@ def stateful_sessions(
         if batch.empty:
             return
         batch = batch.sort_values(["ts", "value"], ignore_index=True)
-        sessions: list[list] = [list(state.get)] if state.exists else []
+        # Interval merge: state's open session is an interval
+        # [start,end]; each batch event a point interval. Sorting ALL
+        # items by start then merging on the gap rule reproduces the
+        # batch gaps-and-islands result for any within-watermark late
+        # data — a late event >= gap before the open session's start
+        # becomes its own (immediately closed) session, and a chain of
+        # late events coalesces among itself, instead of being folded
+        # into the open session (which would corrupt its bounds).
+        items: list[list] = [list(state.get)] if state.exists else []
         for us_, val in zip(
             batch["ts"].astype("int64") // 1000, batch["value"].astype("float64")
         ):
-            us_ = int(us_)
-            if sessions and us_ - sessions[-1][1] < gap_us:
-                s = sessions[-1]
-                # a late-but-within-watermark event can predate the open
-                # session's start (cross-batch merge with an unordered
-                # source) — fold it into BOTH bounds
-                s[0] = min(s[0], us_)
-                s[1] = max(s[1], us_)
-                s[2] += 1
-                s[3] += float(val)
-            else:
-                sessions.append([us_, us_, 1, float(val)])
+            items.append([int(us_), int(us_), 1, float(val)])
+        sessions = _merge_session_items(items, gap_us)
         wm_us = state.getCurrentWatermarkMs() * 1000
         closed, open_ = sessions[:-1], sessions[-1]
         if open_[1] + gap_us <= wm_us:
@@ -690,11 +710,14 @@ def run_stream_running_totals_over_events(
                 n += len(pdf)
                 sv += float(pdf["value"].sum())
             self._totals.update((n, sv))
+            # emit the RAW sum — Python round() is banker's; F.round on
+            # the output below keeps rounding engine-identical (same
+            # pattern as stateful_sessions)
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
                     "n_events": [n],
-                    "sum_value": [round(sv, 2)],
+                    "sum_value": [sv],
                 }
             )
 
@@ -739,5 +762,5 @@ def run_stream_running_totals_over_events(
         shutil.rmtree(stage, ignore_errors=True)
     return drained.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
-        F.max_by("sum_value", "n_events").alias("sum_value"),
+        F.round(F.max_by("sum_value", "n_events"), 2).alias("sum_value"),
     )

@@ -761,3 +761,40 @@ def test_k_core_empty_and_overpeel(spark):
     # k above the max degree peels everything
     edges = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
     assert k_core(edges, k=3).count() == 0
+
+
+def test_k_core_nonconvergence_warns_and_strict_raises(spark):
+    # max_rounds deliberately too small: a long path peels one layer
+    # per round under k=2, so max_rounds=1 cannot confirm stability —
+    # the superset result must warn (and raise under strict=True)
+    import warnings as _w
+
+    import pytest
+
+    from biodiversity_data_ingestion_spark.operators.corpus import k_core
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "u long, v long"
+    )  # path 1-2-3-4-5-6: 2-core is empty but needs >1 peel round
+    with pytest.warns(UserWarning, match="did not confirm convergence"):
+        k_core(edges, k=2, max_rounds=1).count()
+    with pytest.raises(ValueError, match="did not confirm convergence"):
+        k_core(edges, k=2, max_rounds=1, strict=True).count()
+    # converged run: bit-identical result, NO warning
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        assert k_core(edges, k=2, max_rounds=8).count() == 0
+
+
+def test_k_core_empty_on_final_round_is_converged(spark):
+    # triangle + k=4 peels ALL edges in exactly one round; with
+    # max_rounds=1 the loop exits by range exhaustion with zero edges
+    # left — that IS the exact (empty) k-core, so no warning
+    import warnings as _w
+
+    from biodiversity_data_ingestion_spark.operators.corpus import k_core
+
+    edges = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "u long, v long")
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        assert k_core(edges, k=4, max_rounds=1, strict=True).count() == 0

@@ -443,3 +443,18 @@ def test_no_scale_killer_joins_anywhere(spark):
         f"plan blow-up (name, exchanges, scans): {runaway} — a shared "
         "subplan is probably re-executing per branch; localCheckpoint it"
     )
+
+
+def test_bm25_partial_topk_skew_guard_in_plan(spark):
+    # the pre-rank window caps what the per-term ranking window sees at
+    # n_shards x k rows per term (the hot-term 100 TB guard). Lock the
+    # TWO-window shape — (term, _shard) pre-rank then per-term final —
+    # and the _pre_rank <= k filter, so a refactor can't quietly drop
+    # the guard and re-serialize a hot posting list into one task.
+    plan = _plan(spark, "bm25_doc_retrieval", "simple")
+    assert plan.count("Window [") == 2  # pre-rank + final (not GroupLimit)
+    assert "windowspecdefinition(term" in plan and "_shard" in plan
+    assert "_pre_rank" in plan
+    # bonus guard Spark adds on TOP of ours: rank-limit pushdown must
+    # stay applied to both windows (partial top-k before each sort)
+    assert plan.count("WindowGroupLimit") == 4  # partial+final x 2 windows

@@ -239,3 +239,41 @@ def test_transform_with_state_runner_raises_cleanly_without_protobuf(spark):
 
     with pytest.raises(ImportError, match="protobuf"):
         run_stream_running_totals_over_events(spark, "/root/testdata/sf0.001")
+
+
+def test_merge_session_items_late_event_semantics():
+    # pure-Python unit of the cross-batch merge: the three
+    # within-watermark late-data shapes the stream must reproduce
+    # exactly as the batch gaps-and-islands oracle would
+    from biodiversity_data_ingestion_spark.streaming.stateful import (
+        _merge_session_items,
+    )
+
+    gap = 100  # us
+    state = [1000, 1200, 3, 30.0]  # open session from a prior batch
+
+    # (1) late event within gap of the open session's START extends it
+    # backward (min-start fold)
+    got = _merge_session_items([list(state), [950, 950, 1, 5.0]], gap)
+    assert got == [[950, 1200, 4, 35.0]]
+
+    # (2) late event >= gap BEFORE the start becomes its OWN session —
+    # the pre-fix code folded it in (always-true negative-diff check)
+    got = _merge_session_items([list(state), [800, 800, 1, 5.0]], gap)
+    assert got == [[800, 800, 1, 5.0], [1000, 1200, 3, 30.0]]
+
+    # (3) a chain of late events coalesces among itself, separate from
+    # the open session
+    got = _merge_session_items(
+        [list(state), [700, 700, 1, 5.0], [750, 750, 1, 6.0]], gap
+    )
+    assert got == [[700, 750, 2, 11.0], [1000, 1200, 3, 30.0]]
+
+    # (4) in-order events still append/fold exactly as before
+    got = _merge_session_items(
+        [list(state), [1250, 1250, 1, 1.0], [1400, 1400, 1, 2.0]], gap
+    )
+    assert got == [[1000, 1250, 4, 31.0], [1400, 1400, 1, 2.0]]
+
+    # (5) empty input
+    assert _merge_session_items([], gap) == []
