@@ -804,3 +804,107 @@ def k_core(
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
         .where(F.col("degree") >= k)
     )
+
+
+HITS_SCALE = 10**6
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 3,
+) -> DataFrame:
+    """Deterministic FIXED-POINT HITS (hubs & authorities) over a
+    directed edge list — the fifth iterative graph primitive next to
+    connected components, triangles, PageRank and k-core, and the
+    classic bipartite ranking (who are the hub buyers, which are the
+    authority products).
+
+    Same exactness contract as :func:`pagerank`: scores are
+    ``HITS_SCALE``-denominated bigints, every step integer arithmetic,
+    so the trajectory is bit-exact across partitionings and engines and
+    a chained-CTE SQL replay reproduces it hash-for-hash. Kleinberg's
+    L2 normalization is replaced by L1 (divide by the SUM of raw
+    scores, floor division) — same fixed direction, rational
+    arithmetic. SCALE is deliberately small (1e6): the normalization
+    multiplies raw sums (<= SCALE * max_degree) by SCALE before the
+    floor-div, and both factors must stay well inside int64 in Spark
+    AND DuckDB.
+
+    Per round (auth from hub, then hub from NEW auth — the standard
+    ordering):
+
+        a_raw(v) = sum over in-edges (u,v) of h(u)
+        a(v)     = (a_raw(v) * SCALE) div sum_v(a_raw)
+        h_raw(u) = sum over out-edges (u,v) of a(v)
+        h(u)     = (h_raw(u) * SCALE) div sum_u(h_raw)
+
+    Shuffles: one groupBy per half-round keyed on the receiving node
+    (size = |edges|); the L1 norms are 1-row aggregates broadcast via
+    cross join, never collected. Rank frontiers are broadcast into the
+    edge joins when the node table provably fits (same gate as
+    pagerank); lineage flattened per round with lazy localCheckpoint.
+
+    Returns (node, hub, auth) with fixed/SCALE as double (exact: both
+    fit 2^53 and SCALE is a power of ten).
+    """
+    scale = HITS_SCALE
+    e = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
+    ).localCheckpoint()
+    nodes = (
+        e.select(F.col("e_src").alias("node"))
+        .unionByName(e.select(F.col("e_dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select(
+            "node",
+            F.lit(None).cast("double").alias("hub"),
+            F.lit(None).cast("double").alias("auth"),
+        )
+    hint = n_nodes <= DROP_LIST_BROADCAST_ROWS
+
+    def _half(frontier: DataFrame, score: str, out_key: str, in_key: str):
+        """One half-round: push `score` along edges from `out_key` to
+        `in_key`, L1-normalize onto the full node set."""
+        f = F.broadcast(frontier) if hint else frontier
+        raw = (
+            f.join(e, F.col("node") == F.col(out_key))
+            .groupBy(F.col(in_key).alias("node"))
+            .agg(F.sum(score).alias("raw"))
+        )
+        norm = raw.agg(
+            F.coalesce(F.sum("raw"), F.lit(0)).cast("long").alias("l1")
+        )
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(norm))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST(CASE WHEN l1 = 0 THEN 0 "
+                    f"ELSE (coalesce(raw, 0) * {scale}) div l1 END AS BIGINT)"
+                ).alias(score),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    hubs = nodes.select(
+        "node", F.lit(scale // n_nodes).cast("long").alias("h")
+    ).localCheckpoint(eager=False)
+    auths = None
+    for _ in range(n_iter):
+        auths = _half(hubs, "h", "e_src", "e_dst").withColumnRenamed("h", "a")
+        hubs = _half(auths, "a", "e_dst", "e_src").withColumnRenamed("a", "h")
+    return (
+        hubs.join(auths, "node")
+        .select(
+            "node",
+            (F.col("h") / F.lit(float(scale))).alias("hub"),
+            (F.col("a") / F.lit(float(scale))).alias("auth"),
+        )
+    )
