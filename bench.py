@@ -77,6 +77,11 @@ HEADLINE = (
     "bm25_doc_retrieval",
     "copurchase_kcore",
     "pq_adc_topk",
+    # round-7 additions: the 5th iterative graph primitive, the DSIR
+    # dual-distribution scan, and the double global_row_number fusion
+    "purchase_hits_scores",
+    "dsir_importance_weights",
+    "rrf_doc_fusion",
 )
 
 # queries whose builder EXECUTES the work eagerly (streaming drains,
@@ -103,6 +108,10 @@ EAGER = {
     "copurchase_kcore",
     # per-subspace kmeans codebooks checkpoint during construction
     "pq_adc_topk",
+    # edge/node checkpoints + per-round frontiers run during construction
+    "purchase_hits_scores",
+    # global_row_number's stamped-frame checkpoints run at build time
+    "rrf_doc_fusion",
 }
 
 
