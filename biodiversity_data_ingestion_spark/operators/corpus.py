@@ -868,9 +868,18 @@ def hits(
         )
     hint = n_nodes <= DROP_LIST_BROADCAST_ROWS
 
-    def _half(frontier: DataFrame, score: str, out_key: str, in_key: str):
+    def _half(
+        frontier: DataFrame,
+        score: str,
+        out_key: str,
+        in_key: str,
+        checkpoint: bool,
+    ):
         """One half-round: push `score` along edges from `out_key` to
-        `in_key`, L1-normalize onto the full node set."""
+        `in_key`, L1-normalize onto the full node set. Only the HUB
+        half checkpoints: the auth frame is consumed exactly once (by
+        the hub half that follows), so truncating lineage there would
+        double the checkpoint jobs for a fixed depth-2 plan chain."""
         f = F.broadcast(frontier) if hint else frontier
         raw = (
             f.join(e, F.col("node") == F.col(out_key))
@@ -880,7 +889,7 @@ def hits(
         norm = raw.agg(
             F.coalesce(F.sum("raw"), F.lit(0)).cast("long").alias("l1")
         )
-        return (
+        out = (
             nodes.join(raw, "node", "left")
             .crossJoin(F.broadcast(norm))
             .select(
@@ -890,16 +899,22 @@ def hits(
                     f"ELSE (coalesce(raw, 0) * {scale}) div l1 END AS BIGINT)"
                 ).alias(score),
             )
-            .localCheckpoint(eager=False)
         )
+        return out.localCheckpoint(eager=False) if checkpoint else out
 
     hubs = nodes.select(
         "node", F.lit(scale // n_nodes).cast("long").alias("h")
     ).localCheckpoint(eager=False)
     auths = None
-    for _ in range(n_iter):
-        auths = _half(hubs, "h", "e_src", "e_dst").withColumnRenamed("h", "a")
-        hubs = _half(auths, "a", "e_dst", "e_src").withColumnRenamed("a", "h")
+    for i in range(n_iter):
+        # the final round's auth frame feeds the returned join, so it
+        # gets the lineage truncation the intermediate ones skip
+        auths = _half(
+            hubs, "h", "e_src", "e_dst", checkpoint=(i == n_iter - 1)
+        ).withColumnRenamed("h", "a")
+        hubs = _half(
+            auths, "a", "e_dst", "e_src", checkpoint=True
+        ).withColumnRenamed("a", "h")
     return (
         hubs.join(auths, "node")
         .select(

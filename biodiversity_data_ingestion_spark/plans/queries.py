@@ -10317,6 +10317,45 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 221. stream_dynamic_gap_sessions — sessionization with a PER-USER
+# inactivity gap (5/10/15 min by user_id % 3, standing in for a
+# per-tenant SLA dict): the session semantics the built-in
+# session_window cannot express at all, and the reason the grouped-map
+# state machine exists. Oracle = batch gaps-and-islands with the same
+# per-user gap expression (epoch-microsecond arithmetic, exact).
+
+def _stream_dynamic_gap_sessions(spark, sf_dir):
+    from ..streaming.stateful import run_stream_dynamic_gap_sessions_over_events
+
+    return run_stream_dynamic_gap_sessions_over_events(spark, sf_dir)
+
+
+_register(
+    "stream_dynamic_gap_sessions",
+    _stream_dynamic_gap_sessions,
+    """
+    WITH o AS (SELECT user_id, ts, value FROM events),
+    m AS (
+        SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            >= (5 + (user_id % 3) * 5) * 60000000
+                       THEN 1 ELSE 0 END AS new_sess
+        FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)),
+    s AS (
+        SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, value
+                                      ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM m)
+    SELECT min(ts) AS session_start, user_id,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM s GROUP BY user_id, sess_id
+    """,
+    "engine extension §2.9: DYNAMIC per-key session gaps via the "
+    "grouped-map state machine (inexpressible with session_window) "
+    "== per-user-gap gaps-and-islands",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 # The driver's correctness harness checks the first 50 declared queries
@@ -10384,7 +10423,6 @@ _PRIORITY: tuple[str, ...] = (
     "ngram_jaccard_dups",
     "occurrence_cleaning_summary",
     "points_in_region",
-    "tfidf_top_terms",
     "user_sessions",
     # -- round-7 additions (zero history by construction; evidence on
     # arrival — they displace four r2-stale re-checks that keep their
@@ -10394,6 +10432,7 @@ _PRIORITY: tuple[str, ...] = (
     "doc_bigram_logprob",
     "dsir_importance_weights",
     "rrf_doc_fusion",
+    "stream_dynamic_gap_sessions",
 )
 
 _PRIORITY_R5: tuple[str, ...] = (

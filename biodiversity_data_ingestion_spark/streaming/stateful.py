@@ -441,7 +441,10 @@ def _merge_session_items(items: list[list], gap_us: int) -> list[list]:
 
 
 def stateful_sessions(
-    keyed: DataFrame, gap_minutes: int, payload_schema: StructType
+    keyed: DataFrame,
+    gap_minutes: int,
+    payload_schema: StructType,
+    gap_minutes_for_key=None,
 ) -> DataFrame:
     """Custom sessionization via grouped-map ``applyInPandasWithState``
     with EVENT-TIME TIMEOUTS — the hand-rolled twin of the built-in
@@ -467,6 +470,14 @@ def stateful_sessions(
     Gap rule matches the batch oracle: a gap >= ``gap_minutes`` starts
     a new session (same boundary as session_window / the
     gaps-and-islands SQL).
+
+    ``gap_minutes_for_key`` (optional, ``key_tuple -> int minutes``)
+    makes the gap DYNAMIC per key — the session semantics the built-in
+    ``session_window`` cannot express at all (its gap is one column
+    expression fixed at plan time; per-key policy lookups, e.g. a
+    per-tenant inactivity SLA, need the grouped-map state machine).
+    The callable runs executor-side per group, so it must be a cheap
+    pure function of the key (closure over a broadcast dict is fine).
     """
     from pyspark.sql import functions as F
 
@@ -488,6 +499,14 @@ def stateful_sessions(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         user_id = key[0]
+        # int() guards against numpy scalars leaking out of the Arrow
+        # key tuple into state timestamps (JSON-serialized by the
+        # GroupState bridge, which rejects np.int64)
+        g_us = (
+            int(gap_minutes_for_key(key)) * 60_000_000
+            if gap_minutes_for_key is not None
+            else gap_us
+        )
         if state.hasTimedOut:
             s = list(state.get)
             state.remove()
@@ -510,16 +529,16 @@ def stateful_sessions(
             batch["ts"].astype("int64") // 1000, batch["value"].astype("float64")
         ):
             items.append([int(us_), int(us_), 1, float(val)])
-        sessions = _merge_session_items(items, gap_us)
+        sessions = _merge_session_items(items, g_us)
         wm_us = state.getCurrentWatermarkMs() * 1000
         closed, open_ = sessions[:-1], sessions[-1]
-        if open_[1] + gap_us <= wm_us:
+        if open_[1] + g_us <= wm_us:
             closed.append(open_)
             open_ = None
         if open_ is not None:
             state.update(tuple(open_))
             # strictly after the current watermark by the guard above
-            state.setTimeoutTimestamp((open_[1] + gap_us) // 1000)
+            state.setTimeoutTimestamp((open_[1] + g_us) // 1000)
         else:
             state.remove()
         if closed:
@@ -626,6 +645,59 @@ def run_stream_stateful_sessions_over_events(
         drained = _drain(sessions, query_name)
     finally:
         # the memory sink holds the rows; the staged copy is dead weight
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+    return drained.where(F.col("user_id") != F.lit(_SENTINEL_USER))
+
+
+def run_stream_dynamic_gap_sessions_over_events(
+    spark, sf_dir: str, query_name: str = "bdi_dyngap_sessions"
+) -> DataFrame:
+    """Sessionization with a PER-USER inactivity gap — 5/10/15 minutes
+    by user_id % 3, standing in for a per-tenant SLA lookup. This is
+    the session semantics the built-in ``session_window`` cannot
+    express (its gap is a single plan-time column expression; the
+    grouped-map state machine computes the gap per KEY, here a pure
+    function of the key, in production a broadcast policy dict).
+    Same sentinel-staged bounded replay + watermark flush as the
+    fixed-gap runner; equals the batch gaps-and-islands oracle with
+    the same per-user gap expression."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        TimestampType,
+    )
+
+    from ..sources.tables import normalize_event_ts
+
+    stage = _stage_events_with_sentinel(spark, sf_dir)
+    batch_schema = spark.read.parquet(os.path.join(stage, "00_events.parquet")).schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    keyed = stream.withWatermark("ts", "1 minute").select("user_id", "ts", "value")
+    out_schema = StructType(
+        [
+            StructField("session_start", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+        ]
+    )
+    sessions = stateful_sessions(
+        keyed,
+        10,
+        out_schema,
+        gap_minutes_for_key=lambda key: 5 + (key[0] % 3) * 5,
+    )
+    try:
+        drained = _drain(sessions, query_name)
+    finally:
         import shutil
 
         shutil.rmtree(stage, ignore_errors=True)
