@@ -10356,6 +10356,53 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 222. xml_record_roundtrip — XML as an ingestion format (Spark 4
+# native): synthesize an XML record per nation row IN-ENGINE (attribute
+# + nested element, the two XML-specific shapes), parse it back with
+# from_xml, and project the parsed tree. Same no-filesystem roundtrip
+# discipline as warc_record_roundtrip; the file-based scan (PERMISSIVE
+# dead letters) is covered by sources.text.read_xml_with_dead_letters
+# + test_xml_dead_letter_channel. Oracle: the synth+parse must be the
+# identity over the source table.
+
+def _xml_record_roundtrip(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    xml = F.concat(
+        F.lit('<nation key="'),
+        F.col("n_nationkey").cast("string"),
+        F.lit('"><name>'),
+        F.col("n_name"),
+        F.lit("</name><geo><region>"),
+        F.col("n_regionkey").cast("string"),
+        F.lit("</region></geo></nation>"),
+    )
+    parsed = n.select(
+        F.from_xml(
+            xml, "_key BIGINT, name STRING, geo STRUCT<region: BIGINT>"
+        ).alias("p")
+    )
+    return parsed.select(
+        F.col("p._key").alias("nationkey"),
+        F.col("p.name").alias("name"),
+        F.col("p.geo.region").alias("regionkey"),
+    )
+
+
+_register(
+    "xml_record_roundtrip",
+    _xml_record_roundtrip,
+    """
+    SELECT n_nationkey AS nationkey, n_name AS name,
+           n_regionkey AS regionkey
+    FROM nation
+    """,
+    "engine extension: XML ingestion-format roundtrip (in-engine synth "
+    "-> from_xml parse; attribute + nested-element shapes; file scan "
+    "with dead letters in sources/text.py)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 # The driver's correctness harness checks the first 50 declared queries
@@ -10423,7 +10470,6 @@ _PRIORITY: tuple[str, ...] = (
     "ngram_jaccard_dups",
     "occurrence_cleaning_summary",
     "points_in_region",
-    "user_sessions",
     # -- round-7 additions (zero history by construction; evidence on
     # arrival — they displace four r2-stale re-checks that keep their
     # r2 green rows: simhash_near_dups, stratified_doc_sample,
@@ -10433,6 +10479,7 @@ _PRIORITY: tuple[str, ...] = (
     "dsir_importance_weights",
     "rrf_doc_fusion",
     "stream_dynamic_gap_sessions",
+    "xml_record_roundtrip",
 )
 
 _PRIORITY_R5: tuple[str, ...] = (

@@ -58,3 +58,42 @@ def read_csv_with_dead_letters(
         F.col("_corrupt_record").alias("raw_line")
     )
     return good, dead
+
+
+def read_xml_with_dead_letters(spark, path: str, schema, row_tag: str):
+    """XML scan (Spark 4 native source) with the same dead-letter
+    discipline as the JSONL/CSV sources: PERMISSIVE mode routes
+    unparseable records into ``_corrupt_record`` instead of failing the
+    job. Returns (good, dead); one cached scan serves both branches.
+
+    Attributes surface with the default ``_`` prefix (an attribute
+    ``key`` becomes column ``_key``); nested elements map to structs —
+    the XML tree IS the Spark schema, so column pruning reaches the
+    record parse like any other self-describing source.
+
+    CAVEAT (this Spark build): an uncastable ELEMENT value quarantines
+    as designed, but an uncastable ATTRIBUTE value throws from
+    StaxXmlParser.convertAttributes before PERMISSIVE can catch it —
+    type attribute-carrying fields as STRING and cast downstream if
+    the feed's attributes are untrusted.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    with_corrupt = StructType(
+        [*schema.fields, StructField("_corrupt_record", StringType(), True)]
+    )
+    df = (
+        spark.read.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("rowTag", row_tag)
+        .format("xml")
+        .load(path)
+        .cache()
+    )
+    good = df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    dead = df.where(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_record")
+    )
+    return good, dead

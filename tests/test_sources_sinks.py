@@ -637,3 +637,41 @@ def test_evolving_schema_read_merges_and_backfills(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score"}
     rows = {(r.id, r.name, r.score) for r in merged.collect()}
     assert rows == {(1, "a", None), (2, "b", None), (3, "c", 9.5)}
+
+
+def test_xml_dead_letter_channel(spark, tmp_path):
+    # Spark 4 native XML with the PERMISSIVE quarantine discipline:
+    # good rows parse (attribute -> _key, nested element -> struct),
+    # a malformed record lands in the dead channel, the job survives
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from biodiversity_data_ingestion_spark.sources.text import (
+        read_xml_with_dead_letters,
+    )
+
+    p = tmp_path / "rows.xml"
+    p.write_text(
+        "<rows>"
+        '<nation key="1"><name>ALGERIA</name><geo><region>0</region></geo></nation>'
+        '<nation key="9"><name>BAD</name><geo><region>NaNope</region></geo></nation>'
+        '<nation key="2"><name>BRAZIL</name><geo><region>1</region></geo></nation>'
+        "</rows>"
+    )
+    schema = StructType(
+        [
+            StructField("_key", LongType()),
+            StructField("name", StringType()),
+            StructField(
+                "geo", StructType([StructField("region", LongType())])
+            ),
+        ]
+    )
+    good, dead = read_xml_with_dead_letters(spark, str(p), schema, "nation")
+    rows = {r["_key"]: (r["name"], r["geo"]["region"]) for r in good.collect()}
+    assert rows == {1: ("ALGERIA", 0), 2: ("BRAZIL", 1)}
+    assert dead.count() == 1
