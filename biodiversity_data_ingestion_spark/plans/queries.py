@@ -1504,7 +1504,6 @@ def _embedding_cosine_dups(spark, sf_dir):
 
 
 _register(
-    "embedding_cosine_dups",
     _embedding_cosine_dups,
     # the oracle reproduces the sign-LSH blocking bit-for-bit: the ±1
     # hyperplane entries come from the same integer mix, and projections
@@ -1655,7 +1654,6 @@ def _geotag_aggregation(spark, sf_dir):
 
 
 _register(
-    "geotag_aggregation",
     _geotag_aggregation,
     f"""
     WITH pts AS (
@@ -10403,6 +10401,145 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 223. contrastive_negatives — deterministic negative sampling for
+# contrastive training: a FIXED 16-doc pool (smallest md5(doc_id) —
+# the shared-negatives pattern) broadcasts against every anchor; each
+# anchor keeps its 3 md5(anchor||candidate)-ordered pool members from a
+# DIFFERENT source. Cost is |docs| x 16 broadcast rows — linear at any
+# corpus size, never an all-pairs cross — and the md5 order makes the
+# sample reproducible across engines and runs (no RNG).
+
+def _contrastive_negatives(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    pool = (
+        docs.withColumn("h", F.md5(F.col("doc_id").cast("string")))
+        .orderBy("h", "doc_id")
+        .limit(16)
+        .select(
+            F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source")
+        )
+    )
+    cand = (
+        docs.join(F.broadcast(pool), F.col("source") != F.col("neg_source"))
+        .withColumn(
+            "hp",
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("neg_id").cast("string"),
+                )
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("hp", "neg_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "doc_id", F.col("rn").cast("long").alias("rn"), "neg_id", "neg_source"
+        )
+    )
+
+
+_register(
+    "contrastive_negatives",
+    _contrastive_negatives,
+    """
+    WITH pool AS (
+        SELECT doc_id AS neg_id, source AS neg_source
+        FROM documents
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 16),
+    cand AS (
+        SELECT d.doc_id, p.neg_id, p.neg_source,
+               md5(CAST(d.doc_id AS VARCHAR) || ':'
+                   || CAST(p.neg_id AS VARCHAR)) AS hp
+        FROM documents d JOIN pool p ON d.source <> p.neg_source)
+    SELECT doc_id, CAST(rn AS BIGINT) AS rn, neg_id, neg_source
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY doc_id ORDER BY hp, neg_id) AS rn
+          FROM cand)
+    WHERE rn <= 3
+    """,
+    "engine extension: deterministic pool-based negative sampling for "
+    "contrastive training (16-doc md5-ordered shared pool, broadcast; "
+    "3 cross-source negatives per anchor; RNG-free, engine-portable)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 224. price_ks_drift — two-sample Kolmogorov-Smirnov drift statistic
+# per order priority: max |CDF_1995 - CDF_1996| of o_totalprice. The
+# data-quality monitor for "did this feature's distribution move".
+# Per-(priority, price) conditional counts -> one window cumsum per
+# priority (partitioned — never a global sort) -> max abs CDF gap.
+# Counts are integers and each CDF is one division, so round(6) seals.
+
+def _price_ks_drift(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").between(
+            F.lit("1995-01-01").cast("timestamp"),
+            F.lit("1996-12-31").cast("timestamp"),
+        )
+    )
+    byv = o.groupBy(
+        "o_orderpriority", F.col("o_totalprice").alias("v")
+    ).agg(
+        F.sum(
+            (F.year("o_orderdate") == 1995).cast("long")
+        ).alias("c95"),
+        F.sum(
+            (F.year("o_orderdate") == 1996).cast("long")
+        ).alias("c96"),
+    )
+    wc = Window.partitionBy("o_orderpriority").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("o_orderpriority")
+    cum = byv.select(
+        "o_orderpriority",
+        (F.sum("c95").over(wc) / F.sum("c95").over(wt)).alias("cdf95"),
+        (F.sum("c96").over(wc) / F.sum("c96").over(wt)).alias("cdf96"),
+    )
+    return cum.groupBy("o_orderpriority").agg(
+        F.round(F.max(F.abs(F.col("cdf95") - F.col("cdf96"))), 6).alias("ks")
+    )
+
+
+_register(
+    "price_ks_drift",
+    _price_ks_drift,
+    """
+    WITH o AS (
+        SELECT o_orderpriority, o_totalprice AS v,
+               year(o_orderdate) AS yr
+        FROM orders
+        WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                              AND TIMESTAMP '1996-12-31'),
+    byv AS (
+        SELECT o_orderpriority, v,
+               sum(CAST(yr = 1995 AS BIGINT)) AS c95,
+               sum(CAST(yr = 1996 AS BIGINT)) AS c96
+        FROM o GROUP BY o_orderpriority, v),
+    cum AS (
+        SELECT o_orderpriority,
+               sum(c95) OVER (PARTITION BY o_orderpriority ORDER BY v
+                              ROWS UNBOUNDED PRECEDING) * 1.0
+                   / sum(c95) OVER (PARTITION BY o_orderpriority) AS cdf95,
+               sum(c96) OVER (PARTITION BY o_orderpriority ORDER BY v
+                              ROWS UNBOUNDED PRECEDING) * 1.0
+                   / sum(c96) OVER (PARTITION BY o_orderpriority) AS cdf96
+        FROM byv)
+    SELECT o_orderpriority, round(max(abs(cdf95 - cdf96)), 6) AS ks
+    FROM cum GROUP BY o_orderpriority
+    """,
+    "engine extension: two-sample Kolmogorov-Smirnov drift per group "
+    "(partitioned window cumsum CDFs, max abs gap — distribution-shift "
+    "monitoring without a global sort)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 # The driver's correctness harness checks the first 50 declared queries
@@ -10480,6 +10617,8 @@ _PRIORITY: tuple[str, ...] = (
     "rrf_doc_fusion",
     "stream_dynamic_gap_sessions",
     "xml_record_roundtrip",
+    "contrastive_negatives",
+    "price_ks_drift",
 )
 
 _PRIORITY_R5: tuple[str, ...] = (
