@@ -1504,6 +1504,7 @@ def _embedding_cosine_dups(spark, sf_dir):
 
 
 _register(
+    "embedding_cosine_dups",
     _embedding_cosine_dups,
     # the oracle reproduces the sign-LSH blocking bit-for-bit: the ±1
     # hyperplane entries come from the same integer mix, and projections
@@ -1654,6 +1655,7 @@ def _geotag_aggregation(spark, sf_dir):
 
 
 _register(
+    "geotag_aggregation",
     _geotag_aggregation,
     f"""
     WITH pts AS (
@@ -10600,8 +10602,6 @@ _PRIORITY: tuple[str, ...] = (
     "customer_upsert_merge",
     "dedup_exact_prefix",
     "derivation_chain_roots",
-    "embedding_cosine_dups",
-    "geotag_aggregation",
     "minhash_lsh_dups",
     "multimodal_features",
     "ngram_jaccard_dups",
