@@ -458,3 +458,29 @@ def test_bm25_partial_topk_skew_guard_in_plan(spark):
     # bonus guard Spark adds on TOP of ours: rank-limit pushdown must
     # stay applied to both windows (partial top-k before each sort)
     assert plan.count("WindowGroupLimit") == 4  # partial+final x 2 windows
+
+
+def test_contrastive_pool_is_broadcast_and_linear(spark):
+    # the 16-doc negative pool must broadcast (anchor side never
+    # shuffles) and the theta-join on source inequality must be the
+    # broadcast nested loop against 16 rows — NOT a cartesian of docs
+    plan = _plan(spark, "contrastive_negatives", "simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_dsir_weight_table_is_broadcast(spark):
+    # the 256-bucket weight table must broadcast back onto the token
+    # stream; a shuffle join keyed on bucket would re-exchange the
+    # whole corpus for a 256-row lookup
+    plan = _plan(spark, "dsir_importance_weights", "simple")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ks_drift_windows_are_partitioned(spark):
+    # both cumsum windows must partition by the group key — an empty
+    # partition spec would serialize the whole value set into one task
+    plan = _plan(spark, "price_ks_drift", "simple")
+    assert "windowspecdefinition(o_orderpriority" in plan
+    assert "Exchange SinglePartition" not in plan

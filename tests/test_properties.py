@@ -266,3 +266,39 @@ def test_shingle_hash_preserves_jaccard(spark_prop, texts):
             if jac >= 0.01:
                 want[(i, j)] = jac
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 500), st.integers(1, 100)),
+        min_size=0,
+        max_size=40,
+    ),
+    st.integers(1, 50),
+)
+@settings(max_examples=200, deadline=None)
+def test_merge_session_items_equals_batch_gaps_and_islands(events, gap):
+    # The streaming interval merge must equal the batch gaps-and-islands
+    # fold over the SORTED event list, for any event multiset and gap —
+    # including duplicate timestamps and events arriving as point items
+    # in arbitrary order (the within-watermark late-data case).
+    from biodiversity_data_ingestion_spark.streaming.stateful import (
+        _merge_session_items,
+    )
+
+    items = [[ts, ts, 1, float(v)] for ts, v in events]
+    got = _merge_session_items(items, gap)
+
+    ref = []
+    for ts, v in sorted(events):
+        if ref and ts - ref[-1][1] < gap:
+            s = ref[-1]
+            s[1] = ts if ts > s[1] else s[1]
+            s[2] += 1
+            s[3] += float(v)
+        else:
+            ref.append([ts, ts, 1, float(v)])
+    # float sums may differ in ADD ORDER between the two folds when
+    # timestamps tie; compare sums as sorted multisets per session key
+    assert [(s[0], s[1], s[2]) for s in got] == [(s[0], s[1], s[2]) for s in ref]
+    assert [round(s[3], 9) for s in got] == [round(s[3], 9) for s in ref]
