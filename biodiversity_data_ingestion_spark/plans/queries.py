@@ -10542,6 +10542,77 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 225. udtf_word_chunks — Spark 4 Python UDTF surface: an
+# Arrow-optimized table function applied via SQL LATERAL, chunking each
+# doc into fixed word windows. The API demo lives HERE deliberately —
+# production chunking is the codegen'd doc_chunking (sequence +
+# posexplode, no Python); a UDTF buys arbitrary Python generators per
+# row (multi-row UDF output with schema) at Arrow-batch cost, the right
+# tool when the expansion logic can't be expressed as array ops.
+
+def _udtf_word_chunks(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_words int, chunk_md5 string", useArrow=True)
+    class WordChunks:
+        def eval(self, text: str, size: int):
+            import hashlib
+            import re as _re
+
+            # regex-split of TRIMMED text, matching the engine-wide
+            # tokenize twin (split('', '\s+') == [''] in Spark and
+            # DuckDB — Python str.split() would yield [] instead and
+            # diverge on empty/whitespace-only docs)
+            words = _re.split(r"\s+", text.strip())
+            for i in range(0, max(len(words), 1), size):
+                w = words[i : i + size]
+                chunk = " ".join(w)
+                yield (
+                    i // size,
+                    len(w),
+                    hashlib.md5(chunk.encode()).hexdigest(),
+                )
+
+    spark.udtf.register("bdi_word_chunks", WordChunks)
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("bdi_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id,
+               CAST(c.chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(c.n_words AS BIGINT) AS n_words,
+               c.chunk_md5
+        FROM bdi_udtf_docs d, LATERAL bdi_word_chunks(d.text, 40) c
+        """
+    )
+
+
+_register(
+    "udtf_word_chunks",
+    _udtf_word_chunks,
+    r"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        FROM documents),
+    c AS (
+        SELECT doc_id,
+               unnest(generate_series(0, greatest(len(words) - 1, 0), 40))
+                   AS start,
+               words
+        FROM w)
+    SELECT doc_id,
+           CAST(start / 40 AS BIGINT) AS chunk_idx,
+           CAST(len(words[start + 1:start + 40]) AS BIGINT) AS n_words,
+           md5(array_to_string(words[start + 1:start + 40], ' ')) AS chunk_md5
+    FROM c
+    """,
+    "engine extension: Spark 4 Python UDTF (Arrow-optimized, SQL "
+    "LATERAL) — multi-row-per-input table function surface; the "
+    "production chunker stays codegen'd (doc_chunking)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 # The driver's correctness harness checks the first 50 declared queries
@@ -10595,7 +10666,6 @@ _PRIORITY: tuple[str, ...] = (
     "part_urls",
     "gate_rows_projection",
     "order_priority_dims",
-    "ann_cosine_topk",
     "asof_prior_purchase",
     "benchmark_contamination",
     "climate_zonal_grid",
@@ -10619,6 +10689,7 @@ _PRIORITY: tuple[str, ...] = (
     "xml_record_roundtrip",
     "contrastive_negatives",
     "price_ks_drift",
+    "udtf_word_chunks",
 )
 
 _PRIORITY_R5: tuple[str, ...] = (
