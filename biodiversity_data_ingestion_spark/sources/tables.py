@@ -109,3 +109,48 @@ def read_evolving_table(spark: SparkSession, paths: list[str]) -> DataFrame:
     path.
     """
     return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def read_incremental(spark, path: str, manifest_path: str, fmt: str = "parquet"):
+    """Batch-incremental file scan: read only the files under ``path``
+    not yet recorded in the manifest — the nightly-crawl ingestion
+    pattern (the batch twin of the streaming file source's own file
+    tracking, and of the reference's gate anti-join J2 lifted from rows
+    to FILES: the gate key is the file name, so the scan cost tracks
+    the new data, not the table).
+
+    Returns ``(df, new_files, commit)``; call ``commit()`` only AFTER
+    the downstream write succeeds, so a failed run replays the same
+    files next time (at-least-once; pair with an idempotent sink — the
+    versioned-write swap or a MERGE upsert — for effective
+    exactly-once).
+
+    The manifest is a flat JSON file list — right for a per-drop
+    directory (thousands of files). At millions of files the listing
+    itself is the cost; store the manifest as a table and diff with an
+    anti-join instead (same shape, distributed).
+    """
+    import glob as _glob
+    import json
+
+    seen: set[str] = set()
+    if os.path.exists(manifest_path):
+        seen = set(json.load(open(manifest_path))["files"])
+    all_files = sorted(
+        f
+        for f in _glob.glob(os.path.join(path, "*"))
+        if not os.path.basename(f).startswith(("_", "."))
+    )
+    new = [f for f in all_files if f not in seen]
+    if new:
+        df = spark.read.format(fmt).load(new)
+    else:
+        # empty frame with the table's schema, so downstream unions and
+        # writes are a no-op rather than a special case
+        df = spark.createDataFrame([], spark.read.format(fmt).load(path).schema)
+
+    def commit() -> None:
+        with open(manifest_path, "w") as fh:
+            json.dump({"files": sorted(seen | set(new))}, fh)
+
+    return df, new, commit

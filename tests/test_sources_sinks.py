@@ -675,3 +675,39 @@ def test_xml_dead_letter_channel(spark, tmp_path):
     rows = {r["_key"]: (r["name"], r["geo"]["region"]) for r in good.collect()}
     assert rows == {1: ("ALGERIA", 0), 2: ("BRAZIL", 1)}
     assert dead.count() == 1
+
+
+def test_read_incremental_manifest_gate(spark, tmp_path):
+    # file-level gate anti-join: first run reads everything, commit()
+    # seals it, only NEW files are read next; an uncommitted run
+    # replays (at-least-once), and an empty increment returns an empty
+    # frame with the table schema
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biodiversity_data_ingestion_spark.sources.tables import read_incremental
+
+    d = tmp_path / "drops"
+    d.mkdir()
+    man = str(tmp_path / "manifest.json")
+
+    def drop(name, ids):
+        pq.write_table(pa.table({"id": ids}), str(d / name))
+
+    drop("a.parquet", [1, 2])
+    drop("b.parquet", [3])
+    df, new, commit = read_incremental(spark, str(d), man)
+    assert sorted(r["id"] for r in df.collect()) == [1, 2, 3]
+    assert len(new) == 2
+    # NOT committed yet: a rerun replays the same files
+    df2, new2, _ = read_incremental(spark, str(d), man)
+    assert len(new2) == 2
+    commit()
+    drop("c.parquet", [4, 5])
+    df3, new3, commit3 = read_incremental(spark, str(d), man)
+    assert sorted(r["id"] for r in df3.collect()) == [4, 5]
+    assert [os.path.basename(f) for f in new3] == ["c.parquet"]
+    commit3()
+    df4, new4, _ = read_incremental(spark, str(d), man)
+    assert new4 == [] and df4.count() == 0
+    assert df4.schema == df3.schema
