@@ -82,6 +82,9 @@ HEADLINE = (
     "purchase_hits_scores",
     "dsir_importance_weights",
     "rrf_doc_fusion",
+    # bigram LM (token-stream double join) and the Python UDTF surface
+    "doc_bigram_logprob",
+    "udtf_word_chunks",
 )
 
 # queries whose builder EXECUTES the work eagerly (streaming drains,

@@ -10613,6 +10613,167 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 226. lineitem_corr_matrix — full Pearson correlation MATRIX over the
+# four lineitem numerics in ONE scan: every pairwise corr from the same
+# k + k + k(k+1)/2 accumulators (n, sums, squares, cross-products), then
+# closed-form assembly. The point at 100 TB: one pass however many
+# column pairs, versus corr() per pair = k(k-1)/2 scans. Sums
+# accumulate in DECIMAL(38,8) so both engines see identical values
+# (double sums would differ in accumulation order); the final corr is
+# one double expression over exact inputs, round(6)-sealed.
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _lineitem_corr_matrix(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec = "decimal(38,8)"
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(F.col(c).cast(dec)).alias(f"s_{c}"))
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i:]:
+            aggs.append(
+                F.sum(
+                    (F.col(a).cast(dec) * F.col(b).cast(dec)).cast(dec)
+                ).alias(f"p_{a}_{b}")
+            )
+    stats = li.agg(*aggs)
+    pairs = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            num = F.col("n") * F.col(f"p_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+            va = F.col("n") * F.col(f"p_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+            vb = F.col("n") * F.col(f"p_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.round(
+                        num.cast("double")
+                        / F.sqrt(va.cast("double") * vb.cast("double")),
+                        6,
+                    ).alias("corr"),
+                )
+            )
+    return stats.select(F.explode(F.array(*pairs)).alias("p")).select(
+        "p.col_a", "p.col_b", "p.corr"
+    )
+
+
+def _corr_matrix_oracle() -> str:
+    cols = _CORR_COLS
+    sums = ",\n               ".join(
+        f"sum(CAST({c} AS DECIMAL(38,8))) AS s_{c}" for c in cols
+    )
+    prods = ",\n               ".join(
+        f"sum(CAST(CAST({a} AS DECIMAL(38,8)) * CAST({b} AS DECIMAL(38,8))"
+        f" AS DECIMAL(38,8))) AS p_{a}_{b}"
+        for i, a in enumerate(cols)
+        for b in cols[i:]
+    )
+    sel = "\n    UNION ALL\n".join(
+        f"""    SELECT '{a}' AS col_a, '{b}' AS col_b,
+           round(CAST(n * p_{a}_{b} - s_{a} * s_{b} AS DOUBLE)
+                 / sqrt(CAST(n * p_{a}_{a} - s_{a} * s_{a} AS DOUBLE)
+                        * CAST(n * p_{b}_{b} - s_{b} * s_{b} AS DOUBLE)), 6)
+               AS corr
+    FROM stats"""
+        for i, a in enumerate(cols)
+        for b in cols[i + 1 :]
+    )
+    return f"""
+    WITH stats AS (
+        SELECT count(*) AS n,
+               {sums},
+               {prods}
+        FROM lineitem)
+{sel}
+    """
+
+
+_register(
+    "lineitem_corr_matrix",
+    _lineitem_corr_matrix,
+    _corr_matrix_oracle(),
+    "engine extension: one-scan Pearson correlation matrix (shared "
+    "decimal accumulators for every pair; k(k-1)/2 corrs without "
+    "k(k-1)/2 scans)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 227. daily_revenue_trend — per-priority OLS slope/intercept of daily
+# revenue over the day index (closed form from exact decimal sums; the
+# grouped-regression analytics shape). Daily revenue is rounded to 2dp
+# FIRST so both engines regress identical y values; x is an integer
+# day offset. slope/intercept assembled as one double expression over
+# exact sums, round(6).
+
+def _daily_revenue_trend(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").where(F.year("o_orderdate") == 1995)
+    daily = o.groupBy(
+        "o_orderpriority",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01")).alias("x"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).cast("decimal(38,8)").alias("y"))
+    dec = "decimal(38,8)"
+    stats = daily.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x").cast(dec) * F.col("x").cast(dec)).cast(dec)).alias("sxx"),
+        F.sum((F.col("x").cast(dec) * F.col("y")).cast(dec)).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return stats.select(
+        "o_orderpriority",
+        F.col("n").alias("n_days"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n"),
+            6,
+        ).alias("intercept"),
+    )
+
+
+_register(
+    "daily_revenue_trend",
+    _daily_revenue_trend,
+    """
+    WITH daily AS (
+        SELECT o_orderpriority,
+               datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                   AS x,
+               CAST(round(sum(o_totalprice), 2) AS DECIMAL(38,8)) AS y
+        FROM orders WHERE year(o_orderdate) = 1995
+        GROUP BY 1, 2),
+    stats AS (
+        SELECT o_orderpriority, count(*) AS n,
+               sum(CAST(x AS DECIMAL(38,8))) AS sx,
+               sum(y) AS sy,
+               sum(CAST(CAST(x AS DECIMAL(38,8)) * CAST(x AS DECIMAL(38,8))
+                        AS DECIMAL(38,8))) AS sxx,
+               sum(CAST(CAST(x AS DECIMAL(38,8)) * y AS DECIMAL(38,8))) AS sxy
+        FROM daily GROUP BY 1)
+    SELECT o_orderpriority, n AS n_days,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+    FROM stats
+    """,
+    "engine extension: grouped OLS trend (closed-form slope/intercept "
+    "from exact decimal sums; rounded daily y so both engines regress "
+    "identical values)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 # The driver's correctness harness checks the first 50 declared queries
@@ -10669,8 +10830,6 @@ _PRIORITY: tuple[str, ...] = (
     "asof_prior_purchase",
     "benchmark_contamination",
     "climate_zonal_grid",
-    "customer_upsert_merge",
-    "dedup_exact_prefix",
     "derivation_chain_roots",
     "minhash_lsh_dups",
     "multimodal_features",
@@ -10690,6 +10849,8 @@ _PRIORITY: tuple[str, ...] = (
     "contrastive_negatives",
     "price_ks_drift",
     "udtf_word_chunks",
+    "lineitem_corr_matrix",
+    "daily_revenue_trend",
 )
 
 _PRIORITY_R5: tuple[str, ...] = (
