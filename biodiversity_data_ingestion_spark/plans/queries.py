@@ -10774,6 +10774,136 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 228. nb_lang_confusion — multinomial naive-Bayes language classifier
+# trained AND applied in one job: per-(lang, bucket) hashed-unigram
+# counts -> add-1 log-likelihood weights + log-priors, ROUNDED TO 8dp
+# AND CAST TO DECIMAL(38,8) so per-document score sums are EXACT in
+# both engines (double sums would let accumulation-order ulps flip an
+# argmax); broadcast model (|langs| x 256 rows), map-side scoring,
+# argmax by (score, lang) and the actual-vs-predicted confusion matrix.
+# The counts-based trainable-model-in-the-engine shape: no SGD, no RNG,
+# bit-exact.
+
+def _nb_lang_confusion(spark, sf_dir):
+    from ..functions.partitioning import fan_out
+    from ..functions.textfn import tokenize
+
+    B = 256
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(tokenize(F.lower(F.trim(F.col("text"))))).alias("t"),
+    ).withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("bigint")
+        % F.lit(B),
+    )
+    cb = toks.groupBy(F.col("lang").alias("cls"), "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ctot = cb.groupBy("cls").agg(F.sum("c").alias("nc"))
+    # dense model: every (cls, bucket) cell, add-1 smoothed
+    classes = ctot.select("cls", "nc")
+    grid = classes.crossJoin(
+        spark.range(B).select(F.col("id").alias("bucket"))
+    )
+    weights = (
+        grid.join(cb, ["cls", "bucket"], "left")
+        .select(
+            "cls",
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                    / (F.col("nc") + F.lit(B))
+                ),
+                8,
+            )
+            .cast("decimal(38,8)")
+            .alias("w"),
+        )
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("nd"))
+    priors = (
+        docs.groupBy(F.col("lang").alias("cls"))
+        .agg(F.count(F.lit(1)).alias("dc"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "cls",
+            F.round(F.log(F.col("dc") / F.col("nd")), 8)
+            .cast("decimal(38,8)")
+            .alias("prior"),
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id", "lang", "cls")
+        .agg(F.sum("w").alias("sw"))
+        .join(F.broadcast(priors), "cls")
+        .withColumn("score", F.col("sw") + F.col("prior"))
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cls"))
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("actual"), F.col("cls").alias("predicted"))
+    )
+    return pred.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+_register(
+    "nb_lang_confusion",
+    _nb_lang_confusion,
+    r"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(unnest(
+                   string_split_regex(lower(trim(text)), '\s+'))), 1, 15))
+                   AS BIGINT) % 256 AS bucket
+        FROM documents),
+    cb AS (SELECT lang AS cls, bucket, count(*) AS c
+           FROM toks GROUP BY 1, 2),
+    ctot AS (SELECT cls, sum(c) AS nc FROM cb GROUP BY 1),
+    grid AS (
+        SELECT ctot.cls, ctot.nc, gs.bucket
+        FROM ctot CROSS JOIN
+             (SELECT unnest(generate_series(0, 255)) AS bucket) gs),
+    weights AS (
+        SELECT g.cls, g.bucket,
+               CAST(round(ln((coalesce(cb.c, 0) + 1) * 1.0
+                             / (g.nc + 256)), 8) AS DECIMAL(38,8)) AS w
+        FROM grid g LEFT JOIN cb ON g.cls = cb.cls AND g.bucket = cb.bucket),
+    nd AS (SELECT count(*) AS nd FROM documents),
+    priors AS (
+        SELECT lang AS cls,
+               CAST(round(ln(count(*) * 1.0 / nd.nd), 8) AS DECIMAL(38,8))
+                   AS prior
+        FROM documents, nd GROUP BY lang, nd.nd),
+    scored AS (
+        SELECT t.doc_id, t.lang, w.cls, sum(w.w) + any_value(p.prior) AS score
+        FROM toks t
+        JOIN weights w USING (bucket)
+        JOIN priors p ON p.cls = w.cls
+        GROUP BY t.doc_id, t.lang, w.cls),
+    pred AS (
+        SELECT doc_id, lang AS actual, cls AS predicted
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+              FROM scored)
+        WHERE rn = 1)
+    SELECT actual, predicted, count(*) AS n
+    FROM pred GROUP BY 1, 2
+    """,
+    "engine extension: multinomial naive Bayes train+classify in one "
+    "job (decimal log-weights => exact score sums, argmax stable; "
+    "broadcast model, map-side scoring, confusion-matrix output)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 # The driver's correctness harness checks the first 50 declared queries
@@ -10833,7 +10963,6 @@ _PRIORITY: tuple[str, ...] = (
     "derivation_chain_roots",
     "minhash_lsh_dups",
     "multimodal_features",
-    "ngram_jaccard_dups",
     "occurrence_cleaning_summary",
     "points_in_region",
     # -- round-7 additions (zero history by construction; evidence on
@@ -10851,6 +10980,7 @@ _PRIORITY: tuple[str, ...] = (
     "udtf_word_chunks",
     "lineitem_corr_matrix",
     "daily_revenue_trend",
+    "nb_lang_confusion",
 )
 
 _PRIORITY_R5: tuple[str, ...] = (
