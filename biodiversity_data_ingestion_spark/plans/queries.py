@@ -11071,6 +11071,50 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 231. variant_props_stats — Spark 4 VARIANT surface: parse the props
+# JSON column once into the binary variant encoding, extract with
+# variant_get path expressions, aggregate per event type. VARIANT is
+# the schema-FREE semi-structured path (vs from_json's declared-schema
+# struct in events_json_extract): no schema to drift when producers
+# add fields, and the binary encoding decodes fields lazily — at 100 TB
+# the win is parsing each JSON text exactly once however many fields
+# downstream expressions pull.
+
+def _variant_props_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type",
+        F.try_variant_get("v", "$.k", "long").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+        F.countDistinct("k").alias("n_distinct_k"),
+    )
+
+
+_register(
+    "variant_props_stats",
+    _variant_props_stats,
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+           count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT))
+               AS n_distinct_k
+    FROM events GROUP BY event_type
+    """,
+    "engine extension: Spark 4 VARIANT semi-structured path "
+    "(parse_json once -> lazy variant_get extraction; the schema-free "
+    "twin of the declared-schema events_json_extract)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 # The driver's correctness harness checks the first 50 declared queries
@@ -11127,7 +11171,6 @@ _PRIORITY: tuple[str, ...] = (
     "asof_prior_purchase",
     "derivation_chain_roots",
     "minhash_lsh_dups",
-    "multimodal_features",
     "occurrence_cleaning_summary",
     "points_in_region",
     # -- round-7 additions (zero history by construction; evidence on
@@ -11148,6 +11191,7 @@ _PRIORITY: tuple[str, ...] = (
     "nb_lang_confusion",
     "purchase_attribution",
     "part_association_rules",
+    "variant_props_stats",
 )
 
 _PRIORITY_R5: tuple[str, ...] = (

@@ -154,3 +154,26 @@ def read_incremental(spark, path: str, manifest_path: str, fmt: str = "parquet")
             json.dump({"files": sorted(seen | set(new))}, fh)
 
     return df, new, commit
+
+
+def observe_quality(df: DataFrame, cols: list[str], name: str = "bdi_quality"):
+    """Attach in-flight data-quality metrics to ``df`` via Spark's
+    Observation API: row count plus a null count per listed column,
+    computed INSIDE whatever job first executes the frame — no second
+    scan, no separate quality pass. Returns ``(df_observed, obs)``;
+    read ``obs.get`` after an action.
+
+    This is the pipeline-monitoring primitive: at 100 TB a dedicated
+    quality job re-reads the table, while observe() piggybacks the
+    counters on the write/aggregate already running (the accumulator
+    mechanism, exposed declaratively). Metrics are named
+    ``n_rows`` and ``null_<col>``.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}") for c in cols
+    ]
+    return df.observe(obs, *metrics), obs

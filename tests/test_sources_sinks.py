@@ -711,3 +711,25 @@ def test_read_incremental_manifest_gate(spark, tmp_path):
     df4, new4, _ = read_incremental(spark, str(d), man)
     assert new4 == [] and df4.count() == 0
     assert df4.schema == df3.schema
+
+
+def test_observe_quality_piggybacks_metrics(spark):
+    # Observation metrics must ride the SAME job as the action (no
+    # second scan) and report row/null counters exactly
+    from pyspark.sql import functions as F
+
+    from biodiversity_data_ingestion_spark.sources.tables import (
+        load_table,
+        observe_quality,
+    )
+
+    df = load_table(spark, "/root/testdata/sf0.001", "customer").withColumn(
+        "maybe", F.when(F.col("c_custkey") % 3 == 0, F.col("c_name"))
+    )
+    observed, obs = observe_quality(df, ["maybe", "c_name"])
+    n = observed.count()
+    got = obs.get
+    assert got["n_rows"] == n
+    assert got["null_c_name"] == 0
+    expected_nulls = df.where(F.col("maybe").isNull()).count()
+    assert got["null_maybe"] == expected_nulls
