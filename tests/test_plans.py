@@ -484,3 +484,36 @@ def test_ks_drift_windows_are_partitioned(spark):
     plan = _plan(spark, "price_ks_drift", "simple")
     assert "windowspecdefinition(o_orderpriority" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_nb_model_is_broadcast_and_argmax_partitioned(spark):
+    # the |langs| x 256 weight table and the priors must broadcast onto
+    # the token stream; the argmax window partitions by doc_id
+    plan = _plan(spark, "nb_lang_confusion", "simple")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "windowspecdefinition(doc_id" in plan
+    # (the plan's one SinglePartition exchange is the 1-row n_docs
+    # global-aggregate combine feeding the priors broadcast — fine)
+    assert "WindowGroupLimit" in plan  # argmax rank-limit pushdown
+
+
+def test_association_rules_topk_is_take_ordered(spark):
+    # top-20 by lift must be per-partition heaps + driver merge, never
+    # a range-partitioned total sort of the pair stream
+    plan = (
+        QUERIES["part_association_rules"]["builder"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_attribution_windows_are_user_partitioned(spark):
+    # session-id and first-touch windows must partition by user (and
+    # user+session) — an empty partition spec would serialize the
+    # whole event stream into one task
+    plan = _plan(spark, "purchase_attribution", "simple")
+    assert "windowspecdefinition(user_id" in plan
+    assert "Exchange SinglePartition" not in plan
