@@ -85,6 +85,11 @@ HEADLINE = (
     # bigram LM (token-stream double join) and the Python UDTF surface
     "doc_bigram_logprob",
     "udtf_word_chunks",
+    # the VARIANT parse throughput, the NB train+classify job, and the
+    # basket-pair association miner
+    "variant_props_stats",
+    "nb_lang_confusion",
+    "part_association_rules",
 )
 
 # queries whose builder EXECUTES the work eagerly (streaming drains,

@@ -404,6 +404,15 @@ def test_no_scale_killer_joins_anywhere(spark):
         # blocked pairs (pairs themselves are a BroadcastHashJoin on
         # the nation block key)
         "customer_record_linkage",
+        # round-7: 1-row normalizing totals (vocab size / corpus totals
+        # / n_docs / n_baskets) broadcast-crossed onto token or pair
+        # streams — same shape as doc_unigram_logprob above
+        "doc_bigram_logprob", "dsir_importance_weights",
+        "nb_lang_confusion", "part_association_rules",
+        # 16-row md5-ordered negative pool under a source-inequality
+        # theta join: BNLJ against a bounded broadcast side BY DESIGN
+        # (plan-locked in test_contrastive_pool_is_broadcast_and_linear)
+        "contrastive_negatives",
     }
     # measured ceilings for the two legitimately widest plans; anything
     # beyond these usually means a shared subplan is being re-executed
