@@ -733,3 +733,35 @@ def test_observe_quality_piggybacks_metrics(spark):
     assert got["null_c_name"] == 0
     expected_nulls = df.where(F.col("maybe").isNull()).count()
     assert got["null_maybe"] == expected_nulls
+
+
+def test_paginated_datasource_roundtrip_and_commit(spark, tmp_path):
+    # Python DataSource API connector: sliced paginated read equals the
+    # direct scan, task count = slices, the writer publishes a manifest
+    # naming exactly the committed parts
+    import json
+
+    from biodiversity_data_ingestion_spark.sources import paginated
+
+    paginated.register(spark)
+    src = "/root/testdata/sf0.001/customer.parquet"
+    df = (
+        spark.read.format("bdi_paginated")
+        .option("path", src)
+        .option("slices", "5")
+        .option("page_size", "11")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    ref = spark.read.parquet(src)
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, ref.collect()))
+
+    out = str(tmp_path / "bulk")
+    ref.limit(7).repartition(2).write.format("bdi_paginated").option(
+        "path", out
+    ).mode("append").save()
+    man = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    parts = sorted(f for f in os.listdir(out) if f.startswith("part-"))
+    assert man["parts"] == parts and man["n_rows"] == 7
+    n_lines = sum(len(open(os.path.join(out, p)).readlines()) for p in parts)
+    assert n_lines == 7
