@@ -35,6 +35,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -138,5 +139,62 @@ class PaginatedSnapshotDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotent registration of the custom source with a session."""
+    """Idempotent registration of the custom sources with a session."""
     spark.dataSource.register(PaginatedSnapshotDataSource)
+    spark.dataSource.register(DropFeedStreamSource)
+
+
+class _DropStreamReader(SimpleDataSourceStreamReader):
+    """SimpleDataSourceStreamReader over a drop directory: offset =
+    count of consumed files (sorted name order), so micro-batches are
+    the replayable ranges ``files[start:end]`` — readBetweenOffsets IS
+    the exactly-once replay contract (a restarted query re-reads the
+    exact files of an uncommitted batch, nothing else)."""
+
+    def __init__(self, options):
+        self.dir = options["path"]
+        self.fields = [
+            f.strip().split()[0] for f in options["schema"].split(",")
+        ]
+
+    def _files(self):
+        return sorted(
+            f for f in os.listdir(self.dir) if f.endswith(".jsonl")
+        )
+
+    def _rows(self, files):
+        out = []
+        for fn in files:
+            with open(os.path.join(self.dir, fn)) as fh:
+                for line in fh:
+                    d = json.loads(line)
+                    out.append(tuple(d[f] for f in self.fields))
+        return out
+
+    def initialOffset(self):
+        return {"n": 0}
+
+    def read(self, start):
+        files = self._files()
+        return iter(self._rows(files[start["n"] :])), {"n": len(files)}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(self._rows(self._files()[start["n"] : end["n"]]))
+
+
+class DropFeedStreamSource(DataSource):
+    """format("bdi_drop_feed") — streaming twin of read_incremental:
+    the nightly-drop directory as a Structured Streaming SOURCE with
+    offset tracking handled by the engine's checkpoint (vs the batch
+    path's manifest commit). Requires a ``schema`` option (DDL string)
+    and ``path``."""
+
+    @classmethod
+    def name(cls):
+        return "bdi_drop_feed"
+
+    def schema(self):
+        return self.options["schema"]
+
+    def simpleStreamReader(self, schema):
+        return _DropStreamReader(self.options)

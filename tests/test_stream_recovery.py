@@ -277,3 +277,51 @@ def test_merge_session_items_late_event_semantics():
 
     # (5) empty input
     assert _merge_session_items([], gap) == []
+
+
+def test_drop_feed_stream_source_offset_recovery(spark, tmp_path):
+    # custom Python streaming source: first run consumes both drops;
+    # after restart FROM THE SAME CHECKPOINT only the new drop's rows
+    # flow — the engine's offset log drives our reader's file ranges
+    import json
+
+    from biodiversity_data_ingestion_spark.sources import paginated
+
+    paginated.register(spark)
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(name, rows):
+        with open(drops / name, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+
+    out = str(tmp_path / "out")
+
+    def run():
+        # durable file sink (the memory sink cannot recover from a
+        # checkpoint); duplicates after restart would prove the offset
+        # log was ignored
+        q = (
+            spark.readStream.format("bdi_drop_feed")
+            .option("path", str(drops))
+            .option("schema", "id long, v double")
+            .load()
+            .writeStream.format("json")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(r["id"] for r in spark.read.json(out).collect())
+
+    drop("00.jsonl", [{"id": 1, "v": 0.5}, {"id": 2, "v": 1.5}])
+    drop("01.jsonl", [{"id": 3, "v": 2.5}])
+    assert run() == [1, 2, 3]
+    drop("02.jsonl", [{"id": 4, "v": 3.5}, {"id": 5, "v": 4.5}])
+    # SAME checkpoint: only the unconsumed drop flows — ids 1-3 appear
+    # exactly once across both runs (no replay, no loss)
+    assert run() == [1, 2, 3, 4, 5]
