@@ -11156,6 +11156,157 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 233. user_value_cusum — CUSUM change detection per user via the
+# prefix-sum identity s_i = S_i - min(0, min_{j<=i} S_j) with
+# S = running sum of (x - k): equivalent to the clipped fold
+# max(0, s + x - k) in exact arithmetic, and WINDOW-expressible — no
+# per-user array materialization, so it scales to unbounded series.
+# Exactness: deviations are integer CENTS (round(value*100) - 500), so
+# every running sum/min is BIGINT and bit-equal in both engines.
+# (A struct-accumulator list_reduce oracle was rejected: DuckDB v1.0.0
+# mis-evaluates later struct fields on the final fold step.)
+# k=5.00, alert threshold h=20.00.
+
+def _user_value_cusum(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.round(F.col("value") * 100).cast("bigint") - F.lit(500)).alias("d"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    stepped = ev.withColumn("S", F.sum("d").over(run)).withColumn(
+        "s_i",
+        F.col("S") - F.least(F.lit(0).cast("bigint"), F.min("S").over(run)),
+    )
+    return stepped.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.max_by("s_i", F.struct("ts", "event_id")) / 100.0, 2
+        ).alias("final_cusum"),
+        F.sum((F.col("s_i") > 2000).cast("long")).alias("n_alerts"),
+    )
+
+
+_register(
+    "user_value_cusum",
+    _user_value_cusum,
+    """
+    WITH d AS (
+        SELECT user_id, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) - 500 AS d
+        FROM events),
+    ps AS (
+        SELECT user_id, ts, event_id,
+               sum(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS S
+        FROM d),
+    s AS (
+        SELECT user_id, ts, event_id,
+               S - least(CAST(0 AS BIGINT),
+                         min(S) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)) AS s_i
+        FROM ps)
+    SELECT user_id, count(*) AS n_events,
+           round(CAST(last(s_i ORDER BY ts, event_id) AS DOUBLE) / 100.0, 2)
+               AS final_cusum,
+           CAST(sum(CAST(s_i > 2000 AS BIGINT)) AS BIGINT) AS n_alerts
+    FROM s GROUP BY user_id
+    """,
+    "engine extension: CUSUM drift detection via the prefix-sum "
+    "identity over integer cents (window-expressible, exact, no "
+    "per-key arrays)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 234. nation_revenue_holt — Holt double-exponential smoothing (level +
+# trend) over each nation's monthly revenue series, 1-step forecast =
+# level + trend. Same struct-fold determinism contract as CUSUM; the
+# monthly y is rounded FIRST so both engines fold identical inputs.
+# alpha=0.5, beta=0.3; init l=y1, b=0, fold from the second month.
+
+def _nation_revenue_holt(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", F.date_trunc("month", "o_orderdate").alias("m"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("y"))
+    )
+    series = monthly.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "y"))), lambda s: s["y"]
+        ).alias("ys"),
+    )
+    init = F.struct(
+        F.element_at("ys", 1).alias("l"), F.lit(0.0).alias("b")
+    )
+    rest = F.slice(
+        F.col("ys"), 2, F.greatest(F.size("ys") - 1, F.lit(0))
+    )
+    lvl = lambda a, x: F.lit(0.5) * x + F.lit(0.5) * (a["l"] + a["b"])
+    folded = F.aggregate(
+        rest,
+        init,
+        lambda a, x: F.struct(
+            lvl(a, x).alias("l"),
+            (
+                F.lit(0.3) * (lvl(a, x) - a["l"]) + F.lit(0.7) * a["b"]
+            ).alias("b"),
+        ),
+    )
+    return series.select(
+        "n_name",
+        "n_months",
+        F.round(folded["l"], 4).alias("level"),
+        F.round(folded["b"], 4).alias("trend"),
+        F.round(folded["l"] + folded["b"], 4).alias("forecast_next"),
+    )
+
+
+_register(
+    "nation_revenue_holt",
+    _nation_revenue_holt,
+    """
+    WITH RECURSIVE monthly AS (
+        SELECT n.n_name, date_trunc('month', o.o_orderdate) AS m,
+               round(sum(o.o_totalprice), 2) AS y
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2),
+    series AS (
+        SELECT n_name, count(*) AS n_months,
+               list(CAST(y AS DOUBLE) ORDER BY m) AS ys
+        FROM monthly GROUP BY n_name),
+    f AS (
+        SELECT n_name, n_months, ys, 1 AS i,
+               ys[1] AS l, CAST(0.0 AS DOUBLE) AS b
+        FROM series
+        UNION ALL
+        SELECT n_name, n_months, ys, i + 1,
+               0.5 * ys[i + 1] + 0.5 * (l + b),
+               0.3 * ((0.5 * ys[i + 1] + 0.5 * (l + b)) - l) + 0.7 * b
+        FROM f WHERE i < n_months)
+    SELECT n_name, n_months,
+           round(l, 4) AS level, round(b, 4) AS trend,
+           round(l + b, 4) AS forecast_next
+    FROM f WHERE i = n_months
+    """,
+    "engine extension: Holt double-exponential smoothing per group "
+    "(Spark: struct-accumulator fold; oracle: recursive-CTE replay of "
+    "the identical double recurrence — DuckDB list_reduce struct "
+    "accumulators are unreliable in v1.0.0, see user_value_cusum)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 # The driver's correctness harness checks the first 50 declared queries
@@ -11209,10 +11360,8 @@ _PRIORITY: tuple[str, ...] = (
     "part_urls",
     "gate_rows_projection",
     "order_priority_dims",
-    "asof_prior_purchase",
     "derivation_chain_roots",
     "minhash_lsh_dups",
-    "points_in_region",
     # -- round-7 additions (zero history by construction; evidence on
     # arrival — they displace four r2-stale re-checks that keep their
     # r2 green rows: simhash_near_dups, stratified_doc_sample,
@@ -11233,6 +11382,8 @@ _PRIORITY: tuple[str, ...] = (
     "part_association_rules",
     "variant_props_stats",
     "paginated_connector_revenue",
+    "user_value_cusum",
+    "nation_revenue_holt",
 )
 
 _PRIORITY_R5: tuple[str, ...] = (
