@@ -849,6 +849,8 @@ def hits(
     Returns (node, hub, auth) with fixed/SCALE as double (exact: both
     fit 2^53 and SCALE is a power of ten).
     """
+    if n_iter < 1:
+        raise ValueError("hits: n_iter must be >= 1")
     scale = HITS_SCALE
     e = edges.select(
         F.col(src).alias("e_src"), F.col(dst).alias("e_dst")

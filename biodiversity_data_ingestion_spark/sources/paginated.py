@@ -64,13 +64,22 @@ class _PaginatedReader(DataSourceReader):
         # union of slices is the table, slices are disjoint)
         lo = part.slice_id * n // part.n_slices
         hi = (part.slice_id + 1) * n // part.n_slices
-        # page through the slice: one bounded "request" at a time
-        t = f.read()  # local parquet stand-in for the remote endpoint
-        for start in range(lo, hi, self.page_size):
-            page = t.slice(start, min(self.page_size, hi - start))
-            for batch in page.to_batches():
-                if batch.num_rows:
-                    yield batch
+        # stream the slice one bounded page at a time — a task never
+        # holds more than page_size rows (the remote-endpoint memory
+        # contract; a real HTTP client would issue one request here)
+        seen = 0
+        for batch in f.iter_batches(batch_size=self.page_size):
+            b_lo, b_hi = seen, seen + batch.num_rows
+            seen = b_hi
+            if b_hi <= lo:
+                continue
+            if b_lo >= hi:
+                break
+            s = batch.slice(
+                max(lo - b_lo, 0), min(hi, b_hi) - max(lo, b_lo)
+            )
+            if s.num_rows:
+                yield s
 
 
 class _PartMessage(WriterCommitMessage):
@@ -95,7 +104,9 @@ class _JsonlBulkWriter(DataSourceWriter):
         n = 0
         with open(path, "w") as fh:
             for row in rows:
-                fh.write(json.dumps(row.asDict()) + "\n")
+                # default=str: timestamps/dates/decimals serialize as
+                # ISO text instead of failing the task
+                fh.write(json.dumps(row.asDict(), default=str) + "\n")
                 n += 1
         return _PartMessage(path, n)
 

@@ -765,3 +765,26 @@ def test_paginated_datasource_roundtrip_and_commit(spark, tmp_path):
     assert man["parts"] == parts and man["n_rows"] == 7
     n_lines = sum(len(open(os.path.join(out, p)).readlines()) for p in parts)
     assert n_lines == 7
+
+
+def test_paginated_writer_serializes_timestamps(spark, tmp_path):
+    # rows with timestamp columns must serialize (ISO text) instead of
+    # failing the task with a JSON TypeError
+    import json
+
+    from biodiversity_data_ingestion_spark.sources import paginated
+    from biodiversity_data_ingestion_spark.sources.tables import load_table
+
+    paginated.register(spark)
+    out = str(tmp_path / "ts_out")
+    load_table(spark, "/root/testdata/sf0.001", "orders").limit(
+        3
+    ).coalesce(1).write.format("bdi_paginated").option("path", out).mode(
+        "append"
+    ).save()
+    man = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert man["n_rows"] == 3
+    line = json.loads(
+        open(os.path.join(out, man["parts"][0])).readline()
+    )
+    assert "o_orderdate" in line  # serialized, not crashed
