@@ -90,6 +90,11 @@ HEADLINE = (
     "variant_props_stats",
     "nb_lang_confusion",
     "part_association_rules",
+    # windowed CUSUM over the full event stream, the one-scan corr
+    # matrix on lineitem, and the double-window attribution rollup
+    "user_value_cusum",
+    "lineitem_corr_matrix",
+    "purchase_attribution",
 )
 
 # queries whose builder EXECUTES the work eagerly (streaming drains,
