@@ -11307,6 +11307,152 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 235. orders_benford_deviation — Benford's-law first-digit audit of
+# order totals: per digit 1..9, observed count vs the expected
+# n*log10(1+1/d), with the squared-deviation contribution. The
+# fraud/data-quality screen. One scan, 9-row output; per-digit rows
+# avoid any cross-row float summation, so parity needs only identical
+# per-row expressions (integer counts + one double formula).
+
+def _orders_benford_deviation(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digit = F.floor(
+        F.col("o_totalprice")
+        / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("int")
+    counts = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    n = counts.agg(F.sum("obs").alias("n"))
+    exp = F.col("n") * F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        counts.crossJoin(F.broadcast(n))
+        .select(
+            F.col("digit").cast("long").alias("digit"),
+            "obs",
+            F.round(exp, 2).alias("expected"),
+            F.round((F.col("obs") - exp) * (F.col("obs") - exp) / exp, 4).alias(
+                "chi2_term"
+            ),
+        )
+    )
+
+
+_register(
+    "orders_benford_deviation",
+    _orders_benford_deviation,
+    """
+    WITH d AS (
+        SELECT CAST(floor(o_totalprice
+                          / power(10.0, floor(log10(o_totalprice))))
+                    AS INT) AS digit
+        FROM orders WHERE o_totalprice > 0),
+    counts AS (SELECT digit, count(*) AS obs FROM d GROUP BY digit),
+    n AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM counts)
+    SELECT CAST(digit AS BIGINT) AS digit, obs,
+           round(n.n * log10(1.0 + 1.0 / digit), 2) AS expected,
+           round((obs - n.n * log10(1.0 + 1.0 / digit))
+                 * (obs - n.n * log10(1.0 + 1.0 / digit))
+                 / (n.n * log10(1.0 + 1.0 / digit)), 4) AS chi2_term
+    FROM counts CROSS JOIN n
+    """,
+    "engine extension: Benford first-digit audit (per-digit observed "
+    "vs expected + chi-square terms; the fraud/data-quality screen)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 236. doc_zipf_fit — Zipf's-law fit over the corpus vocabulary:
+# log-log OLS of word frequency against frequency rank. Ranks come
+# from the DISTRIBUTED global_row_number (freq desc, term tiebreak —
+# never a single-partition window); ln values are rounded to 8dp and
+# summed in DECIMAL(38,8) so the closed-form slope is exact in both
+# engines (the NB/OLS determinism pattern). Output: one row with
+# n_types, slope (the Zipf exponent, ~-1 for natural text), intercept.
+
+def _doc_zipf_fit(spark, sf_dir):
+    from ..functions.partitioning import global_row_number
+    from ..functions.textfn import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            F.explode(tokenize(F.lower(F.trim(F.col("text"))))).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    ranked = global_row_number(
+        freq.withColumn("neg_f", -F.col("f")), ["neg_f", "t"], out="r"
+    )
+    # ln values rounded to 3dp and typed DECIMAL(38,3): products then
+    # need exactly 6 fractional digits, which BOTH engines represent
+    # exactly (Spark caps decimal-multiply scale at 6; DuckDB's
+    # double-mult path rounds to the same 6dp) — 8dp inputs would make
+    # the two engines' decimal-overflow handling diverge by an ulp
+    dec3, dec6 = "decimal(38,3)", "decimal(38,6)"
+    xy = ranked.select(
+        F.round(F.log("r"), 3).cast(dec3).alias("x"),
+        F.round(F.log("f"), 3).cast(dec3).alias("y"),
+    )
+    stats = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec6)).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(dec6)).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return stats.select(
+        F.col("n").alias("n_types"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n"),
+            6,
+        ).alias("intercept"),
+    )
+
+
+_register(
+    "doc_zipf_fit",
+    _doc_zipf_fit,
+    r"""
+    WITH freq AS (
+        SELECT t, count(*) AS f
+        FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+                  AS t
+              FROM documents)
+        GROUP BY t),
+    ranked AS (
+        SELECT f, row_number() OVER (ORDER BY f DESC, t) AS r FROM freq),
+    xy AS (
+        SELECT CAST(round(ln(r), 3) AS DECIMAL(38,3)) AS x,
+               CAST(round(ln(f), 3) AS DECIMAL(38,3)) AS y
+        FROM ranked),
+    stats AS (
+        SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(CAST(x * x AS DECIMAL(38,6))) AS sxx,
+               sum(CAST(x * y AS DECIMAL(38,6))) AS sxy
+        FROM xy)
+    SELECT n AS n_types,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+           round((CAST(sy AS DOUBLE)
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+    FROM stats
+    """,
+    "engine extension: Zipf's-law fit (distributed frequency ranking "
+    "via global_row_number + exact-decimal log-log OLS; the corpus "
+    "sanity statistic)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 # The driver's correctness harness checks the first 50 declared queries
@@ -11358,9 +11504,7 @@ _PRIORITY: tuple[str, ...] = (
     # -- last checked r2 (24 stalest, one per family where possible) --
     "word_freq",
     "part_urls",
-    "gate_rows_projection",
     "order_priority_dims",
-    "derivation_chain_roots",
     "minhash_lsh_dups",
     # -- round-7 additions (zero history by construction; evidence on
     # arrival — they displace four r2-stale re-checks that keep their
@@ -11384,6 +11528,8 @@ _PRIORITY: tuple[str, ...] = (
     "paginated_connector_revenue",
     "user_value_cusum",
     "nation_revenue_holt",
+    "orders_benford_deviation",
+    "doc_zipf_fit",
 )
 
 _PRIORITY_R5: tuple[str, ...] = (
