@@ -11453,6 +11453,200 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 237. feature_info_gain — information-gain feature selection over the
+# hashed-unigram buckets for language prediction: per bucket,
+# IG = H(lang) - H(lang | bucket present/absent), computed from exact
+# document counts with the 5-class entropy written as a FIXED-ORDER
+# expression (one conditional count per class — never a float sum over
+# a variable row set). The classic filter-method feature ranking, and
+# the feature-selection companion of nb_lang_confusion. Top-20 by IG.
+
+def _feature_info_gain(spark, sf_dir):
+    from ..functions.partitioning import global_row_number
+    from ..functions.textfn import tokenize
+
+    B = 64
+    docs = _t(spark, sf_dir, "documents")
+    langs = ["de", "en", "es", "fr", "zh"]
+    n_docs = docs.count()  # tiny dim of the problem; a literal both sides
+    # per (bucket, lang): number of DOCS containing the bucket
+    db = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        tokenize(F.lower(F.trim(F.col("text")))),
+                        lambda t: F.conv(
+                            F.substring(F.md5(t), 1, 15), 16, 10
+                        ).cast("bigint")
+                        % F.lit(B),
+                    )
+                )
+            ).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .pivot("lang", langs)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    # class totals as literals via one tiny collect (5 values)
+    totals = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    def _h(parts, n):
+        # entropy of a FIXED list of (count expr, total) in nats;
+        # 0*ln(0) guarded per term
+        terms = []
+        for c in parts:
+            p = c / F.lit(float(n))
+            terms.append(F.when(c > 0, -p * F.log(p)).otherwise(F.lit(0.0)))
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    h_class = _h([F.lit(float(totals.get(l, 0))) for l in langs], n_docs)
+    present = [F.col(l) for l in langs]
+    n_present = present[0]
+    for c in present[1:]:
+        n_present = n_present + c
+    absent = [F.lit(float(totals.get(l, 0))) - F.col(l) for l in langs]
+    n_absent = F.lit(float(n_docs)) - n_present
+    # H over present/absent docs needs the VARIABLE totals: write the
+    # per-term p with the column total explicitly
+    def _h_var(parts, total):
+        terms = []
+        for c in parts:
+            p = c / total
+            terms.append(F.when(c > 0, -p * F.log(p)).otherwise(F.lit(0.0)))
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    h_cond = (
+        n_present / F.lit(float(n_docs)) * _h_var(present, n_present)
+        + n_absent / F.lit(float(n_docs)) * _h_var(absent, n_absent)
+    )
+    scored = db.select(
+        "bucket",
+        n_present.cast("long").alias("doc_freq"),
+        F.round(h_class - h_cond, 6).alias("info_gain"),
+    )
+    ranked = global_row_number(
+        scored.withColumn("neg", -F.col("info_gain")), ["neg", "bucket"], out="r"
+    )
+    return ranked.where(F.col("r") <= 20).select(
+        "bucket", "doc_freq", "info_gain", F.col("r").alias("rank")
+    )
+
+
+def _info_gain_oracle() -> str:
+    langs = ["de", "en", "es", "fr", "zh"]
+    pv = ",\n               ".join(
+        f"count(*) FILTER (lang = '{l}') AS c_{l}" for l in langs
+    )
+    tot = ",\n               ".join(
+        f"(SELECT count(*) FROM documents WHERE lang = '{l}') AS t_{l}"
+        for l in langs
+    )
+    hterm = lambda c, n: (
+        f"CASE WHEN {c} > 0 THEN -({c} * 1.0 / {n}) * ln({c} * 1.0 / {n}) "
+        f"ELSE 0.0 END"
+    )
+    h_class = " + ".join(hterm(f"t.t_{l}", "t.nd") for l in langs)
+    npres = " + ".join(f"c_{l}" for l in langs)
+    h_pres = " + ".join(hterm(f"c_{l}", "np") for l in langs)
+    h_abs = " + ".join(hterm(f"(t.t_{l} - c_{l})", "(t.nd - np)") for l in langs)
+    return rf"""
+    WITH db AS (
+        SELECT bucket, {pv}
+        FROM (
+            SELECT DISTINCT doc_id, lang,
+                   CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 64
+                       AS bucket
+            FROM (SELECT doc_id, lang,
+                         unnest(string_split_regex(lower(trim(text)),
+                                                   '\s+')) AS t
+                  FROM documents))
+        GROUP BY bucket),
+    t AS (
+        SELECT {tot}, (SELECT count(*) FROM documents) AS nd),
+    scored AS (
+        SELECT bucket,
+               CAST({npres} AS BIGINT) AS doc_freq,
+               round(({h_class})
+                     - (({npres}) * 1.0 / t.nd) * ({h_pres})
+                     - ((t.nd - ({npres})) * 1.0 / t.nd) * ({h_abs}),
+                     6) AS info_gain
+        FROM db, t, LATERAL (SELECT {npres} AS np) v)
+    SELECT bucket, doc_freq, info_gain,
+           CAST(row_number() OVER (ORDER BY info_gain DESC, bucket)
+                AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 20
+    """
+
+
+_register(
+    "feature_info_gain",
+    _feature_info_gain,
+    _info_gain_oracle(),
+    "engine extension: information-gain feature ranking (exact doc "
+    "counts, fixed-order per-class entropy expressions, distributed "
+    "top-20 via global_row_number)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 238. k_anonymity_audit — privacy audit over the quasi-identifier
+# tuple (nation, market segment): equivalence-class sizes, how many
+# classes fall under k=5, rows at risk and their share. Release gate
+# for any dataset export; exact integer counts end-to-end, one
+# grouped pass + a 1-row rollup.
+
+def _k_anonymity_audit(spark, sf_dir):
+    K = 5
+    c = _t(spark, sf_dir, "customer")
+    groups = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    at_risk = F.sum(F.when(F.col("n") < K, F.col("n")).otherwise(0))
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum((F.col("n") < K).cast("long")).alias("n_small_classes"),
+        at_risk.cast("long").alias("n_rows_at_risk"),
+        F.min("n").alias("min_class_size"),
+        F.round(at_risk / F.sum("n") * 100, 4).alias("pct_at_risk"),
+    )
+
+
+_register(
+    "k_anonymity_audit",
+    _k_anonymity_audit,
+    """
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS n
+        FROM customer GROUP BY 1, 2)
+    SELECT count(*) AS n_classes,
+           CAST(sum(CAST(n < 5 AS BIGINT)) AS BIGINT) AS n_small_classes,
+           CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+               AS n_rows_at_risk,
+           min(n) AS min_class_size,
+           round(sum(CASE WHEN n < 5 THEN n ELSE 0 END) * 100.0 / sum(n), 4)
+               AS pct_at_risk
+    FROM g
+    """,
+    "engine extension: k-anonymity release audit (equivalence-class "
+    "sizes over quasi-identifiers; exact integer counts)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 # The driver's correctness harness checks the first 50 declared queries
@@ -11503,8 +11697,6 @@ _PRIORITY: tuple[str, ...] = (
     "species_range_hull",
     # -- last checked r2 (24 stalest, one per family where possible) --
     "word_freq",
-    "part_urls",
-    "order_priority_dims",
     "minhash_lsh_dups",
     # -- round-7 additions (zero history by construction; evidence on
     # arrival — they displace four r2-stale re-checks that keep their
@@ -11530,6 +11722,8 @@ _PRIORITY: tuple[str, ...] = (
     "nation_revenue_holt",
     "orders_benford_deviation",
     "doc_zipf_fit",
+    "feature_info_gain",
+    "k_anonymity_audit",
 )
 
 _PRIORITY_R5: tuple[str, ...] = (
