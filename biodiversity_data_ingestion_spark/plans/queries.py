@@ -11647,6 +11647,107 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 239. event_trigram_topk — sequential pattern mining one step past the
+# transition matrix: per-user event-type TRIGRAMS via two lead()
+# windows, global support counts, top-20 by support with a total
+# tiebreak (TakeOrdered, never a full sort). The cheap sequence-mining
+# rep (PrefixSpan's depth-1 unrolling for fixed length 3).
+
+def _event_trigram_topk(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .where(F.col("e3").isNotNull())
+    )
+    counts = tri.groupBy("e1", "e2", "e3").agg(
+        F.count(F.lit(1)).alias("support"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    return counts.orderBy(
+        F.desc("support"), F.desc("n_users"), "e1", "e2", "e3"
+    ).limit(20)
+
+
+_register(
+    "event_trigram_topk",
+    _event_trigram_topk,
+    """
+    WITH t AS (
+        SELECT user_id, event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT e1, e2, e3, count(*) AS support,
+           count(DISTINCT user_id) AS n_users
+    FROM t WHERE e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+    ORDER BY support DESC, n_users DESC, e1, e2, e3 LIMIT 20
+    """,
+    "engine extension: top-k event trigrams (two lead() windows + "
+    "global support counts; the fixed-length sequence-mining rep)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 240. kfold_split_balance — deterministic k-fold cross-validation
+# assignment + balance audit: fold = portable 60-bit md5 hash of the
+# doc id mod k (stable across engines and runs, no RNG), with per-fold
+# document counts and per-language shares so skewed folds are visible
+# before a training run. The split-integrity twin of
+# leakage_safe_splits.
+
+def _kfold_split_balance(spark, sf_dir):
+    K = 5
+    docs = _t(spark, sf_dir, "documents")
+    folded = docs.withColumn(
+        "fold",
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        % F.lit(K),
+    )
+    per = folded.groupBy("fold", "lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = per.groupBy("fold").agg(F.sum("n").alias("fold_n"))
+    return (
+        per.join(tot, "fold")
+        .select(
+            "fold",
+            "lang",
+            "n",
+            F.round(F.col("n") / F.col("fold_n") * 100, 4).alias("pct_of_fold"),
+        )
+    )
+
+
+_register(
+    "kfold_split_balance",
+    _kfold_split_balance,
+    """
+    WITH f AS (
+        SELECT lang,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 5 AS fold
+        FROM documents),
+    per AS (SELECT fold, lang, count(*) AS n FROM f GROUP BY 1, 2),
+    tot AS (SELECT fold, CAST(sum(n) AS BIGINT) AS fold_n
+            FROM per GROUP BY 1)
+    SELECT per.fold, lang, n,
+           round(n * 100.0 / fold_n, 4) AS pct_of_fold
+    FROM per JOIN tot ON per.fold = tot.fold
+    """,
+    "engine extension: deterministic k-fold CV assignment (portable "
+    "md5 hash mod k, no RNG) + per-fold class-balance audit",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 # The driver's correctness harness checks the first 50 declared queries
@@ -11696,8 +11797,6 @@ _PRIORITY: tuple[str, ...] = (
     "remote_customers",
     "species_range_hull",
     # -- last checked r2 (24 stalest, one per family where possible) --
-    "word_freq",
-    "minhash_lsh_dups",
     # -- round-7 additions (zero history by construction; evidence on
     # arrival — they displace four r2-stale re-checks that keep their
     # r2 green rows: simhash_near_dups, stratified_doc_sample,
@@ -11724,6 +11823,8 @@ _PRIORITY: tuple[str, ...] = (
     "doc_zipf_fit",
     "feature_info_gain",
     "k_anonymity_audit",
+    "event_trigram_topk",
+    "kfold_split_balance",
 )
 
 _PRIORITY_R5: tuple[str, ...] = (
