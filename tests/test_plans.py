@@ -413,6 +413,9 @@ def test_no_scale_killer_joins_anywhere(spark):
         # theta join: BNLJ against a bounded broadcast side BY DESIGN
         # (plan-locked in test_contrastive_pool_is_broadcast_and_linear)
         "contrastive_negatives",
+        # Benford: the 1-row digit-count total broadcast-crossed onto
+        # the 9-row digit table
+        "orders_benford_deviation",
     }
     # measured ceilings for the two legitimately widest plans; anything
     # beyond these usually means a shared subplan is being re-executed
