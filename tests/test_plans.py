@@ -529,3 +529,16 @@ def test_attribution_windows_are_user_partitioned(spark):
     plan = _plan(spark, "purchase_attribution", "simple")
     assert "windowspecdefinition(user_id" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_zipf_and_infogain_rank_distributed(spark):
+    # both top-k rankings go through global_row_number: the data-path
+    # window must be partitioned by the range slice, never empty
+    for q in ("doc_zipf_fit", "feature_info_gain"):
+        plan = (
+            QUERIES[q]["builder"](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "row_number() windowspecdefinition(_gpid" in plan, q
