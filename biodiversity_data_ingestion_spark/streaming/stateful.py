@@ -836,3 +836,70 @@ def run_stream_running_totals_over_events(
         F.max("n_events").alias("n_events"),
         F.round(F.max_by("sum_value", "n_events"), 2).alias("sum_value"),
     )
+
+
+def run_stream_quality_gated_write(
+    spark,
+    source_df,
+    good_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+    null_col: str,
+    max_null_frac: float = 0.5,
+):
+    """Quality-gated streaming sink via foreachBatch: each micro-batch
+    is audited (row count + null fraction of ``null_col``, one cached
+    pass) and routed WHOLE to the good table or the quarantine
+    directory — the circuit-breaker pattern for upstream feed
+    corruption, where a half-broken drop should never pollute the
+    serving table. Batch-level decisions land in a JSONL audit log
+    next to the good table.
+
+    Exactly-once composition: foreachBatch + the engine checkpoint
+    replays an uncommitted batch with the same batch_id; both writes
+    are per-batch-id parquet appends, so a replayed batch overwrites
+    its own files rather than duplicating rows (idempotent by path).
+    """
+    import json
+
+    def _process(batch_df, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        batch_df = batch_df.cache()
+        try:
+            stats = batch_df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col(null_col).isNull().cast("long")).alias("nulls"),
+            ).first()
+            n, nulls = stats["n"], stats["nulls"] or 0
+            if n == 0:
+                return
+            bad = nulls / n > max_null_frac
+            target = quarantine_dir if bad else good_dir
+            # per-batch subdirectory => replays overwrite themselves
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(target, f"batch_id={batch_id}")
+            )
+            os.makedirs(good_dir, exist_ok=True)
+            with open(os.path.join(good_dir, "_audit.jsonl"), "a") as fh:
+                fh.write(
+                    json.dumps(
+                        {
+                            "batch_id": batch_id,
+                            "n_rows": n,
+                            "null_frac": round(nulls / n, 4),
+                            "quarantined": bad,
+                        }
+                    )
+                    + "\n"
+                )
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        source_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)

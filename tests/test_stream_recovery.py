@@ -5,6 +5,8 @@ the exactly-once-source contract a production stream depends on."""
 
 from __future__ import annotations
 
+import os
+
 import glob
 
 from pyspark.sql import functions as F
@@ -325,3 +327,54 @@ def test_drop_feed_stream_source_offset_recovery(spark, tmp_path):
     # SAME checkpoint: only the unconsumed drop flows — ids 1-3 appear
     # exactly once across both runs (no replay, no loss)
     assert run() == [1, 2, 3, 4, 5]
+
+
+def test_quality_gated_write_quarantines_bad_batches(spark, tmp_path):
+    # two micro-batches: a clean drop lands in the good table, a
+    # majority-null drop is quarantined WHOLE; the audit log records
+    # both decisions
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biodiversity_data_ingestion_spark.streaming.stateful import (
+        run_stream_quality_gated_write,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table({"id": [1, 2, 3], "v": [1.0, 2.0, 3.0]}),
+        str(src / "00.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"id": [4, 5, 6], "v": pa.array([None, None, 6.0], type=pa.float64())}
+        ),
+        str(src / "01.parquet"),
+    )
+    os.utime(str(src / "01.parquet"), (2_000_000_000, 2_000_000_000))
+    stream = (
+        spark.readStream.schema("id long, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    good, quar = str(tmp_path / "good"), str(tmp_path / "quar")
+    run_stream_quality_gated_write(
+        spark, stream, good, quar, str(tmp_path / "ckpt"), "v", 0.5
+    )
+    good_ids = sorted(
+        r["id"] for r in spark.read.option("basePath", good).parquet(good).collect()
+    )
+    quar_ids = sorted(
+        r["id"] for r in spark.read.option("basePath", quar).parquet(quar).collect()
+    )
+    assert good_ids == [1, 2, 3] and quar_ids == [4, 5, 6]
+    audit = [
+        json.loads(line) for line in open(os.path.join(good, "_audit.jsonl"))
+    ]
+    assert [a["quarantined"] for a in sorted(audit, key=lambda a: a["batch_id"])] == [
+        False,
+        True,
+    ]
