@@ -11760,14 +11760,16 @@ _PRIORITY: tuple[str, ...] = (
     # with ZERO driver evidence across r1-r6 go first — four of them
     # (customer_record_linkage, bm25_doc_retrieval,
     # bloom_gated_order_rollup, stream_stateful_sessions) carry r6
-    # rewrites whose only verification so far is the local 216-query
-    # parity sweep, so they lead. sketch_value_stats is the one
-    # rows-only entry. Then ivf_topk_probe (its only driver row, r1,
-    # predates the exact fixed-point oracle) and the rest of the
-    # window re-verifies the STALEST greens: the 7 other rows last
-    # checked in r1 and 24 last checked in r2, oldest families first.
-    # After this window runs green, every one of the 216 registered
-    # queries is ever-driver-verified and no green is older than r3.
+    # rewrites whose only verification so far was local parity, so
+    # they lead. sketch_value_stats is the one rows-only entry. Then
+    # ivf_topk_probe (its only driver row, r1, predates the exact
+    # fixed-point oracle) and the 7 other rows last checked in r1.
+    # The TAIL holds every ROUND-7 ADDITION (evidence on arrival):
+    # they progressively displaced the 24 r2-stale re-checks the
+    # window opened with — those keep their recorded r2 green rows,
+    # and NOTES.md lists them as the round-8 re-verification block.
+    # After this window runs green, every registered query is
+    # ever-driver-verified and every r7 addition has a driver row.
     # -- never-driver-checked (18) --
     "customer_record_linkage",
     "bm25_doc_retrieval",
