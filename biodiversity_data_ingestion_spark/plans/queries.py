@@ -10168,19 +10168,32 @@ def _dsir_importance_weights(spark, sf_dir):
     totals = dist.agg(
         F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
     )
+    # Quantize the bucket weight to 8dp DECIMAL before the broadcast
+    # join: the per-doc aggregation then sums EXACT decimals, so the
+    # result is independent of partition/accumulation order (raw double
+    # sums let an ulp land across the final round(4) boundary — the
+    # nb_lang_confusion pattern). One double division + round(4) at the
+    # end operates on identical operands in both engines.
     weights = dist.crossJoin(F.broadcast(totals)).select(
         "bucket",
-        F.log(
-            ((F.col("ct") + 1) * (F.col("nr") + B))
-            / ((F.col("cr") + 1) * (F.col("nt") + B))
-        ).alias("w"),
+        F.round(
+            F.log(
+                ((F.col("ct") + 1) * (F.col("nr") + B))
+                / ((F.col("cr") + 1) * (F.col("nt") + B))
+            ),
+            8,
+        )
+        .cast("decimal(38,8)")
+        .alias("w"),
     )
     return (
         toks.join(F.broadcast(weights), "bucket")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg("w"), 4).alias("dsir_logratio"),
+            F.round(
+                F.sum("w").cast("double") / F.count(F.lit(1)), 4
+            ).alias("dsir_logratio"),
         )
     )
 
@@ -10202,11 +10215,11 @@ _register(
     totals AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM dist),
     weights AS (
         SELECT bucket,
-               ln(((ct + 1) * (nr + 256)) * 1.0
-                  / ((cr + 1) * (nt + 256))) AS w
+               CAST(round(ln(((ct + 1) * (nr + 256)) * 1.0
+                  / ((cr + 1) * (nt + 256))), 8) AS DECIMAL(38,8)) AS w
         FROM dist CROSS JOIN totals)
     SELECT toks.doc_id, count(*) AS n_tokens,
-           round(avg(w), 4) AS dsir_logratio
+           round(CAST(sum(w) AS DOUBLE) / count(*), 4) AS dsir_logratio
     FROM toks JOIN weights USING (bucket)
     GROUP BY toks.doc_id
     """,
