@@ -95,6 +95,20 @@ HEADLINE = (
     "user_value_cusum",
     "lineitem_corr_matrix",
     "purchase_attribution",
+    # round-9 tail (novel shuffle shapes from the r7 additions): the
+    # Holt fold over monthly series, the KS window-cumsum CDFs, the
+    # info-gain doc-frequency pivot (driver-literal n_docs -> EAGER),
+    # Benford first-digit profile, the Zipf log-log regression, the
+    # trigram heavy-hitter miner, the k-fold balance audit, and the
+    # XML synth->parse roundtrip
+    "nation_revenue_holt",
+    "price_ks_drift",
+    "feature_info_gain",
+    "orders_benford_deviation",
+    "doc_zipf_fit",
+    "event_trigram_topk",
+    "kfold_split_balance",
+    "xml_record_roundtrip",
 )
 
 # queries whose builder EXECUTES the work eagerly (streaming drains,
@@ -125,6 +139,9 @@ EAGER = {
     "purchase_hits_scores",
     # global_row_number's stamped-frame checkpoints run at build time
     "rrf_doc_fusion",
+    # builder runs docs.count() (the 1-literal problem dim) + a
+    # global_row_number checkpoint at build time
+    "feature_info_gain",
 }
 
 
@@ -143,19 +160,21 @@ def main() -> None:
     # warm-up: JVM + parquet footer caches
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        best = None
-        # best-of-3 damps shared-host noise (observed 1.5x swings on
-        # identical plans between consecutive runs of this box)
-        for _ in range(3):
+    # INTERLEAVED best-of-3 (round-8 advice): run the whole query list
+    # three times in rotation instead of 3 consecutive repeats per
+    # query, so a transient load spike degrades at most one of each
+    # query's samples — round-over-round deltas become load-immune
+    # without a quiet box. Total work is identical to the old loop.
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _rep in range(3):
+        for name in HEADLINE:
             t0 = time.perf_counter()
             df = QUERIES[name]["builder"](spark, sf_dir)
             t1 = time.perf_counter() if name not in EAGER else t0
             df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t1
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            samples[name].append(time.perf_counter() - t1)
+    timings = {name: round(min(s), 3) for name, s in samples.items()}
+    for name in HEADLINE:
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     print(
@@ -171,6 +190,7 @@ def main() -> None:
                 # contention-shaped "regressions" are self-diagnosing
                 "repeats": 3,
                 "aggregation": "best",
+                "interleaved": True,
                 "load_avg_1m_start": load_start,
                 "load_avg_1m_end": round(os.getloadavg()[0], 2),
             }

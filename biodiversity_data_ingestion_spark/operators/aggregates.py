@@ -32,19 +32,30 @@ def distribution_stats(
     build their own per-group value-count map, tripling the dominant
     memory/CPU cost of this aggregation.
     """
+    # mean/sd from exact DECIMAL first/second moments: native avg /
+    # stddev_pop accumulate doubles in partition order, which can flip
+    # the rounded output across layouts (the dsir lesson). The cent-
+    # valued inputs keep v and v*v exact in decimal; the closing
+    # mean/sqrt is a FIXED sequence of double ops on identical operands.
     v = F.col(value)
+    vd = v.cast("decimal(18,2)")
     agg = df.groupBy(*keys).agg(
-        F.round(F.avg(v), ndigits).alias("mean"),
-        F.round(F.stddev_pop(v), ndigits).alias("sd"),
+        F.sum(vd).alias("_s1"),
+        F.sum(vd * vd).alias("_s2"),
         F.percentile(v, F.array(F.lit(0.5), F.lit(0.05), F.lit(0.95))).alias("_pcts"),
         F.round(F.min(v), ndigits).alias("min"),
         F.round(F.max(v), ndigits).alias("max"),
         F.count(v).alias("n"),
     )
+    s1d = F.col("_s1").cast("double")
+    s2d = F.col("_s2").cast("double")
+    n = F.col("n")
     return agg.select(
         *keys,
-        "mean",
-        "sd",
+        F.round(s1d / n, ndigits).alias("mean"),
+        F.round(
+            F.sqrt(F.greatest((s2d - s1d * s1d / n) / n, F.lit(0.0))), ndigits
+        ).alias("sd"),
         F.round(F.element_at("_pcts", 1), ndigits).alias("median"),
         F.round(F.element_at("_pcts", 2), ndigits).alias("p5"),
         F.round(F.element_at("_pcts", 3), ndigits).alias("p95"),
@@ -89,14 +100,15 @@ def sketch_distribution_stats(
         v, F.array(F.lit(0.5), F.lit(0.05), F.lit(0.95)), F.lit(10000)
     )
     agg = df.groupBy(*keys).agg(
-        F.round(F.avg(v), ndigits).alias("mean"),
+        # exact DECIMAL mean (order-independent; see distribution_stats)
+        F.sum(v.cast("decimal(18,2)")).alias("_s1"),
         pcts.alias("_pcts"),
         F.approx_count_distinct(v, rsd=0.01).alias("approx_distinct"),
         F.count(v).alias("n"),
     )
     return agg.select(
         *keys,
-        "mean",
+        F.round(F.col("_s1").cast("double") / F.col("n"), ndigits).alias("mean"),
         F.round(F.element_at("_pcts", 1), ndigits).alias("median"),
         F.round(F.element_at("_pcts", 2), ndigits).alias("p5"),
         F.round(F.element_at("_pcts", 3), ndigits).alias("p95"),

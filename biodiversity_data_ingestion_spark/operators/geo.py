@@ -41,6 +41,7 @@ from ..functions.partitioning import fan_out
 from pyspark.sql.types import (
     BooleanType,
     DoubleType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -332,4 +333,99 @@ def convex_hull_range_km2(
 
     return df.select(group_col, lat, lon).groupBy(group_col).applyInPandas(
         kernel, schema=out_schema
+    )
+
+# ---------------------------------------------------------------------------
+# Fixed-point convex hull metrics (oracle-graduated twin of
+# convex_hull_range_km2): quantize coordinates to integer centi-degrees,
+# so hull membership, vertex count, and the doubled shoelace area are
+# EXACT int64 arithmetic — replayable in SQL by the O(n^2) hull-edge
+# characterization (edge a->b iff every other point lies strictly left,
+# or collinear strictly between a and b). Reference kernel:
+# transforms.py:889-934 (hull + shoelace); this twin pins the exact
+# integer invariants that the km^2 kernel's float path approximates.
+
+
+def _hull_int(pts: "np.ndarray") -> "np.ndarray":
+    """Andrew monotone chain over int64 points -> strict hull CCW.
+
+    Collinear boundary points are excluded (pop on cross <= 0), matching
+    the SQL edge characterization's "strictly left OR strictly between"
+    rule. len<=2 degenerates to the distinct point(s).
+    """
+    pts = np.unique(pts, axis=0)
+    if len(pts) <= 2:
+        return pts
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def half(points):
+        out: list = []
+        for p in points:
+            while len(out) >= 2 and (
+                (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])
+            ) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def convex_hull_fixed_point(
+    df: DataFrame,
+    group_col: str,
+    lat: str = "lat",
+    lon: str = "lon",
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group exact hull metrics on integer fixed-point coordinates.
+
+    Returns (group, n_pts, hull_vertices, area2_fp):
+    - n_pts: distinct quantized points
+    - hull_vertices: strict hull vertex count (1 point -> 1,
+      collinear -> 2)
+    - area2_fp: doubled shoelace area over the CCW hull cycle in
+      quantized units^2 (exact int64; 0 for degenerate hulls)
+
+    applyInPandas on the group key — same single-shuffle shape as
+    convex_hull_range_km2; each group reduces to one row.
+    """
+    out_schema = StructType(
+        [
+            StructField(group_col, LongType(), True),
+            StructField("n_pts", LongType(), True),
+            StructField("hull_vertices", LongType(), True),
+            StructField("area2_fp", LongType(), True),
+        ]
+    )
+
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        x = np.rint(pdf[lon].to_numpy(dtype=np.float64) * scale).astype(np.int64)
+        y = np.rint(pdf[lat].to_numpy(dtype=np.float64) * scale).astype(np.int64)
+        pts = np.unique(np.column_stack([x, y]), axis=0)
+        hull = _hull_int(pts)
+        m = len(hull)
+        if m < 3:
+            area2 = 0
+        else:
+            xs, ys = hull[:, 0], hull[:, 1]
+            area2 = int(
+                np.dot(xs, np.roll(ys, -1)) - np.dot(ys, np.roll(xs, -1))
+            )
+        return pd.DataFrame(
+            {
+                group_col: [int(key[0])],
+                "n_pts": [len(pts)],
+                "hull_vertices": [m],
+                "area2_fp": [area2],
+            }
+        )
+
+    return (
+        df.select(F.col(group_col).cast("long").alias(group_col), lat, lon)
+        .groupBy(group_col)
+        .applyInPandas(kernel, schema=out_schema)
     )

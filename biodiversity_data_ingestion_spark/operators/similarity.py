@@ -209,9 +209,19 @@ def label_centroids(
         F.col(label_col).alias("label"),
         F.posexplode(as_double_vec(F.col(vec_col))).alias("dim", "val"),
     )
-    return exploded.groupBy("label", "dim").agg(
-        F.round(F.avg("val"), 6).alias("centroid_val"),
-        F.count(F.lit(1)).alias("n_vecs"),
+    # 2^24 fixed-point accumulation (the kmeans quantization): integer
+    # sums are order-independent, unlike avg(double) whose accumulation
+    # order could flip the rounded output across partition layouts.
+    q = F.round(F.col("val") * F.lit(16777216.0)).cast("bigint")
+    return (
+        exploded.withColumn("q", q)
+        .groupBy("label", "dim")
+        .agg(
+            F.round(
+                (F.sum("q").cast("double") / F.count(F.lit(1))) / 16777216.0, 6
+            ).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
     )
 
 

@@ -83,20 +83,29 @@ def _register(name: str, builder: Callable, oracle: str | None, ref: str) -> Non
 # 1. q1_pricing_summary — A1/A3 global+grouped aggregation (TPC-H Q1 shape)
 
 def _q1(spark, sf_dir):
+    # Money columns are cent-valued doubles: accumulate as exact
+    # DECIMAL so group sums are independent of partition/accumulation
+    # order (2dp operands keep every product exact at scale <= 6; the
+    # dsir lesson applied registry-wide). l_quantity is integer-valued,
+    # so its double sums are exact as-is.
     li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    n = F.count(F.lit(1))
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(price * (1 - disc)), 2).cast("double").alias("sum_disc_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
-            ).alias("sum_charge"),
+                F.sum(price * (1 - disc) * (1 + tax)), 2
+            ).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum(price).cast("double") / n, 2).alias("avg_price"),
+            F.round(F.sum(disc).cast("double") / n, 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -106,17 +115,23 @@ _register(
     "q1_pricing_summary",
     _q1,
     """
+    WITH li AS (
+        SELECT l_returnflag, l_linestatus, l_quantity,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+               CAST(l_discount AS DECIMAL(4,2)) AS disc,
+               CAST(l_tax AS DECIMAL(4,2)) AS tax
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02')
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)       AS sum_qty,
-           round(sum(l_extendedprice), 2)  AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           CAST(round(sum(price), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(price * (1 - disc)), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(price * (1 - disc) * (1 + tax)), 2) AS DOUBLE) AS sum_charge,
            round(avg(l_quantity), 2)       AS avg_qty,
-           round(avg(l_extendedprice), 2)  AS avg_price,
-           round(avg(l_discount), 4)       AS avg_disc,
+           round(CAST(sum(price) AS DOUBLE) / count(*), 2) AS avg_price,
+           round(CAST(sum(disc) AS DOUBLE) / count(*), 4)  AS avg_disc,
            count(*)                        AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    FROM li
     GROUP BY l_returnflag, l_linestatus
     """,
     "SURVEY §2.4 A1/A3; reference occurrences_pipeline.py:50-77",
@@ -138,7 +153,15 @@ def _revenue_by_nation(spark, sf_dir):
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            # exact DECIMAL accumulation of the cent-valued revenue term
+            # (order-independent; see _q1)
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (1 - F.col("l_discount").cast("decimal(4,2)"))
+                ),
+                2,
+            ).cast("double").alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
     )
@@ -149,7 +172,9 @@ _register(
     _revenue_by_nation,
     """
     SELECT r_name, n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                AS DOUBLE) AS revenue,
            count(DISTINCT o_orderkey) AS n_orders
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -321,15 +346,17 @@ _register(
 _ORDER_DIMS_SQL = """
     SELECT o_orderstatus AS filter_status, CAST(NULL AS STRING) AS filter_priority,
            count(*) AS n_orders, count(DISTINCT o_custkey) AS n_customers,
-           round(sum(o_totalprice), 2) AS total_price
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
     FROM orders GROUP BY o_orderstatus
     UNION ALL
     SELECT CAST(NULL AS STRING), o_orderpriority,
-           count(*), count(DISTINCT o_custkey), round(sum(o_totalprice), 2)
+           count(*), count(DISTINCT o_custkey),
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
     FROM orders GROUP BY o_orderpriority
     UNION ALL
     SELECT o_orderstatus, o_orderpriority,
-           count(*), count(DISTINCT o_custkey), round(sum(o_totalprice), 2)
+           count(*), count(DISTINCT o_custkey),
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
     FROM orders GROUP BY o_orderstatus, o_orderpriority
 """
 
@@ -347,7 +374,7 @@ _ORDERS_MONTHLY_SQL = """
     SELECT date_trunc('month', o_orderdate) AS month,
            count(*) AS n_orders,
            count(DISTINCT o_custkey) AS n_customers,
-           round(sum(o_totalprice), 2) AS total_price
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
     FROM orders GROUP BY date_trunc('month', o_orderdate)
 """
 
@@ -403,7 +430,10 @@ def _events_classified(spark, sf_dir):
     return routed.groupBy("category").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        # exact DECIMAL accumulation of the cent-valued column (see _q1)
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_value"),
     )
 
 
@@ -417,7 +447,8 @@ _register(
                 ELSE 'other' END AS category,
            count(*) AS n_events,
            count(DISTINCT user_id) AS n_users,
-           round(sum(value), 2) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_value
     FROM events GROUP BY 1
     """,
     "SURVEY §2.2 P1 classify_samples; map_functions.py:20-59",
@@ -494,13 +525,18 @@ _register(
     WITH s AS (
         SELECT l_returnflag,
                list_sort(list(l_extendedprice))      AS v,
-               round(avg(l_extendedprice), 2)        AS mean,
-               round(stddev_pop(l_extendedprice), 2) AS sd,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2)))  AS s1,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2))) AS s2,
                round(min(l_extendedprice), 2)        AS min,
                round(max(l_extendedprice), 2)        AS max,
                count(l_extendedprice)                AS n
         FROM lineitem GROUP BY l_returnflag)
-    SELECT l_returnflag, mean, sd,
+    SELECT l_returnflag,
+           round(CAST(s1 AS DOUBLE) / n, 2) AS mean,
+           round(sqrt(greatest((CAST(s2 AS DOUBLE)
+                                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                               / n, 0.0)), 2) AS sd,
            {_dd_spark_percentile(0.5)}  AS median,
            {_dd_spark_percentile(0.05)} AS p5,
            {_dd_spark_percentile(0.95)} AS p95,
@@ -547,12 +583,15 @@ _register(
 # 15. global_metrics_union — A1 global combine + U1/U2 union of metrics
 
 _GLOBAL_METRICS_SQL = """
-    SELECT 'lineitem' AS metric, count(*) AS n_rows, round(sum(l_extendedprice), 2) AS total
+    SELECT 'lineitem' AS metric, count(*) AS n_rows,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
     FROM lineitem
     UNION ALL
-    SELECT 'orders', count(*), round(sum(o_totalprice), 2) FROM orders
+    SELECT 'orders', count(*),
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) FROM orders
     UNION ALL
-    SELECT 'events', count(*), round(sum(value), 2) FROM events
+    SELECT 'events', count(*),
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) FROM events
 """
 
 _register(
@@ -1054,7 +1093,9 @@ _register(
     _label_centroids,
     """
     SELECT label, i - 1 AS dim,
-           round(avg(embedding[i]::DOUBLE), 6) AS centroid_val,
+           round((CAST(sum(CAST(round(embedding[i]::DOUBLE * 16777216.0)
+                               AS BIGINT)) AS DOUBLE)
+                  / count(*)) / 16777216.0, 6) AS centroid_val,
            count(*) AS n_vecs
     FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) dims
     GROUP BY label, i
@@ -1072,7 +1113,10 @@ def _event_window(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # exact DECIMAL accumulation (order-independent; see _q1)
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -1090,7 +1134,8 @@ _register(
     """
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            count(*) AS n_events, count(DISTINCT user_id) AS n_users,
-           round(sum(value), 2) AS sum_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS sum_value
     FROM events GROUP BY 1, 2
     """,
     "SURVEY §2.9 extension: tumbling windows (batch equivalence of streaming agg)",
@@ -1445,9 +1490,73 @@ def _species_range_hull(spark, sf_dir):
 _register(
     "species_range_hull",
     _species_range_hull,
-    None,  # convex hull is not SQL-expressible in DuckDB core — verified
-    # against a pure-numpy reference in tests/test_operators.py instead
+    None,  # the km^2 float path stays rows-only (equal-area projection
+    # + float shoelace); its exact integer invariants are oracle-pinned
+    # by the species_range_hull_exact twin below
     "SURVEY §2.10 convex hull kernel; transforms.py:889-934 (equal-area shoelace /1e6)",
+)
+
+# ---------------------------------------------------------------------------
+# 36b. species_range_hull_exact — oracle-graduated twin of the hull
+# kernel: coordinates quantized to integer centi-degrees make hull
+# membership, vertex count, and the doubled shoelace area EXACT int64
+# arithmetic. The DuckDB oracle independently re-derives the hull via
+# the O(n^2) edge characterization (directed edge a->b is on the strict
+# hull iff every other point is strictly left, or collinear strictly
+# between) — so the Spark monotone-chain kernel is hash-checked against
+# a structurally different algorithm, not replayed.
+
+def _species_range_hull_exact(spark, sf_dir):
+    from ..operators.geo import convex_hull_fixed_point
+
+    pts = _t(spark, sf_dir, "customer").selectExpr(
+        "c_nationkey",
+        f"{_LAT % {'k': 'c_custkey', 'off': '0.15'}} AS lat",
+        f"{_LON % {'k': 'c_custkey', 'off': '0.15'}} AS lon",
+    )
+    return convex_hull_fixed_point(pts, "c_nationkey")
+
+
+_register(
+    "species_range_hull_exact",
+    _species_range_hull_exact,
+    """
+    WITH pts AS (
+        SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS g,
+               CAST(round(((c_custkey % 36) * 10.0 - 175.0 + 0.15) * 100)
+                    AS BIGINT) AS x,
+               CAST(round(((c_custkey % 17) * 10.0 - 80.0 + 0.15) * 100)
+                    AS BIGINT) AS y
+        FROM customer),
+    n AS (SELECT g, count(*) AS n_pts FROM pts GROUP BY g),
+    e AS (
+        SELECT a.g, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+        FROM pts a JOIN pts b ON a.g = b.g AND (a.x <> b.x OR a.y <> b.y)
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pts p
+            WHERE p.g = a.g
+              AND (p.x <> a.x OR p.y <> a.y)
+              AND (p.x <> b.x OR p.y <> b.y)
+              AND NOT (
+                (b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x) > 0
+                OR ((b.x - a.x) * (p.y - a.y)
+                    - (b.y - a.y) * (p.x - a.x) = 0
+                    AND p.x BETWEEN least(a.x, b.x) AND greatest(a.x, b.x)
+                    AND p.y BETWEEN least(a.y, b.y) AND greatest(a.y, b.y))))),
+    v AS (
+        SELECT g,
+               count(DISTINCT ax * 1000000 + ay) AS hv,
+               CAST(sum(ax * by - bx * ay) AS BIGINT) AS area2
+        FROM e GROUP BY g)
+    SELECT n.g AS c_nationkey, n.n_pts,
+           CAST(CASE WHEN n.n_pts = 1 THEN 1 ELSE v.hv END AS BIGINT)
+               AS hull_vertices,
+           coalesce(v.area2, 0) AS area2_fp
+    FROM n LEFT JOIN v USING (g)
+    """,
+    "SURVEY §2.10 convex hull kernel, oracle-graduated exact twin; "
+    "transforms.py:889-934 (fixed-point vertex count + shoelace "
+    "invariants; independent SQL hull-edge re-derivation)",
 )
 
 # ---------------------------------------------------------------------------
@@ -1488,7 +1597,8 @@ _register(
     """
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            count(*) AS n_events, count(DISTINCT user_id) AS n_users,
-           round(sum(value), 2) AS sum_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS sum_value
     FROM events GROUP BY 1, 2
     """,
     "engine extension §2.9: watermarked tumbling-window streaming agg == batch result",
@@ -1614,7 +1724,7 @@ _GROUPING_SETS_SQL = """
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n_orders,
            count(DISTINCT o_custkey) AS n_customers,
-           round(sum(o_totalprice), 2) AS total_price
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
 """
@@ -1734,7 +1844,10 @@ def _nested_order_rollup(spark, sf_dir):
     return ex.groupBy("o_orderpriority").agg(
         F.countDistinct("o_orderkey").alias("n_orders"),
         F.count("item.l_linenumber").alias("n_items"),
-        F.round(F.sum("item.l_extendedprice"), 2).alias("total_price"),
+        # exact DECIMAL accumulation (order-independent; see _q1)
+        F.round(F.sum(F.col("item.l_extendedprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
     )
 
 
@@ -1745,7 +1858,8 @@ _register(
     SELECT o_orderpriority,
            count(DISTINCT o_orderkey) AS n_orders,
            count(l_linenumber) AS n_items,
-           round(sum(l_extendedprice), 2) AS total_price
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS total_price
     FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderpriority
     """,
@@ -1950,7 +2064,9 @@ _register(
         UNION ALL
         SELECT h - INTERVAL 1 HOUR, event_type, value FROM x)
     SELECT window_start, event_type,
-           count(*) AS n_events, round(sum(value), 2) AS sum_value
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS sum_value
     FROM w GROUP BY 1, 2
     """,
     "engine extension §2.9: sliding windows (duration 2h slide 1h; epoch-aligned)",
@@ -1980,7 +2096,9 @@ _register(
                                       ROWS UNBOUNDED PRECEDING) AS sess_id
         FROM m)
     SELECT min(ts) AS session_start, user_id,
-           count(*) AS n_events, round(sum(value), 2) AS sum_value
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS sum_value
     FROM s GROUP BY user_id, sess_id
     """,
     "engine extension §2.9: session windows == gaps-and-islands oracle (gap 10 min)",
@@ -2303,7 +2421,10 @@ def _purchase_context_1h(spark, sf_dir):
     )
     return pairs.groupBy("event_id").agg(
         F.count("r_event_id").alias("n_events_1h"),
-        F.round(F.sum("r_value"), 2).alias("sum_value_1h"),
+        # exact DECIMAL accumulation (order-independent; see _q1)
+        F.round(F.sum(F.col("r_value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("sum_value_1h"),
     )
 
 
@@ -2313,7 +2434,8 @@ _register(
     """
     SELECT p.event_id,
            count(e.event_id) AS n_events_1h,
-           round(sum(e.value), 2) AS sum_value_1h
+           CAST(round(sum(CAST(e.value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS sum_value_1h
     FROM events p
     JOIN events e
       ON e.user_id = p.user_id
@@ -2414,9 +2536,14 @@ def _salted_join_brand_revenue(spark, sf_dir):
     return joined.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        # exact DECIMAL accumulation (order-independent; see _q1)
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount").cast("decimal(4,2)"))
+            ),
+            2,
+        ).cast("double").alias("revenue"),
     )
 
 
@@ -2426,7 +2553,9 @@ _register(
     """
     SELECT p_brand, count(*) AS n_lines,
            round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                AS DOUBLE) AS revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand
     """,
@@ -3265,7 +3394,10 @@ def _value_histogram(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.min("value"), 2).alias("min_value"),
         F.round(F.max("value"), 2).alias("max_value"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        # exact DECIMAL accumulation (order-independent; see _q1)
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("sum_value"),
     )
 
 
@@ -3277,7 +3409,8 @@ _register(
            count(*) AS n_events,
            round(min(value), 2) AS min_value,
            round(max(value), 2) AS max_value,
-           round(sum(value), 2) AS sum_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS sum_value
     FROM events
     GROUP BY 1
     """,
@@ -3484,10 +3617,52 @@ def _sketch_value_stats(spark, sf_dir):
 _register(
     "sketch_value_stats",
     _sketch_value_stats,
-    None,
+    None,  # the GK/HLL estimates stay rows-only; the exact columns the
+    # sketches approximate are oracle-pinned by the _exact twin below
     "engine extension: sketch aggregation (percentile_approx accuracy "
     "10000, approx_count_distinct rsd 1%) — the unbounded-group-size "
     "companion to A3 exact stats; see test_sketch_stats_error_bounds",
+)
+
+
+# ---------------------------------------------------------------------------
+# 84a. sketch_value_stats_exact — oracle-graduated twin of the sketch
+# aggregation: the EXACT columns the sketches approximate (count,
+# distinct count, min/max bounds, decimal-exact mean) hash-checked
+# against DuckDB, so the sketch query's ground truth is itself
+# driver-verified rather than only unit-tested.
+
+def _sketch_value_stats_exact(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    n = F.count("value")
+    return ev.groupBy("event_type").agg(
+        n.alias("n"),
+        F.countDistinct("value").alias("n_distinct"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        # exact DECIMAL mean (order-independent; see _q1)
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / n, 2
+        ).alias("mean"),
+    )
+
+
+_register(
+    "sketch_value_stats_exact",
+    _sketch_value_stats_exact,
+    """
+    SELECT event_type,
+           count(value) AS n,
+           count(DISTINCT value) AS n_distinct,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(value), 2) AS mean
+    FROM events GROUP BY event_type
+    """,
+    "engine extension: exact ground-truth columns of sketch_value_stats "
+    "(count / distinct / bounds / decimal mean) — oracle-graduated from "
+    "the rows-only sketch family",
 )
 
 
@@ -3532,10 +3707,66 @@ def _theta_user_overlap(spark, sf_dir):
 _register(
     "theta_user_overlap",
     _theta_user_overlap,
-    None,
+    None,  # sketch estimates stay rows-only; the exact set algebra is
+    # oracle-pinned by the _exact twin below
     "engine extension: theta-sketch set algebra (intersection / union / "
     "difference cardinality between per-key value sets, sketch-level "
     "self-join only); see test_theta_overlap_error_bounds",
+)
+
+
+# ---------------------------------------------------------------------------
+# 84c'. theta_user_overlap_exact — oracle-graduated twin: the exact
+# pairwise set algebra the theta sketches estimate. Distinct (key,
+# value) pairs self-join on the value (co-partitioned equi-join — the
+# pair explosion happens only in the tiny post-agg pair space, never
+# row-level), then |A∪B| and |A\B| derive from |A|,|B|,|A∩B| without
+# extra scans.
+
+def _theta_user_overlap_exact(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    s = ev.select(F.col("event_type").alias("k"), "user_id").distinct()
+    n = s.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    a = s.select(F.col("k").alias("key_a"), "user_id")
+    b = s.select(F.col("k").alias("key_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .where(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = n.select(F.col("k").alias("key_a"), F.col("n").alias("_na"))
+    nb = n.select(F.col("k").alias("key_b"), F.col("n").alias("_nb"))
+    return (
+        inter.join(F.broadcast(na), "key_a")
+        .join(F.broadcast(nb), "key_b")
+        .select(
+            "key_a",
+            "key_b",
+            "n_inter",
+            (F.col("_na") + F.col("_nb") - F.col("n_inter")).alias("n_union"),
+            (F.col("_na") - F.col("n_inter")).alias("n_diff_ab"),
+        )
+    )
+
+
+_register(
+    "theta_user_overlap_exact",
+    _theta_user_overlap_exact,
+    """
+    WITH s AS (SELECT DISTINCT event_type AS k, user_id FROM events),
+    n AS (SELECT k, count(*) AS n FROM s GROUP BY k),
+    i AS (SELECT a.k AS key_a, b.k AS key_b, count(*) AS n_inter
+          FROM s a JOIN s b ON a.user_id = b.user_id AND a.k < b.k
+          GROUP BY 1, 2)
+    SELECT key_a, key_b, n_inter,
+           na.n + nb.n - n_inter AS n_union,
+           na.n - n_inter AS n_diff_ab
+    FROM i JOIN n na ON na.k = i.key_a JOIN n nb ON nb.k = i.key_b
+    """,
+    "engine extension: exact pairwise set overlap (ground truth of "
+    "theta_user_overlap) — oracle-graduated from the rows-only sketch "
+    "family",
 )
 
 
@@ -3821,7 +4052,10 @@ def _orders_rollup(spark, sf_dir):
         o.rollup("o_orderpriority", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+            # exact DECIMAL accumulation (order-independent; see _q1)
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_total"),
         )
     )
 
@@ -3832,7 +4066,8 @@ _register(
     """
     SELECT o_orderpriority, o_orderstatus,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS sum_total
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS sum_total
     FROM orders
     GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
     """,
@@ -3899,7 +4134,10 @@ def _hourly_gap_fill(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
     hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        # exact DECIMAL accumulation (order-independent; see _q1)
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("sum_value"),
     )
     # the grid bounds are ONE aggregated row — the exploded sequence is
     # driver-free and the join side is the (tiny) grid, so Catalyst
@@ -3925,7 +4163,8 @@ _register(
     WITH e AS (SELECT * FROM events WHERE event_type = 'purchase'),
     h AS (
         SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events,
-               round(sum(value), 2) AS sum_value
+               CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+                   AS sum_value
         FROM e GROUP BY 1),
     g AS (
         SELECT unnest(generate_series(date_trunc('hour', min(ts)),
@@ -3956,7 +4195,13 @@ def _nation_revenue_share(spark, sf_dir):
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"))
+        # exact DECIMAL accumulation (order-independent; see _q1)
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount").cast("decimal(4,2)"))
+            ).alias("_rev")
+        )
         # rev feeds both the total and the output row set; the lazy
         # checkpoint stops the 4-table join tree running twice
         .localCheckpoint(eager=False)
@@ -3964,8 +4209,12 @@ def _nation_revenue_share(spark, sf_dir):
     total = rev.agg(F.sum("_rev").alias("_total"))
     return rev.crossJoin(F.broadcast(total)).select(
         "n_name",
-        F.round("_rev", 2).alias("revenue"),
-        F.round(F.col("_rev") / F.col("_total") * 100, 4).alias("revenue_share_pct"),
+        F.round("_rev", 2).cast("double").alias("revenue"),
+        # exact decimals -> one double division/multiply on identical
+        # operands in both engines
+        F.round(
+            F.col("_rev").cast("double") / F.col("_total").cast("double") * 100, 4
+        ).alias("revenue_share_pct"),
     )
 
 
@@ -3974,14 +4223,17 @@ _register(
     _nation_revenue_share,
     """
     WITH rev AS (
-        SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS r
+        SELECT n_name, sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS r
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name)
-    SELECT n_name, round(r, 2) AS revenue,
-           round(r / (SELECT sum(r) FROM rev) * 100, 4) AS revenue_share_pct
+    SELECT n_name, CAST(round(r, 2) AS DOUBLE) AS revenue,
+           round(CAST(r AS DOUBLE)
+                 / CAST((SELECT sum(r) FROM rev) AS DOUBLE) * 100, 4)
+               AS revenue_share_pct
     FROM rev
     """,
     "engine extension: percent-of-total via single-row broadcast total "
@@ -4376,7 +4628,10 @@ def _bloom_gated_order_rollup(spark, sf_dir):
     gated = bloom_prefilter_semi_join(orders, rich, "o_custkey")
     return gated.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        # exact DECIMAL accumulation (order-independent; see _q1)
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("sum_total"),
     )
 
 
@@ -4385,7 +4640,8 @@ _register(
     _bloom_gated_order_rollup,
     """
     SELECT o_orderpriority, count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS sum_total
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS sum_total
     FROM orders
     WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
     GROUP BY o_orderpriority
@@ -4652,10 +4908,23 @@ _register(
 # fact side's partitioning untouched).
 
 def _event_value_outliers(spark, sf_dir):
+    # mu/sigma from exact DECIMAL moments (see distribution_stats): the
+    # rounded z feeds a > 2 row FILTER, so an accumulation-order ulp in
+    # native avg/stddev_pop could change the output row set.
     ev = _t(spark, sf_dir, "events")
+    vd = F.col("value").cast("decimal(18,2)")
     stats = ev.groupBy("event_type").agg(
-        F.avg("value").alias("mu"),
-        F.stddev_pop("value").alias("sigma"),
+        F.sum(vd).alias("_s1"),
+        F.sum(vd * vd).alias("_s2"),
+        F.count("value").alias("_n"),
+    )
+    s1d = F.col("_s1").cast("double")
+    s2d = F.col("_s2").cast("double")
+    n = F.col("_n")
+    stats = stats.select(
+        "event_type",
+        (s1d / n).alias("mu"),
+        F.sqrt(F.greatest((s2d - s1d * s1d / n) / n, F.lit(0.0))).alias("sigma"),
     )
     return (
         ev.join(F.broadcast(stats), "event_type")
@@ -4672,9 +4941,20 @@ _register(
     "event_value_outliers",
     _event_value_outliers,
     """
-    WITH s AS (
-        SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
-        FROM events GROUP BY event_type)
+    WITH m AS (
+        SELECT event_type,
+               sum(CAST(value AS DECIMAL(18,2))) AS s1,
+               sum(CAST(value AS DECIMAL(18,2))
+                   * CAST(value AS DECIMAL(18,2))) AS s2,
+               count(value) AS n
+        FROM events GROUP BY event_type),
+    s AS (
+        SELECT event_type,
+               CAST(s1 AS DOUBLE) / n AS mu,
+               sqrt(greatest((CAST(s2 AS DOUBLE)
+                              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                             / n, 0.0)) AS sigma
+        FROM m)
     SELECT e.event_type, e.event_id, round(e.value, 2) AS value,
            round((e.value - s.mu) / s.sigma, 4) AS z
     FROM events e JOIN s USING (event_type)
@@ -4916,9 +5196,17 @@ def _orders_snapshot_diff(spark, sf_dir):
         .groupBy("status")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
+            # per-row cent-valued delta cast to exact DECIMAL before the
+            # grouped sum (order-independent; see _q1)
             F.round(
-                F.sum(F.coalesce("new_price", F.lit(0.0)) - F.coalesce("old_price", F.lit(0.0))), 2
-            ).alias("price_delta"),
+                F.sum(
+                    (
+                        F.coalesce("new_price", F.lit(0.0))
+                        - F.coalesce("old_price", F.lit(0.0))
+                    ).cast("decimal(18,2)")
+                ),
+                2,
+            ).cast("double").alias("price_delta"),
         )
     )
 
@@ -4941,7 +5229,8 @@ _register(
                 WHEN new_price <> old_price THEN 'changed'
                 ELSE 'unchanged' END AS status,
            count(*) AS n_orders,
-           round(sum(coalesce(new_price, 0) - coalesce(old_price, 0)), 2)
+           CAST(round(sum(CAST(coalesce(new_price, 0) - coalesce(old_price, 0)
+                               AS DECIMAL(18,2))), 2) AS DOUBLE)
                AS price_delta
     FROM old FULL OUTER JOIN new USING (key)
     GROUP BY 1
@@ -4963,7 +5252,10 @@ def _order_dims_cube(spark, sf_dir):
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            # exact DECIMAL accumulation (order-independent; see _q1)
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_price"),
             F.grouping("o_orderstatus").cast("long").alias("is_status_total"),
             F.grouping("o_orderpriority").cast("long").alias("is_priority_total"),
         )
@@ -4976,7 +5268,8 @@ _register(
     """
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS total_price,
            CAST(grouping(o_orderstatus) AS BIGINT) AS is_status_total,
            CAST(grouping(o_orderpriority) AS BIGINT) AS is_priority_total
     FROM orders
@@ -5136,16 +5429,25 @@ _register(
 # grouped agg, both on user_id — a single shuffle.
 
 def _user_time_weighted_value(spark, sf_dir):
+    # Weight by INTEGER microsecond durations and accumulate the
+    # numerator as exact DECIMAL (value cents x µs) — the /1e6 cancels
+    # in the ratio, so both sums are order-independent and the final
+    # division is one double op on identical operands (see _q1).
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    dt = (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")) / 1e6
+    dt_us = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
     return (
-        ev.withColumn("dt", dt)
-        .where(F.col("dt").isNotNull())
+        ev.withColumn("dt_us", dt_us)
+        .where(F.col("dt_us").isNotNull())
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_intervals"),
-            F.round(F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 4).alias("twa_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)") * F.col("dt_us"))
+                .cast("double")
+                / F.sum("dt_us").cast("double"),
+                4,
+            ).alias("twa_value"),
         )
         .where(F.col("twa_value").isNotNull())
     )
@@ -5157,15 +5459,17 @@ _register(
     """
     WITH i AS (
         SELECT user_id, value,
-               (epoch_us(lead(ts) OVER (PARTITION BY user_id
-                                        ORDER BY ts, event_id))
-                - epoch_us(ts)) / 1e6 AS dt
+               epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id))
+                - epoch_us(ts) AS dt_us
         FROM events)
     SELECT user_id, count(*) AS n_intervals,
-           round(sum(value * dt) / sum(dt), 4) AS twa_value
-    FROM i WHERE dt IS NOT NULL
+           round(CAST(sum(CAST(value AS DECIMAL(18,2)) * dt_us) AS DOUBLE)
+                 / CAST(sum(dt_us) AS DOUBLE), 4) AS twa_value
+    FROM i WHERE dt_us IS NOT NULL
     GROUP BY user_id
-    HAVING round(sum(value * dt) / sum(dt), 4) IS NOT NULL
+    HAVING round(CAST(sum(CAST(value AS DECIMAL(18,2)) * dt_us) AS DOUBLE)
+                 / CAST(sum(dt_us) AS DOUBLE), 4) IS NOT NULL
     """,
     "engine extension: time-weighted average over event streams "
     "(duration-weighted holding values; window + agg share one "
@@ -5232,7 +5536,12 @@ def _orders_yoy_growth(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     yearly = (
         o.groupBy("o_orderpriority", F.year("o_orderdate").alias("yr"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        # exact DECIMAL accumulation (order-independent; see _q1)
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue")
+        )
     )
     w = Window.partitionBy("o_orderpriority").orderBy("yr")
     prev = F.lag("revenue").over(w)
@@ -5250,7 +5559,8 @@ _register(
     """
     WITH y AS (
         SELECT o_orderpriority, year(o_orderdate) AS yr,
-               round(sum(o_totalprice), 2) AS revenue
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS revenue
         FROM orders GROUP BY 1, 2)
     SELECT o_orderpriority, CAST(yr AS BIGINT) AS yr, revenue,
            round((revenue - lag(revenue) OVER w) / lag(revenue) OVER w * 100, 4)
@@ -5314,8 +5624,10 @@ def _incremental_monthly_agg(spark, sf_dir):
     month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
 
     def partial(df):
+        # exact DECIMAL partials: the merged re-aggregation is then
+        # order-independent (see _q1)
         return df.groupBy(month).agg(
-            F.sum("o_totalprice").alias("p_rev"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("p_rev"),
             F.count(F.lit(1)).alias("p_n"),
         )
 
@@ -5325,7 +5637,7 @@ def _incremental_monthly_agg(spark, sf_dir):
         stored.unionByName(delta)
         .groupBy("month")
         .agg(
-            F.round(F.sum("p_rev"), 2).alias("revenue"),
+            F.round(F.sum("p_rev"), 2).cast("double").alias("revenue"),
             F.sum("p_n").alias("n_orders"),
         )
     )
@@ -5336,7 +5648,8 @@ _register(
     _incremental_monthly_agg,
     """
     SELECT strftime(o_orderdate, '%Y-%m') AS month,
-           round(sum(o_totalprice), 2) AS revenue,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS revenue,
            count(*) AS n_orders
     FROM orders
     GROUP BY 1
@@ -5450,7 +5763,12 @@ def _user_rolling_1h_value(spark, sf_dir):
         ev.where(F.col("event_type") == "purchase")
         .select(
             "user_id", "event_id",
-            F.round(F.sum("value").over(w), 2).alias("rolling_1h_sum"),
+            # exact DECIMAL accumulation inside the frame: the frame's
+            # row SET is deterministic but its accumulation order is
+            # not guaranteed (see _q1)
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).over(w), 2)
+            .cast("double")
+            .alias("rolling_1h_sum"),
             F.count(F.lit(1)).over(w).alias("rolling_1h_n"),
         )
     )
@@ -5461,7 +5779,8 @@ _register(
     _user_rolling_1h_value,
     """
     SELECT user_id, event_id,
-           round(sum(value) OVER w, 2) AS rolling_1h_sum,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))) OVER w, 2) AS DOUBLE)
+               AS rolling_1h_sum,
            count(*) OVER w AS rolling_1h_n
     FROM events
     WHERE event_type = 'purchase'
@@ -5599,10 +5918,18 @@ def _winsorized_value_stats(spark, sf_dir):
         ev.join(F.broadcast(bounds), "event_type")
         .withColumn("wv", F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")))
     )
+    # clamped values can carry interpolated (non-2dp) percentile bounds:
+    # quantize per row to 6dp DECIMAL so the means sum exactly in any
+    # accumulation order (see _q1 / the dsir pattern)
+    n = F.count(F.lit(1))
     return clamped.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("wv"), 4).alias("winsor_mean"),
-        F.round(F.avg("value"), 4).alias("raw_mean"),
+        n.alias("n"),
+        F.round(
+            F.sum(F.round("wv", 6).cast("decimal(18,6)")).cast("double") / n, 4
+        ).alias("winsor_mean"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / n, 4
+        ).alias("raw_mean"),
     )
 
 
@@ -5616,8 +5943,11 @@ _register(
                quantile_cont(value, 0.95) AS hi
         FROM events GROUP BY event_type)
     SELECT e.event_type, count(*) AS n,
-           round(avg(least(greatest(e.value, b.lo), b.hi)), 4) AS winsor_mean,
-           round(avg(e.value), 4) AS raw_mean
+           round(CAST(sum(CAST(round(least(greatest(e.value, b.lo), b.hi), 6)
+                              AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 4) AS winsor_mean,
+           round(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 4) AS raw_mean
     FROM events e JOIN b USING (event_type)
     GROUP BY e.event_type
     """,
@@ -5796,15 +6126,23 @@ def _doc_unigram_logprob(spark, sf_dir):
     )
     uni = toks.groupBy("t").agg(F.count(F.lit(1)).alias("tf"))
     total = toks.select(F.count(F.lit(1)).alias("n_total"))
+    # quantize the per-token weight to 8dp DECIMAL in the (vocabulary-
+    # sized) model frame: per-doc sums are then exact in any
+    # accumulation order (the dsir pattern)
+    uni_w = uni.crossJoin(F.broadcast(total)).select(
+        "t",
+        F.round(-F.log(F.col("tf") / F.col("n_total")), 8)
+        .cast("decimal(38,8)")
+        .alias("w"),
+    )
     return (
-        toks.join(F.broadcast(uni), "t")
-        .crossJoin(F.broadcast(total))
+        toks.join(F.broadcast(uni_w), "t")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg(-F.log(F.col("tf") / F.col("n_total"))), 4).alias(
-                "mean_neg_logprob"
-            ),
+            F.round(
+                F.sum("w").cast("double") / F.count(F.lit(1)), 4
+            ).alias("mean_neg_logprob"),
         )
     )
 
@@ -5818,10 +6156,13 @@ _register(
                unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
         FROM documents),
     uni AS (SELECT t, count(*) AS tf FROM toks GROUP BY t),
-    n AS (SELECT count(*) AS n_total FROM toks)
+    n AS (SELECT count(*) AS n_total FROM toks),
+    w AS (SELECT t, CAST(round(-ln(tf * 1.0 / n_total), 8)
+                         AS DECIMAL(38,8)) AS w
+          FROM uni CROSS JOIN n)
     SELECT toks.doc_id, count(*) AS n_tokens,
-           round(avg(-ln(uni.tf * 1.0 / n.n_total)), 4) AS mean_neg_logprob
-    FROM toks JOIN uni USING (t) CROSS JOIN n
+           round(CAST(sum(w.w) AS DOUBLE) / count(*), 4) AS mean_neg_logprob
+    FROM toks JOIN w USING (t)
     GROUP BY toks.doc_id
     """,
     "north star: unigram log-prob quality score (LM-perplexity proxy; "
@@ -5867,11 +6208,37 @@ _register(
 # grouped pass; co-moments accumulate distributed.
 
 def _price_quantity_corr(spark, sf_dir):
+    # exact DECIMAL co-moments, then corr/covar as a FIXED sequence of
+    # double ops on identical operands (native corr/covar_pop accumulate
+    # doubles in partition order; see distribution_stats)
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    d = F.col("l_discount").cast("decimal(4,2)")
+    m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
-        F.round(F.covar_pop("l_quantity", "l_discount"), 4).alias("qty_disc_covar"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(d).alias("_sd"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * d).alias("_sxd"),
+    )
+    n = F.col("n")
+    sx, sy, sd = (F.col(c).cast("double") for c in ("_sx", "_sy", "_sd"))
+    sxx, syy, sxy, sxd = (
+        F.col(c).cast("double") for c in ("_sxx", "_syy", "_sxy", "_sxd")
+    )
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    covar = (sxd - sx * sd / n) / n
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(corr, 4).alias("qty_price_corr"),
+        F.round(covar, 4).alias("qty_disc_covar"),
     )
 
 
@@ -5879,11 +6246,32 @@ _register(
     "price_quantity_corr",
     _price_quantity_corr,
     """
-    SELECT l_returnflag, count(*) AS n,
-           round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
-           round(covar_pop(l_quantity, l_discount), 4) AS qty_disc_covar
-    FROM lineitem
-    GROUP BY l_returnflag
+    WITH m AS (
+        SELECT l_returnflag, count(*) AS n,
+               sum(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+               sum(CAST(l_discount AS DECIMAL(4,2))) AS sd,
+               sum(CAST(l_quantity AS DECIMAL(12,2))
+                   * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+               sum(CAST(l_quantity AS DECIMAL(12,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+               sum(CAST(l_quantity AS DECIMAL(12,2))
+                   * CAST(l_discount AS DECIMAL(4,2))) AS sxd
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           round((n * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(n * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(n * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+               AS qty_price_corr,
+           round((CAST(sxd AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sd AS DOUBLE) / n) / n, 4)
+               AS qty_disc_covar
+    FROM m
     """,
     "engine extension: per-group Pearson correlation / population "
     "covariance (bivariate distribution stats, single grouped pass)",
@@ -5943,7 +6331,10 @@ def _orders_quarterly_dow(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            # exact DECIMAL accumulation (order-independent; see _q1)
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
         )
     )
 
@@ -5956,7 +6347,8 @@ _register(
            CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
            CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS revenue
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS revenue
     FROM orders
     GROUP BY 1, 2, 3
     """,
@@ -5998,9 +6390,16 @@ def _embedding_quantization_error(spark, sf_dir):
         emb.crossJoin(F.broadcast(barr))
         .select("vec_id", F.array_max(F.transform("v", dim_err)).alias("max_err"))
     )
-    return per_vec.agg(
+    # quantize the per-row error to 9dp DECIMAL before the global mean:
+    # each row's max_err is engine-identical, so the rounded decimals
+    # sum exactly in any order (see _q1 / the dsir pattern)
+    return per_vec.select(
+        F.round("max_err", 9).cast("decimal(18,9)").alias("err_q"), "max_err"
+    ).agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        F.round(F.avg("max_err"), 6).alias("mean_max_err"),
+        F.round(
+            F.sum("err_q").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_max_err"),
         F.round(F.max("max_err"), 6).alias("worst_err"),
     )
 
@@ -6020,7 +6419,8 @@ _register(
                                                * (b.hi - b.lo) / 255)) END) AS max_err
         FROM d JOIN b USING (i) GROUP BY d.vec_id)
     SELECT count(*) AS n_vecs,
-           round(avg(max_err), 6) AS mean_max_err,
+           round(CAST(sum(CAST(round(max_err, 9) AS DECIMAL(18,9))) AS DOUBLE)
+                 / count(*), 6) AS mean_max_err,
            round(max(max_err), 6) AS worst_err
     FROM err
     """,
@@ -6073,10 +6473,16 @@ def _tpch_q3(spark, sf_dir):
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        # exact DECIMAL accumulation (order-independent; see _q1) — also
+        # makes the top-10 cut deterministic
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (1 - F.col("l_discount").cast("decimal(4,2)"))
+                ),
+                2,
+            ).cast("double").alias("revenue")
         )
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
@@ -6088,7 +6494,9 @@ _register(
     _tpch_q3,
     """
     SELECT l_orderkey, o_orderdate, o_orderpriority,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -6435,7 +6843,8 @@ _register(
         SELECT DISTINCT user_id, CAST(user_id % 3 AS BIGINT) AS tier
         FROM events)
     SELECT t.tier, e.event_type, count(*) AS n_events,
-           round(sum(e.value), 2) AS sum_value
+           CAST(round(sum(CAST(e.value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS sum_value
     FROM events e JOIN t USING (user_id)
     GROUP BY t.tier, e.event_type
     """,
@@ -6637,24 +7046,41 @@ _register(
 # both arms via conditional aggregates (no self-join, no second scan).
 
 def _event_value_ab_ttest(spark, sf_dir):
+    # Exact DECIMAL first/second moments (order-independent sums; see
+    # _q1), then mean and sample variance as a FIXED sequence of double
+    # ops on identical operands in both engines — Spark's/DuckDB's
+    # native avg/var_samp accumulate doubles in partition order and can
+    # differ at round(4) boundaries.
     ev = _t(spark, sf_dir, "events")
     a = F.col("user_id") % 2 == 0
+    v = F.col("value").cast("decimal(18,2)")
     per = ev.groupBy("event_type").agg(
         F.count(F.when(a, F.col("value"))).cast("long").alias("n_a"),
         F.count(F.when(~a, F.col("value"))).cast("long").alias("n_b"),
-        F.avg(F.when(a, F.col("value"))).alias("_ma"),
-        F.avg(F.when(~a, F.col("value"))).alias("_mb"),
-        F.var_samp(F.when(a, F.col("value"))).alias("_va"),
-        F.var_samp(F.when(~a, F.col("value"))).alias("_vb"),
+        F.sum(F.when(a, v)).alias("_s1a"),
+        F.sum(F.when(~a, v)).alias("_s1b"),
+        F.sum(F.when(a, v * v)).alias("_s2a"),
+        F.sum(F.when(~a, v * v)).alias("_s2b"),
     )
+
+    def mean(s1, n):
+        return F.col(s1).cast("double") / F.col(n)
+
+    def var(s2, s1, n):
+        s1d = F.col(s1).cast("double")
+        return F.when(
+            F.col(n) > 1,
+            (F.col(s2).cast("double") - s1d * s1d / F.col(n)) / (F.col(n) - 1),
+        )
+
+    ma, mb = mean("_s1a", "n_a"), mean("_s1b", "n_b")
+    va, vb = var("_s2a", "_s1a", "n_a"), var("_s2b", "_s1b", "n_b")
     return per.select(
         "event_type", "n_a", "n_b",
-        F.round("_ma", 4).alias("mean_a"),
-        F.round("_mb", 4).alias("mean_b"),
+        F.round(ma, 4).alias("mean_a"),
+        F.round(mb, 4).alias("mean_b"),
         F.round(
-            (F.col("_ma") - F.col("_mb"))
-            / F.sqrt(F.col("_va") / F.col("n_a") + F.col("_vb") / F.col("n_b")),
-            4,
+            (ma - mb) / F.sqrt(va / F.col("n_a") + vb / F.col("n_b")), 4
         ).alias("t_stat"),
     )
 
@@ -6667,15 +7093,34 @@ _register(
         SELECT event_type,
                count(CASE WHEN user_id % 2 = 0 THEN value END) AS n_a,
                count(CASE WHEN user_id % 2 <> 0 THEN value END) AS n_b,
-               avg(CASE WHEN user_id % 2 = 0 THEN value END) AS ma,
-               avg(CASE WHEN user_id % 2 <> 0 THEN value END) AS mb,
-               var_samp(CASE WHEN user_id % 2 = 0 THEN value END) AS va,
-               var_samp(CASE WHEN user_id % 2 <> 0 THEN value END) AS vb
-        FROM events GROUP BY event_type)
+               sum(CASE WHEN user_id % 2 = 0
+                        THEN CAST(value AS DECIMAL(18,2)) END) AS s1a,
+               sum(CASE WHEN user_id % 2 <> 0
+                        THEN CAST(value AS DECIMAL(18,2)) END) AS s1b,
+               sum(CASE WHEN user_id % 2 = 0
+                        THEN CAST(value AS DECIMAL(18,2))
+                             * CAST(value AS DECIMAL(18,2)) END) AS s2a,
+               sum(CASE WHEN user_id % 2 <> 0
+                        THEN CAST(value AS DECIMAL(18,2))
+                             * CAST(value AS DECIMAL(18,2)) END) AS s2b
+        FROM events GROUP BY event_type),
+    d AS (
+        SELECT event_type, n_a, n_b,
+               CAST(s1a AS DOUBLE) / n_a AS ma,
+               CAST(s1b AS DOUBLE) / n_b AS mb,
+               CASE WHEN n_a > 1 THEN
+                   (CAST(s2a AS DOUBLE)
+                    - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) / n_a)
+                   / (n_a - 1) END AS va,
+               CASE WHEN n_b > 1 THEN
+                   (CAST(s2b AS DOUBLE)
+                    - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE) / n_b)
+                   / (n_b - 1) END AS vb
+        FROM per)
     SELECT event_type, n_a, n_b,
            round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
            round((ma - mb) / sqrt(va / n_a + vb / n_b), 4) AS t_stat
-    FROM per
+    FROM d
     """,
     "engine extension: Welch's t-test A/B comparison (conditional "
     "aggregates compute both arms in one grouped pass)",
@@ -7673,7 +8118,8 @@ _register(
                event_type, value
         FROM events)
     SELECT window_start, event_type, count(*) AS n_events,
-           round(sum(value), 2) AS sum_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS sum_value
     FROM w GROUP BY 1, 2
     """,
     "engine extension §2.9: watermarked SLIDING-window streaming agg == "
@@ -10097,8 +10543,17 @@ def _doc_bigram_logprob(spark, sf_dir):
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
+            # per-row 8dp DECIMAL quantization of the (integer-derived,
+            # engine-identical) log term -> order-independent per-doc
+            # sums (the dsir pattern)
             F.round(
-                F.avg(-F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v")))), 4
+                F.sum(
+                    F.round(
+                        -F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v"))), 8
+                    ).cast("decimal(38,8)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                4,
             ).alias("mean_neg_logprob"),
         )
     )
@@ -10124,8 +10579,10 @@ _register(
               FROM docs)),
     big AS (SELECT b, count(*) AS c12 FROM bg GROUP BY b)
     SELECT bg.doc_id, count(*) AS n_bigrams,
-           round(avg(-ln((big.c12 + 1) * 1.0 / (uni.c1 + v.v))), 4)
-               AS mean_neg_logprob
+           round(CAST(sum(CAST(round(-ln((big.c12 + 1) * 1.0
+                                         / (uni.c1 + v.v)), 8)
+                              AS DECIMAL(38,8))) AS DOUBLE)
+                 / count(*), 4) AS mean_neg_logprob
     FROM bg JOIN big USING (b) JOIN uni ON bg.w1 = uni.t CROSS JOIN v
     GROUP BY bg.doc_id
     """,
@@ -10263,9 +10720,19 @@ def _rrf_doc_fusion(spark, sf_dir):
         tf.join(F.broadcast(dft), "t")
         .crossJoin(F.broadcast(nd))
         .groupBy("doc_id")
+        # tf x 8dp-quantized idf sums exactly in any order (the dsir
+        # pattern); the downstream ranking is then layout-independent.
+        # DECIMAL(12,8) keeps the bigint product under 38 digits so
+        # neither engine loses scale (idf <= ln(n_docs) fits easily).
         .agg(
             F.round(
-                F.sum(F.col("tf") * F.log(F.col("n") / F.col("df"))), 6
+                F.sum(
+                    F.col("tf")
+                    * F.round(F.log(F.col("n") / F.col("df")), 8).cast(
+                        "decimal(12,8)"
+                    )
+                ).cast("double"),
+                6,
             ).alias("s_idf")
         )
     )
@@ -10310,7 +10777,9 @@ _register(
            FROM a),
     a100 AS (SELECT * FROM ar WHERE rank_tf <= 100),
     b AS (SELECT tf.doc_id,
-                 round(sum(tf.tf * ln(nd.n * 1.0 / dft.df)), 6) AS s_idf
+                 round(CAST(sum(tf.tf * CAST(round(ln(nd.n * 1.0 / dft.df), 8)
+                                             AS DECIMAL(12,8))) AS DOUBLE),
+                       6) AS s_idf
           FROM tf JOIN dft USING (t) CROSS JOIN nd GROUP BY tf.doc_id),
     br AS (SELECT doc_id,
                   CAST(row_number() OVER (ORDER BY s_idf DESC, doc_id)
@@ -10359,7 +10828,9 @@ _register(
                                       ROWS UNBOUNDED PRECEDING) AS sess_id
         FROM m)
     SELECT min(ts) AS session_start, user_id,
-           count(*) AS n_events, round(sum(value), 2) AS sum_value
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS sum_value
     FROM s GROUP BY user_id, sess_id
     """,
     "engine extension §2.9: DYNAMIC per-key session gaps via the "
@@ -10728,7 +11199,12 @@ def _daily_revenue_trend(spark, sf_dir):
     daily = o.groupBy(
         "o_orderpriority",
         F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01")).alias("x"),
-    ).agg(F.round(F.sum("o_totalprice"), 2).cast("decimal(38,8)").alias("y"))
+    ).agg(
+        # exact DECIMAL accumulation of daily revenue (see _q1)
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("decimal(38,8)")
+        .alias("y")
+    )
     dec = "decimal(38,8)"
     stats = daily.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
@@ -10760,7 +11236,8 @@ _register(
         SELECT o_orderpriority,
                datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
                    AS x,
-               CAST(round(sum(o_totalprice), 2) AS DECIMAL(38,8)) AS y
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                    AS DECIMAL(38,8)) AS y
         FROM orders WHERE year(o_orderdate) = 1995
         GROUP BY 1, 2),
     stats AS (
@@ -10950,7 +11427,10 @@ def _purchase_attribution(spark, sf_dir):
     ).where(F.col("event_type") == "purchase")
     return attributed.groupBy("first_touch").agg(
         F.count(F.lit(1)).alias("n_purchases"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        # exact DECIMAL accumulation (order-independent; see _q1)
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("sum_value"),
     )
 
 
@@ -10975,7 +11455,8 @@ _register(
                    ROWS UNBOUNDED PRECEDING) AS first_touch
         FROM s)
     SELECT first_touch, count(*) AS n_purchases,
-           round(sum(value), 2) AS sum_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS sum_value
     FROM a WHERE event_type = 'purchase'
     GROUP BY first_touch
     """,
@@ -11150,7 +11631,10 @@ def _paginated_connector_revenue(spark, sf_dir):
     )
     return o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        # exact DECIMAL accumulation (order-independent; see _q1)
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("revenue"),
     )
 
 
@@ -11159,7 +11643,8 @@ _register(
     _paginated_connector_revenue,
     """
     SELECT o_orderpriority, count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS revenue
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS revenue
     FROM orders GROUP BY o_orderpriority
     """,
     "engine extension: custom Python DataSource connector (sliced "
@@ -11249,7 +11734,13 @@ def _nation_revenue_holt(spark, sf_dir):
         o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("n_name", F.date_trunc("month", "o_orderdate").alias("m"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("y"))
+        # exact DECIMAL accumulation of monthly y (see _q1) — the fold
+        # inputs are then engine-identical doubles
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("y")
+        )
     )
     series = monthly.groupBy("n_name").agg(
         F.count(F.lit(1)).alias("n_months"),
@@ -11289,7 +11780,8 @@ _register(
     """
     WITH RECURSIVE monthly AS (
         SELECT n.n_name, date_trunc('month', o.o_orderdate) AS m,
-               round(sum(o.o_totalprice), 2) AS y
+               CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS y
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -11769,77 +12261,64 @@ _register(
 # near-duplicate variants of already-proven patterns come after. The
 # full registry is still exported — only the ordering changes.
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-7 ROTATION (the registry-closing window): the 18 queries
-    # with ZERO driver evidence across r1-r6 go first — four of them
-    # (customer_record_linkage, bm25_doc_retrieval,
-    # bloom_gated_order_rollup, stream_stateful_sessions) carry r6
-    # rewrites whose only verification so far was local parity, so
-    # they lead. sketch_value_stats is the one rows-only entry. Then
-    # ivf_topk_probe (its only driver row, r1, predates the exact
-    # fixed-point oracle) and the 7 other rows last checked in r1.
-    # The TAIL holds every ROUND-7 ADDITION (evidence on arrival):
-    # they progressively displaced the 24 r2-stale re-checks the
-    # window opened with — those keep their recorded r2 green rows,
-    # and NOTES.md lists them as the round-8 re-verification block.
-    # After this window runs green, every registered query is
-    # ever-driver-verified and every r7 addition has a driver row.
-    # -- never-driver-checked (18) --
-    "customer_record_linkage",
-    "bm25_doc_retrieval",
-    "bloom_gated_order_rollup",
-    "stream_stateful_sessions",
-    "pq_adc_topk",
-    "copurchase_kcore",
-    "salted_join_brand_revenue",
-    "user_value_ewma",
-    "event_sliding_windows",
-    "doc_chunking",
-    "bpe_pair_merge",
-    "nation_revenue_share",
-    "brand_price_percentiles",
-    "customers_with_urgent_orders",
-    "regional_supplier_revenue",
-    "priority_class_line_counts",
-    "promo_revenue_share",
-    "sketch_value_stats",
-    # -- last checked r1 (8, incl. the oracle-graduated IVF probe) --
-    "ivf_topk_probe",
-    "doc_language_id",
-    "doc_quality",
-    "event_window_agg",
-    "label_centroids",
-    "order_dims_grouping_sets",
-    "remote_customers",
-    "species_range_hull",
-    # -- last checked r2 (24 stalest, one per family where possible) --
-    # -- round-7 additions (zero history by construction; evidence on
-    # arrival — they displace four r2-stale re-checks that keep their
-    # r2 green rows: simhash_near_dups, stratified_doc_sample,
-    # user_value_scd2, events_json_extract) --
-    "purchase_hits_scores",
-    "doc_bigram_logprob",
+    # ROUND-9 WINDOW: evidence-on-arrival for the float-determinism
+    # sweep. Every query whose aggregation was rewritten to exact
+    # DECIMAL accumulation this round (plus the dsir fix, red in r7+r8,
+    # which leads) re-enters the window, the three new oracle-graduated
+    # sketch/hull twins arrive with evidence, and the last two slots
+    # begin the stale-r2 rotation (word_freq, part_urls). The remaining
+    # ~33 r2-stale untouched greens are queued for the r10 window —
+    # their green rows persist on disk (see NOTES.md).
     "dsir_importance_weights",
+    "q1_pricing_summary",
+    "revenue_by_nation",
+    "events_classified",
+    "event_window_agg",
+    "nested_order_rollup",
+    "purchase_context_1h",
+    "salted_join_brand_revenue",
+    "value_histogram",
+    "orders_rollup",
+    "hourly_gap_fill",
+    "nation_revenue_share",
+    "bloom_gated_order_rollup",
+    "event_value_outliers",
+    "order_dims_cube",
+    "orders_yoy_growth",
+    "incremental_monthly_agg",
+    "user_rolling_1h_value",
+    "orders_quarterly_dow",
+    "embedding_quantization_error",
+    "price_quantity_corr",
+    "tpch_q3_shipping_priority",
+    "user_time_weighted_value",
+    "event_value_ab_ttest",
+    "winsorized_value_stats",
+    "doc_unigram_logprob",
+    "doc_bigram_logprob",
+    "orders_snapshot_diff",
     "rrf_doc_fusion",
-    "stream_dynamic_gap_sessions",
-    "xml_record_roundtrip",
-    "contrastive_negatives",
-    "price_ks_drift",
-    "udtf_word_chunks",
-    "lineitem_corr_matrix",
-    "daily_revenue_trend",
-    "nb_lang_confusion",
     "purchase_attribution",
-    "part_association_rules",
-    "variant_props_stats",
     "paginated_connector_revenue",
-    "user_value_cusum",
     "nation_revenue_holt",
-    "orders_benford_deviation",
-    "doc_zipf_fit",
-    "feature_info_gain",
-    "k_anonymity_audit",
-    "event_trigram_topk",
-    "kfold_split_balance",
+    "daily_revenue_trend",
+    "price_stats_by_flag",
+    "label_centroids",
+    "order_priority_dims",
+    "orders_monthly",
+    "global_metrics_union",
+    "order_dims_grouping_sets",
+    "stream_event_window",
+    "event_sliding_windows",
+    "user_sessions",
+    "stream_user_sessions",
+    "stream_sliding_windows",
+    "stream_static_enrichment",
+    "sketch_value_stats_exact",
+    "species_range_hull_exact",
+    "theta_user_overlap_exact",
+    "word_freq",
+    "part_urls",
 )
 
 _PRIORITY_R5: tuple[str, ...] = (

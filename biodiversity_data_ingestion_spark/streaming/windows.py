@@ -35,7 +35,11 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.size(F.collect_set("user_id")).cast("long").alias("n_users"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # exact DECIMAL accumulation: micro-batch state merge order is
+            # not deterministic for double sums (see plans/_q1)
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -56,7 +60,11 @@ def sliding_event_counts(events: DataFrame, duration: str = "2 hours",
         src.groupBy(F.window("ts", duration, slide).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # exact DECIMAL accumulation: micro-batch state merge order is
+            # not deterministic for double sums (see plans/_q1)
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
     )
@@ -72,7 +80,11 @@ def session_event_counts(events: DataFrame, gap: str = "10 minutes",
         src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # exact DECIMAL accumulation: micro-batch state merge order is
+            # not deterministic for double sums (see plans/_q1)
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("session_start"),
@@ -249,6 +261,10 @@ def run_stream_static_enrichment_over_events(
         "tier", "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        # exact DECIMAL accumulation: micro-batch state merge order is
+            # not deterministic for double sums (see plans/_q1)
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
     )
     return _drain_to_memory_table(spark, enriched, query_name)
