@@ -160,21 +160,26 @@ def main() -> None:
     # warm-up: JVM + parquet footer caches
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    # INTERLEAVED best-of-3 (round-8 advice): run the whole query list
-    # three times in rotation instead of 3 consecutive repeats per
-    # query, so a transient load spike degrades at most one of each
-    # query's samples — round-over-round deltas become load-immune
-    # without a quiet box. Total work is identical to the old loop.
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for _rep in range(3):
-        for name in HEADLINE:
+    # CONSECUTIVE best-of-3 (the r1-r8 convention, kept deliberately):
+    # a round-9 controlled A/B in ONE process measured interleaved
+    # repeats (whole list x3 in rotation) at a systematic +15-25% per
+    # query vs consecutive repeats — separated repeats lose the
+    # query-specific JIT/codegen warmth that run 2/3 of a consecutive
+    # triple enjoys — so switching aggregation would fake a ~1.2x
+    # regression against every prior BENCH_r{N}. Round-over-round
+    # comparability wins; load brackets below + the A/B-in-one-process
+    # rule (NOTES.md) remain the defense against ambient-load noise.
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        best = None
+        for _ in range(3):
             t0 = time.perf_counter()
             df = QUERIES[name]["builder"](spark, sf_dir)
             t1 = time.perf_counter() if name not in EAGER else t0
             df.write.format("noop").mode("overwrite").save()
-            samples[name].append(time.perf_counter() - t1)
-    timings = {name: round(min(s), 3) for name, s in samples.items()}
-    for name in HEADLINE:
+            dt = time.perf_counter() - t1
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     print(
@@ -190,7 +195,10 @@ def main() -> None:
                 # contention-shaped "regressions" are self-diagnosing
                 "repeats": 3,
                 "aggregation": "best",
-                "interleaved": True,
+                # consecutive repeats (see loop comment): the r9 A/B
+                # showed interleaved repeats carry a systematic +15-25%
+                # JIT-cold penalty that would break history comparability
+                "interleaved": False,
                 "load_avg_1m_start": load_start,
                 "load_avg_1m_end": round(os.getloadavg()[0], 2),
             }

@@ -3784,10 +3784,83 @@ def _kll_value_quantiles(spark, sf_dir):
 _register(
     "kll_value_quantiles",
     _kll_value_quantiles,
-    None,
+    None,  # KLL estimates stay rows-only; the exact quantile ground
+    # truth is oracle-pinned by the _exact twin below
     "engine extension: mergeable KLL quantile rollup (fine-grain "
     "sketches fold to any coarser grain without re-reading rows); see "
     "test_kll_rollup_error_bounds",
+)
+
+
+# ---------------------------------------------------------------------------
+# 84d'. hll_mergeable_rollup_exact / kll_value_quantiles_exact — the
+# oracle-graduated ground truths of the two mergeable-sketch rollups:
+# exact distinct counts and exact linear-interpolated quantiles at the
+# same coarse grain, hash-checked against DuckDB (the KLL oracle reuses
+# the _dd_spark_percentile exact-arithmetic mirror from A3).
+
+def _hll_mergeable_rollup_exact(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct(F.to_date("ts")).alias("n_fine_groups"),
+        F.countDistinct("user_id").alias("exact_distinct"),
+    )
+
+
+_register(
+    "hll_mergeable_rollup_exact",
+    _hll_mergeable_rollup_exact,
+    """
+    SELECT event_type,
+           count(DISTINCT CAST(ts AS DATE)) AS n_fine_groups,
+           count(DISTINCT user_id) AS exact_distinct
+    FROM events GROUP BY event_type
+    """,
+    "engine extension: exact ground truth of hll_mergeable_rollup "
+    "(coarse-grain distinct counts) — oracle-graduated from the "
+    "rows-only sketch family",
+)
+
+
+def _kll_value_quantiles_exact(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    pcts = F.percentile(
+        F.col("user_id").cast("long"), F.array(F.lit(0.5), F.lit(0.95))
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct(F.to_date("ts")).alias("n_fine_groups"),
+            pcts.alias("_pcts"),
+        )
+        .select(
+            "event_type",
+            "n_fine_groups",
+            F.round(F.element_at("_pcts", 1), 2).alias("q_0_5"),
+            F.round(F.element_at("_pcts", 2), 2).alias("q_0_95"),
+        )
+    )
+
+
+_register(
+    "kll_value_quantiles_exact",
+    _kll_value_quantiles_exact,
+    f"""
+    WITH s AS (
+        SELECT event_type,
+               list_sort(list(user_id)) AS v,
+               count(*) AS n,
+               count(DISTINCT CAST(ts AS DATE)) AS n_days
+        FROM events GROUP BY event_type)
+    SELECT event_type, n_days AS n_fine_groups,
+           {_dd_spark_percentile(0.5)} AS q_0_5,
+           {_dd_spark_percentile(0.95)} AS q_0_95
+    FROM s
+    """,
+    "engine extension: exact ground truth of kll_value_quantiles "
+    "(linear-interpolated quantiles at the coarse grain via the A3 "
+    "exact-percentile mirror) — oracle-graduated from the rows-only "
+    "sketch family",
 )
 
 
@@ -12264,11 +12337,11 @@ _PRIORITY: tuple[str, ...] = (
     # ROUND-9 WINDOW: evidence-on-arrival for the float-determinism
     # sweep. Every query whose aggregation was rewritten to exact
     # DECIMAL accumulation this round (plus the dsir fix, red in r7+r8,
-    # which leads) re-enters the window, the three new oracle-graduated
-    # sketch/hull twins arrive with evidence, and the last two slots
-    # begin the stale-r2 rotation (word_freq, part_urls). The remaining
-    # ~33 r2-stale untouched greens are queued for the r10 window —
-    # their green rows persist on disk (see NOTES.md).
+    # which leads) re-enters the window, and the five new
+    # oracle-graduated exact twins of the rows-only sketch/hull family
+    # arrive with evidence. The r2-stale untouched greens are queued
+    # for the r10 window (word_freq and part_urls first) — their green
+    # rows persist on disk (see NOTES.md).
     "dsir_importance_weights",
     "q1_pricing_summary",
     "revenue_by_nation",
@@ -12317,8 +12390,11 @@ _PRIORITY: tuple[str, ...] = (
     "sketch_value_stats_exact",
     "species_range_hull_exact",
     "theta_user_overlap_exact",
-    "word_freq",
-    "part_urls",
+    # the hll/kll twins take the two slots the stale-r2 rotation would
+    # have used — never-checked new queries outrank stale re-checks;
+    # word_freq / part_urls lead the r10 queue in NOTES.md instead
+    "hll_mergeable_rollup_exact",
+    "kll_value_quantiles_exact",
 )
 
 _PRIORITY_R5: tuple[str, ...] = (
