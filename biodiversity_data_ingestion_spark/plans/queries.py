@@ -3725,7 +3725,14 @@ _register(
 
 def _theta_user_overlap_exact(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    s = ev.select(F.col("event_type").alias("k"), "user_id").distinct()
+    # the distinct pair frame feeds THREE consumers (both join sides +
+    # the per-key counts); the lazy checkpoint stops the events scan +
+    # distinct shuffle running three times (4 scans -> 1)
+    s = (
+        ev.select(F.col("event_type").alias("k"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n = s.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
     a = s.select(F.col("k").alias("key_a"), "user_id")
     b = s.select(F.col("k").alias("key_b"), "user_id")
@@ -10609,24 +10616,31 @@ def _doc_bigram_logprob(spark, sf_dir):
     uni = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c1"))
     vocab = uni.agg(F.count(F.lit(1)).alias("v"))
     big = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c12"))
-    return (
-        bg.join(big, "b")
-        .join(uni, bg["w1"] == uni["t"])
+    # the smoothed weight is a function of the DISTINCT bigram alone
+    # (w1 is b's first token), so quantize it once per model row —
+    # round(8)::DECIMAL in the vocabulary-sized frame, never on the
+    # instance stream (the dsir pattern) — and the stream then needs
+    # ONE join instead of two joins + a broadcast
+    bigw = (
+        big.withColumn("w1", F.split(F.col("b"), " ").getItem(0))
+        .join(uni, F.col("w1") == uni["t"])
         .crossJoin(F.broadcast(vocab))
+        .select(
+            "b",
+            F.round(
+                -F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v"))), 8
+            )
+            .cast("decimal(38,8)")
+            .alias("w"),
+        )
+    )
+    return (
+        bg.join(bigw, "b")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            # per-row 8dp DECIMAL quantization of the (integer-derived,
-            # engine-identical) log term -> order-independent per-doc
-            # sums (the dsir pattern)
             F.round(
-                F.sum(
-                    F.round(
-                        -F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v"))), 8
-                    ).cast("decimal(38,8)")
-                ).cast("double")
-                / F.count(F.lit(1)),
-                4,
+                F.sum("w").cast("double") / F.count(F.lit(1)), 4
             ).alias("mean_neg_logprob"),
         )
     )
@@ -10650,13 +10664,17 @@ _register(
                          i -> struct_pack(w1 := w[i],
                                           b := w[i] || ' ' || w[i + 1]))) AS s
               FROM docs)),
-    big AS (SELECT b, count(*) AS c12 FROM bg GROUP BY b)
+    big AS (SELECT b, count(*) AS c12 FROM bg GROUP BY b),
+    bigw AS (
+        SELECT big.b,
+               CAST(round(-ln((big.c12 + 1) * 1.0 / (uni.c1 + v.v)), 8)
+                    AS DECIMAL(38,8)) AS w
+        FROM big JOIN uni ON string_split(big.b, ' ')[1] = uni.t
+        CROSS JOIN v)
     SELECT bg.doc_id, count(*) AS n_bigrams,
-           round(CAST(sum(CAST(round(-ln((big.c12 + 1) * 1.0
-                                         / (uni.c1 + v.v)), 8)
-                              AS DECIMAL(38,8))) AS DOUBLE)
-                 / count(*), 4) AS mean_neg_logprob
-    FROM bg JOIN big USING (b) JOIN uni ON bg.w1 = uni.t CROSS JOIN v
+           round(CAST(sum(bigw.w) AS DOUBLE) / count(*), 4)
+               AS mean_neg_logprob
+    FROM bg JOIN bigw USING (b)
     GROUP BY bg.doc_id
     """,
     "engine extension: bigram LM scoring with add-V smoothing "
