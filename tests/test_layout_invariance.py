@@ -1,0 +1,62 @@
+"""Layout invariance of the float-determinism sweep (round 9).
+
+The failure class behind the r7/r8 `dsir_importance_weights` red:
+double partial sums accumulate in partition order, so a rounded
+avg/sum over a variable row set can flip its last digit between
+shuffle layouts. The sweep rewrote every such aggregation to exact
+DECIMAL accumulation; this test pins the guarantee the driver relies
+on — the SAME query under two different `spark.sql.shuffle.partitions`
+values must produce byte-identical canonical results (the verdict's
+"two layouts must hash identically" criterion), so no future layout
+(the driver's, a cluster's, AQE's runtime coalescing) can drift a
+rounded value.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from biodiversity_data_ingestion_spark.plans.queries import QUERIES
+
+from .conftest import SMOKE_DIR
+from .oracle_harness import _canon
+
+# one representative per converted aggregation shape: money sums,
+# product sums, window-frame sums, decimal moments (variance / corr /
+# t-test), quantized log-weight means, fixed-point float means, and
+# the integer-microsecond time weighting
+SWEEP_REPS = [
+    "q1_pricing_summary",
+    "revenue_by_nation",
+    "events_classified",
+    "value_histogram",
+    "user_rolling_1h_value",
+    "event_value_ab_ttest",
+    "event_value_outliers",
+    "winsorized_value_stats",
+    "price_quantity_corr",
+    "doc_unigram_logprob",
+    "dsir_importance_weights",
+    "label_centroids",
+    "user_time_weighted_value",
+    "incremental_monthly_agg",
+]
+
+
+@pytest.mark.parametrize("name", SWEEP_REPS)
+def test_two_shuffle_layouts_hash_identically(spark, name):
+    builder = QUERIES[name]["builder"]
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        a = _canon(builder(spark, SMOKE_DIR).toPandas())
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = _canon(builder(spark, SMOKE_DIR).toPandas())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert a.columns.tolist() == b.columns.tolist()
+    assert len(a) == len(b), f"{name}: row count differs across layouts"
+    # exact equality, NaN-safe — any drift here is the dsir bug class
+    assert a.fillna("∅").eq(b.fillna("∅")).all().all(), (
+        f"{name}: values differ between shuffle layouts 8 and 3"
+    )
