@@ -142,6 +142,10 @@ EAGER = {
     # builder runs docs.count() (the 1-literal problem dim) + a
     # global_row_number checkpoint at build time
     "feature_info_gain",
+    # global_row_number's stamped-frame checkpoint (the tokenize +
+    # frequency count + range sort — ~80% of the query) runs at build
+    # time; without EAGER the timer would see only the cheap tail
+    "doc_zipf_fit",
 }
 
 

@@ -23,7 +23,11 @@ from pyspark.sql import functions as F
 
 
 def distribution_stats(
-    df: DataFrame, keys: list[str], value: str, ndigits: int = 2
+    df: DataFrame,
+    keys: list[str],
+    value: str,
+    ndigits: int = 2,
+    value_dec: str = "decimal(18,2)",
 ) -> DataFrame:
     """A3: {mean, sd(pop), median, p5, p95, min, max} rounded, per key.
 
@@ -31,6 +35,14 @@ def distribution_stats(
     (array argument) — three separate percentile() aggregates would each
     build their own per-group value-count map, tripling the dominant
     memory/CPU cost of this aggregation.
+
+    ``value_dec`` is the DECIMAL type the value column is cast to for
+    the mean/sd moments — it must represent the column's values EXACTLY
+    (default assumes cent-valued 2dp money, the A3 use case). Passing a
+    column with more fractional digits than the scale, or magnitudes
+    beyond the precision, would silently round/null values into the
+    moments while percentiles/min/max still see the raw column — widen
+    the type for such inputs.
     """
     # mean/sd from exact DECIMAL first/second moments: native avg /
     # stddev_pop accumulate doubles in partition order, which can flip
@@ -38,7 +50,7 @@ def distribution_stats(
     # valued inputs keep v and v*v exact in decimal; the closing
     # mean/sqrt is a FIXED sequence of double ops on identical operands.
     v = F.col(value)
-    vd = v.cast("decimal(18,2)")
+    vd = v.cast(value_dec)
     agg = df.groupBy(*keys).agg(
         F.sum(vd).alias("_s1"),
         F.sum(vd * vd).alias("_s2"),

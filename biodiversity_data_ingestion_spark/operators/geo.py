@@ -346,14 +346,17 @@ def convex_hull_range_km2(
 # integer invariants that the km^2 kernel's float path approximates.
 
 
-def _hull_int(pts: "np.ndarray") -> "np.ndarray":
+def _hull_int(pts: "np.ndarray", assume_unique: bool = False) -> "np.ndarray":
     """Andrew monotone chain over int64 points -> strict hull CCW.
 
     Collinear boundary points are excluded (pop on cross <= 0), matching
     the SQL edge characterization's "strictly left OR strictly between"
-    rule. len<=2 degenerates to the distinct point(s).
+    rule. len<=2 degenerates to the distinct point(s). Pass
+    ``assume_unique`` when the caller already deduplicated (skips the
+    O(n log n) re-dedup).
     """
-    pts = np.unique(pts, axis=0)
+    if not assume_unique:
+        pts = np.unique(pts, axis=0)
     if len(pts) <= 2:
         return pts
     pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
@@ -406,7 +409,7 @@ def convex_hull_fixed_point(
         x = np.rint(pdf[lon].to_numpy(dtype=np.float64) * scale).astype(np.int64)
         y = np.rint(pdf[lat].to_numpy(dtype=np.float64) * scale).astype(np.int64)
         pts = np.unique(np.column_stack([x, y]), axis=0)
-        hull = _hull_int(pts)
+        hull = _hull_int(pts, assume_unique=True)
         m = len(hull)
         if m < 3:
             area2 = 0

@@ -30,6 +30,7 @@ from ..operators import (
     similarity,
     textops,
 )
+from ..functions.decimals import dec_sum
 from ..operators.classify import classify
 from ..sources.tables import load_table
 
@@ -430,10 +431,7 @@ def _events_classified(spark, sf_dir):
     return routed.groupBy("category").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
-        # exact DECIMAL accumulation of the cent-valued column (see _q1)
-        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
-        .cast("double")
-        .alias("total_value"),
+        dec_sum("value").alias("total_value"),
     )
 
 
@@ -1113,10 +1111,7 @@ def _event_window(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            # exact DECIMAL accumulation (order-independent; see _q1)
-            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
-            .cast("double")
-            .alias("sum_value"),
+            dec_sum("value").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -1844,10 +1839,7 @@ def _nested_order_rollup(spark, sf_dir):
     return ex.groupBy("o_orderpriority").agg(
         F.countDistinct("o_orderkey").alias("n_orders"),
         F.count("item.l_linenumber").alias("n_items"),
-        # exact DECIMAL accumulation (order-independent; see _q1)
-        F.round(F.sum(F.col("item.l_extendedprice").cast("decimal(18,2)")), 2)
-        .cast("double")
-        .alias("total_price"),
+        dec_sum("item.l_extendedprice").alias("total_price"),
     )
 
 
@@ -2421,10 +2413,7 @@ def _purchase_context_1h(spark, sf_dir):
     )
     return pairs.groupBy("event_id").agg(
         F.count("r_event_id").alias("n_events_1h"),
-        # exact DECIMAL accumulation (order-independent; see _q1)
-        F.round(F.sum(F.col("r_value").cast("decimal(18,2)")), 2)
-        .cast("double")
-        .alias("sum_value_1h"),
+        dec_sum("r_value").alias("sum_value_1h"),
     )
 
 
@@ -2536,7 +2525,6 @@ def _salted_join_brand_revenue(spark, sf_dir):
     return joined.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        # exact DECIMAL accumulation (order-independent; see _q1)
         F.round(
             F.sum(
                 F.col("l_extendedprice").cast("decimal(18,2)")
@@ -3394,10 +3382,7 @@ def _value_histogram(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.min("value"), 2).alias("min_value"),
         F.round(F.max("value"), 2).alias("max_value"),
-        # exact DECIMAL accumulation (order-independent; see _q1)
-        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
-        .cast("double")
-        .alias("sum_value"),
+        dec_sum("value").alias("sum_value"),
     )
 
 
@@ -4132,10 +4117,7 @@ def _orders_rollup(spark, sf_dir):
         o.rollup("o_orderpriority", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            # exact DECIMAL accumulation (order-independent; see _q1)
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
-            .cast("double")
-            .alias("sum_total"),
+            dec_sum("o_totalprice").alias("sum_total"),
         )
     )
 
@@ -4214,10 +4196,7 @@ def _hourly_gap_fill(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
     hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
         F.count(F.lit(1)).alias("n_events"),
-        # exact DECIMAL accumulation (order-independent; see _q1)
-        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
-        .cast("double")
-        .alias("sum_value"),
+        dec_sum("value").alias("sum_value"),
     )
     # the grid bounds are ONE aggregated row — the exploded sequence is
     # driver-free and the join side is the (tiny) grid, so Catalyst
@@ -4275,7 +4254,6 @@ def _nation_revenue_share(spark, sf_dir):
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        # exact DECIMAL accumulation (order-independent; see _q1)
         .agg(
             F.sum(
                 F.col("l_extendedprice").cast("decimal(18,2)")
@@ -4708,10 +4686,7 @@ def _bloom_gated_order_rollup(spark, sf_dir):
     gated = bloom_prefilter_semi_join(orders, rich, "o_custkey")
     return gated.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        # exact DECIMAL accumulation (order-independent; see _q1)
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
-        .cast("double")
-        .alias("sum_total"),
+        dec_sum("o_totalprice").alias("sum_total"),
     )
 
 
@@ -5332,10 +5307,7 @@ def _order_dims_cube(spark, sf_dir):
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            # exact DECIMAL accumulation (order-independent; see _q1)
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
-            .cast("double")
-            .alias("total_price"),
+            dec_sum("o_totalprice").alias("total_price"),
             F.grouping("o_orderstatus").cast("long").alias("is_status_total"),
             F.grouping("o_orderpriority").cast("long").alias("is_priority_total"),
         )
@@ -5616,11 +5588,8 @@ def _orders_yoy_growth(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     yearly = (
         o.groupBy("o_orderpriority", F.year("o_orderdate").alias("yr"))
-        # exact DECIMAL accumulation (order-independent; see _q1)
         .agg(
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
-            .cast("double")
-            .alias("revenue")
+            dec_sum("o_totalprice").alias("revenue")
         )
     )
     w = Window.partitionBy("o_orderpriority").orderBy("yr")
@@ -6411,10 +6380,7 @@ def _orders_quarterly_dow(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            # exact DECIMAL accumulation (order-independent; see _q1)
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
-            .cast("double")
-            .alias("revenue"),
+            dec_sum("o_totalprice").alias("revenue"),
         )
     )
 
@@ -8279,9 +8245,7 @@ def _small_quantity_revenue(spark, sf_dir):
         )
         .groupBy("p_brand")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
-            .cast("double")
-            .alias("small_qty_revenue"),
+            dec_sum("l_extendedprice").alias("small_qty_revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -11291,7 +11255,8 @@ def _daily_revenue_trend(spark, sf_dir):
         "o_orderpriority",
         F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01")).alias("x"),
     ).agg(
-        # exact DECIMAL accumulation of daily revenue (see _q1)
+        # exact DECIMAL daily revenue (the dec_sum pattern, kept inline
+        # because the regression consumes it as DECIMAL(38,8), not double)
         F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
         .cast("decimal(38,8)")
         .alias("y")
@@ -11518,10 +11483,7 @@ def _purchase_attribution(spark, sf_dir):
     ).where(F.col("event_type") == "purchase")
     return attributed.groupBy("first_touch").agg(
         F.count(F.lit(1)).alias("n_purchases"),
-        # exact DECIMAL accumulation (order-independent; see _q1)
-        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
-        .cast("double")
-        .alias("sum_value"),
+        dec_sum("value").alias("sum_value"),
     )
 
 
@@ -11722,10 +11684,7 @@ def _paginated_connector_revenue(spark, sf_dir):
     )
     return o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        # exact DECIMAL accumulation (order-independent; see _q1)
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
-        .cast("double")
-        .alias("revenue"),
+        dec_sum("o_totalprice").alias("revenue"),
     )
 
 
@@ -11828,9 +11787,7 @@ def _nation_revenue_holt(spark, sf_dir):
         # exact DECIMAL accumulation of monthly y (see _q1) — the fold
         # inputs are then engine-identical doubles
         .agg(
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
-            .cast("double")
-            .alias("y")
+            dec_sum("o_totalprice").alias("y")
         )
     )
     series = monthly.groupBy("n_name").agg(
@@ -12378,7 +12335,6 @@ _PRIORITY: tuple[str, ...] = (
     "orders_yoy_growth",
     "incremental_monthly_agg",
     "user_rolling_1h_value",
-    "orders_quarterly_dow",
     "embedding_quantization_error",
     "price_quantity_corr",
     "tpch_q3_shipping_priority",
@@ -12396,13 +12352,20 @@ _PRIORITY: tuple[str, ...] = (
     "price_stats_by_flag",
     "label_centroids",
     "order_priority_dims",
-    "orders_monthly",
     "global_metrics_union",
     "order_dims_grouping_sets",
+    # streaming queries whose sums were quantized — including the
+    # stateful sessionizers (integer-cent state + the inherited decimal
+    # session oracle). orders_quarterly_dow / orders_monthly were
+    # displaced to make room: their o_totalprice decimal pattern is
+    # already in-window three times over (orders_rollup /
+    # order_dims_cube / order_priority_dims); they lead the r10 queue.
     "stream_event_window",
     "event_sliding_windows",
     "user_sessions",
     "stream_user_sessions",
+    "stream_stateful_sessions",
+    "stream_dynamic_gap_sessions",
     "stream_sliding_windows",
     "stream_static_enrichment",
     "sketch_value_stats_exact",

@@ -484,15 +484,15 @@ def stateful_sessions(
     gap_us = gap_minutes * 60_000_000
 
     def _row(user_id, s):
-        # emit the RAW sum — Python round() is banker's (half-to-even)
-        # while the batch oracle / session_window twin use engine round
-        # (half away from zero); F.round on the output DataFrame below
-        # keeps rounding semantics engine-identical
+        # state carries EXACT integer cents (see fn below); emit the
+        # raw dollars — the F.round on the output DataFrame below is
+        # then the identity on an exact 2dp value, matching the batch
+        # oracle's exact DECIMAL accumulation byte-for-byte
         return {
             "session_start": pd.Timestamp(s[0], unit="us"),
             "user_id": user_id,
             "n_events": s[2],
-            "sum_value": s[3],
+            "sum_value": s[3] / 100.0,
         }
 
     def fn(
@@ -525,10 +525,14 @@ def stateful_sessions(
         # late events coalesces among itself, instead of being folded
         # into the open session (which would corrupt its bounds).
         items: list[list] = [list(state.get)] if state.exists else []
+        # accumulate EXACT integer cents: a float session sum is fold-
+        # order deterministic but can differ from the oracle's exact
+        # decimal sum by an ulp at a round(2) boundary; integer cents
+        # make the per-session sum identical by construction
         for us_, val in zip(
             batch["ts"].astype("int64") // 1000, batch["value"].astype("float64")
         ):
-            items.append([int(us_), int(us_), 1, float(val)])
+            items.append([int(us_), int(us_), 1, int(round(float(val) * 100))])
         sessions = _merge_session_items(items, g_us)
         wm_us = state.getCurrentWatermarkMs() * 1000
         closed, open_ = sessions[:-1], sessions[-1]
@@ -547,7 +551,7 @@ def stateful_sessions(
     out = keyed.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType=payload_schema,
-        stateStructType="start_us long, end_us long, n long, sv double",
+        stateStructType="start_us long, end_us long, n long, sv long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

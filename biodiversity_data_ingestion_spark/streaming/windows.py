@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.decimals import dec_sum
+
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",
                           watermark: str = "2 hours") -> DataFrame:
@@ -35,11 +37,7 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.size(F.collect_set("user_id")).cast("long").alias("n_users"),
-            # exact DECIMAL accumulation: micro-batch state merge order is
-            # not deterministic for double sums (see plans/_q1)
-            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
-            .cast("double")
-            .alias("sum_value"),
+            dec_sum("value").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -60,11 +58,7 @@ def sliding_event_counts(events: DataFrame, duration: str = "2 hours",
         src.groupBy(F.window("ts", duration, slide).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            # exact DECIMAL accumulation: micro-batch state merge order is
-            # not deterministic for double sums (see plans/_q1)
-            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
-            .cast("double")
-            .alias("sum_value"),
+            dec_sum("value").alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
     )
@@ -80,11 +74,7 @@ def session_event_counts(events: DataFrame, gap: str = "10 minutes",
         src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            # exact DECIMAL accumulation: micro-batch state merge order is
-            # not deterministic for double sums (see plans/_q1)
-            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
-            .cast("double")
-            .alias("sum_value"),
+            dec_sum("value").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("session_start"),
@@ -263,8 +253,6 @@ def run_stream_static_enrichment_over_events(
         F.count(F.lit(1)).alias("n_events"),
         # exact DECIMAL accumulation: micro-batch state merge order is
             # not deterministic for double sums (see plans/_q1)
-            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
-            .cast("double")
-            .alias("sum_value"),
+            dec_sum("value").alias("sum_value"),
     )
     return _drain_to_memory_table(spark, enriched, query_name)

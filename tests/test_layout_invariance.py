@@ -47,16 +47,57 @@ SWEEP_REPS = [
 def test_two_shuffle_layouts_hash_identically(spark, name):
     builder = QUERIES[name]["builder"]
     before = spark.conf.get("spark.sql.shuffle.partitions")
+    coalesce_before = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.enabled"
+    )
     try:
+        # AQE coalescing must be OFF here or both configs collapse to
+        # the same single post-shuffle partition on sf0.001 data and
+        # the two "layouts" are physically identical — the test would
+        # pass even for the order-dependent double sums it exists to
+        # catch (verified: groupBy on sf0.001 events coalesces to 1
+        # partition under both 8 and 3)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         a = _canon(builder(spark, SMOKE_DIR).toPandas())
         spark.conf.set("spark.sql.shuffle.partitions", "3")
         b = _canon(builder(spark, SMOKE_DIR).toPandas())
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", coalesce_before
+        )
     assert a.columns.tolist() == b.columns.tolist()
     assert len(a) == len(b), f"{name}: row count differs across layouts"
     # exact equality, NaN-safe — any drift here is the dsir bug class
     assert a.fillna("∅").eq(b.fillna("∅")).all().all(), (
         f"{name}: values differ between shuffle layouts 8 and 3"
     )
+
+
+def test_layouts_actually_differ(spark):
+    # vacuity canary: under the conf this module uses, the two
+    # shuffle.partitions values must produce physically different
+    # post-shuffle layouts — otherwise every invariance assertion above
+    # compares a run against itself
+    from pyspark.sql import functions as F
+
+    from biodiversity_data_ingestion_spark.sources.tables import load_table
+
+    ev = load_table(spark, SMOKE_DIR, "events")
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    coalesce_before = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.enabled"
+    )
+    try:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        n8 = ev.groupBy("event_type").agg(F.count(F.lit(1))).rdd.getNumPartitions()
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        n3 = ev.groupBy("event_type").agg(F.count(F.lit(1))).rdd.getNumPartitions()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", coalesce_before
+        )
+    assert (n8, n3) == (8, 3), f"layouts did not differ: {n8} vs {n3}"
