@@ -30,7 +30,7 @@ from ..operators import (
     similarity,
     textops,
 )
-from ..functions.decimals import dec_sum
+from ..functions.decimals import dec_mean, dec_sum
 from ..operators.classify import classify
 from ..sources.tables import load_table
 
@@ -105,8 +105,8 @@ def _q1(spark, sf_dir):
                 F.sum(price * (1 - disc) * (1 + tax)), 2
             ).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.sum(price).cast("double") / n, 2).alias("avg_price"),
-            F.round(F.sum(disc).cast("double") / n, 4).alias("avg_disc"),
+            dec_mean("l_extendedprice", n, 2).alias("avg_price"),
+            dec_mean("l_discount", n, 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -3626,9 +3626,7 @@ def _sketch_value_stats_exact(spark, sf_dir):
         F.round(F.min("value"), 2).alias("min_value"),
         F.round(F.max("value"), 2).alias("max_value"),
         # exact DECIMAL mean (order-independent; see _q1)
-        F.round(
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / n, 2
-        ).alias("mean"),
+        dec_mean("value", n, 2).alias("mean"),
     )
 
 
@@ -5976,9 +5974,7 @@ def _winsorized_value_stats(spark, sf_dir):
         F.round(
             F.sum(F.round("wv", 6).cast("decimal(18,6)")).cast("double") / n, 4
         ).alias("winsor_mean"),
-        F.round(
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / n, 4
-        ).alias("raw_mean"),
+        dec_mean("value", n, 4).alias("raw_mean"),
     )
 
 
