@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import math
 import os
+import struct
 from dataclasses import dataclass, field
 
 import duckdb
@@ -105,11 +106,18 @@ def _eq(a, b) -> bool:
             return False
         if math.isnan(af) and math.isnan(bf):
             return True
-        return af == bf  # exact — the driver hashes values; catch ANY drift
+        # BITWISE equality, not `==`: the driver hashes serialized
+        # values, so `-0.0` vs `0.0` (identical under IEEE `==`) is a
+        # driver mismatch — exactly the bit that kept
+        # dsir_importance_weights red for three rounds while the local
+        # preflight certified it green (round-9 verdict).
+        return struct.pack("<d", af) == struct.pack("<d", bf)
     if pd.isna(a) and pd.isna(b):
         return True
     if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
-        a = list(a) if a is not None else None
-        b = list(b) if b is not None else None
-        return a == b
+        if a is None or b is None:
+            return False
+        a, b = list(a), list(b)
+        # element-wise so nested floats get the same bitwise treatment
+        return len(a) == len(b) and all(_eq(x, y) for x, y in zip(a, b))
     return a == b
