@@ -41,6 +41,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _pz(col: F.Column) -> F.Column:
+    """Normalize IEEE signed zero to +0.0 in a final DOUBLE column.
+
+    `round()` of a tiny negative value collapses to zero differently
+    per engine: Spark's HALF_UP BigDecimal round drops the sign while
+    DuckDB's multiply-and-round keeps IEEE `-0.0`. Both are `==` 0.0,
+    but the driver hashes serialized values, so the single sign bit is
+    a hash mismatch (this exact bit kept dsir_importance_weights red
+    rounds 7-9). A CASE (never optimizer-foldable, unlike `x + 0.0`)
+    maps `-0.0` -> `0.0`; NULL stays NULL. Mirror with `_pz_sql` in the
+    oracle so both engines emit the identical bit pattern.
+    """
+    return F.when(col == F.lit(0.0), F.lit(0.0)).otherwise(col)
+
+
+def _pz_sql(expr: str) -> str:
+    """DuckDB twin of `_pz`: CASE-normalize signed zero to +0.0."""
+    return f"CASE WHEN ({expr}) = 0 THEN 0.0 ELSE ({expr}) END"
+
+
 def _sql_query(sql: str, tables: tuple[str, ...]):
     """A query whose Spark side runs the SAME SQL text via spark.sql —
     the engine's SQL view layer (reference's BigQuery views, SURVEY §3.3)."""
@@ -10699,8 +10719,10 @@ def _dsir_importance_weights(spark, sf_dir):
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
-                F.sum("w").cast("double") / F.count(F.lit(1)), 4
+            # _pz: a tiny negative per-doc mean rounds to signed zero
+            # in exactly one engine (doc 422 at sf0.01 — the r7-r9 red)
+            _pz(
+                F.round(F.sum("w").cast("double") / F.count(F.lit(1)), 4)
             ).alias("dsir_logratio"),
         )
     )
@@ -10727,7 +10749,10 @@ _register(
                   / ((cr + 1) * (nt + 256))), 8) AS DECIMAL(38,8)) AS w
         FROM dist CROSS JOIN totals)
     SELECT toks.doc_id, count(*) AS n_tokens,
-           round(CAST(sum(w) AS DOUBLE) / count(*), 4) AS dsir_logratio
+           CASE WHEN round(CAST(sum(w) AS DOUBLE) / count(*), 4) = 0
+                THEN 0.0
+                ELSE round(CAST(sum(w) AS DOUBLE) / count(*), 4)
+           END AS dsir_logratio
     FROM toks JOIN weights USING (bucket)
     GROUP BY toks.doc_id
     """,
