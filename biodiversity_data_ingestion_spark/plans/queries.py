@@ -5616,7 +5616,10 @@ def _orders_yoy_growth(spark, sf_dir):
         "o_orderpriority",
         F.col("yr").cast("long").alias("yr"),
         "revenue",
-        F.round((F.col("revenue") - prev) / prev * 100, 4).alias("yoy_pct"),
+        # _pz: growth is signable (the dsir signed-zero class)
+        _pz(F.round((F.col("revenue") - prev) / prev * 100, 4)).alias(
+            "yoy_pct"
+        ),
     )
 
 
@@ -5630,8 +5633,12 @@ _register(
                     AS DOUBLE) AS revenue
         FROM orders GROUP BY 1, 2)
     SELECT o_orderpriority, CAST(yr AS BIGINT) AS yr, revenue,
-           round((revenue - lag(revenue) OVER w) / lag(revenue) OVER w * 100, 4)
-               AS yoy_pct
+           CASE WHEN round((revenue - lag(revenue) OVER w)
+                           / lag(revenue) OVER w * 100, 4) = 0
+                THEN 0.0
+                ELSE round((revenue - lag(revenue) OVER w)
+                           / lag(revenue) OVER w * 100, 4)
+           END AS yoy_pct
     FROM y
     WINDOW w AS (PARTITION BY o_orderpriority ORDER BY yr)
     """,
@@ -5772,11 +5779,14 @@ def _term_pair_pmi(spark, sf_dir):
         .crossJoin(F.broadcast(n_docs))
         .select(
             "a", "b", "cf",
-            F.round(
-                F.log(
-                    (F.col("cf") * F.col("n_docs"))
-                    / (F.col("fa.tf") * F.col("fb.tf"))
-                ), 4
+            # _pz: PMI is signable (dsir signed-zero class)
+            _pz(
+                F.round(
+                    F.log(
+                        (F.col("cf") * F.col("n_docs"))
+                        / (F.col("fa.tf") * F.col("fb.tf"))
+                    ), 4
+                )
             ).alias("pmi"),
         )
     )
@@ -5800,7 +5810,10 @@ _register(
     co AS (SELECT a, b, count(*) AS cf FROM pairs GROUP BY a, b
            HAVING count(*) >= 5)
     SELECT a, b, cf,
-           round(ln((cf * n.n_docs * 1.0) / (fa.tf * fb.tf)), 4) AS pmi
+           CASE WHEN round(ln((cf * n.n_docs * 1.0) / (fa.tf * fb.tf)), 4) = 0
+                THEN 0.0
+                ELSE round(ln((cf * n.n_docs * 1.0) / (fa.tf * fb.tf)), 4)
+           END AS pmi
     FROM co
     JOIN uni fa ON co.a = fa.t
     JOIN uni fb ON co.b = fb.t
@@ -6299,11 +6312,19 @@ def _price_quantity_corr(spark, sf_dir):
         F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
     )
     covar = (sxd - sx * sd / n) / n
+    # zero-variance guard: a constant-valued group makes the corr
+    # denominator 0 — the engines disagree on 0/0 (Spark non-ANSI NULL
+    # vs DuckDB IEEE NaN), so both sides return NULL explicitly. _pz:
+    # corr/covar are signable, so round() can emit -0.0 in exactly one
+    # engine (the dsir signed-zero class).
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
     return m.select(
         "l_returnflag",
         "n",
-        F.round(corr, 4).alias("qty_price_corr"),
-        F.round(covar, 4).alias("qty_disc_covar"),
+        F.when((vx > 0) & (vy > 0), _pz(F.round(corr, 4))).alias(
+            "qty_price_corr"
+        ),
+        _pz(F.round(covar, 4)).alias("qty_disc_covar"),
     )
 
 
@@ -6324,19 +6345,30 @@ _register(
                    * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
                sum(CAST(l_quantity AS DECIMAL(12,2))
                    * CAST(l_discount AS DECIMAL(4,2))) AS sxd
-        FROM lineitem GROUP BY l_returnflag)
+        FROM lineitem GROUP BY l_returnflag),
+    d AS (
+        SELECT l_returnflag, n,
+               round((n * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (sqrt(n * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(n * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+                   AS corr_r,
+               round((CAST(sxd AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sd AS DOUBLE) / n) / n, 4)
+                   AS covar_r,
+               n * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+               n * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+        FROM m)
     SELECT l_returnflag, n,
-           round((n * CAST(sxy AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / (sqrt(n * CAST(sxx AS DOUBLE)
-                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                    * sqrt(n * CAST(syy AS DOUBLE)
-                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
-               AS qty_price_corr,
-           round((CAST(sxd AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sd AS DOUBLE) / n) / n, 4)
-               AS qty_disc_covar
-    FROM m
+           CASE WHEN vx > 0 AND vy > 0 THEN
+               CASE WHEN corr_r = 0 THEN 0.0 ELSE corr_r END
+           END AS qty_price_corr,
+           CASE WHEN covar_r = 0 THEN 0.0 ELSE covar_r END AS qty_disc_covar
+    FROM d
     """,
     "engine extension: per-group Pearson correlation / population "
     "covariance (bivariate distribution stats, single grouped pass)",
@@ -7137,12 +7169,16 @@ def _event_value_ab_ttest(spark, sf_dir):
 
     ma, mb = mean("_s1a", "n_a"), mean("_s1b", "n_b")
     va, vb = var("_s2a", "_s1a", "n_a"), var("_s2b", "_s1b", "n_b")
+    # zero-variance guard (both arms constant => denominator 0; the
+    # engines disagree on 0/0, so return NULL explicitly both sides)
+    # + _pz: t is signable, so round() can emit -0.0 in one engine only
+    se2 = va / F.col("n_a") + vb / F.col("n_b")
     return per.select(
         "event_type", "n_a", "n_b",
         F.round(ma, 4).alias("mean_a"),
         F.round(mb, 4).alias("mean_b"),
-        F.round(
-            (ma - mb) / F.sqrt(va / F.col("n_a") + vb / F.col("n_b")), 4
+        F.when(
+            se2 > 0, _pz(F.round((ma - mb) / F.sqrt(se2), 4))
         ).alias("t_stat"),
     )
 
@@ -7181,7 +7217,12 @@ _register(
         FROM per)
     SELECT event_type, n_a, n_b,
            round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
-           round((ma - mb) / sqrt(va / n_a + vb / n_b), 4) AS t_stat
+           CASE WHEN va / n_a + vb / n_b > 0 THEN
+               CASE WHEN round((ma - mb) / sqrt(va / n_a + vb / n_b), 4) = 0
+                    THEN 0.0
+                    ELSE round((ma - mb) / sqrt(va / n_a + vb / n_b), 4)
+               END
+           END AS t_stat
     FROM d
     """,
     "engine extension: Welch's t-test A/B comparison (conditional "
@@ -11209,10 +11250,13 @@ def _lineitem_corr_matrix(spark, sf_dir):
                 F.struct(
                     F.lit(a).alias("col_a"),
                     F.lit(b).alias("col_b"),
-                    F.round(
-                        num.cast("double")
-                        / F.sqrt(va.cast("double") * vb.cast("double")),
-                        6,
+                    # _pz: corr is signable (dsir signed-zero class)
+                    _pz(
+                        F.round(
+                            num.cast("double")
+                            / F.sqrt(va.cast("double") * vb.cast("double")),
+                            6,
+                        )
                     ).alias("corr"),
                 )
             )
@@ -11232,12 +11276,16 @@ def _corr_matrix_oracle() -> str:
         for i, a in enumerate(cols)
         for b in cols[i:]
     )
+    corr_expr = lambda a, b: (
+        f"round(CAST(n * p_{a}_{b} - s_{a} * s_{b} AS DOUBLE)\n"
+        f"                 / sqrt(CAST(n * p_{a}_{a} - s_{a} * s_{a} AS DOUBLE)\n"
+        f"                        * CAST(n * p_{b}_{b} - s_{b} * s_{b}"
+        f" AS DOUBLE)), 6)"
+    )
     sel = "\n    UNION ALL\n".join(
         f"""    SELECT '{a}' AS col_a, '{b}' AS col_b,
-           round(CAST(n * p_{a}_{b} - s_{a} * s_{b} AS DOUBLE)
-                 / sqrt(CAST(n * p_{a}_{a} - s_{a} * s_{a} AS DOUBLE)
-                        * CAST(n * p_{b}_{b} - s_{b} * s_{b} AS DOUBLE)), 6)
-               AS corr
+           CASE WHEN {corr_expr(a, b)} = 0 THEN 0.0
+                ELSE {corr_expr(a, b)} END AS corr
     FROM stats"""
         for i, a in enumerate(cols)
         for b in cols[i + 1 :]
@@ -11296,11 +11344,17 @@ def _daily_revenue_trend(spark, sf_dir):
     return stats.select(
         "o_orderpriority",
         F.col("n").alias("n_days"),
-        F.round(slope, 6).alias("slope"),
-        F.round(
-            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
-            / F.col("n"),
-            6,
+        # _pz: slope/intercept are signable (dsir signed-zero class)
+        _pz(F.round(slope, 6)).alias("slope"),
+        _pz(
+            F.round(
+                (
+                    F.col("sy").cast("double")
+                    - slope * F.col("sx").cast("double")
+                )
+                / F.col("n"),
+                6,
+            )
         ).alias("intercept"),
     )
 
@@ -11324,15 +11378,20 @@ _register(
                sum(CAST(CAST(x AS DECIMAL(38,8)) * CAST(x AS DECIMAL(38,8))
                         AS DECIMAL(38,8))) AS sxx,
                sum(CAST(CAST(x AS DECIMAL(38,8)) * y AS DECIMAL(38,8))) AS sxy
-        FROM daily GROUP BY 1)
+        FROM daily GROUP BY 1),
+    r AS (
+        SELECT o_orderpriority, n,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_r,
+               round((CAST(sy AS DOUBLE)
+                      - CAST(n * sxy - sx * sy AS DOUBLE)
+                        / CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(sx AS DOUBLE)) / n, 6) AS icpt_r
+        FROM stats)
     SELECT o_orderpriority, n AS n_days,
-           round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
-           round((CAST(sy AS DOUBLE)
-                  - CAST(n * sxy - sx * sy AS DOUBLE)
-                    / CAST(n * sxx - sx * sx AS DOUBLE)
-                    * CAST(sx AS DOUBLE)) / n, 6) AS intercept
-    FROM stats
+           CASE WHEN slope_r = 0 THEN 0.0 ELSE slope_r END AS slope,
+           CASE WHEN icpt_r = 0 THEN 0.0 ELSE icpt_r END AS intercept
+    FROM r
     """,
     "engine extension: grouped OLS trend (closed-form slope/intercept "
     "from exact decimal sums; rounded daily y so both engines regress "
@@ -11838,7 +11897,9 @@ def _nation_revenue_holt(spark, sf_dir):
         "n_name",
         "n_months",
         F.round(folded["l"], 4).alias("level"),
-        F.round(folded["b"], 4).alias("trend"),
+        # _pz: the trend term is signable and hovers near 0 for flat
+        # series — round() can emit -0.0 in exactly one engine
+        _pz(F.round(folded["b"], 4)).alias("trend"),
         F.round(folded["l"] + folded["b"], 4).alias("forecast_next"),
     )
 
@@ -11869,7 +11930,8 @@ _register(
                0.3 * ((0.5 * ys[i + 1] + 0.5 * (l + b)) - l) + 0.7 * b
         FROM f WHERE i < n_months)
     SELECT n_name, n_months,
-           round(l, 4) AS level, round(b, 4) AS trend,
+           round(l, 4) AS level,
+           CASE WHEN round(b, 4) = 0 THEN 0.0 ELSE round(b, 4) END AS trend,
            round(l + b, 4) AS forecast_next
     FROM f WHERE i = n_months
     """,
@@ -11981,11 +12043,17 @@ def _doc_zipf_fit(spark, sf_dir):
     ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     return stats.select(
         F.col("n").alias("n_types"),
-        F.round(slope, 6).alias("zipf_slope"),
-        F.round(
-            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
-            / F.col("n"),
-            6,
+        # _pz: slope/intercept are signable (dsir signed-zero class)
+        _pz(F.round(slope, 6)).alias("zipf_slope"),
+        _pz(
+            F.round(
+                (
+                    F.col("sy").cast("double")
+                    - slope * F.col("sx").cast("double")
+                )
+                / F.col("n"),
+                6,
+            )
         ).alias("intercept"),
     )
 
@@ -12010,15 +12078,20 @@ _register(
         SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
                sum(CAST(x * x AS DECIMAL(38,6))) AS sxx,
                sum(CAST(x * y AS DECIMAL(38,6))) AS sxy
-        FROM xy)
+        FROM xy),
+    r AS (
+        SELECT n,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_r,
+               round((CAST(sy AS DOUBLE)
+                      - CAST(n * sxy - sx * sy AS DOUBLE)
+                        / CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(sx AS DOUBLE)) / n, 6) AS icpt_r
+        FROM stats)
     SELECT n AS n_types,
-           round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
-           round((CAST(sy AS DOUBLE)
-                  - CAST(n * sxy - sx * sy AS DOUBLE)
-                    / CAST(n * sxx - sx * sx AS DOUBLE)
-                    * CAST(sx AS DOUBLE)) / n, 6) AS intercept
-    FROM stats
+           CASE WHEN slope_r = 0 THEN 0.0 ELSE slope_r END AS zipf_slope,
+           CASE WHEN icpt_r = 0 THEN 0.0 ELSE icpt_r END AS intercept
+    FROM r
     """,
     "engine extension: Zipf's-law fit (distributed frequency ranking "
     "via global_row_number + exact-decimal log-log OLS; the corpus "
@@ -12109,7 +12182,10 @@ def _feature_info_gain(spark, sf_dir):
     scored = db.select(
         "bucket",
         n_present.cast("long").alias("doc_freq"),
-        F.round(h_class - h_cond, 6).alias("info_gain"),
+        # _pz: IG is >= 0 mathematically but the entropy DIFFERENCE can
+        # be a tiny negative in float, so round() hits the signed-zero
+        # divergence (the dsir class)
+        _pz(F.round(h_class - h_cond, 6)).alias("info_gain"),
     )
     ranked = global_row_number(
         scored.withColumn("neg", -F.col("info_gain")), ["neg", "bucket"], out="r"
@@ -12150,14 +12226,18 @@ def _info_gain_oracle() -> str:
         GROUP BY bucket),
     t AS (
         SELECT {tot}, (SELECT count(*) FROM documents) AS nd),
-    scored AS (
+    scored0 AS (
         SELECT bucket,
                CAST({npres} AS BIGINT) AS doc_freq,
                round(({h_class})
                      - (({npres}) * 1.0 / t.nd) * ({h_pres})
                      - ((t.nd - ({npres})) * 1.0 / t.nd) * ({h_abs}),
-                     6) AS info_gain
-        FROM db, t, LATERAL (SELECT {npres} AS np) v)
+                     6) AS ig_r
+        FROM db, t, LATERAL (SELECT {npres} AS np) v),
+    scored AS (
+        SELECT bucket, doc_freq,
+               CASE WHEN ig_r = 0 THEN 0.0 ELSE ig_r END AS info_gain
+        FROM scored0)
     SELECT bucket, doc_freq, info_gain,
            CAST(row_number() OVER (ORDER BY info_gain DESC, bucket)
                 AS BIGINT) AS rank
