@@ -63,11 +63,24 @@ def cosine_topk(
         "neighbor_id",
         F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
+    # PARTIAL TOP-K before the per-query ranking window (the BM25 skew
+    # guard): a bare partitionBy(query_id) window serializes the ENTIRE
+    # corpus's rows for one query into one partition — the 100 TB
+    # bottleneck. Pre-ranking within (query_id, scan shard) caps what
+    # the final window sees at n_shards x k rows per query; the true
+    # global top-k provably survives (each of its rows ranks <= k
+    # inside its own shard), and the final window re-ranks with the
+    # same deterministic order, so the result is partitioning-invariant.
+    order = (F.col("cos_sim").desc(), F.col("neighbor_id"))
+    w_pre = Window.partitionBy("query_id", "_shard").orderBy(*order)
+    pre = (
+        scored.withColumn("_shard", F.spark_partition_id())
+        .withColumn("_pre_rank", F.row_number().over(w_pre))
+        .where(F.col("_pre_rank") <= k)
     )
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        pre.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
@@ -620,14 +633,21 @@ def pq_adc_topk(
         qslice = qv.select(
             "query_id", F.slice(F.col("qv"), s * width + 1, width).alias("qs")
         )
+        # int64 fixed-point squared-L2 (NOT decimal — per-element
+        # BigDecimal products in a higher-order function are ~2x the
+        # cost for zero benefit here): quantized coords of normalized
+        # embeddings are |xq| < 2^25 (|x| < 2 at KMEANS_SCALE=2^24), so
+        # each diff^2 < 2^52 and the fold stays exact in int64 up to
+        # 1024 dims/subspace (2^52 * 2^10 < 2^63). kmeans_lloyd's
+        # assign step keeps its decimal path for out-of-envelope
+        # inputs; PQ's contract is embeddings, which are in-envelope.
         dist = F.aggregate(
             F.zip_with(
                 F.col("qs"),
                 F.col("cvec"),
-                lambda x, y: (x - y).cast("decimal(18,0)")
-                * (x - y).cast("decimal(18,0)"),
+                lambda x, y: (x - y) * (x - y),
             ),
-            F.lit(0).cast("decimal(38,0)"),
+            F.lit(0).cast("long"),
             lambda acc, d: acc + d,
         )
         tables.append(
@@ -635,7 +655,7 @@ def pq_adc_topk(
                 "query_id",
                 F.lit(s).alias("subspace"),
                 F.col("cluster").alias(f"code_{s}"),
-                dist.cast("decimal(38,0)").alias(f"d_{s}"),
+                dist.alias(f"d_{s}"),
             )
         )
     # fold the per-subspace lookups into one map-side sum per (query, vec)
@@ -647,13 +667,25 @@ def pq_adc_topk(
         t = tables[s].select("query_id", f"code_{s}", f"d_{s}")
         scored = scored.join(F.broadcast(t), ["query_id", f"code_{s}"])
         total = F.col(f"d_{s}") if total is None else total + F.col(f"d_{s}")
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist").asc(), F.col("vec_id").asc()
-    )
+    # PARTIAL TOP-K before the per-query ranking window (the BM25 skew
+    # guard, reused): partitionBy(query_id) alone would serialize every
+    # corpus row for one query into a single window partition — the
+    # 100 TB skew point. Pre-ranking within (query_id, shard) caps the
+    # final window at n_shards x k rows per query; the global top-k
+    # survives (each row ranks <= k in its own shard) and the final
+    # re-rank uses the same deterministic order, so the output is
+    # partitioning-invariant.
+    kk = k if rerank is None else rerank
+    order = (F.col("adc_dist").asc(), F.col("vec_id").asc())
+    w_pre = Window.partitionBy("query_id", "_shard").orderBy(*order)
+    w = Window.partitionBy("query_id").orderBy(*order)
     adc = (
         scored.withColumn("adc_dist", total.cast("long"))
+        .withColumn("_shard", F.spark_partition_id())
+        .withColumn("_pre_rank", F.row_number().over(w_pre))
+        .where(F.col("_pre_rank") <= kk)
         .withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= (k if rerank is None else rerank))
+        .where(F.col("rank") <= kk)
         .select("query_id", "vec_id", "adc_dist", "rank")
     )
     if rerank is None:
@@ -667,14 +699,15 @@ def pq_adc_topk(
     cvq = corpus.select(
         F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col)).alias("cv")
     )
+    # int64 for the same envelope reason as the ADC tables above: full
+    # vectors are <= 1024 dims at |diff| < 2^26, so the fold is exact
     exact_d = F.aggregate(
         F.zip_with(
             F.col("qv"),
             F.col("cv"),
-            lambda x, y: (x - y).cast("decimal(18,0)")
-            * (x - y).cast("decimal(18,0)"),
+            lambda x, y: (x - y) * (x - y),
         ),
-        F.lit(0).cast("decimal(38,0)"),
+        F.lit(0).cast("long"),
         lambda acc, d: acc + d,
     )
     w2 = Window.partitionBy("query_id").orderBy(

@@ -253,7 +253,10 @@ def test_headline_plan_shuffle_budgets(spark):
         "ngram_jaccard_dups": 2,
         "minhash_lsh_dups": 4,
         "simhash_near_dups": 2,
-        "ann_cosine_topk": 1,
+        # 2 = the partial-top-k skew guard's (query, shard) pre-rank
+        # exchange + the final per-query top-k exchange (which now sees
+        # only n_shards x k rows per query instead of the whole corpus)
+        "ann_cosine_topk": 2,
         "label_centroids": 1,
         "occurrence_cleaning_pipeline": 1,
         "user_sessions": 1,
