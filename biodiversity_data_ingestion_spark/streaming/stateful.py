@@ -478,6 +478,15 @@ def stateful_sessions(
     per-tenant inactivity SLA, need the grouped-map state machine).
     The callable runs executor-side per group, so it must be a cheap
     pure function of the key (closure over a broadcast dict is fine).
+
+    STATE-SCHEMA BREAK (round 9): ``sv`` in the stateStructType changed
+    from ``double`` (raw dollars) to ``long`` (exact integer cents). A
+    stream restarted from a checkpoint written by the pre-change schema
+    will fail or misread its state — production deployments of
+    stream_stateful_sessions / stream_dynamic_gap_sessions must start
+    from a FRESH checkpoint directory (or a bumped checkpoint path)
+    after upgrading across that change. The bounded-replay runners in
+    this repo always stage into a new temp dir, so they are unaffected.
     """
     from pyspark.sql import functions as F
 
@@ -529,10 +538,15 @@ def stateful_sessions(
         # order deterministic but can differ from the oracle's exact
         # decimal sum by an ulp at a round(2) boundary; integer cents
         # make the per-session sum identical by construction
-        for us_, val in zip(
-            batch["ts"].astype("int64") // 1000, batch["value"].astype("float64")
-        ):
-            items.append([int(us_), int(us_), 1, int(round(float(val) * 100))])
+        # vectorized: pandas does the us/cents math in one pass; the
+        # Python loop only assembles the item lists. numpy round() is
+        # half-to-even like builtins.round, so the cents are identical
+        # to the previous per-row int(round(val * 100)).
+        us_arr = (batch["ts"].astype("int64") // 1000).tolist()
+        cents = (
+            (batch["value"].astype("float64") * 100).round().astype("int64").tolist()
+        )
+        items.extend([u, u, 1, c] for u, c in zip(us_arr, cents))
         sessions = _merge_session_items(items, g_us)
         wm_us = state.getCurrentWatermarkMs() * 1000
         closed, open_ = sessions[:-1], sessions[-1]
@@ -585,8 +599,31 @@ def _stage_events_with_sentinel(
     dst = os.path.join(stage, "00_events.parquet")
     shutil.copyfile(src, dst)
     schema = pq.read_schema(src).remove_metadata()
-    tmax = pq.read_table(src, columns=["ts"])["ts"].to_pylist()
-    sentinel_ts = max(tmax) + pd.Timedelta(days=margin_days)
+    # max(ts) from parquet ROW-GROUP STATISTICS — metadata only, zero
+    # data pages read. The previous implementation materialized the
+    # full ts column on the driver (pq.read_table + Python max), which
+    # at 100x events is a driver-side full-column read. Footer stats
+    # are written by every Spark/Arrow parquet writer; the column-read
+    # fallback below only runs if a row group somehow lacks them.
+    md = pq.ParquetFile(src).metadata
+    tmax = None
+    stats_ok = True
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            if col.path_in_schema != "ts":
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                stats_ok = False
+                break
+            tmax = st.max if tmax is None else max(tmax, st.max)
+        if not stats_ok:
+            break
+    if tmax is None or not stats_ok:
+        tmax = max(pq.read_table(src, columns=["ts"])["ts"].to_pylist())
+    sentinel_ts = tmax + pd.Timedelta(days=margin_days)
     sentinel = pa.Table.from_pylist(
         [
             {
