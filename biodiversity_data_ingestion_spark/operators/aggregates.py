@@ -43,6 +43,16 @@ def distribution_stats(
     beyond the precision, would silently round/null values into the
     moments while percentiles/min/max still see the raw column — widen
     the type for such inputs.
+
+    ACCURACY CAVEAT (sd << mean): the one-pass close
+    sqrt((s2 - s1^2/n)/n) subtracts two near-equal doubles after the
+    decimal->double casts, so when the spread is tiny relative to the
+    magnitude (sd/mean below ~1e-6) catastrophic cancellation can cost
+    most of the sd's significant digits. It is deterministic and the
+    oracle mirrors the identical op sequence, so parity holds — the
+    loss is absolute accuracy, not reproducibility. For such inputs
+    center the data first (subtract a per-group pivot before the
+    moments) or use the two-pass stddev_pop.
     """
     # mean/sd from exact DECIMAL first/second moments: native avg /
     # stddev_pop accumulate doubles in partition order, which can flip

@@ -394,11 +394,16 @@ def convex_hull_fixed_point(
       quantized units^2 (exact int64; 0 for degenerate hulls)
 
     applyInPandas on the group key — same single-shuffle shape as
-    convex_hull_range_km2; each group reduces to one row.
+    convex_hull_range_km2; each group reduces to one row. The group
+    column keeps its native type (the StructField is lifted from
+    df.schema, like convex_hull_range_km2): the previous long cast
+    silently nulled non-numeric keys and then raised a bare TypeError
+    inside the pandas kernel.
     """
+    group_field = df.schema[group_col]
     out_schema = StructType(
         [
-            StructField(group_col, LongType(), True),
+            StructField(group_col, group_field.dataType, True),
             StructField("n_pts", LongType(), True),
             StructField("hull_vertices", LongType(), True),
             StructField("area2_fp", LongType(), True),
@@ -418,9 +423,15 @@ def convex_hull_fixed_point(
             area2 = int(
                 np.dot(xs, np.roll(ys, -1)) - np.dot(ys, np.roll(xs, -1))
             )
+        # key[0] passes through at its native type (Arrow round-trips
+        # it); only numpy integer scalars need the int() coercion so
+        # pandas doesn't widen them
+        gval = key[0]
+        if isinstance(gval, np.integer):
+            gval = int(gval)
         return pd.DataFrame(
             {
-                group_col: [int(key[0])],
+                group_col: [gval],
                 "n_pts": [len(pts)],
                 "hull_vertices": [m],
                 "area2_fp": [area2],
@@ -428,7 +439,7 @@ def convex_hull_fixed_point(
         )
 
     return (
-        df.select(F.col(group_col).cast("long").alias(group_col), lat, lon)
+        df.select(group_col, lat, lon)
         .groupBy(group_col)
         .applyInPandas(kernel, schema=out_schema)
     )

@@ -1525,7 +1525,9 @@ def _species_range_hull_exact(spark, sf_dir):
     from ..operators.geo import convex_hull_fixed_point
 
     pts = _t(spark, sf_dir, "customer").selectExpr(
-        "c_nationkey",
+        # explicit BIGINT: the hull operator now PRESERVES the group
+        # column's native type (int32 here), and the oracle emits BIGINT
+        "CAST(c_nationkey AS BIGINT) AS c_nationkey",
         f"{_LAT % {'k': 'c_custkey', 'off': '0.15'}} AS lat",
         f"{_LON % {'k': 'c_custkey', 'off': '0.15'}} AS lon",
     )
@@ -12410,73 +12412,68 @@ _register(
 # near-duplicate variants of already-proven patterns come after. The
 # full registry is still exported — only the ordering changes.
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-9 WINDOW: evidence-on-arrival for the float-determinism
-    # sweep. Every query whose aggregation was rewritten to exact
-    # DECIMAL accumulation this round (plus the dsir fix, red in r7+r8,
-    # which leads) re-enters the window, and the five new
-    # oracle-graduated exact twins of the rows-only sketch/hull family
-    # arrive with evidence. The r2-stale untouched greens are queued
-    # for the r10 window (word_freq and part_urls first) — their green
-    # rows persist on disk (see NOTES.md).
+    # ROUND-10 WINDOW: evidence-on-arrival for every query whose code
+    # or oracle changed this round, then the stale-r2 queue from
+    # NOTES.md (displaced greens keep their recorded rows on disk).
+    # Changed block 1 — the signed-zero fix (dsir, red r7-r9, leads)
+    # and the registry-wide signed-zero / zero-variance hardening:
     "dsir_importance_weights",
-    "q1_pricing_summary",
-    "revenue_by_nation",
-    "events_classified",
-    "event_window_agg",
-    "nested_order_rollup",
-    "purchase_context_1h",
-    "salted_join_brand_revenue",
-    "value_histogram",
-    "orders_rollup",
-    "hourly_gap_fill",
-    "nation_revenue_share",
-    "bloom_gated_order_rollup",
-    "event_value_outliers",
-    "order_dims_cube",
-    "orders_yoy_growth",
-    "incremental_monthly_agg",
-    "user_rolling_1h_value",
-    "embedding_quantization_error",
     "price_quantity_corr",
-    "tpch_q3_shipping_priority",
-    "user_time_weighted_value",
     "event_value_ab_ttest",
-    "winsorized_value_stats",
-    "doc_unigram_logprob",
-    "doc_bigram_logprob",
-    "orders_snapshot_diff",
-    "rrf_doc_fusion",
-    "purchase_attribution",
-    "paginated_connector_revenue",
     "nation_revenue_holt",
     "daily_revenue_trend",
-    "price_stats_by_flag",
-    "label_centroids",
-    "order_priority_dims",
-    "global_metrics_union",
-    "order_dims_grouping_sets",
-    # streaming queries whose sums were quantized — including the
-    # stateful sessionizers (integer-cent state + the inherited decimal
-    # session oracle). orders_quarterly_dow / orders_monthly were
-    # displaced to make room: their o_totalprice decimal pattern is
-    # already in-window three times over (orders_rollup /
-    # order_dims_cube / order_priority_dims); they lead the r10 queue.
-    "stream_event_window",
-    "event_sliding_windows",
-    "user_sessions",
-    "stream_user_sessions",
+    "doc_zipf_fit",
+    "feature_info_gain",
+    "orders_yoy_growth",
+    "lineitem_corr_matrix",
+    "term_pair_pmi",
+    # Changed block 2 — PQ-ADC int64 revert + the partial-top-k skew
+    # guard (pq + brute cosine), the type-preserving hull operator, and
+    # the two stateful sessionizers (vectorized cents + metadata-only
+    # sentinel max):
+    "pq_adc_topk",
+    "ann_cosine_topk",
+    "species_range_hull_exact",
     "stream_stateful_sessions",
     "stream_dynamic_gap_sessions",
-    "stream_sliding_windows",
-    "stream_static_enrichment",
-    "sketch_value_stats_exact",
-    "species_range_hull_exact",
-    "theta_user_overlap_exact",
-    # the hll/kll twins take the two slots the stale-r2 rotation would
-    # have used — never-checked new queries outrank stale re-checks;
-    # word_freq / part_urls lead the r10 queue in NOTES.md instead
-    "hll_mergeable_rollup_exact",
-    "kll_value_quantiles_exact",
+    # Stale-evidence queue (NOTES.md r9): the two displaced decimal
+    # reps first, then the r2 block oldest-first (ann_cosine_topk
+    # already above), topped up from the r3 block:
+    "orders_quarterly_dow",
+    "orders_monthly",
+    "word_freq",
+    "part_urls",
+    "asof_prior_purchase",
+    "benchmark_contamination",
+    "climate_zonal_grid",
+    "customer_upsert_merge",
+    "dedup_exact_prefix",
+    "dedup_min_by",
+    "derivation_chain_roots",
+    "doc_fingerprints",
+    "doc_token_stats",
+    "embedding_cosine_dups",
+    "events_json_extract",
+    "gate_rows_projection",
+    "geotag_aggregation",
+    "lineitem_retention",
+    "minhash_lsh_dups",
+    "multimodal_features",
+    "nation_cogroup",
+    "near_dedup_corpus",
+    "ngram_jaccard_dups",
+    "occurrence_cleaning_summary",
+    "order_lineitems_rollup",
+    "points_in_region",
+    "segment_sets_by_region",
+    "simhash_near_dups",
+    "stratified_doc_sample",
+    "terms_summary_topk",
+    "tfidf_top_terms",
+    "top3_orders_per_customer",
+    "user_event_flatten",
+    "user_value_scd2",
+    "annotation_merge",
 )
 
 _PRIORITY_R5: tuple[str, ...] = (

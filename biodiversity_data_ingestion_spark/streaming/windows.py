@@ -252,7 +252,7 @@ def run_stream_static_enrichment_over_events(
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         # exact DECIMAL accumulation: micro-batch state merge order is
-            # not deterministic for double sums (see plans/_q1)
-            dec_sum("value").alias("sum_value"),
+        # not deterministic for double sums (see plans/_q1)
+        dec_sum("value").alias("sum_value"),
     )
     return _drain_to_memory_table(spark, enriched, query_name)
