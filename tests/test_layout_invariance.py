@@ -40,6 +40,15 @@ SWEEP_REPS = [
     "label_centroids",
     "user_time_weighted_value",
     "incremental_monthly_agg",
+    # round-10 signed-zero hardening reps: signable rounded finals
+    # (log-ratios, slopes, growth, info-gain, PMI, the Holt trend fold)
+    "nation_revenue_holt",
+    "daily_revenue_trend",
+    "doc_zipf_fit",
+    "feature_info_gain",
+    "lineitem_corr_matrix",
+    "term_pair_pmi",
+    "orders_yoy_growth",
 ]
 
 
