@@ -1,0 +1,71 @@
+"""Regression net for the signed-zero oracle class (round 10).
+
+The failure mode that kept `dsir_importance_weights` red for three
+rounds: `round()` of a tiny negative DOUBLE collapses to `0.0` in
+Spark (HALF_UP BigDecimal round drops the sign) but `-0.0` in DuckDB
+(IEEE multiply-and-round keeps it). IEEE `==` cannot see the
+difference; the driver's value hash can. The registry-wide fix is the
+`_pz` / `_pz_sql` normalization pair on every signable rounded final
+(plans/queries.py).
+
+This test closes the loop for FUTURE queries: it evaluates every
+registered oracle in DuckDB at sf0.01 (no Spark session needed — the
+cheap side) and asserts no scalar float column carries a negative
+zero. A failure here means a new query's final column needs the
+`_pz`/`_pz_sql` treatment — or, if Spark's twin provably emits the
+same `-0.0` (a non-`round()` path), an explicit allowlist entry below
+with a comment. Limitation: list/struct columns are not descended
+into; the bitwise `_eq` in oracle_harness covers those at parity
+time.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from biodiversity_data_ingestion_spark.plans.queries import QUERIES
+
+from .conftest import SF_DIR
+from .oracle_harness import duckdb_con
+
+# queries whose -0.0 is verified to appear identically in the Spark
+# result (bitwise parity green), so normalization is not required
+ALLOWED_NEGATIVE_ZERO: set[str] = {
+    # clim_bio2 (-0.0 in 746/1500 rows) and clim_bio3: the Spark side
+    # rounds inside the numpy mapInPandas raster kernel
+    # (operators/geo.py), which is IEEE sign-preserving EXACTLY like
+    # DuckDB's round — both engines emit the same -0.0 bit, and the
+    # bitwise parity sweep is green (r10). The hazard only exists for
+    # F.round (JVM BigDecimal HALF_UP, sign-dropping) vs DuckDB round.
+    "climate_zonal_grid",
+}
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_con(SF_DIR)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n, s in QUERIES.items() if s["oracle"] is not None)
+)
+def test_oracle_emits_no_negative_zero(con, name):
+    if name in ALLOWED_NEGATIVE_ZERO:
+        pytest.skip("verified matched -0.0 (see allowlist comment)")
+    df = con.execute(QUERIES[name]["oracle"]).df()
+    offenders = []
+    for c in df.columns:
+        if df[c].dtype.kind != "f":
+            continue
+        vals = df[c].to_numpy()
+        mask = (vals == 0) & np.signbit(vals) & ~np.isnan(vals)
+        if mask.any():
+            offenders.append((c, int(mask.sum())))
+    assert not offenders, (
+        f"{name}: oracle emits -0.0 in {offenders} — wrap the final "
+        "column with _pz (Spark) + _pz_sql/CASE (oracle), or allowlist "
+        "with evidence that Spark emits the identical bit"
+    )
