@@ -109,6 +109,12 @@ HEADLINE = (
     "event_trigram_topk",
     "kfold_split_balance",
     "xml_record_roundtrip",
+    # round-10 additions: the storage-layout audit (two distributed
+    # global_row_number file assignments + integer rollups), compaction
+    # binning, and the decimal-moment ACF
+    "layout_pruning_audit",
+    "file_compaction_bins",
+    "daily_revenue_acf",
 )
 
 # queries whose builder EXECUTES the work eagerly (streaming drains,
@@ -146,6 +152,9 @@ EAGER = {
     # frequency count + range sort — ~80% of the query) runs at build
     # time; without EAGER the timer would see only the cheap tail
     "doc_zipf_fit",
+    # TWO global_row_number stamped-frame checkpoints (one per layout)
+    # run at build time
+    "layout_pruning_audit",
 }
 
 

@@ -26,7 +26,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["add_zorder_column", "write_zordered", "zorder_interleave_ref"]
+__all__ = [
+    "add_zorder_column",
+    "write_zordered",
+    "zorder_interleave_ref",
+    "zorder_key_fixed",
+    "zorder_key_fixed_sql",
+]
 
 
 def _scaled_cell(col: str, bits: int) -> Column:
@@ -96,6 +102,37 @@ def write_zordered(
         .mode("overwrite")
         .save(path)
     )
+
+
+def zorder_key_fixed(cols: list[str], bits: int = 16) -> Column:
+    """Morton key over ALREADY-INTEGER, non-negative columns — no
+    min-max normalization (``add_zorder_column`` normalizes; this is
+    the oracle-exact variant for columns that are natural grid cells,
+    e.g. a key id and a day index). Callers guarantee each value fits
+    in ``bits`` bits; larger values alias onto their low bits, which
+    only coarsens locality, never breaks determinism. Pure Catalyst
+    bit arithmetic (whole-stage codegen). Mirror in ANSI SQL with
+    ``zorder_key_fixed_sql`` so DuckDB computes the identical key.
+    """
+    z = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        cell = F.col(c).cast("long")
+        for b in range(bits):
+            bit = F.shiftright(cell, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * len(cols) + ci))
+    return z
+
+
+def zorder_key_fixed_sql(cols: list[str], bits: int = 16) -> str:
+    """DuckDB twin of ``zorder_key_fixed``: the same interleave as
+    portable integer arithmetic (``//`` + ``%`` + ``<<`` + ``|``),
+    bit-identical for non-negative inputs."""
+    terms = [
+        f"(((CAST({c} AS BIGINT) // {1 << b}) % 2) << {b * len(cols) + ci})"
+        for ci, c in enumerate(cols)
+        for b in range(bits)
+    ]
+    return "(" + " | ".join(terms) + ")"
 
 
 def zorder_interleave_ref(cells: list[int], bits: int) -> int:

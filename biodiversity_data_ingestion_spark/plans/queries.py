@@ -12404,6 +12404,321 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 241. layout_pruning_audit — storage-layout audit: quantify WHY the
+# Z-order layout (functions/zorder.py, footer-stats-proven in
+# tests/test_zorder.py) prunes multi-column predicates that a
+# single-column sort layout cannot. Orders are assigned to simulated
+# 256-row files under two layouts — date-sorted (ingestion order) and
+# Morton-curve over (custkey, day) — then each layout is scored by the
+# file-grain min-max metadata a lakehouse scan planner would use:
+# total per-file key-range spans (tighter = better skipping) and the
+# number of files a (custkey-box AND day-box) predicate must scan.
+# Scale: file assignment uses global_row_number (distributed two-pass
+# range rank — no single-partition window); the per-file rollup and
+# the final per-layout rollup shuffle on (layout, file_id) / layout.
+# All outputs are exact integers (span sums, file counts) — no float
+# accumulation anywhere.
+
+def _layout_pruning_audit(spark, sf_dir):
+    from ..functions.partitioning import global_row_number
+    from ..functions.zorder import zorder_key_fixed
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        ).alias("day"),
+    )
+    # 16-bit cells: custkey < 2**16 through sf0.4, day < 2**12 at any SF
+    # (beyond that the key aliases low bits — locality coarsens, the
+    # audit stays deterministic; see zorder_key_fixed)
+    o = o.withColumn("z", zorder_key_fixed(["o_custkey", "day"], bits=16))
+
+    def files(order_cols: list[str], layout: str):
+        ranked = global_row_number(o, order_cols, out="rn")
+        return (
+            ranked.withColumn("file_id", F.expr("(rn - 1) div 256"))
+            .groupBy("file_id")
+            .agg(
+                F.min("o_custkey").alias("mnc"),
+                F.max("o_custkey").alias("mxc"),
+                F.min("day").alias("mnd"),
+                F.max("day").alias("mxd"),
+            )
+            .withColumn("layout", F.lit(layout))
+        )
+
+    per_file = files(["day", "o_orderkey"], "bydate").unionByName(
+        files(["z", "o_orderkey"], "zorder")
+    )
+    scanned = (
+        (F.col("mnc") <= 199)
+        & (F.col("mxc") >= 100)
+        & (F.col("mnd") <= 1179)
+        & (F.col("mxd") >= 1000)
+    )
+    return per_file.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("files"),
+        F.sum(F.col("mxc") - F.col("mnc")).alias("cust_span_total"),
+        F.sum(F.col("mxd") - F.col("mnd")).cast("long").alias("day_span_total"),
+        F.sum(F.when(scanned, 1).otherwise(0)).alias("files_scanned"),
+    )
+
+
+def _layout_pruning_audit_sql() -> str:
+    from ..functions.zorder import zorder_key_fixed_sql
+
+    z = zorder_key_fixed_sql(["o_custkey", "day"], bits=16)
+    return f"""
+    WITH o AS (
+        SELECT o_orderkey, o_custkey,
+               date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS day
+        FROM orders),
+    oz AS (SELECT *, {z} AS z FROM o),
+    assigned AS (
+        SELECT 'bydate' AS layout,
+               (row_number() OVER (ORDER BY day, o_orderkey) - 1) // 256
+                   AS file_id,
+               o_custkey, day
+        FROM oz
+        UNION ALL
+        SELECT 'zorder',
+               (row_number() OVER (ORDER BY z, o_orderkey) - 1) // 256,
+               o_custkey, day
+        FROM oz),
+    per_file AS (
+        SELECT layout, file_id,
+               min(o_custkey) AS mnc, max(o_custkey) AS mxc,
+               min(day) AS mnd, max(day) AS mxd
+        FROM assigned GROUP BY layout, file_id)
+    SELECT layout,
+           count(*) AS files,
+           CAST(sum(mxc - mnc) AS BIGINT) AS cust_span_total,
+           CAST(sum(mxd - mnd) AS BIGINT) AS day_span_total,
+           count(*) FILTER (WHERE mnc <= 199 AND mxc >= 100
+                              AND mnd <= 1179 AND mxd >= 1000)
+               AS files_scanned
+    FROM per_file GROUP BY layout
+    """
+
+
+_register(
+    "layout_pruning_audit",
+    _layout_pruning_audit,
+    _layout_pruning_audit_sql(),
+    "engine extension: data-layout audit — Z-order vs single-column "
+    "sort scored by file-grain min-max spans + files scanned under a "
+    "two-column box predicate (the lakehouse OPTIMIZE ZORDER BY "
+    "data-skipping rationale, measured instead of asserted)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 242. file_compaction_bins — small-file compaction planning (the
+# lakehouse OPTIMIZE / Spark file-coalescing shape): roll the table's
+# simulated file listing (file = 50 consecutive orderkeys, size = a
+# deterministic per-row byte estimate) into target-size compaction
+# bins by cumulative-quota binning — bin = floor(running-size-before /
+# target), the same arithmetic Spark's own scan packing uses for
+# maxPartitionBytes. Scale: the running-sum window runs over the FILE
+# LISTING (one row per file — metadata-scale, ~1e6 rows at 100 TB,
+# never data-scale); everything upstream is a distributed rollup.
+# All-integer output.
+
+def _file_compaction_bins(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    files = (
+        o.groupBy(F.expr("o_orderkey div 50").alias("file_id"))
+        .agg(
+            F.sum(
+                F.lit(24)
+                + F.length("o_orderpriority")
+                + F.length("o_orderstatus")
+            ).alias("size_bytes")
+        )
+    )
+    # running size BEFORE this file (SQL-spelled window: `div` keeps the
+    # bin id in exact integer arithmetic — no double rounding at any SF)
+    binned = files.withColumn(
+        "bin",
+        F.expr(
+            "coalesce(sum(size_bytes) over "
+            "(order by file_id rows between unbounded preceding "
+            "and 1 preceding), 0) div 16384"
+        ),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("size_bytes").alias("total_bytes"),
+            F.min("file_id").alias("first_file"),
+            F.max("file_id").alias("last_file"),
+        )
+    )
+
+
+_register(
+    "file_compaction_bins",
+    _file_compaction_bins,
+    """
+    WITH files AS (
+        SELECT o_orderkey // 50 AS file_id,
+               CAST(sum(24 + length(o_orderpriority)
+                           + length(o_orderstatus)) AS BIGINT) AS size_bytes
+        FROM orders GROUP BY 1),
+    binned AS (
+        SELECT file_id, size_bytes,
+               CAST(coalesce(sum(size_bytes) OVER
+                        (ORDER BY file_id ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) // 16384 AS BIGINT) AS bin
+        FROM files)
+    SELECT bin, count(*) AS n_files,
+           CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
+           min(file_id) AS first_file, max(file_id) AS last_file
+    FROM binned GROUP BY bin
+    """,
+    "engine extension: compaction planning — cumulative-quota binning "
+    "of a file listing into target-size rewrite bins (lakehouse "
+    "OPTIMIZE bin packing; metadata-scale window, all-integer)",
+)
+
+
+# ---------------------------------------------------------------------------
+# 243. daily_revenue_acf — lag-k autocorrelation of the daily revenue
+# series (Pearson over (r_d, r_{d+k}) pairs where BOTH days exist; lags
+# 1 and 7 expose day-over-day vs weekly structure). Exact DECIMAL
+# co-moments closed by the FIXED double-op sequence of the corr family
+# (price_quantity_corr), zero-variance guarded, signed-zero normalized
+# (corr is signable — the dsir -0.0 class). Scale: the daily rollup
+# shuffles on day; the lead() window runs over the DAY series whose
+# cardinality is calendar-bounded (~2.4k rows regardless of SF) — a
+# deliberately-allowed bounded global window, like the monthly Holt
+# series. Both lags come from ONE pass over the windowed frame
+# (explode, not a re-scanned union).
+
+def _daily_revenue_acf(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+            ).alias("day")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("x")
+        )
+    )
+    w = Window.orderBy("day")
+    led = daily.select(
+        "day",
+        "x",
+        F.lead("day", 1).over(w).alias("d1"),
+        F.lead("x", 1).over(w).alias("y1"),
+        F.lead("day", 7).over(w).alias("d7"),
+        F.lead("x", 7).over(w).alias("y7"),
+    )
+    pairs = (
+        led.select(
+            "day",
+            "x",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(1).cast("long").alias("lag_days"),
+                        F.col("d1").alias("dn"),
+                        F.col("y1").alias("y"),
+                    ),
+                    F.struct(
+                        F.lit(7).cast("long").alias("lag_days"),
+                        F.col("d7").alias("dn"),
+                        F.col("y7").alias("y"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("day", "x", "p.*")
+        .where(F.col("dn") == F.col("day") + F.col("lag_days"))
+    )
+    m = pairs.groupBy("lag_days").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("_sx"),
+        F.sum("y").alias("_sy"),
+        F.sum(F.col("x") * F.col("x")).alias("_sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("_syy"),
+        F.sum(F.col("x") * F.col("y")).alias("_sxy"),
+    )
+    n = F.col("n_pairs")
+    sx, sy = (F.col(c).cast("double") for c in ("_sx", "_sy"))
+    sxx, syy, sxy = (
+        F.col(c).cast("double") for c in ("_sxx", "_syy", "_sxy")
+    )
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    return m.select(
+        "lag_days",
+        "n_pairs",
+        F.when((vx > 0) & (vy > 0), _pz(F.round(corr, 6))).alias("acf"),
+    )
+
+
+_register(
+    "daily_revenue_acf",
+    _daily_revenue_acf,
+    """
+    WITH daily AS (
+        SELECT date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS day,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS x
+        FROM orders GROUP BY 1),
+    led AS (
+        SELECT day, x,
+               lead(day, 1) OVER (ORDER BY day) AS d1,
+               lead(x, 1) OVER (ORDER BY day) AS y1,
+               lead(day, 7) OVER (ORDER BY day) AS d7,
+               lead(x, 7) OVER (ORDER BY day) AS y7
+        FROM daily),
+    pairs AS (
+        SELECT 1 AS lag_days, x, y1 AS y FROM led WHERE d1 = day + 1
+        UNION ALL
+        SELECT 7 AS lag_days, x, y7 AS y FROM led WHERE d7 = day + 7),
+    m AS (
+        SELECT lag_days, count(*) AS n_pairs,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        FROM pairs GROUP BY lag_days),
+    d AS (
+        SELECT lag_days, n_pairs,
+               round((n_pairs * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (sqrt(n_pairs * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(n_pairs * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                   AS acf_r,
+               n_pairs * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+               n_pairs * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+        FROM m)
+    SELECT CAST(lag_days AS BIGINT) AS lag_days, n_pairs,
+           CASE WHEN vx > 0 AND vy > 0 THEN
+               CASE WHEN acf_r = 0 THEN 0.0 ELSE acf_r END
+           END AS acf
+    FROM d
+    """,
+    "engine extension: lag-k autocorrelation of a daily series "
+    "(exact decimal co-moments, fixed double close, zero-variance "
+    "guard, signed-zero normalized; bounded calendar window)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 # The driver's correctness harness checks the first 50 declared queries
@@ -12436,6 +12751,14 @@ _PRIORITY: tuple[str, ...] = (
     "species_range_hull_exact",
     "stream_stateful_sessions",
     "stream_dynamic_gap_sessions",
+    # NEW this round (evidence-on-arrival, playbook rule): the storage-
+    # layout audit family + the ACF series query. They displace the
+    # three stalest tail re-checks (user_event_flatten, user_value_scd2,
+    # annotation_merge — green rows on disk from r2/r3; first in the
+    # r11 queue):
+    "layout_pruning_audit",
+    "file_compaction_bins",
+    "daily_revenue_acf",
     # Stale-evidence queue (NOTES.md r9): the two displaced decimal
     # reps first, then the r2 block oldest-first (ann_cosine_topk
     # already above), topped up from the r3 block:
@@ -12471,9 +12794,6 @@ _PRIORITY: tuple[str, ...] = (
     "terms_summary_topk",
     "tfidf_top_terms",
     "top3_orders_per_customer",
-    "user_event_flatten",
-    "user_value_scd2",
-    "annotation_merge",
 )
 
 _PRIORITY_R5: tuple[str, ...] = (

@@ -49,6 +49,8 @@ SWEEP_REPS = [
     "lineitem_corr_matrix",
     "term_pair_pmi",
     "orders_yoy_growth",
+    # round-10 addition: signable rounded ACF (corr family close)
+    "daily_revenue_acf",
 ]
 
 

@@ -316,6 +316,14 @@ def test_headline_plan_shuffle_budgets(spark):
         # future edit that adds an exchange or re-scans the corpus fails
         # here.
         "corpus_curation_pipeline": 1,
+        # round-10 layout family (measured like the rest): the audit's
+        # two global_row_number assignments checkpoint their stamped
+        # frames (scans vanish from the final plan) and leave the
+        # per-partition count/offset/rank exchanges + two file rollups
+        # + the final per-layout rollup
+        "layout_pruning_audit": 9,
+        "file_compaction_bins": 2,  # file rollup + metadata-scale window
+        "daily_revenue_acf": 2,  # daily rollup + bounded calendar window
     }
     over = {}
     for name, budget in budgets.items():
