@@ -12688,9 +12688,16 @@ _register(
         UNION ALL
         SELECT 7 AS lag_days, x, y7 AS y FROM led WHERE d7 = day + 7),
     m AS (
+        -- products of DAY-LEVEL SUMS: DuckDB multiplies DECIMAL(18,2)
+        -- pairs in int64 and overflows at sf>=0.1 (~1.6e9 scaled units
+        -- squared); width-19 operands route through the hugeint path —
+        -- DECIMAL(38,4), still exact. Spark's (18,2) product is already
+        -- (37,4), no change needed there.
         SELECT lag_days, count(*) AS n_pairs,
                sum(x) AS sx, sum(y) AS sy,
-               sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+               sum(CAST(x AS DECIMAL(19,2)) * CAST(x AS DECIMAL(19,2))) AS sxx,
+               sum(CAST(y AS DECIMAL(19,2)) * CAST(y AS DECIMAL(19,2))) AS syy,
+               sum(CAST(x AS DECIMAL(19,2)) * CAST(y AS DECIMAL(19,2))) AS sxy
         FROM pairs GROUP BY lag_days),
     d AS (
         SELECT lag_days, n_pairs,
