@@ -115,6 +115,8 @@ HEADLINE = (
     "layout_pruning_audit",
     "file_compaction_bins",
     "daily_revenue_acf",
+    # the sixth iterative graph primitive (synchronous LPA communities)
+    "copurchase_communities",
 )
 
 # queries whose builder EXECUTES the work eagerly (streaming drains,
@@ -155,6 +157,8 @@ EAGER = {
     # TWO global_row_number stamped-frame checkpoints (one per layout)
     # run at build time
     "layout_pruning_audit",
+    # per-round label-frontier checkpoints run during construction
+    "copurchase_communities",
 }
 
 

@@ -925,3 +925,83 @@ def hits(
             (F.col("a") / F.lit(float(scale))).alias("auth"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 3,
+) -> DataFrame:
+    """Deterministic SYNCHRONOUS label propagation (community
+    detection) over an undirected edge list — the sixth iterative graph
+    primitive next to connected components, triangles, PageRank, k-core
+    and HITS. Callers pass the symmetric edge set (both directions),
+    exactly like :func:`k_core`.
+
+    Classic LPA (Raghavan et al. 2007) breaks ties randomly and updates
+    asynchronously — useless as a distributed, replayable semantics.
+    This is the standard deterministic variant: a FIXED number of
+    synchronous rounds, every node simultaneously adopting the label
+    carried by the most neighbors, ties broken toward the SMALLEST
+    label. All-integer state, so the trajectory is bit-exact across
+    partitionings and engines and a chained-CTE SQL replay reproduces
+    it hash-for-hash (same exactness contract as :func:`pagerank`).
+
+    Per round:
+
+        cnt(v, l) = |{u : (v,u) in edges, label(u) = l}|
+        label'(v) = argmax_l (cnt(v, l), -l)    [max count, min label]
+
+    Shuffles: the neighbor-label join keyed on the edge endpoint (the
+    only |edges|-sized exchange; the label frontier broadcasts under
+    the pagerank gate when the node table provably fits), the
+    (node, label) count, and a node-partitioned row_number window —
+    never a global window. Lineage flattened per round with lazy
+    localCheckpoint. Isolated nodes (none in a symmetric edge list,
+    but the left join keeps the semantics total) retain their label.
+
+    Returns (node, community) — community = the propagated label.
+    """
+    if n_iter < 1:
+        raise ValueError("label_propagation: n_iter must be >= 1")
+    e = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
+    ).localCheckpoint()
+    nodes = (
+        e.select(F.col("e_src").alias("node"))
+        .unionByName(e.select(F.col("e_dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select("node", F.col("node").alias("community"))
+    hint = n_nodes <= DROP_LIST_BROADCAST_ROWS
+    labels = nodes.select(
+        "node", F.col("node").cast("long").alias("label")
+    ).localCheckpoint(eager=False)
+    for _ in range(n_iter):
+        f = F.broadcast(labels) if hint else labels
+        counts = (
+            e.join(f, F.col("e_dst") == F.col("node"))
+            .groupBy(F.col("e_src"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("e_src").orderBy(
+            F.desc("cnt"), F.asc("label")
+        )
+        winner = (
+            counts.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select(F.col("e_src").alias("node"), F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(winner, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("node", F.col("label").alias("community"))

@@ -12726,6 +12726,84 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 244. copurchase_communities — deterministic synchronous label
+# propagation over the co-purchase part graph: the SIXTH iterative
+# graph primitive (after CC / triangles / PageRank / k-core / HITS),
+# and the community-detection capability the suite lacked. Fixed
+# 3-round synchronous LPA with (max neighbor-label count, min label)
+# tie-breaking — all-integer state, so the chained-CTE oracle replays
+# the trajectory hash-exactly (the pagerank/HITS contract). Edge
+# construction = the proven basket suffix-slice explode (never a
+# lineitem self-join on the Spark side).
+
+def _copurchase_communities(spark, sf_dir):
+    from ..operators import corpus as corpus_ops
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    parts = F.col("parts")
+    pairs = F.flatten(
+        F.transform(
+            parts,
+            lambda x, i: F.transform(
+                F.slice(parts, i + F.lit(2), F.size(parts)),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
+    half = (
+        baskets.select(F.explode(pairs).alias("p"))
+        .select("p.src", "p.dst")
+        .distinct()
+    )
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return corpus_ops.label_propagation(edges, "src", "dst", n_iter=3).orderBy(
+        "node"
+    )
+
+
+_LPA_STEP = """
+s{i} AS (
+    SELECT e.src AS node, l.label, count(*) AS cnt
+    FROM edges e JOIN l{p} l ON e.dst = l.node
+    GROUP BY 1, 2),
+w{i} AS (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, label) AS rk
+    FROM s{i}),
+l{i} AS (
+    SELECT l.node, coalesce(w.label, l.label) AS label
+    FROM l{p} l LEFT JOIN (SELECT node, label FROM w{i} WHERE rk = 1) w
+      ON l.node = w.node)"""
+
+_register(
+    "copurchase_communities",
+    _copurchase_communities,
+    """
+    WITH edges AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    l0 AS (SELECT node, CAST(node AS BIGINT) AS label FROM nodes),"""
+    + ",".join(_LPA_STEP.format(i=i, p=i - 1) for i in (1, 2, 3))
+    + """
+    SELECT node, label AS community FROM l3 ORDER BY node
+    """,
+    "engine extension: synchronous label-propagation community "
+    "detection (fixed rounds, min-label ties; all-integer state => "
+    "bit-exact chained-CTE oracle; node-partitioned windows, "
+    "broadcast-gated label frontier)",
+)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 # The driver's correctness harness checks the first 50 declared queries
@@ -12759,13 +12837,15 @@ _PRIORITY: tuple[str, ...] = (
     "stream_stateful_sessions",
     "stream_dynamic_gap_sessions",
     # NEW this round (evidence-on-arrival, playbook rule): the storage-
-    # layout audit family + the ACF series query. They displace the
-    # three stalest tail re-checks (user_event_flatten, user_value_scd2,
-    # annotation_merge — green rows on disk from r2/r3; first in the
-    # r11 queue):
+    # layout audit family, the ACF series query, and the LPA community
+    # detector. They displace the four stalest tail re-checks
+    # (user_event_flatten, user_value_scd2, annotation_merge,
+    # top3_orders_per_customer — green rows on disk from r2/r3; first
+    # in the r11 queue):
     "layout_pruning_audit",
     "file_compaction_bins",
     "daily_revenue_acf",
+    "copurchase_communities",
     # Stale-evidence queue (NOTES.md r9): the two displaced decimal
     # reps first, then the r2 block oldest-first (ann_cosine_topk
     # already above), topped up from the r3 block:
@@ -12800,7 +12880,6 @@ _PRIORITY: tuple[str, ...] = (
     "stratified_doc_sample",
     "terms_summary_topk",
     "tfidf_top_terms",
-    "top3_orders_per_customer",
 )
 
 _PRIORITY_R5: tuple[str, ...] = (

@@ -833,3 +833,74 @@ def test_hits_bipartite_hand_graph(spark):
         assert got[n] == (h[n] / S, a[n] / S), n
     # empty graph
     assert hits(spark.createDataFrame([], "src long, dst long")).count() == 0
+
+
+def test_label_propagation_two_cliques(spark):
+    # two disjoint triangles bridged by nothing: 3 synchronous rounds
+    # collapse each clique onto its smallest member's label — the
+    # deterministic (max count, min label) tie-break does the work in
+    # round 1 (every node sees two distinct neighbor labels, picks min)
+    from biodiversity_data_ingestion_spark.operators.corpus import (
+        label_propagation,
+    )
+
+    half = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)]
+    edges = spark.createDataFrame(
+        half + [(b, a) for a, b in half], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, n_iter=3).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_label_propagation_python_reference(spark):
+    # bit-exact synchronous replay vs a pure-Python reference on a
+    # messier graph (two cliques + a bridge node pulled both ways)
+    from biodiversity_data_ingestion_spark.operators.corpus import (
+        label_propagation,
+    )
+
+    half = [
+        (1, 2), (2, 3), (1, 3),
+        (5, 6), (6, 7), (5, 7),
+        (3, 4), (4, 5),  # bridge path between the cliques
+    ]
+    sym = half + [(b, a) for a, b in half]
+
+    def reference(pairs, n_iter):
+        from collections import defaultdict
+
+        adj = defaultdict(set)
+        for a, b in pairs:
+            adj[a].add(b)
+        labels = {v: v for v in adj}
+        for _ in range(n_iter):
+            new = {}
+            for v in adj:
+                cnt = defaultdict(int)
+                for u in adj[v]:
+                    cnt[labels[u]] += 1
+                new[v] = min(cnt, key=lambda l: (-cnt[l], l))
+            labels = new
+        return labels
+
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    for n_iter in (1, 2, 3):
+        got = {
+            r["node"]: r["community"]
+            for r in label_propagation(edges, n_iter=n_iter).collect()
+        }
+        assert got == reference(sym, n_iter), f"n_iter={n_iter}"
+
+
+def test_label_propagation_empty_graph(spark):
+    from biodiversity_data_ingestion_spark.operators.corpus import (
+        label_propagation,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = label_propagation(empty, n_iter=2)
+    assert out.columns == ["node", "community"]
+    assert out.count() == 0

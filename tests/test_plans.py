@@ -324,6 +324,9 @@ def test_headline_plan_shuffle_budgets(spark):
         "layout_pruning_audit": 9,
         "file_compaction_bins": 2,  # file rollup + metadata-scale window
         "daily_revenue_acf": 2,  # daily rollup + bounded calendar window
+        # per-round LPA exchanges run inside the frontier checkpoints;
+        # the returned plan is the flattened final frontier
+        "copurchase_communities": 1,
     }
     over = {}
     for name, budget in budgets.items():
