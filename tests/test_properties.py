@@ -302,3 +302,50 @@ def test_merge_session_items_equals_batch_gaps_and_islands(events, gap):
     # timestamps tie; compare sums as sorted multisets per session key
     assert [(s[0], s[1], s[2]) for s in got] == [(s[0], s[1], s[2]) for s in ref]
     assert [round(s[3], 9) for s in got] == [round(s[3], 9) for s in ref]
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=0,
+        max_size=40,
+    ),
+    n_iter=st.integers(1, 3),
+)
+@settings(**_SETTINGS)
+def test_label_propagation_matches_synchronous_reference(
+    spark_prop, edges, n_iter
+):
+    # bit-exact synchronous LPA: for ANY undirected graph and round
+    # count, the distributed trajectory must equal a pure-Python
+    # synchronous replay with the same (max count, min label) rule —
+    # the determinism contract the chained-CTE oracle relies on
+    from collections import defaultdict
+
+    from biodiversity_data_ingestion_spark.operators.corpus import (
+        label_propagation,
+    )
+
+    simple = sorted({(min(u, v), max(u, v)) for u, v in edges if u != v})
+    if not simple:
+        return
+    sym = simple + [(b, a) for a, b in simple]
+    df = spark_prop.createDataFrame(sym, "src long, dst long")
+    got = {
+        r.node: r.community
+        for r in label_propagation(df, n_iter=n_iter).collect()
+    }
+
+    adj = defaultdict(set)
+    for a, b in sym:
+        adj[a].add(b)
+    labels = {v: v for v in adj}
+    for _ in range(n_iter):
+        new = {}
+        for v in adj:
+            cnt = defaultdict(int)
+            for u in adj[v]:
+                cnt[labels[u]] += 1
+            new[v] = min(cnt, key=lambda l: (-cnt[l], l))
+        labels = new
+    assert got == labels
