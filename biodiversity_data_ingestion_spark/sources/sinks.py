@@ -102,6 +102,37 @@ def write_index_table(
     deduped.write.mode("overwrite").parquet(path)
 
 
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet"
+) -> None:
+    """Idempotent partition-scoped backfill: overwrite ONLY the
+    partitions present in ``df``, leaving every other partition of the
+    table untouched (``spark.sql.sources.partitionOverwriteMode =
+    dynamic``; the session default STATIC truncates the whole table
+    first — the classic daily-rerun data-loss trap). This is the lake
+    contract a 100 TB daily pipeline needs: re-running one day's job
+    replaces exactly that day's directory, so retries and late
+    backfills are idempotent without table locks or manual deletes.
+
+    The session conf is set only for the duration of the write and
+    restored after (it is a session-wide switch — leaking `dynamic`
+    would silently change other writers' overwrite semantics).
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key, "STATIC")
+    try:
+        spark.conf.set(key, "dynamic")
+        (
+            df.write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .format(fmt)
+            .save(path)
+        )
+    finally:
+        spark.conf.set(key, before)
+
+
 # ---------------------------------------------------------------------------
 # date-versioned dirs + atomic "current" pointer (index/alias swap)
 

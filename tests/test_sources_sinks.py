@@ -788,3 +788,50 @@ def test_paginated_writer_serializes_timestamps(spark, tmp_path):
         open(os.path.join(out, man["parts"][0])).readline()
     )
     assert "o_orderdate" in line  # serialized, not crashed
+
+
+def test_overwrite_partitions_is_partition_scoped(spark, tmp_path):
+    # the daily-backfill idempotency contract: re-writing ONE day under
+    # dynamic partition overwrite replaces exactly that day's directory
+    # and leaves the others byte-identical; the session default (static)
+    # would have truncated the whole table — also assert the conf is
+    # restored so the scoped write cannot leak session-wide semantics
+    from pyspark.sql import functions as F
+
+    from biodiversity_data_ingestion_spark.sources.sinks import (
+        overwrite_partitions,
+    )
+
+    path = str(tmp_path / "daily")
+    days = spark.createDataFrame(
+        [(d, i, 10 * d + i) for d in (1, 2, 3) for i in range(4)],
+        "day int, k int, v int",
+    )
+    overwrite_partitions(days, path, ["day"])
+
+    fixed_day2 = spark.createDataFrame(
+        [(2, 0, 999)], "day int, k int, v int"
+    )
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key, "STATIC")
+    overwrite_partitions(fixed_day2, path, ["day"])
+    assert spark.conf.get(key, "STATIC") == before, "conf leaked"
+
+    back = spark.read.parquet(path)
+    got = {
+        (r["day"], r["k"]): r["v"]
+        for r in back.collect()
+    }
+    # days 1 and 3 intact (4 rows each), day 2 replaced by the 1-row fix
+    assert sorted(d for d, _ in got) .count(1) == 4
+    assert sorted(d for d, _ in got).count(3) == 4
+    assert [(d, k) for d, k in got if d == 2] == [(2, 0)]
+    assert got[(2, 0)] == 999
+    assert got[(1, 2)] == 12 and got[(3, 3)] == 33
+    # static overwrite on the same path WOULD truncate: prove the
+    # distinction the helper exists for
+    (
+        fixed_day2.withColumn("v", F.lit(1))
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+    )
+    assert spark.read.parquet(path).select("day").distinct().count() == 1
