@@ -159,6 +159,9 @@ EAGER = {
     "layout_pruning_audit",
     # per-round label-frontier checkpoints run during construction
     "copurchase_communities",
+    # the shared daily-series checkpoint (one orders scan + rollup —
+    # most of the query) runs at build time
+    "daily_revenue_acf",
 }
 
 

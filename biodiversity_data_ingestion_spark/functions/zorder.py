@@ -110,13 +110,18 @@ def zorder_key_fixed(cols: list[str], bits: int = 16) -> Column:
     the oracle-exact variant for columns that are natural grid cells,
     e.g. a key id and a day index). Callers guarantee each value fits
     in ``bits`` bits; larger values alias onto their low bits, which
-    only coarsens locality, never breaks determinism. Pure Catalyst
-    bit arithmetic (whole-stage codegen). Mirror in ANSI SQL with
+    only coarsens locality, never breaks determinism. NEGATIVE inputs
+    clamp to cell 0 in BOTH variants — without the clamp the two
+    engines diverge silently (Spark's shiftright+AND reads two's-
+    complement bits while SQL ``% 2`` yields -1 for odd negatives),
+    which would surface as an inscrutable oracle mismatch the first
+    time a caller's epoch assumption breaks. Pure Catalyst bit
+    arithmetic (whole-stage codegen). Mirror in ANSI SQL with
     ``zorder_key_fixed_sql`` so DuckDB computes the identical key.
     """
     z = F.lit(0).cast("long")
     for ci, c in enumerate(cols):
-        cell = F.col(c).cast("long")
+        cell = F.greatest(F.col(c).cast("long"), F.lit(0))
         for b in range(bits):
             bit = F.shiftright(cell, b).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(F.shiftleft(bit, b * len(cols) + ci))
@@ -126,9 +131,11 @@ def zorder_key_fixed(cols: list[str], bits: int = 16) -> Column:
 def zorder_key_fixed_sql(cols: list[str], bits: int = 16) -> str:
     """DuckDB twin of ``zorder_key_fixed``: the same interleave as
     portable integer arithmetic (``//`` + ``%`` + ``<<`` + ``|``),
-    bit-identical for non-negative inputs."""
+    with the same clamp-negatives-to-0 guard — bit-identical for ANY
+    integer input."""
     terms = [
-        f"(((CAST({c} AS BIGINT) // {1 << b}) % 2) << {b * len(cols) + ci})"
+        f"(((greatest(CAST({c} AS BIGINT), 0) // {1 << b}) % 2)"
+        f" << {b * len(cols) + ci})"
         for ci, c in enumerate(cols)
         for b in range(bits)
     ]

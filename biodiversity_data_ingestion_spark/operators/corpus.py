@@ -976,7 +976,11 @@ def label_propagation(
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
-        return nodes.select("node", F.col("node").alias("community"))
+        # cast matches the non-empty path (labels init as long): the
+        # output schema must not depend on whether the input was empty
+        return nodes.select(
+            "node", F.col("node").cast("long").alias("community")
+        )
     hint = n_nodes <= DROP_LIST_BROADCAST_ROWS
     labels = nodes.select(
         "node", F.col("node").cast("long").alias("label")

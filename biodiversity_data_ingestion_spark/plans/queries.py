@@ -12587,16 +12587,20 @@ _register(
 
 # ---------------------------------------------------------------------------
 # 243. daily_revenue_acf — lag-k autocorrelation of the daily revenue
-# series (Pearson over (r_d, r_{d+k}) pairs where BOTH days exist; lags
-# 1 and 7 expose day-over-day vs weekly structure). Exact DECIMAL
-# co-moments closed by the FIXED double-op sequence of the corr family
-# (price_quantity_corr), zero-variance guarded, signed-zero normalized
-# (corr is signable — the dsir -0.0 class). Scale: the daily rollup
-# shuffles on day; the lead() window runs over the DAY series whose
-# cardinality is calendar-bounded (~2.4k rows regardless of SF) — a
-# deliberately-allowed bounded global window, like the monthly Holt
-# series. Both lags come from ONE pass over the windowed frame
-# (explode, not a re-scanned union).
+# series (Pearson over (r_d, r_{d+k}) pairs where BOTH days exist,
+# whatever the gap pattern between them; lags 1 and 7 expose
+# day-over-day vs weekly structure). Exact DECIMAL co-moments closed by
+# the FIXED double-op sequence of the corr family (price_quantity_corr),
+# zero-variance guarded, signed-zero normalized (corr is signable — the
+# dsir -0.0 class). Pairing is DAY-INDEXED (a keyed self-join on
+# day + lag), NOT a row-offset lead(): lead(x, k) returns the k-th next
+# PRESENT day, so a gap anywhere in (d, d+k) would silently drop valid
+# pairs — a semantic bug both engines would mirror and the parity gate
+# could never catch (caught by an independent replay in round-10
+# review: 36 dropped lag-7 pairs at sf0.01). Scale: the daily rollup
+# shuffles on day; ONE orders scan — the daily frame (calendar-bounded,
+# ~2.4k rows at ANY SF) is localCheckpointed and broadcast to both
+# sides of the pair join, so nothing downstream rescans the fact table.
 
 def _daily_revenue_acf(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
@@ -12611,38 +12615,19 @@ def _daily_revenue_acf(spark, sf_dir):
             .cast("decimal(18,2)")
             .alias("x")
         )
+        .localCheckpoint(eager=False)
     )
-    w = Window.orderBy("day")
-    led = daily.select(
+    probes = daily.select(
         "day",
         "x",
-        F.lead("day", 1).over(w).alias("d1"),
-        F.lead("x", 1).over(w).alias("y1"),
-        F.lead("day", 7).over(w).alias("d7"),
-        F.lead("x", 7).over(w).alias("y7"),
+        F.explode(
+            F.array(F.lit(1).cast("long"), F.lit(7).cast("long"))
+        ).alias("lag_days"),
+    ).withColumn("dn", F.col("day") + F.col("lag_days"))
+    partner = daily.select(
+        F.col("day").alias("dn"), F.col("x").alias("y")
     )
-    pairs = (
-        led.select(
-            "day",
-            "x",
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.lit(1).cast("long").alias("lag_days"),
-                        F.col("d1").alias("dn"),
-                        F.col("y1").alias("y"),
-                    ),
-                    F.struct(
-                        F.lit(7).cast("long").alias("lag_days"),
-                        F.col("d7").alias("dn"),
-                        F.col("y7").alias("y"),
-                    ),
-                )
-            ).alias("p"),
-        )
-        .select("day", "x", "p.*")
-        .where(F.col("dn") == F.col("day") + F.col("lag_days"))
-    )
+    pairs = probes.join(F.broadcast(partner), "dn")
     m = pairs.groupBy("lag_days").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum("x").alias("_sx"),
@@ -12676,17 +12661,13 @@ _register(
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
                     AS DECIMAL(18,2)) AS x
         FROM orders GROUP BY 1),
-    led AS (
-        SELECT day, x,
-               lead(day, 1) OVER (ORDER BY day) AS d1,
-               lead(x, 1) OVER (ORDER BY day) AS y1,
-               lead(day, 7) OVER (ORDER BY day) AS d7,
-               lead(x, 7) OVER (ORDER BY day) AS y7
-        FROM daily),
     pairs AS (
-        SELECT 1 AS lag_days, x, y1 AS y FROM led WHERE d1 = day + 1
-        UNION ALL
-        SELECT 7 AS lag_days, x, y7 AS y FROM led WHERE d7 = day + 7),
+        -- day-indexed pairing (NOT row-offset lead): every (d, d+k)
+        -- with both days present counts, whatever the gaps between
+        SELECT l.lag_days, d1.x, d2.x AS y
+        FROM daily d1
+        CROSS JOIN (VALUES (1), (7)) AS l(lag_days)
+        JOIN daily d2 ON d2.day = d1.day + l.lag_days),
     m AS (
         -- products of DAY-LEVEL SUMS: DuckDB multiplies DECIMAL(18,2)
         -- pairs in int64 and overflows at sf>=0.1 (~1.6e9 scaled units
@@ -12720,8 +12701,9 @@ _register(
     FROM d
     """,
     "engine extension: lag-k autocorrelation of a daily series "
-    "(exact decimal co-moments, fixed double close, zero-variance "
-    "guard, signed-zero normalized; bounded calendar window)",
+    "(day-indexed pair join — gap-robust; exact decimal co-moments, "
+    "fixed double close, zero-variance guard, signed-zero normalized; "
+    "calendar-bounded broadcast self-join)",
 )
 
 

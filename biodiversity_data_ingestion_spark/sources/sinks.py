@@ -114,23 +114,19 @@ def overwrite_partitions(
     replaces exactly that day's directory, so retries and late
     backfills are idempotent without table locks or manual deletes.
 
-    The session conf is set only for the duration of the write and
-    restored after (it is a session-wide switch — leaking `dynamic`
-    would silently change other writers' overwrite semantics).
+    The mode is passed as a PER-WRITE DataFrameWriter option, never by
+    mutating the session conf: a set/restore around the write would
+    race any concurrent writer in the same session (their in-flight
+    overwrite would silently turn dynamic), while the option is scoped
+    to exactly this write.
     """
-    spark = df.sparkSession
-    key = "spark.sql.sources.partitionOverwriteMode"
-    before = spark.conf.get(key, "STATIC")
-    try:
-        spark.conf.set(key, "dynamic")
-        (
-            df.write.mode("overwrite")
-            .partitionBy(*partition_cols)
-            .format(fmt)
-            .save(path)
-        )
-    finally:
-        spark.conf.set(key, before)
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .format(fmt)
+        .save(path)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from biodiversity_data_ingestion_spark.plans.queries import QUERIES
 from biodiversity_data_ingestion_spark.sources.tables import load_table
 
-from .conftest import SF_DIR, SMOKE_DIR
+from .conftest import SF_DIR
 
 
 def test_layout_audit_zorder_tightens_spans(spark):
@@ -92,3 +92,45 @@ def test_acf_constant_series_is_null(spark, tmp_path):
     for r in out:
         assert r["n_pairs"] > 0
         assert r["acf"] is None
+
+
+def test_acf_counts_pairs_across_gaps(spark, tmp_path):
+    # the round-10 review catch: lead(x, 7) is a ROW offset — it only
+    # matches day+7 when ALL of day+1..day+6 are present, silently
+    # dropping valid pairs around gaps. The day-indexed join must count
+    # every (d, d+k) whose two ENDPOINTS exist, whatever lies between.
+    # Series: days 0..20 with day 10 missing. Lag-7 endpoint pairs =
+    # (0,7)..(13,20) minus any pair touching 10 -> 12 pairs; the buggy
+    # row-offset version would also lose the 6 pairs SPANNING day 10
+    # ((4,11),(5,12),(6,13),(7,14),(8,15),(9,16)) and find only 6.
+    from pyspark.sql import functions as F
+
+    from biodiversity_data_ingestion_spark.plans.queries import QUERIES
+
+    days = [d for d in range(21) if d != 10]
+    gap_dir = str(tmp_path / "gap")
+    (
+        spark.range(len(days))
+        .select(
+            F.col("id").alias("o_orderkey"),
+            F.lit(0).alias("o_custkey"),
+            F.lit("O").alias("o_orderstatus"),
+            # distinct values so the ACF is defined (non-zero variance)
+            (100.0 + 7.0 * F.col("id") % 13).alias("o_totalprice"),
+            F.timestamp_add(
+                "DAY",
+                F.udf(lambda i: days[i], "int")(F.col("id")),
+                F.lit("1995-01-01").cast("timestamp"),
+            ).alias("o_orderdate"),
+            F.lit("1-URGENT").alias("o_orderpriority"),
+        )
+        .write.parquet(f"{gap_dir}/orders.parquet")
+    )
+    out = {
+        r["lag_days"]: r["n_pairs"]
+        for r in QUERIES["daily_revenue_acf"]["builder"](spark, gap_dir).collect()
+    }
+    # lag 1: (d, d+1) both present for d in 0..19 except d=9,10 -> 18
+    assert out[1] == 18
+    # lag 7: 14 candidate starts (0..13) minus (3,10) and (10,17) -> 12
+    assert out[7] == 12

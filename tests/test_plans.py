@@ -323,7 +323,9 @@ def test_headline_plan_shuffle_budgets(spark):
         # + the final per-layout rollup
         "layout_pruning_audit": 9,
         "file_compaction_bins": 2,  # file rollup + metadata-scale window
-        "daily_revenue_acf": 2,  # daily rollup + bounded calendar window
+        # the daily rollup runs inside the checkpointed shared frame;
+        # the visible plan is the broadcast pair join + final lag rollup
+        "daily_revenue_acf": 1,
         # per-round LPA exchanges run inside the frontier checkpoints;
         # the returned plan is the flattened final frontier
         "copurchase_communities": 1,
