@@ -18,7 +18,11 @@ plausibly diverge from it):
 - CUSUM (`user_value_cusum`): the clipped fold max(0, s + d) vs the
   prefix-sum identity S - min(0, running-min S);
 - Holt smoothing (`nation_revenue_holt`): the textbook level/trend
-  recurrence vs the struct-accumulator array fold.
+  recurrence vs the struct-accumulator array fold;
+- Benford (`orders_benford_deviation`): leading digit from the decimal
+  STRING vs the float log10/power construction;
+- association rules (`part_association_rules`): exact-Fraction
+  support/confidence/lift from basket sets + the top-20 lift cutoff.
 
 Tolerances: integer outputs exact; doubles to 1e-6 (the queries round
 to 4-6 dp, the replays don't — semantic agreement, not bit parity,
@@ -136,3 +140,93 @@ def test_holt_matches_textbook_recurrence(spark):
         assert abs(r["level"] - l) <= 1e-4 + 1e-9
         assert abs(r["trend"] - b) <= 1e-4 + 1e-9
         assert abs(r["forecast_next"] - (l + b)) <= 1e-4 + 1e-9
+
+
+def test_benford_matches_leading_digit_definition(spark):
+    # replay the leading digit from the DECIMAL STRING (the definition)
+    # rather than the builder's float log10/power construction — if the
+    # float path ever misassigns a digit at a power-of-ten boundary,
+    # this catches it
+    import math
+
+    rows = (
+        load_table(spark, SMOKE_DIR, "orders")
+        .select("o_totalprice")
+        .collect()
+    )
+    obs: dict[int, int] = defaultdict(int)
+    for r in rows:
+        v = r["o_totalprice"]
+        if v > 0:
+            lead = next(ch for ch in f"{v:.2f}" if ch.isdigit() and ch != "0")
+            obs[int(lead)] += 1
+    n = sum(obs.values())
+
+    got = {
+        r["digit"]: r
+        for r in QUERIES["orders_benford_deviation"]["builder"](
+            spark, SMOKE_DIR
+        ).collect()
+    }
+    assert set(got) == set(obs)
+    for d, cnt in obs.items():
+        exp = n * math.log10(1.0 + 1.0 / d)
+        assert got[d]["obs"] == cnt, (d, got[d]["obs"], cnt)
+        assert abs(got[d]["expected"] - exp) <= 5e-3 + 1e-9
+        assert abs(got[d]["chi2_term"] - (cnt - exp) ** 2 / exp) <= 5e-5 + 1e-9
+
+
+def test_association_rules_match_basket_definitions(spark):
+    # support / confidence / lift from first-principles basket sets
+    # (exact Fractions), and the returned 20 rules must clear the
+    # 20th-highest exact lift among all qualifying rules
+    rows = (
+        load_table(spark, SMOKE_DIR, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    baskets: dict = defaultdict(set)
+    for r in rows:
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    nb = len(baskets)
+    item: dict[int, int] = defaultdict(int)
+    pair: dict[tuple, int] = defaultdict(int)
+    for parts in baskets.values():
+        for p in parts:
+            item[p] += 1
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                pair[(a, b)] += 1
+
+    def exact(a: int, b: int):
+        pc = pair[(min(a, b), max(a, b))]
+        return (
+            pc,
+            Fraction(pc, nb),
+            Fraction(pc, item[a]),
+            Fraction(pc * nb, item[a] * item[b]),
+        )
+
+    lifts = sorted(
+        (
+            Fraction(pc * nb, item[a] * item[b])
+            for (a, b), pc in pair.items()
+            if pc >= 3
+            for _ in (0, 1)  # both rule directions share the lift
+        ),
+        reverse=True,
+    )
+    cutoff = lifts[19] if len(lifts) >= 20 else lifts[-1]
+
+    out = QUERIES["part_association_rules"]["builder"](
+        spark, SMOKE_DIR
+    ).collect()
+    assert 0 < len(out) <= 20
+    for r in out:
+        pc, sup, conf, lift = exact(r["a"], r["b"])
+        assert r["n_co"] == pc and pc >= 3
+        assert abs(r["support"] - float(sup)) <= 1e-6
+        assert abs(r["confidence"] - float(conf)) <= 1e-6
+        assert abs(r["lift"] - float(lift)) <= 1e-6
+        assert lift >= cutoff - Fraction(1, 10**6)
