@@ -12794,8 +12794,70 @@ _register(
 # near-duplicate variants of already-proven patterns come after. The
 # full registry is still exported — only the ordering changes.
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-10 WINDOW: evidence-on-arrival for every query whose code
-    # or oracle changed this round, then the stale-r2 queue from
+    # ROUND-11 WINDOW — the deterministic evidence-freshness rotation
+    # (VERDICT r10 #1): exactly the 50 queries whose newest driver row
+    # predates r4 (verified against CORRECTNESS_r01..r10 on disk).
+    # After this window runs green, NO query in the 249-query registry
+    # has pre-r4 driver evidence — full-registry driver-hash freshness
+    # for the first time. Nothing changed code this round displaces a
+    # slot; order = stalest first (the three r2 rows), then the r3
+    # block alphabetically.
+    "top3_orders_per_customer",
+    "user_event_flatten",
+    "user_value_scd2",
+    "annotation_merge",
+    "article_lists_special_case",
+    "audio_decode_features",
+    "bpe_train_vocab",
+    "copurchase_triangles",
+    "corpus_quality_gate",
+    "customer_record_merge",
+    "dedup_components",
+    "dedup_rank_priority",
+    "deep_nested_rollup",
+    "doc_chunk_windows",
+    "dominant_part_suppliers",
+    "ecoregion_zones",
+    "embedding_random_projection",
+    "first_order_per_customer",
+    "full_metadata_roundtrip",
+    "image_decode_features",
+    "inactive_customers",
+    "jpeg_decode_features",
+    "lapsed_rich_customers",
+    "latest_line_status",
+    "min_cost_part_supplier",
+    "name_validation_split",
+    "national_market_share",
+    "near_dedup_keep_best",
+    "occurrence_cleaning_pipeline",
+    "order_count_distribution",
+    "paragraph_dedup_reassembly",
+    "part_revenue_concentration",
+    "png_decode_features",
+    "priority_returned_orders",
+    "promo_disjunctive_filter",
+    "provenance_requests",
+    "qc_links_per_part",
+    "returned_item_top_customers",
+    "sequence_packing",
+    "small_quantity_revenue",
+    "sole_return_supplier",
+    "specimen_doc_projection",
+    "supplier_diversity_by_type",
+    "supplier_lineage_enrichment",
+    "table_data_distinct",
+    "taxon_key_quirks",
+    "top_revenue_supplier",
+    "uncertainty_buffer_wkt",
+    "video_decode_features",
+    "warc_record_roundtrip",
+)
+
+_PRIORITY_R10: tuple[str, ...] = (
+    # ROUND-10 WINDOW, kept for the historical record (50/50 green in
+    # CORRECTNESS_r10.json): evidence-on-arrival for every query whose
+    # code or oracle changed that round, then the stale-r2 queue from
     # NOTES.md (displaced greens keep their recorded rows on disk).
     # Changed block 1 — the signed-zero fix (dsir, red r7-r9, leads)
     # and the registry-wide signed-zero / zero-variance hardening:

@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 from typing import Any, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -543,9 +544,17 @@ def stateful_sessions(
         # half-to-even like builtins.round, so the cents are identical
         # to the previous per-row int(round(val * 100)).
         us_arr = (batch["ts"].astype("int64") // 1000).tolist()
-        cents = (
-            (batch["value"].astype("float64") * 100).round().astype("int64").tolist()
-        )
+        vals = batch["value"].astype("float64").to_numpy()
+        # fail loudly on NaN/inf: .astype('int64') would silently map
+        # non-finite floats to an undefined int64 (typically INT64_MIN)
+        # and corrupt session sums, where the old per-row
+        # int(round(float(v) * 100)) raised ValueError (r10 ADVICE)
+        if not np.isfinite(vals).all():
+            raise ValueError(
+                "stateful_sessions: non-finite value(s) in batch; "
+                "event values must be finite"
+            )
+        cents = (vals * 100).round().astype("int64").tolist()
         items.extend([u, u, 1, c] for u, c in zip(us_arr, cents))
         sessions = _merge_session_items(items, g_us)
         wm_us = state.getCurrentWatermarkMs() * 1000

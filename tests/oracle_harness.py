@@ -14,6 +14,7 @@ import struct
 from dataclasses import dataclass, field
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = (
@@ -112,12 +113,19 @@ def _eq(a, b) -> bool:
         # dsir_importance_weights red for three rounds while the local
         # preflight certified it green (round-9 verdict).
         return struct.pack("<d", af) == struct.pack("<d", bf)
-    if pd.isna(a) and pd.isna(b):
-        return True
-    if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
-        if a is None or b is None:
+    # Sequence branch MUST precede pd.isna: isna on a multi-element
+    # list/ndarray returns an array whose truth value raises ValueError,
+    # which would make the element-wise recursion unreachable (r10
+    # ADVICE). np.ndarray included — Spark's toPandas yields ndarrays
+    # for array<T> columns.
+    if isinstance(a, (list, tuple, np.ndarray)) or isinstance(
+        b, (list, tuple, np.ndarray)
+    ):
+        if a is None or b is None or not hasattr(a, "__len__") or not hasattr(b, "__len__"):
             return False
         a, b = list(a), list(b)
         # element-wise so nested floats get the same bitwise treatment
         return len(a) == len(b) and all(_eq(x, y) for x, y in zip(a, b))
+    if pd.isna(a) and pd.isna(b):
+        return True
     return a == b

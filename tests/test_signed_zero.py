@@ -69,3 +69,35 @@ def test_oracle_emits_no_negative_zero(con, name):
         "column with _pz (Spark) + _pz_sql/CASE (oracle), or allowlist "
         "with evidence that Spark emits the identical bit"
     )
+
+
+def test_eq_comparator_descends_into_lists_and_arrays():
+    """The bitwise `_eq` must reach nested floats inside list cells.
+
+    r10 ADVICE: `pd.isna(list)` returns an ARRAY whose truth value
+    raises ValueError, so the list branch had to move ABOVE the NA
+    check — otherwise any multi-element list cell crashed the harness
+    instead of being compared element-wise. This pins the fix and the
+    bitwise semantics for nested values.
+    """
+    from .oracle_harness import _eq
+
+    # multi-element lists no longer crash and compare element-wise
+    assert _eq([1.0, 2.0], [1.0, 2.0])
+    assert not _eq([1.0, 2.0], [1.0, 3.0])
+    assert not _eq([1.0], [1.0, 2.0])
+    # bitwise inside the list: -0.0 != 0.0, NaN == NaN
+    assert not _eq([0.0], [-0.0])
+    assert _eq([float("nan")], [float("nan")])
+    # ndarray cells (Spark toPandas yields ndarrays for array<T>)
+    assert _eq(np.array([1.0, 2.0]), [1.0, 2.0])
+    assert not _eq(np.array([0.0, 1.0]), np.array([-0.0, 1.0]))
+    # nested lists recurse
+    assert _eq([[1.0, -0.0]], [[1.0, -0.0]])
+    assert not _eq([[1.0, 0.0]], [[1.0, -0.0]])
+    # sequence vs scalar is a mismatch, not a crash
+    assert not _eq([1.0], None)
+    assert not _eq([1, 2], 3)
+    # scalar NA semantics unchanged
+    assert _eq(None, None)
+    assert not _eq(None, 0.0)
