@@ -24,6 +24,23 @@ plausibly diverge from it):
 - association rules (`part_association_rules`): exact-Fraction
   support/confidence/lift from basket sets + the top-20 lift cutoff.
 
+Round-11 extensions (the remaining shared-mental-model-risk queries):
+
+- grouped OLS (`daily_revenue_trend`): textbook closed-form
+  slope/intercept from exact-Fraction sums vs the decimal-accumulator
+  distributed close;
+- Zipf fit (`doc_zipf_fit`): log-log OLS over a driver-side full sort
+  vs the distributed global_row_number ranking;
+- Pearson matrix (`lineitem_corr_matrix`): pairwise correlation from
+  raw rows vs the one-scan shared-accumulator formulation;
+- information gain (`feature_info_gain`): H(lang) - H(lang|bucket)
+  from plain count dicts vs the pivoted fixed-order expression;
+- PMI (`term_pair_pmi`): ln(P(a,b)/P(a)P(b)) from doc-set counts vs
+  the index-offset pair explode + broadcast unigram joins;
+- lag-k ACF (`daily_revenue_acf`): DAY-INDEXED pair matching (the
+  definition the r10 row-offset bug violated) vs the explode+join
+  formulation — this replay locks that fix permanently.
+
 Tolerances: integer outputs exact; doubles to 1e-6 (the queries round
 to 4-6 dp, the replays don't — semantic agreement, not bit parity,
 is the claim under test here; bit parity is the oracle gate's job).
@@ -230,3 +247,300 @@ def test_association_rules_match_basket_definitions(spark):
         assert abs(r["confidence"] - float(conf)) <= 1e-6
         assert abs(r["lift"] - float(lift)) <= 1e-6
         assert lift >= cutoff - Fraction(1, 10**6)
+
+
+# ---------------------------------------------------------------------------
+# round-11 extensions (VERDICT r10 #3): the remaining queries with a
+# canonical external definition plus a non-obvious distributed
+# formulation — grouped OLS (daily_revenue_trend), log-log OLS over a
+# distributed ranking (doc_zipf_fit), the one-scan Pearson matrix
+# (lineitem_corr_matrix), entropy-based information gain
+# (feature_info_gain), PMI (term_pair_pmi), and the day-indexed lag-k
+# autocorrelation (daily_revenue_acf — the replay that would have
+# caught the r10 row-offset bug from the start, now locking its fix).
+
+def _dec2(v) -> Fraction:
+    """Exact 2dp quantization of a float the way Spark's
+    CAST(double AS DECIMAL(18,2)) does it: HALF_UP on the shortest
+    round-trip decimal representation (Java BigDecimal.valueOf)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return Fraction(
+        Decimal(repr(float(v))).quantize(Decimal("0.01"), ROUND_HALF_UP)
+    )
+
+
+def _ols(pts: list[tuple[Fraction, Fraction]]) -> tuple[float, float]:
+    """Textbook closed-form simple linear regression over exact points:
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), intercept = mean residual."""
+    n = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    slope = Fraction(n) * sxy - sx * sy
+    den = Fraction(n) * sxx - sx * sx
+    slope_f = float(slope) / float(den)
+    icpt = (float(sy) - slope_f * float(sx)) / n
+    return slope_f, icpt
+
+
+def test_daily_revenue_trend_matches_textbook_ols(spark):
+    from datetime import date
+
+    rows = (
+        load_table(spark, SMOKE_DIR, "orders")
+        .select("o_orderpriority", "o_orderdate", "o_totalprice")
+        .collect()
+    )
+    daily: dict[str, dict[int, Fraction]] = defaultdict(
+        lambda: defaultdict(Fraction)
+    )
+    epoch = date(1995, 1, 1)
+    for r in rows:
+        d = r["o_orderdate"]
+        d = d.date() if hasattr(d, "date") else d
+        if d.year != 1995:
+            continue
+        daily[r["o_orderpriority"]][(d - epoch).days] += _dec2(
+            r["o_totalprice"]
+        )
+
+    got = {
+        r["o_orderpriority"]: r
+        for r in QUERIES["daily_revenue_trend"]["builder"](
+            spark, SMOKE_DIR
+        ).collect()
+    }
+    assert set(got) == set(daily)
+    for prio, by_day in daily.items():
+        pts = [(Fraction(x), y) for x, y in sorted(by_day.items())]
+        slope, icpt = _ols(pts)
+        assert got[prio]["n_days"] == len(pts)
+        assert abs(got[prio]["slope"] - slope) <= 1e-6 + 1e-9
+        assert abs(got[prio]["intercept"] - icpt) <= 1e-6 + 1e-9
+
+
+def test_doc_zipf_fit_matches_loglog_ols(spark):
+    import math
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = load_table(spark, SMOKE_DIR, "documents").select("text").collect()
+    freq: dict[str, int] = defaultdict(int)
+    for r in rows:
+        for t in re.split(r"\s+", r["text"].lower().strip()):
+            freq[t] += 1
+    # rank = 1-based position under (frequency DESC, token ASC)
+    ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    def r3(v: float) -> Fraction:
+        # the builders round ln() to 3dp (HALF_UP) before accumulating
+        return Fraction(
+            Decimal(repr(v)).quantize(Decimal("0.001"), ROUND_HALF_UP)
+        )
+
+    pts = [
+        (r3(math.log(i + 1)), r3(math.log(f)))
+        for i, (_, f) in enumerate(ranked)
+    ]
+    slope, icpt = _ols(pts)
+
+    out = QUERIES["doc_zipf_fit"]["builder"](spark, SMOKE_DIR).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_types"] == len(pts)
+    assert abs(r["zipf_slope"] - slope) <= 1e-6 + 1e-9
+    assert abs(r["intercept"] - icpt) <= 1e-6 + 1e-9
+    # Zipf sanity: word frequency falls with rank
+    assert r["zipf_slope"] < 0
+
+
+def test_lineitem_corr_matrix_matches_pearson_from_raw_rows(spark):
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    cols = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    rows = load_table(spark, SMOKE_DIR, "lineitem").select(*cols).collect()
+
+    def d8(v) -> Fraction:
+        # CAST(x AS DECIMAL(38,8)): HALF_UP at 8dp of the shortest repr
+        return Fraction(
+            Decimal(repr(float(v))).quantize(Decimal("1e-8"), ROUND_HALF_UP)
+        )
+
+    vals = {c: [d8(r[c]) for r in rows] for c in cols}
+    n = len(rows)
+
+    def pearson(a: str, b: str) -> float:
+        sx, sy = sum(vals[a]), sum(vals[b])
+        sxy = sum(x * y for x, y in zip(vals[a], vals[b]))
+        sxx = sum(x * x for x in vals[a])
+        syy = sum(y * y for y in vals[b])
+        num = Fraction(n) * sxy - sx * sy
+        vx = Fraction(n) * sxx - sx * sx
+        vy = Fraction(n) * syy - sy * sy
+        return float(num) / math.sqrt(float(vx) * float(vy))
+
+    got = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in QUERIES["lineitem_corr_matrix"]["builder"](
+            spark, SMOKE_DIR
+        ).collect()
+    }
+    want_pairs = {
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1:]
+    }
+    assert set(got) == want_pairs
+    for a, b in want_pairs:
+        assert abs(got[(a, b)] - pearson(a, b)) <= 1e-6 + 1e-9, (a, b)
+
+
+def test_feature_info_gain_matches_entropy_definition(spark):
+    import hashlib
+    import math
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    B = 64
+    langs = ["de", "en", "es", "fr", "zh"]
+    rows = (
+        load_table(spark, SMOKE_DIR, "documents")
+        .select("doc_id", "lang", "text")
+        .collect()
+    )
+    n_docs = len(rows)
+    totals: dict[str, int] = defaultdict(int)
+    present: dict[int, dict[str, int]] = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        totals[r["lang"]] += 1
+        buckets = {
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % B
+            for t in re.split(r"\s+", r["text"].lower().strip())
+        }
+        for bk in buckets:
+            present[bk][r["lang"]] += 1
+
+    def H(counts: list[float], total: float) -> float:
+        # Shannon entropy in nats, 0*ln(0) := 0 per term
+        return sum(
+            -(c / total) * math.log(c / total) for c in counts if c > 0
+        )
+
+    h_class = H([float(totals.get(l, 0)) for l in langs], float(n_docs))
+    scored = []
+    for bk, by_lang in present.items():
+        pres = [float(by_lang.get(l, 0)) for l in langs]
+        absent = [float(totals.get(l, 0)) - p for l, p in zip(langs, pres)]
+        n_p = sum(pres)
+        n_a = n_docs - n_p
+        h_cond = (n_p / n_docs) * H(pres, n_p) + (n_a / n_docs) * H(
+            absent, n_a
+        )
+        ig = float(
+            Decimal(repr(h_class - h_cond)).quantize(
+                Decimal("1e-6"), ROUND_HALF_UP
+            )
+        )
+        scored.append((bk, int(n_p), ig))
+    # the query ranks by ROUNDED info gain desc, then bucket asc, top 20
+    scored.sort(key=lambda t: (-t[2], t[0]))
+    want = {bk: (df, ig) for bk, df, ig in scored[:20]}
+
+    out = QUERIES["feature_info_gain"]["builder"](spark, SMOKE_DIR).collect()
+    assert len(out) == min(20, len(scored))
+    assert {r["bucket"] for r in out} == set(want)
+    for r in out:
+        df, ig = want[r["bucket"]]
+        assert r["doc_freq"] == df
+        assert abs(r["info_gain"] - ig) <= 1e-6 + 1e-9
+        # info gain can never exceed the class entropy
+        assert r["info_gain"] <= h_class + 1e-9
+
+
+def test_term_pair_pmi_matches_cooccurrence_definition(spark):
+    import math
+    import re
+
+    rows = (
+        load_table(spark, SMOKE_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    n_docs = len(rows)
+    tf: dict[str, int] = defaultdict(int)
+    cf: dict[tuple[str, str], int] = defaultdict(int)
+    for r in rows:
+        toks = sorted(set(re.split(r"\s+", r["text"].lower().strip())))[:16]
+        for t in toks:
+            tf[t] += 1
+        for i, a in enumerate(toks):
+            for b in toks[i + 1:]:
+                cf[(a, b)] += 1
+
+    want = {
+        (a, b): (
+            c,
+            math.log(c * n_docs / (tf[a] * tf[b])),
+        )
+        for (a, b), c in cf.items()
+        if c >= 5
+    }
+    out = QUERIES["term_pair_pmi"]["builder"](spark, SMOKE_DIR).collect()
+    got = {(r["a"], r["b"]): r for r in out}
+    assert set(got) == set(want)
+    for k, (c, pmi) in want.items():
+        assert got[k]["cf"] == c
+        assert abs(got[k]["pmi"] - pmi) <= 1e-4 / 2 + 1e-9, (k, got[k]["pmi"], pmi)
+
+
+def test_daily_revenue_acf_matches_dayindexed_definition(spark):
+    import math
+    from datetime import date
+
+    rows = (
+        load_table(spark, SMOKE_DIR, "orders")
+        .select("o_orderdate", "o_totalprice")
+        .collect()
+    )
+    daily: dict[int, Fraction] = defaultdict(Fraction)
+    epoch = date(1995, 1, 1)
+    for r in rows:
+        d = r["o_orderdate"]
+        d = d.date() if hasattr(d, "date") else d
+        daily[(d - epoch).days] += _dec2(r["o_totalprice"])
+
+    def acf(lag: int):
+        # DAY-INDEXED pairing: every (d, d+lag) with both days present
+        # counts, whatever the gaps — the definition the r10 row-offset
+        # bug violated (it required all intermediate days to exist)
+        pts = [
+            (daily[d], daily[d + lag]) for d in sorted(daily) if d + lag in daily
+        ]
+        n = len(pts)
+        sx = sum(p[0] for p in pts)
+        sy = sum(p[1] for p in pts)
+        sxx = sum(p[0] * p[0] for p in pts)
+        syy = sum(p[1] * p[1] for p in pts)
+        sxy = sum(p[0] * p[1] for p in pts)
+        vx = Fraction(n) * sxx - sx * sx
+        vy = Fraction(n) * syy - sy * sy
+        if vx <= 0 or vy <= 0:
+            return n, None
+        num = float(Fraction(n) * sxy - sx * sy)
+        return n, num / (math.sqrt(float(vx)) * math.sqrt(float(vy)))
+
+    got = {
+        r["lag_days"]: r
+        for r in QUERIES["daily_revenue_acf"]["builder"](
+            spark, SMOKE_DIR
+        ).collect()
+    }
+    assert set(got) == {1, 7}
+    for lag in (1, 7):
+        n, want = acf(lag)
+        assert got[lag]["n_pairs"] == n, (lag, got[lag]["n_pairs"], n)
+        if want is None:
+            assert got[lag]["acf"] is None
+        else:
+            assert abs(got[lag]["acf"] - want) <= 1e-6 + 1e-9
