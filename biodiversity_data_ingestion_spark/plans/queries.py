@@ -11242,24 +11242,29 @@ def _lineitem_corr_matrix(spark, sf_dir):
                 ).alias(f"p_{a}_{b}")
             )
     stats = li.agg(*aggs)
+    # The close runs in DOUBLE over casts of the exact decimal moments
+    # (the daily_revenue_acf contract): products of SUMS scale with
+    # n^2*v^2, so s_a*s_b in decimal overflows ANY fixed width at
+    # cluster scale (the round-11 10x probe caught DuckDB's
+    # DECIMAL(38,16) product blowing up at 10x sf0.1, and Spark's
+    # (38,6)-capped product would silently lose scale there). The
+    # moments themselves stay exact DECIMAL(38,8) (row-count-LINEAR),
+    # and a fixed double-op sequence over identical cast inputs is
+    # bit-identical in both engines.
     pairs = []
+    dbl = lambda c: F.col(c).cast("double")
+    n_d = F.col("n").cast("double")
     for i, a in enumerate(_CORR_COLS):
         for b in _CORR_COLS[i + 1 :]:
-            num = F.col("n") * F.col(f"p_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
-            va = F.col("n") * F.col(f"p_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
-            vb = F.col("n") * F.col(f"p_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+            num = n_d * dbl(f"p_{a}_{b}") - dbl(f"s_{a}") * dbl(f"s_{b}")
+            va = n_d * dbl(f"p_{a}_{a}") - dbl(f"s_{a}") * dbl(f"s_{a}")
+            vb = n_d * dbl(f"p_{b}_{b}") - dbl(f"s_{b}") * dbl(f"s_{b}")
             pairs.append(
                 F.struct(
                     F.lit(a).alias("col_a"),
                     F.lit(b).alias("col_b"),
                     # _pz: corr is signable (dsir signed-zero class)
-                    _pz(
-                        F.round(
-                            num.cast("double")
-                            / F.sqrt(va.cast("double") * vb.cast("double")),
-                            6,
-                        )
-                    ).alias("corr"),
+                    _pz(F.round(num / F.sqrt(va * vb), 6)).alias("corr"),
                 )
             )
     return stats.select(F.explode(F.array(*pairs)).alias("p")).select(
@@ -11278,11 +11283,17 @@ def _corr_matrix_oracle() -> str:
         for i, a in enumerate(cols)
         for b in cols[i:]
     )
+    # double close over casts of the exact decimal moments — decimal
+    # s_a*s_b products overflow at scale (see the builder's comment);
+    # op order mirrors the Spark expression exactly
+    d = lambda c: f"CAST({c} AS DOUBLE)"
+    nd = "CAST(n AS DOUBLE)"
     corr_expr = lambda a, b: (
-        f"round(CAST(n * p_{a}_{b} - s_{a} * s_{b} AS DOUBLE)\n"
-        f"                 / sqrt(CAST(n * p_{a}_{a} - s_{a} * s_{a} AS DOUBLE)\n"
-        f"                        * CAST(n * p_{b}_{b} - s_{b} * s_{b}"
-        f" AS DOUBLE)), 6)"
+        f"round(({nd} * {d(f'p_{a}_{b}')} - {d(f's_{a}')} * {d(f's_{b}')})\n"
+        f"                 / sqrt(({nd} * {d(f'p_{a}_{a}')}"
+        f" - {d(f's_{a}')} * {d(f's_{a}')})\n"
+        f"                        * ({nd} * {d(f'p_{b}_{b}')}"
+        f" - {d(f's_{b}')} * {d(f's_{b}')})), 6)"
     )
     sel = "\n    UNION ALL\n".join(
         f"""    SELECT '{a}' AS col_a, '{b}' AS col_b,
@@ -12799,9 +12810,15 @@ _PRIORITY: tuple[str, ...] = (
     # predates r4 (verified against CORRECTNESS_r01..r10 on disk).
     # After this window runs green, NO query in the 249-query registry
     # has pre-r4 driver evidence — full-registry driver-hash freshness
-    # for the first time. Nothing changed code this round displaces a
-    # slot; order = stalest first (the three r2 rows), then the r3
-    # block alphabetically.
+    # for the first time. ONE changed-query slot leads (playbook rule:
+    # evidence on arrival): lineitem_corr_matrix's close was rewritten
+    # this round after the standing 10x probe caught its decimal
+    # sum-product overflowing at scale; it displaces
+    # video_decode_features (green r3 row on disk; four sibling codec
+    # reps remain in-window; r12 queue head). Then the stale queue:
+    # stalest first (the three r2 rows), then the r3 block
+    # alphabetically.
+    "lineitem_corr_matrix",
     "top3_orders_per_customer",
     "user_event_flatten",
     "user_value_scd2",
@@ -12850,7 +12867,6 @@ _PRIORITY: tuple[str, ...] = (
     "taxon_key_quirks",
     "top_revenue_supplier",
     "uncertainty_buffer_wkt",
-    "video_decode_features",
     "warc_record_roundtrip",
 )
 
