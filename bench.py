@@ -8,6 +8,23 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Each query executes fully (noop sink — measures scan+compute+shuffle,
 not driver collect). One warm-up run of a trivial action first so JVM /
 codegen startup isn't billed to the first query.
+
+STANDING BENCH RECIPE (the two-run load-bracketed protocol; the r9/r10
+lesson — identical code has swung 1.5x on ambient load alone):
+
+1. Run the full bench TWICE in separate fresh processes; keep both
+   JSON lines. The `load_avg_1m_start`/`_end` fields bracket each run.
+2. For ROUND comparisons use the run with the LOWER load bracket; a
+   "regression" that appears only in the loaded run is ambient, not
+   code.
+3. Before attributing any per-query swing to code: `git diff` must
+   touch the query's module, AND a fresh-process consecutive
+   best-of-3 A/B on a quiet box (load < ~2) must reproduce it.
+   Interleaved A/B across variants IN ONE PROCESS for code-vs-code
+   comparisons; never compare timings across processes minutes apart.
+4. Iterative/eager queries (the EAGER set) are the load-sensitive
+   family — their quiet-vs-loaded envelope is in NOTES.md; a swing
+   inside the envelope with no code change needs no investigation.
 """
 
 from __future__ import annotations
