@@ -544,3 +544,286 @@ def test_daily_revenue_acf_matches_dayindexed_definition(spark):
             assert got[lag]["acf"] is None
         else:
             assert abs(got[lag]["acf"] - want) <= 1e-6 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# round-11 second batch: retrieval/statistics formulas with canonical
+# literature definitions — BM25 (Robertson/Sparck-Jones idf + Lucene +1
+# smoothing), TF-IDF, reciprocal-rank fusion, Welch's t-test, EWMA, and
+# the numpy-defined distribution stats (population sd + linearly
+# interpolated percentiles — replayed THROUGH numpy itself, the
+# reference's actual implementation).
+
+def test_welch_ttest_matches_twopass_textbook_definition(spark):
+    import math
+
+    rows = (
+        load_table(spark, SMOKE_DIR, "events")
+        .select("user_id", "event_type", "value")
+        .collect()
+    )
+    arms: dict[str, dict[str, list[float]]] = defaultdict(
+        lambda: {"a": [], "b": []}
+    )
+    for r in rows:
+        if r["value"] is None:
+            continue
+        arms[r["event_type"]]["a" if r["user_id"] % 2 == 0 else "b"].append(
+            float(r["value"])
+        )
+
+    def mean_var(xs: list[float]):
+        n = len(xs)
+        m = sum(xs) / n
+        # TWO-PASS sample variance (the textbook definition) — the
+        # engine uses the one-pass sum-of-squares close; agreement
+        # within rounding is exactly what this replay certifies
+        v = sum((x - m) ** 2 for x in xs) / (n - 1) if n > 1 else None
+        return m, v
+
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["event_value_ab_ttest"]["builder"](
+            spark, SMOKE_DIR
+        ).collect()
+    }
+    assert set(got) == set(arms)
+    for et, d in arms.items():
+        ma, va = mean_var(d["a"])
+        mb, vb = mean_var(d["b"])
+        r = got[et]
+        assert r["n_a"] == len(d["a"]) and r["n_b"] == len(d["b"])
+        assert abs(r["mean_a"] - ma) <= 5e-5 + 1e-9
+        assert abs(r["mean_b"] - mb) <= 5e-5 + 1e-9
+        se2 = va / len(d["a"]) + vb / len(d["b"])
+        if se2 > 0:
+            t = (ma - mb) / math.sqrt(se2)
+            assert abs(r["t_stat"] - t) <= 1e-4 + 1e-7, (et, r["t_stat"], t)
+        else:
+            assert r["t_stat"] is None
+
+
+def test_ewma_matches_recurrence_definition(spark):
+    rows = (
+        load_table(spark, SMOKE_DIR, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    by_user: dict = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["value"]))
+
+    got = {
+        r["user_id"]: r
+        for r in QUERIES["user_value_ewma"]["builder"](spark, SMOKE_DIR).collect()
+    }
+    assert set(got) == set(by_user)
+    for u, evs in by_user.items():
+        evs.sort(key=lambda t: (t[0], t[1]))
+        s = float(evs[0][2])
+        for _, _, v in evs[1:]:  # textbook EWMA, alpha = 0.2
+            s = 0.8 * s + 0.2 * float(v)
+        assert got[u]["n_events"] == len(evs)
+        assert abs(got[u]["ewma_value"] - s) <= 1e-6 + 1e-9, (u,)
+
+
+def _doc_tokens(spark):
+    import re
+
+    rows = (
+        load_table(spark, SMOKE_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    return {
+        r["doc_id"]: re.split(r"\s+", r["text"].lower().strip()) for r in rows
+    }
+
+
+def test_tfidf_matches_textbook_definition(spark):
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    toks = _doc_tokens(spark)
+    n_docs = len(toks)
+    tf: dict = defaultdict(lambda: defaultdict(int))
+    for d, ts in toks.items():
+        for t in ts:
+            tf[d][t] += 1
+    df: dict[str, int] = defaultdict(int)
+    for d in tf:
+        for t in tf[d]:
+            df[t] += 1
+
+    def r6(v: float) -> float:
+        return float(
+            Decimal(repr(v)).quantize(Decimal("1e-6"), ROUND_HALF_UP)
+        )
+
+    want: dict = {}
+    for d in tf:
+        scored = sorted(
+            (
+                (r6(c * math.log(n_docs / df[t])), t)
+                for t, c in tf[d].items()
+            ),
+            key=lambda s: (-s[0], s[1]),
+        )[:3]
+        want[d] = {(t, s) for s, t in scored}
+
+    out = QUERIES["tfidf_top_terms"]["builder"](spark, SMOKE_DIR).collect()
+    got: dict = defaultdict(set)
+    for r in out:
+        got[r["doc_id"]].add((r["term"], r["tfidf"]))
+    assert set(got) == set(want)
+    mismatches = [
+        d for d in want
+        if {t for t, _ in got[d]} != {t for t, _ in want[d]}
+        or any(
+            abs(gs - ws) > 1e-6 + 1e-9
+            for (gt, gs) in sorted(got[d])
+            for (wt, ws) in sorted(want[d])
+            if gt == wt
+        )
+    ]
+    assert not mismatches, mismatches[:3]
+
+
+def test_bm25_matches_robertson_formula(spark):
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    toks = _doc_tokens(spark)
+    tf: dict = defaultdict(lambda: defaultdict(int))
+    for d, ts in toks.items():
+        for t in ts:
+            tf[d][t] += 1
+    dl = {d: sum(tf[d].values()) for d in tf}
+    n_docs = len(dl)
+    avgdl = sum(dl.values()) / n_docs
+    df: dict[str, int] = defaultdict(int)
+    for d in tf:
+        for t in tf[d]:
+            df[t] += 1
+    qterms = sorted(df, key=lambda t: (-df[t], t))[:3]
+
+    def r4(v: float) -> float:
+        return float(
+            Decimal(repr(v)).quantize(Decimal("1e-4"), ROUND_HALF_UP)
+        )
+
+    k1, b = 1.2, 0.75
+    want: dict = {}
+    for q in qterms:
+        idf = math.log((n_docs - df[q] + 0.5) / (df[q] + 0.5) + 1.0)
+        scored = sorted(
+            (
+                (
+                    r4(
+                        idf
+                        * (tf[d][q] * (k1 + 1))
+                        / (tf[d][q] + k1 * (1 - b + b * dl[d] / avgdl))
+                    ),
+                    d,
+                )
+                for d in tf
+                if q in tf[d]
+            ),
+            key=lambda s: (-s[0], s[1]),
+        )[:5]
+        want[q] = [(d, s, i + 1) for i, (s, d) in enumerate(scored)]
+
+    out = QUERIES["bm25_doc_retrieval"]["builder"](spark, SMOKE_DIR).collect()
+    got: dict = defaultdict(list)
+    for r in sorted(out, key=lambda r: (r["q_term"], r["rank"])):
+        got[r["q_term"]].append((r["doc_id"], r["bm25"], r["rank"]))
+    assert set(got) == set(want)
+    for q in want:
+        assert [(d, rk) for d, _, rk in got[q]] == [
+            (d, rk) for d, _, rk in want[q]
+        ], (q, got[q], want[q])
+        for (_, gs, _), (_, ws, _) in zip(got[q], want[q]):
+            assert abs(gs - ws) <= 1e-4 + 1e-7
+
+
+def test_rrf_matches_fusion_definition(spark):
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+    from fractions import Fraction as Fr
+
+    toks = _doc_tokens(spark)
+    n_docs = len(toks)
+    qterms = ("data", "scan", "vector")
+    tf: dict = defaultdict(lambda: defaultdict(int))
+    for d, ts in toks.items():
+        for t in ts:
+            if t in qterms:
+                tf[d][t] += 1
+    df = {q: sum(1 for d in tf if q in tf[d]) for q in qterms}
+
+    def q8(v: float) -> Fr:
+        return Fr(Decimal(repr(v)).quantize(Decimal("1e-8"), ROUND_HALF_UP))
+
+    def r6(v: float) -> float:
+        return float(Decimal(repr(v)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    s_tf = {d: sum(tf[d].values()) for d in tf}
+    s_idf = {
+        d: r6(float(sum(Fr(c) * q8(math.log(n_docs / df[t]))
+                        for t, c in tf[d].items())))
+        for d in tf
+    }
+    rank_tf = {
+        d: i + 1
+        for i, d in enumerate(sorted(s_tf, key=lambda d: (-s_tf[d], d))[:100])
+    }
+    rank_idf = {
+        d: i + 1
+        for i, d in enumerate(sorted(s_idf, key=lambda d: (-s_idf[d], d))[:100])
+    }
+
+    out = QUERIES["rrf_doc_fusion"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["doc_id"]: r for r in out}
+    assert set(got) == set(rank_tf) | set(rank_idf)
+    for d, r in got.items():
+        assert r["rank_tf"] == rank_tf.get(d)
+        assert r["rank_idf"] == rank_idf.get(d)
+        want = (1.0 / (60 + rank_tf[d]) if d in rank_tf else 0.0) + (
+            1.0 / (60 + rank_idf[d]) if d in rank_idf else 0.0
+        )
+        assert abs(r["rrf"] - want) <= 1e-6 + 1e-9, (d, r["rrf"], want)
+
+
+def test_distribution_stats_match_numpy_definitions(spark):
+    # the reference computes these stats WITH numpy (population std,
+    # linearly interpolated percentiles) — replay through numpy itself
+    import numpy as np
+
+    rows = (
+        load_table(spark, SMOKE_DIR, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+        .collect()
+    )
+    vals: dict[str, list[float]] = defaultdict(list)
+    for r in rows:
+        vals[r["l_returnflag"]].append(r["l_extendedprice"])
+
+    got = {
+        r["l_returnflag"]: r
+        for r in QUERIES["price_stats_by_flag"]["builder"](
+            spark, SMOKE_DIR
+        ).collect()
+    }
+    assert set(got) == set(vals)
+    for flag, xs in vals.items():
+        a = np.asarray(xs, dtype=np.float64)
+        r = got[flag]
+        assert r["n"] == len(xs)
+        assert abs(r["mean"] - float(np.mean(a))) <= 5e-3 + 1e-9
+        assert abs(r["sd"] - float(np.std(a))) <= 5e-3 + 1e-9
+        for col, p in (("median", 50), ("p5", 5), ("p95", 95)):
+            assert abs(r[col] - float(np.percentile(a, p))) <= 5e-3 + 1e-9, (
+                flag, col,
+            )
+        assert r["min"] == round(float(np.min(a)), 2)
+        assert r["max"] == round(float(np.max(a)), 2)
