@@ -827,3 +827,193 @@ def test_distribution_stats_match_numpy_definitions(spark):
             )
         assert r["min"] == round(float(np.min(a)), 2)
         assert r["max"] == round(float(np.max(a)), 2)
+
+
+# ---------------------------------------------------------------------------
+# round-11 third batch: the fixed-point PageRank trajectory vs the
+# textbook float recurrence, the Gopher paper's ratio thresholds vs the
+# integer cross-multiplication formulation, the MLE unigram LM, Shannon
+# entropy, and winsorized means vs numpy percentile bounds.
+
+def test_pagerank_matches_textbook_float_recurrence(spark):
+    # The engine computes PageRank in SCALE=1e12 integer fixed-point
+    # with floor division (bit-exact, oracle-replayable). The textbook
+    # recurrence in plain floats is an INDEPENDENT formulation; the
+    # fixed-point trajectory must track it to within the documented
+    # floor-loss envelope (n_iter * (in_deg + 2) / SCALE << 1e-7).
+    rows = (
+        load_table(spark, SMOKE_DIR, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    baskets: dict = defaultdict(set)
+    for r in rows:
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    edges: set = set()
+    for parts in baskets.values():
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    edges.add((a, b))
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    out_deg: dict[int, int] = defaultdict(int)
+    in_edges: dict[int, list[int]] = defaultdict(list)
+    for a, b in edges:
+        out_deg[a] += 1
+        in_edges[b].append(a)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(3):  # textbook: r' = 0.15/n + 0.85*(sum r_u/deg_u)
+        dangling = sum(r[v] for v in nodes if out_deg[v] == 0)
+        r = {
+            v: 0.15 / n
+            + 0.85 * (sum(r[u] / out_deg[u] for u in in_edges[v]) + dangling / n)
+            for v in nodes
+        }
+
+    got = {
+        row["node"]: row["rank"]
+        for row in QUERIES["copurchase_pagerank"]["builder"](
+            spark, SMOKE_DIR
+        ).collect()
+    }
+    assert set(got) == set(nodes)
+    worst = max(abs(got[v] - r[v]) for v in nodes)
+    assert worst <= 1e-7, worst
+    # mass conservation up to the floor drift: per round each SENDER
+    # loses < out_deg units to r div out_deg (|edges| total) and each
+    # node < 1 unit to each of the base and damping floors — so the
+    # bound is n_iter * (|edges| + 2n) / SCALE (this replay originally
+    # used the operator docstring's n_iter*(n+1)/SCALE, which measured
+    # 30x too tight at 1.89e-8 observed drift; the docstring was
+    # corrected to this bound)
+    assert abs(sum(got.values()) - 1.0) <= 3 * (len(edges) + 2 * n) / 1e12 + 1e-9
+
+
+def test_gopher_rules_match_paper_ratio_definitions(spark):
+    import re
+    from fractions import Fraction as Fr
+
+    rows = (
+        load_table(spark, SMOKE_DIR, "documents")
+        .select("source", "text")
+        .collect()
+    )
+    agg: dict = defaultdict(lambda: [0, 0, 0, 0, 0, 0, 0])
+    for r in rows:
+        text = r["text"]
+        words = re.split(r"\s+", text.lower().strip())
+        n = len(words)
+        sum_len = sum(len(w) for w in words)
+        n_alpha = sum(1 for w in words if re.search(r"[a-z]", w))
+        n_sym = text.count("#") + text.count("...")
+        n_stop = sum(1 for w in words if w in ("the", "of", "and", "to", "a"))
+        # the PAPER's thresholds as exact rational comparisons — an
+        # independent formulation of the integer cross-multiplications
+        p1 = 50 <= n <= 100000
+        p2 = Fr(3) <= Fr(sum_len, n) <= Fr(10)
+        p3 = Fr(n_alpha, n) > Fr(4, 5)
+        p4 = Fr(n_sym, n) < Fr(1, 10)
+        p5 = n_stop >= 2
+        a = agg[r["source"]]
+        a[0] += 1
+        a[1] += all((p1, p2, p3, p4, p5))
+        for i, p in enumerate((p1, p2, p3, p4, p5)):
+            a[2 + i] += not p
+
+    out = QUERIES["gopher_quality_rules"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        r["source"]: [
+            r["n_docs"], r["n_pass"], r["fail_wordcount"], r["fail_wordlen"],
+            r["fail_alpha"], r["fail_symbol"], r["fail_stopwords"],
+        ]
+        for r in out
+    }
+    assert got == {k: list(v) for k, v in agg.items()}
+
+
+def test_unigram_logprob_matches_mle_lm_definition(spark):
+    import math
+
+    toks = _doc_tokens(spark)
+    uni: dict[str, int] = defaultdict(int)
+    for ts in toks.values():
+        for t in ts:
+            uni[t] += 1
+    total = sum(uni.values())
+
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["doc_unigram_logprob"]["builder"](
+            spark, SMOKE_DIR
+        ).collect()
+    }
+    assert set(got) == set(toks)
+    for d, ts in toks.items():
+        # textbook MLE unigram LM: mean over tokens of -ln p(t)
+        want = sum(-math.log(uni[t] / total) for t in ts) / len(ts)
+        assert got[d]["n_tokens"] == len(ts)
+        assert abs(got[d]["mean_neg_logprob"] - want) <= 5e-5 + 1e-7, (d,)
+
+
+def test_user_event_entropy_matches_shannon_definition(spark):
+    import math
+
+    rows = (
+        load_table(spark, SMOKE_DIR, "events")
+        .select("user_id", "event_type")
+        .collect()
+    )
+    counts: dict = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        counts[r["user_id"]][r["event_type"]] += 1
+
+    got = {
+        r["user_id"]: r
+        for r in QUERIES["user_event_entropy"]["builder"](
+            spark, SMOKE_DIR
+        ).collect()
+    }
+    assert set(got) == set(counts)
+    for u, by_type in counts.items():
+        n = sum(by_type.values())
+        h = -sum(
+            (c / n) * math.log(c / n) for c in by_type.values()
+        )
+        assert got[u]["n_events"] == n
+        assert abs(got[u]["entropy"] - h) <= 5e-5 + 1e-9
+        # entropy is bounded by ln(#types)
+        assert got[u]["entropy"] <= math.log(len(by_type)) + 1e-9
+
+
+def test_winsorized_means_match_percentile_clamp_definition(spark):
+    import numpy as np
+
+    rows = (
+        load_table(spark, SMOKE_DIR, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+    vals: dict[str, list[float]] = defaultdict(list)
+    for r in rows:
+        vals[r["event_type"]].append(float(r["value"]))
+
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["winsorized_value_stats"]["builder"](
+            spark, SMOKE_DIR
+        ).collect()
+    }
+    assert set(got) == set(vals)
+    for et, xs in vals.items():
+        a = np.asarray(xs, dtype=np.float64)
+        lo, hi = np.percentile(a, 5), np.percentile(a, 95)
+        w = np.clip(a, lo, hi)
+        r = got[et]
+        assert r["n"] == len(xs)
+        assert abs(r["winsor_mean"] - float(np.mean(w))) <= 1e-4 + 1e-7
+        assert abs(r["raw_mean"] - float(np.mean(a))) <= 1e-4 + 1e-7
+        # winsorization pulls the mean toward the interior
+        assert min(lo, float(np.mean(a))) - 1e-9 <= r["winsor_mean"] <= max(
+            hi, float(np.mean(a))
+        ) + 1e-9
