@@ -1017,3 +1017,180 @@ def test_winsorized_means_match_percentile_clamp_definition(spark):
         assert min(lo, float(np.mean(a))) - 1e-9 <= r["winsor_mean"] <= max(
             hi, float(np.mean(a))
         ) + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# round-11 fourth batch: graph-theory counts (triangles/clustering via
+# adjacency-set intersection, k-core via plain-Python peeling), the
+# add-one-smoothed bigram LM, the time-weighted average, and the
+# first-order Markov transition matrix.
+
+def _brand_edges(spark):
+    li = (
+        load_table(spark, SMOKE_DIR, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    keep = {
+        r["p_partkey"]
+        for r in load_table(spark, SMOKE_DIR, "part")
+        .select("p_partkey", "p_brand")
+        .collect()
+        if r["p_brand"] in ("Brand#12", "Brand#23", "Brand#34")
+    }
+    baskets: dict = defaultdict(set)
+    for r in li:
+        if r["l_partkey"] in keep:
+            baskets[r["l_orderkey"]].add(r["l_partkey"])
+    edges: set = set()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                edges.add((a, b))
+    return edges
+
+
+def test_triangle_count_matches_adjacency_intersection(spark):
+    edges = _brand_edges(spark)
+    adj: dict = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    # textbook: each triangle counted once per edge via neighbor
+    # intersection of its endpoints, / 3
+    tri3 = sum(len(adj[a] & adj[b]) for a, b in edges)
+    assert tri3 % 3 == 0
+    n_tri = tri3 // 3
+    wedges = sum(d * (d - 1) // 2 for d in map(len, adj.values()))
+
+    out = QUERIES["copurchase_triangles"]["builder"](spark, SMOKE_DIR).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_nodes"] == len(adj)
+    assert r["n_edges"] == len(edges)
+    assert r["n_triangles"] == n_tri
+    want_c = 3.0 * n_tri / max(wedges, 1)
+    assert abs(r["clustering"] - want_c) <= 5e-7 + 1e-9
+
+
+def test_kcore_matches_python_peeling(spark):
+    edges = _brand_edges(spark)
+    adj: dict = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    k = 3
+    # textbook peeling to the FIXPOINT (the true k-core)
+    changed = True
+    while changed:
+        changed = False
+        for v in [v for v, ns in adj.items() if len(ns) < k]:
+            for u in adj.pop(v):
+                adj[u].discard(v)
+            changed = True
+    want = {v: len(ns) for v, ns in adj.items() if ns}
+
+    out = QUERIES["copurchase_kcore"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["node"]: r["degree"] for r in out}
+    assert got == want
+
+
+def test_bigram_logprob_matches_addone_smoothing(spark):
+    import math
+
+    toks = _doc_tokens(spark)
+    uni: dict[str, int] = defaultdict(int)
+    big: dict[str, int] = defaultdict(int)
+    for ts in toks.values():
+        for t in ts:
+            uni[t] += 1
+        for a, b in zip(ts, ts[1:]):
+            big[f"{a} {b}"] += 1
+    V = len(uni)
+
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["doc_bigram_logprob"]["builder"](
+            spark, SMOKE_DIR
+        ).collect()
+    }
+    for d, ts in toks.items():
+        bgs = [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+        if not bgs:
+            assert d not in got  # inner join: no bigrams, no row
+            continue
+        # textbook add-one smoothing: P(b|a) = (c(ab)+1) / (c(a)+V)
+        want = sum(
+            -math.log((big[bg] + 1) / (uni[bg.split(" ")[0]] + V))
+            for bg in bgs
+        ) / len(bgs)
+        assert got[d]["n_bigrams"] == len(bgs)
+        assert abs(got[d]["mean_neg_logprob"] - want) <= 5e-5 + 1e-7, (d,)
+
+
+def test_time_weighted_value_matches_integral_definition(spark):
+    rows = (
+        load_table(spark, SMOKE_DIR, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    by_user: dict = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["value"]))
+
+    got = {
+        r["user_id"]: r
+        for r in QUERIES["user_time_weighted_value"]["builder"](
+            spark, SMOKE_DIR
+        ).collect()
+    }
+    for u, evs in by_user.items():
+        evs.sort(key=lambda t: (t[0], t[1]))
+        if len(evs) < 2:
+            assert u not in got
+            continue
+        # textbook time-weighted average: integral of the held value
+        # over time / total duration, exact in Fractions
+        num = Fraction(0)
+        den = 0
+        for (t0, _, v), (t1, _, _) in zip(evs, evs[1:]):
+            dt = int((t1 - t0).total_seconds() * 1_000_000)
+            num += _dec2(v) * dt
+            den += dt
+        if den == 0:
+            continue  # all-identical timestamps: engine emits NULL-free rows only
+        want = float(num) / den
+        assert got[u]["n_intervals"] == len(evs) - 1
+        assert abs(got[u]["twa_value"] - want) <= 5e-5 + 1e-9, (u,)
+
+
+def test_transition_matrix_matches_markov_definition(spark):
+    rows = (
+        load_table(spark, SMOKE_DIR, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user: dict = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    pairs: dict = defaultdict(int)
+    for evs in by_user.values():
+        evs.sort(key=lambda t: (t[0], t[1]))
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            pairs[(a, b)] += 1
+    totals: dict = defaultdict(int)
+    for (a, _), n in pairs.items():
+        totals[a] += n
+
+    out = QUERIES["event_transition_matrix"]["builder"](spark, SMOKE_DIR).collect()
+    got = {(r["from_type"], r["next_type"]): r for r in out}
+    assert set(got) == set(pairs)
+    for (a, b), n in pairs.items():
+        r = got[(a, b)]
+        assert r["n"] == n
+        assert abs(r["p"] - n / totals[a]) <= 5e-5 + 1e-9
+    # each row of the transition matrix sums to 1
+    for a in totals:
+        s = sum(r["p"] for (x, _), r in got.items() if x == a)
+        assert abs(s - 1.0) <= 5e-4
