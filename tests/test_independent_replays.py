@@ -41,9 +41,23 @@ Round-11 extensions (the remaining shared-mental-model-risk queries):
   definition the r10 row-offset bug violated) vs the explode+join
   formulation — this replay locks that fix permanently.
 
-Tolerances: integer outputs exact; doubles to 1e-6 (the queries round
-to 4-6 dp, the replays don't — semantic agreement, not bit parity,
-is the claim under test here; bit parity is the oracle gate's job).
+Further round-11 batches extend the net across the retrieval,
+statistics, LM, and graph families: BM25 (Robertson formula), TF-IDF,
+reciprocal-rank fusion, Welch's t-test (two-pass variance), EWMA,
+numpy-defined distribution stats, fixed-point PageRank vs the textbook
+float recurrence (which corrected the operator's documented floor-
+drift bound), Gopher rules vs the paper's exact rational thresholds,
+the MLE unigram and add-one bigram LMs, Shannon entropy, winsorized
+means vs numpy percentile clamps, triangle count/clustering via
+adjacency intersection, k-core via Python peeling, the time-weighted
+average as an exact integral, the Markov transition matrix, and
+cosine top-k vs a numpy brute force (grounding the reference the
+IVF/PQ recall tests rank against).
+
+Tolerances: integer outputs exact; doubles to the query's rounding
+precision plus float slack (the queries round to 4-6 dp, the replays
+don't — semantic agreement, not bit parity, is the claim under test
+here; bit parity is the oracle gate's job).
 """
 
 from __future__ import annotations
@@ -1194,3 +1208,51 @@ def test_transition_matrix_matches_markov_definition(spark):
     for a in totals:
         s = sum(r["p"] for (x, _), r in got.items() if x == a)
         assert abs(s - 1.0) <= 5e-4
+
+
+def test_cosine_topk_matches_numpy_brute_force(spark):
+    # cosine_topk is itself the "exact" reference for the IVF/PQ recall
+    # tests — this replay grounds it in numpy's independent arithmetic
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = (
+        load_table(spark, SMOKE_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    queries = {i: v for i, v in vecs.items() if i < 5}
+    corpus = {i: v for i, v in vecs.items() if i >= 5}
+
+    def r6(v: float) -> float:
+        return float(Decimal(repr(v)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    want: dict = {}
+    for qid, qv in queries.items():
+        scored = sorted(
+            (
+                (
+                    r6(
+                        float(qv @ cv)
+                        / (float(np.linalg.norm(qv)) * float(np.linalg.norm(cv)))
+                    ),
+                    nid,
+                )
+                for nid, cv in corpus.items()
+            ),
+            key=lambda s: (-s[0], s[1]),
+        )[:10]
+        want[qid] = [(nid, s, i + 1) for i, (s, nid) in enumerate(scored)]
+
+    out = QUERIES["ann_cosine_topk"]["builder"](spark, SMOKE_DIR).collect()
+    got: dict = defaultdict(list)
+    for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+        got[r["query_id"]].append((r["neighbor_id"], r["cos_sim"], r["rank"]))
+    assert set(got) == set(want)
+    for qid in want:
+        assert [(n, rk) for n, _, rk in got[qid]] == [
+            (n, rk) for n, _, rk in want[qid]
+        ], (qid,)
+        for (_, gs, _), (_, ws, _) in zip(got[qid], want[qid]):
+            assert abs(gs - ws) <= 2e-6, (qid, gs, ws)
