@@ -1256,3 +1256,165 @@ def test_cosine_topk_matches_numpy_brute_force(spark):
         ], (qid,)
         for (_, gs, _), (_, ws, _) in zip(got[qid], want[qid]):
             assert abs(gs - ws) <= 2e-6, (qid, gs, ws)
+
+
+# ---------------------------------------------------------------------------
+# round-11 fifth batch: DSIR importance weights (the query that stayed
+# red for three driver rounds — now with an independent net), the
+# session_window family's gap semantics, temperature-sampled mixture
+# weights, and fixed-width histogram binning.
+
+def test_dsir_matches_paper_logratio_definition(spark):
+    import hashlib
+    import math
+    import re
+
+    B = 256
+    rows = (
+        load_table(spark, SMOKE_DIR, "documents")
+        .select("doc_id", "lang", "text")
+        .collect()
+    )
+    doc_buckets: dict[int, list[int]] = {}
+    ct: dict[int, int] = defaultdict(int)
+    cr: dict[int, int] = defaultdict(int)
+    for r in rows:
+        bks = [
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % B
+            for t in re.split(r"\s+", r["text"].lower().strip())
+        ]
+        doc_buckets[r["doc_id"]] = bks
+        for bk in bks:
+            cr[bk] += 1
+            if r["lang"] == "en":
+                ct[bk] += 1
+    nt, nr = sum(ct.values()), sum(cr.values())
+    # DSIR (Xie et al. 2023): add-1 smoothed hashed-feature
+    # log-likelihood ratio of target vs raw distributions
+    w = {
+        bk: math.log((ct[bk] + 1) * (nr + B) / ((cr[bk] + 1) * (nt + B)))
+        for bk in cr
+    }
+
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["dsir_importance_weights"]["builder"](
+            spark, SMOKE_DIR
+        ).collect()
+    }
+    assert set(got) == set(doc_buckets)
+    for d, bks in doc_buckets.items():
+        want = sum(w[bk] for bk in bks) / len(bks)
+        assert got[d]["n_tokens"] == len(bks)
+        assert abs(got[d]["dsir_logratio"] - want) <= 5e-5 + 1e-7, (d,)
+    # sanity: English docs must skew positive vs non-English negative
+    by_lang: dict[str, list[float]] = defaultdict(list)
+    for r in rows:
+        by_lang[r["lang"]].append(got[r["doc_id"]]["dsir_logratio"])
+    mean_en = sum(by_lang["en"]) / len(by_lang["en"])
+    others = [v for l, vs in by_lang.items() if l != "en" for v in vs]
+    assert mean_en > sum(others) / len(others)
+
+
+def test_user_sessions_match_gap_definition(spark):
+    rows = (
+        load_table(spark, SMOKE_DIR, "events")
+        .select("user_id", "ts", "value")
+        .collect()
+    )
+    by_user: dict = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append((r["ts"], r["value"]))
+
+    want = set()
+    for u, evs in by_user.items():
+        evs.sort()
+        sessions: list[list] = []
+        for ts, v in evs:
+            # canonical gap sessionization: a session extends while the
+            # next event arrives strictly within 10 minutes of the last
+            if sessions and (ts - sessions[-1][-1][0]).total_seconds() < 600:
+                sessions[-1].append((ts, v))
+            else:
+                sessions.append([(ts, v)])
+        for s in sessions:
+            cents = sum(int(_dec2(v) * 100) for _, v in s)
+            want.add((s[0][0], u, len(s), cents))
+
+    out = QUERIES["user_sessions"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        (r["session_start"], r["user_id"], r["n_events"],
+         round(r["sum_value"] * 100))
+        for r in out
+    }
+    assert got == want
+
+
+def test_mixture_temperature_weights_match_sqrt_sampling(spark):
+    import math
+    import re
+
+    rows = (
+        load_table(spark, SMOKE_DIR, "documents")
+        .select("source", "text")
+        .collect()
+    )
+    per: dict[str, list[int]] = defaultdict(lambda: [0, 0])
+    for r in rows:
+        per[r["source"]][0] += 1
+        per[r["source"]][1] += len(re.split(r"\s+", r["text"].strip()))
+    tot_tokens = sum(v[1] for v in per.values())
+    tot_pw = sum(math.sqrt(v[1]) for v in per.values())
+
+    got = {
+        r["source"]: r
+        for r in QUERIES["mixture_temperature_weights"]["builder"](
+            spark, SMOKE_DIR
+        ).collect()
+    }
+    assert set(got) == set(per)
+    shares = 0.0
+    for src, (nd, ntok) in per.items():
+        r = got[src]
+        nat = ntok / tot_tokens
+        temp = math.sqrt(ntok) / tot_pw
+        assert r["n_docs"] == nd and r["n_tokens"] == ntok
+        assert abs(r["natural_share"] - nat) <= 1e-6 + 1e-9
+        assert abs(r["temp_share"] - temp) <= 1e-6 + 1e-9
+        assert abs(r["effective_epochs"] - temp / nat) <= 1e-4 + 1e-7
+        shares += r["temp_share"]
+    # temperature shares form a distribution
+    assert abs(shares - 1.0) <= 1e-4
+    # sqrt sampling upweights small sources, downweights large ones
+    small = min(per, key=lambda s: per[s][1])
+    large = max(per, key=lambda s: per[s][1])
+    if per[small][1] < per[large][1]:
+        assert got[small]["effective_epochs"] > got[large]["effective_epochs"]
+
+
+def test_value_histogram_matches_binning_definition(spark):
+    import math
+
+    rows = (
+        load_table(spark, SMOKE_DIR, "events")
+        .select("value")
+        .collect()
+    )
+    bins: dict[int, list[float]] = defaultdict(list)
+    for r in rows:
+        bins[math.floor(float(r["value"]) / 50.0)].append(float(r["value"]))
+
+    got = {
+        r["bucket"]: r
+        for r in QUERIES["value_histogram"]["builder"](spark, SMOKE_DIR).collect()
+    }
+    assert set(got) == set(bins)
+    for bk, xs in bins.items():
+        r = got[bk]
+        assert r["n_events"] == len(xs)
+        assert abs(r["min_value"] - min(xs)) <= 5e-3 + 1e-9
+        assert abs(r["max_value"] - max(xs)) <= 5e-3 + 1e-9
+        cents = sum(int(_dec2(x) * 100) for x in xs)
+        assert round(r["sum_value"] * 100) == cents
+        # every member really belongs to its bin
+        assert all(50.0 * bk <= x < 50.0 * (bk + 1) for x in xs)
