@@ -12806,11 +12806,12 @@ _register(
 # full registry is still exported — only the ordering changes.
 _PRIORITY: tuple[str, ...] = (
     # ROUND-11 WINDOW — the deterministic evidence-freshness rotation
-    # (VERDICT r10 #1): exactly the 50 queries whose newest driver row
-    # predates r4 (verified against CORRECTNESS_r01..r10 on disk).
-    # After this window runs green, NO query in the 249-query registry
-    # has pre-r4 driver evidence — full-registry driver-hash freshness
-    # for the first time. ONE changed-query slot leads (playbook rule:
+    # (VERDICT r10 #1): 49 of the exactly-50 queries whose newest
+    # driver row predates r4 (verified against CORRECTNESS_r01..r10 on
+    # disk). After this window runs green, video_decode_features
+    # (displaced below) is the ONLY query in the 249-query registry
+    # left with pre-r4 driver evidence — it leads the r12 window.
+    # ONE changed-query slot leads (playbook rule:
     # evidence on arrival): lineitem_corr_matrix's close was rewritten
     # this round after the standing 10x probe caught its decimal
     # sum-product overflowing at scale; it displaces

@@ -100,6 +100,23 @@ def compare(name: str, spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> Co
 def _eq(a, b) -> bool:
     if a is None and b is None:
         return True
+    # Sequence branch FIRST: before the float branch, because
+    # float(np.array([0.5])) silently succeeds and would certify a
+    # sequence-vs-scalar shape mismatch green; and before pd.isna,
+    # because isna on a multi-element list/ndarray returns an array
+    # whose truth value raises ValueError (r10 ADVICE). np.ndarray
+    # included — Spark's toPandas yields ndarrays for array<T> columns.
+    if isinstance(a, (list, tuple, np.ndarray)) or isinstance(
+        b, (list, tuple, np.ndarray)
+    ):
+        try:
+            a, b = list(a), list(b)
+        except TypeError:
+            # scalar (incl. 0-d ndarray) vs sequence: a mismatch, not
+            # a harness crash
+            return False
+        # element-wise so nested floats get the same bitwise treatment
+        return len(a) == len(b) and all(_eq(x, y) for x, y in zip(a, b))
     if isinstance(a, float) or isinstance(b, float):
         try:
             af, bf = float(a), float(b)
@@ -113,19 +130,6 @@ def _eq(a, b) -> bool:
         # dsir_importance_weights red for three rounds while the local
         # preflight certified it green (round-9 verdict).
         return struct.pack("<d", af) == struct.pack("<d", bf)
-    # Sequence branch MUST precede pd.isna: isna on a multi-element
-    # list/ndarray returns an array whose truth value raises ValueError,
-    # which would make the element-wise recursion unreachable (r10
-    # ADVICE). np.ndarray included — Spark's toPandas yields ndarrays
-    # for array<T> columns.
-    if isinstance(a, (list, tuple, np.ndarray)) or isinstance(
-        b, (list, tuple, np.ndarray)
-    ):
-        if a is None or b is None or not hasattr(a, "__len__") or not hasattr(b, "__len__"):
-            return False
-        a, b = list(a), list(b)
-        # element-wise so nested floats get the same bitwise treatment
-        return len(a) == len(b) and all(_eq(x, y) for x, y in zip(a, b))
     if pd.isna(a) and pd.isna(b):
         return True
     return a == b

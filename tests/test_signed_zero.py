@@ -98,6 +98,15 @@ def test_eq_comparator_descends_into_lists_and_arrays():
     # sequence vs scalar is a mismatch, not a crash
     assert not _eq([1.0], None)
     assert not _eq([1, 2], 3)
+    # ... including a 1-element float array vs a bare scalar: the
+    # sequence branch must run BEFORE the float branch, or
+    # float(np.array([0.5])) silently certifies the shape mismatch
+    assert not _eq(np.array([0.5]), 0.5)
+    assert not _eq(0.5, np.array([0.5]))
+    assert not _eq([0.5], 0.5)
+    # ... and a 0-d ndarray (list() raises TypeError) must be a
+    # mismatch, not a harness crash
+    assert not _eq(np.array(1.0), [1.0])
     # scalar NA semantics unchanged
     assert _eq(None, None)
     assert not _eq(None, 0.0)
