@@ -1418,3 +1418,211 @@ def test_value_histogram_matches_binning_definition(spark):
         assert round(r["sum_value"] * 100) == cents
         # every member really belongs to its bin
         assert all(50.0 * bk <= x < 50.0 * (bk + 1) for x in xs)
+
+
+# ---------------------------------------------------------------------------
+# round-11 sixth batch: contamination via string n-gram sets, int8
+# scalar quantization vs numpy, percent_rank/cume_dist textbook
+# formulas, and the deterministic sampling / sharding / k-fold family
+# (Python md5 re-derivations + distribution-shape properties).
+
+def test_contamination_matches_ngram_set_intersection(spark):
+    import re
+
+    rows = (
+        load_table(spark, SMOKE_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+
+    def shingles(text: str) -> set:
+        w = re.split(r"\s+", text.lower().strip())
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    bench: set = set()
+    train: dict[int, set] = {}
+    for r in rows:
+        s = shingles(r["text"])
+        if r["doc_id"] % 100 == 0:
+            bench |= s
+        else:
+            train[r["doc_id"]] = s
+    want = {
+        d: len(s & bench) for d, s in train.items() if s & bench
+    }
+
+    out = QUERIES["benchmark_contamination"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["doc_id"]: r["n_shared_ngrams"] for r in out}
+    # the engine counts 60-bit-hashed shingles; collisions are
+    # birthday-bounded at ~n^2/2^61 so string-set counts must agree
+    assert got == want
+
+
+def test_quantization_error_matches_numpy_roundtrip(spark):
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = (
+        load_table(spark, SMOKE_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    m = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    lo, hi = m.min(axis=0), m.max(axis=0)
+    span = hi - lo
+
+    def half_up(v: float) -> float:
+        return float(Decimal(repr(v)).quantize(Decimal("1"), ROUND_HALF_UP))
+
+    errs = []
+    for row in m:
+        worst = 0.0
+        for j in range(m.shape[1]):
+            if span[j] == 0:
+                continue
+            q = half_up((row[j] - lo[j]) / span[j] * 255)
+            deq = lo[j] + q * span[j] / 255
+            worst = max(worst, abs(row[j] - deq))
+        errs.append(worst)
+
+    out = QUERIES["embedding_quantization_error"]["builder"](
+        spark, SMOKE_DIR
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_vecs"] == len(errs)
+    assert abs(r["mean_max_err"] - sum(errs) / len(errs)) <= 1e-6 + 1e-9
+    assert abs(r["worst_err"] - max(errs)) <= 1e-6 + 1e-9
+    # int8 quantization cannot err more than half a step on any dim
+    assert r["worst_err"] <= float(span.max()) / 255 / 2 + 1e-9
+
+
+def test_percentile_windows_match_textbook_formulas(spark):
+    rows = (
+        load_table(spark, SMOKE_DIR, "part")
+        .select("p_brand", "p_partkey", "p_retailprice")
+        .collect()
+    )
+    by_brand: dict = defaultdict(list)
+    for r in rows:
+        by_brand[r["p_brand"]].append((r["p_retailprice"], r["p_partkey"]))
+
+    want = {}
+    for brand, xs in by_brand.items():
+        xs.sort()
+        n = len(xs)
+        for i, (price, pk) in enumerate(xs):
+            if pk % 20 == 0:
+                # textbook over a UNIQUE total order: percent_rank =
+                # (rank-1)/(n-1), cume_dist = rank/n with rank = i+1
+                pr = 0.0 if n == 1 else i / (n - 1)
+                want[pk] = (brand, price, pr, (i + 1) / n)
+
+    out = QUERIES["brand_price_percentiles"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["p_partkey"]: r for r in out}
+    assert set(got) == set(want)
+    for pk, (brand, price, pr, cd) in want.items():
+        r = got[pk]
+        assert r["p_brand"] == brand
+        assert abs(r["price"] - price) <= 5e-3 + 1e-9
+        assert abs(r["pct_rank"] - pr) <= 1e-6 + 1e-9
+        assert abs(r["cume"] - cd) <= 1e-6 + 1e-9
+
+
+def test_epoch_shuffle_is_a_seeded_permutation(spark):
+    import hashlib
+
+    rows = (
+        load_table(spark, SMOKE_DIR, "documents").select("doc_id").collect()
+    )
+    ids = [r["doc_id"] for r in rows]
+    want = {}
+    for epoch in (0, 1):
+        keyed = sorted(
+            (hashlib.md5(f"ep:{epoch}:{d}".encode()).hexdigest(), d)
+            for d in ids
+        )
+        by_shard: dict[int, int] = defaultdict(int)
+        for rk, d in keyed:
+            shard = int(rk[:8], 16) % 8
+            by_shard[shard] += 1
+            want[(epoch, d)] = (shard, by_shard[shard])
+
+    out = QUERIES["epoch_shuffle_shards"]["builder"](spark, SMOKE_DIR).collect()
+    got = {(r["epoch"], r["doc_id"]): (r["shard"], r["pos"]) for r in out}
+    assert got == want
+    # permutation properties: every doc appears once per epoch, and the
+    # two epochs produce genuinely different shard assignments
+    assert len(got) == 2 * len(ids)
+    diff = sum(1 for d in ids if got[(0, d)][0] != got[(1, d)][0])
+    assert diff > len(ids) / 2
+
+
+def test_kfold_assignment_matches_md5_and_is_balanced(spark):
+    import hashlib
+
+    rows = (
+        load_table(spark, SMOKE_DIR, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    )
+    per: dict = defaultdict(int)
+    fold_n: dict[int, int] = defaultdict(int)
+    for r in rows:
+        fold = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:15], 16) % 5
+        per[(fold, r["lang"])] += 1
+        fold_n[fold] += 1
+
+    out = QUERIES["kfold_split_balance"]["builder"](spark, SMOKE_DIR).collect()
+    got = {(r["fold"], r["lang"]): r for r in out}
+    assert set(got) == set(per)
+    for k, n in per.items():
+        assert got[k]["n"] == n
+        assert abs(got[k]["pct_of_fold"] - n / fold_n[k[0]] * 100) <= 1e-3
+    # hash folds are roughly equal-sized (within 3 sigma of binomial)
+    total = sum(fold_n.values())
+    import math
+    sigma = math.sqrt(total * 0.2 * 0.8)
+    for f in range(5):
+        assert abs(fold_n.get(f, 0) - total / 5) <= 4 * sigma, fold_n
+
+
+def test_stratified_sample_matches_threshold_and_target_rates(spark):
+    import hashlib
+
+    rows = (
+        load_table(spark, SMOKE_DIR, "documents")
+        .select("doc_id", "source")
+        .collect()
+    )
+    fracs = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+
+    def selected(doc_id: int, frac: float) -> bool:
+        if frac >= 1.0:
+            return True
+        h = hashlib.md5(f"strat:{doc_id}".encode()).hexdigest()[:8]
+        return h < format(round(frac * 16**8), "08x")
+
+    want = set()
+    per_src: dict[str, list[int]] = defaultdict(lambda: [0, 0])
+    for r in rows:
+        frac = fracs.get(r["source"], 0.1)
+        keep = selected(r["doc_id"], frac)
+        per_src[r["source"]][0] += 1
+        if keep:
+            per_src[r["source"]][1] += 1
+            want.add((r["doc_id"], r["source"]))
+
+    out = QUERIES["stratified_doc_sample"]["builder"](spark, SMOKE_DIR).collect()
+    got = {(r["doc_id"], r["source"]) for r in out}
+    assert got == want
+    # observed per-stratum rates sit near their targets (4-sigma
+    # binomial bound — the distributional claim behind the sampler)
+    import math
+    for src, (n, kept) in per_src.items():
+        frac = fracs.get(src, 0.1)
+        if frac >= 1.0:
+            assert kept == n
+            continue
+        sigma = math.sqrt(n * frac * (1 - frac))
+        assert abs(kept - n * frac) <= 4 * sigma + 1, (src, kept, n)
