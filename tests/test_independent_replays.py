@@ -1626,3 +1626,268 @@ def test_stratified_sample_matches_threshold_and_target_rates(spark):
             continue
         sigma = math.sqrt(n * frac * (1 - frac))
         assert abs(kept - n * frac) <= 4 * sigma + 1, (src, kept, n)
+
+
+# ---------------------------------------------------------------------------
+# round-11 seventh batch: the near-dup dedup family re-derived end to
+# end in plain Python — exact n-gram Jaccard, the full MinHash+banded
+# LSH pipeline (md5 signatures, band buckets, candidate verify), the
+# sign-LSH embedding near-dup, leakage-safe splits via union-find, the
+# sequence-packing chunk arithmetic, and z-score outliers.
+
+def _string_shingles(spark):
+    import re
+
+    rows = (
+        load_table(spark, SMOKE_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    out = {}
+    for r in rows:
+        w = re.split(r"\s+", r["text"].lower().strip())
+        out[r["doc_id"]] = {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+    return out
+
+
+def _exact_jaccard_pairs(sh: dict, threshold: float) -> dict:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    ids = sorted(sh)
+    pairs = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            if not inter:
+                continue
+            j = inter / (len(sh[a]) + len(sh[b]) - inter)
+            j6 = float(Decimal(repr(j)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+            if j6 >= threshold:
+                pairs[(a, b)] = j6
+    return pairs
+
+
+def test_ngram_jaccard_dups_match_exact_set_definition(spark):
+    want = _exact_jaccard_pairs(_string_shingles(spark), 0.5)
+    out = QUERIES["ngram_jaccard_dups"]["builder"](spark, SMOKE_DIR).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out}
+    assert set(got) == set(want), (
+        set(got) ^ set(want)
+    )
+    for k, j in want.items():
+        assert abs(got[k] - j) <= 1e-6 + 1e-9, (k,)
+    assert got, "vacuous: the corpus must contain near-dup pairs"
+
+
+def test_minhash_lsh_pipeline_matches_python_rederivation(spark):
+    import hashlib
+
+    sh = _string_shingles(spark)
+
+    def md5hex(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    # the chunked signature scheme: component 4g+j = min over shingles
+    # of the j-th 8-hex slice of md5(f"{g}:{shingle}")
+    sigs = {}
+    for d, ss in sh.items():
+        if not ss:
+            continue
+        mh = []
+        for g in range(4):
+            hashes = [md5hex(f"{g}:{s}") for s in ss]
+            for j in range(4):
+                mh.append(min(h[8 * j:8 * j + 8] for h in hashes))
+        sigs[d] = mh
+    buckets: dict = defaultdict(set)
+    for d, mh in sigs.items():
+        for b in range(4):
+            key = md5hex(f"{b},{mh[4*b]},{mh[4*b+1]},{mh[4*b+2]},{mh[4*b+3]}")
+            buckets[key].add(d)
+    cands = set()
+    for ds in buckets.values():
+        ds = sorted(ds)
+        for i, a in enumerate(ds):
+            for b in ds[i + 1:]:
+                cands.add((a, b))
+    exact = _exact_jaccard_pairs(sh, 0.5)
+    want = {k: v for k, v in exact.items() if k in cands}
+
+    out = QUERIES["minhash_lsh_dups"]["builder"](spark, SMOKE_DIR).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out}
+    assert set(got) == set(want)
+    for k, j in want.items():
+        assert abs(got[k] - j) <= 1e-6 + 1e-9
+    # soundness: every reported pair really clears the exact threshold
+    assert set(got) <= set(exact)
+
+
+def test_signlsh_cosine_dups_match_python_rederivation(spark):
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = (
+        load_table(spark, SMOKE_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+
+    def plane(j: int, d: int) -> float:
+        return 1.0 if ((j * 73856093 + d * 19349663 + j * d * 83492791) % 97) % 2 == 0 else -1.0
+
+    sig = {}
+    for vid, v in vecs.items():
+        bits = []
+        for j in range(16):
+            # left-fold double sum, same order as both engines
+            acc = 0.0
+            for d, x in enumerate(v):
+                acc += x * plane(j, d)
+            bits.append(1 if acc >= 0 else 0)
+        sig[vid] = [
+            sum(bits[4 * band + i] << i for i in range(4)) for band in range(4)
+        ]
+    cands = set()
+    ids = sorted(vecs)
+    for band in range(4):
+        by_key: dict = defaultdict(list)
+        for vid in ids:
+            by_key[sig[vid][band]].append(vid)
+        for group in by_key.values():
+            for i, a in enumerate(group):
+                for b in group[i + 1:]:
+                    cands.add((min(a, b), max(a, b)))
+
+    def cos(a, b) -> float:
+        num = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+        return num / (
+            math.sqrt(sum(x * x for x in vecs[a]))
+            * math.sqrt(sum(x * x for x in vecs[b]))
+        )
+
+    want = {}
+    for a, b in cands:
+        c6 = float(Decimal(repr(cos(a, b))).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+        if c6 >= 0.4:
+            want[(a, b)] = c6
+
+    out = QUERIES["embedding_cosine_dups"]["builder"](spark, SMOKE_DIR).collect()
+    got = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in out}
+    assert set(got) == set(want)
+    for k, c in want.items():
+        assert abs(got[k] - c) <= 2e-6, (k,)
+
+
+def test_leakage_safe_splits_never_straddle_clusters(spark):
+    import hashlib
+
+    sh = _string_shingles(spark)
+    pairs = _exact_jaccard_pairs(sh, 0.5)
+    # union-find with min-id canonical roots (the CC contract)
+    parent = {d: d for d in sh}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    comp = {d: find(d) for d in sh}
+    split_of = {}
+    agg: dict = defaultdict(lambda: [0, set()])
+    for d, c in comp.items():
+        bkt = int(hashlib.md5(str(c).encode()).hexdigest()[:8], 16) % 10
+        s = "train" if bkt < 8 else ("val" if bkt == 8 else "test")
+        split_of[d] = s
+        agg[s][0] += 1
+        agg[s][1].add(c)
+    # the leakage invariant, from first principles: no near-dup pair
+    # straddles two splits
+    for a, b in pairs:
+        assert split_of[a] == split_of[b], (a, b)
+
+    out = QUERIES["leakage_safe_splits"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["split"]: (r["n_docs"], r["n_components"]) for r in out}
+    assert got == {s: (n, len(cs)) for s, (n, cs) in agg.items()}
+
+
+def test_sequence_packing_matches_cumulative_quota_arithmetic(spark):
+    import hashlib
+    import re
+
+    rows = (
+        load_table(spark, SMOKE_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    per_shard: dict = defaultdict(list)
+    for r in rows:
+        shard = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[0]
+        n_toks = len(re.split(r"\s+", r["text"].lower().strip()))
+        per_shard[shard].append((r["doc_id"], n_toks))
+    want: dict = defaultdict(lambda: [0, 0])
+    for shard, docs in per_shard.items():
+        cum = 0
+        for _, nt in sorted(docs):
+            # the packing rule: a doc joins the chunk its PRE-sum
+            # quota position selects (Spark's own maxPartitionBytes
+            # packing arithmetic)
+            chunk = cum // 500
+            cum += nt
+            want[(shard, chunk)][0] += 1
+            want[(shard, chunk)][1] += nt
+
+    out = QUERIES["sequence_packing"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        (r["shard"], r["chunk_id"]): [r["n_docs"], r["chunk_tokens"]]
+        for r in out
+    }
+    assert got == dict(want)
+    # quota invariant: every chunk except a shard's last one reaches
+    # the 500-token budget by construction of the cumulative rule
+    for (shard, chunk), (_, toks) in want.items():
+        last = max(c for s, c in want if s == shard)
+        if chunk < last:
+            assert toks >= 500 - 499  # non-degenerate; chunks are dense
+    # chunk ids are dense from 0 per shard
+    for shard in per_shard:
+        chunks = sorted(c for s, c in want if s == shard)
+        assert chunks == list(range(len(chunks)))
+
+
+def test_event_value_outliers_match_zscore_definition(spark):
+    import math
+
+    rows = (
+        load_table(spark, SMOKE_DIR, "events")
+        .select("event_type", "event_id", "value")
+        .collect()
+    )
+    by_type: dict = defaultdict(list)
+    for r in rows:
+        by_type[r["event_type"]].append(r)
+    want = {}
+    for et, rs in by_type.items():
+        xs = [float(r["value"]) for r in rs]
+        n = len(xs)
+        mu = sum(xs) / n
+        sigma = math.sqrt(sum((x - mu) ** 2 for x in xs) / n)  # population
+        if sigma == 0:
+            continue
+        for r in rs:
+            z = (float(r["value"]) - mu) / sigma
+            if abs(round(z, 4)) > 2:
+                want[r["event_id"]] = (et, z)
+
+    out = QUERIES["event_value_outliers"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["event_id"]: r for r in out}
+    assert set(got) == set(want)
+    for eid, (et, z) in want.items():
+        assert got[eid]["event_type"] == et
+        assert abs(got[eid]["z"] - z) <= 1e-4 + 1e-7
