@@ -1891,3 +1891,173 @@ def test_event_value_outliers_match_zscore_definition(spark):
     for eid, (et, z) in want.items():
         assert got[eid]["event_type"] == et
         assert abs(got[eid]["z"] - z) <= 1e-4 + 1e-7
+
+
+# ---------------------------------------------------------------------------
+# round-11 eighth batch: temporal-join semantics (as-of join, bucketed
+# range join, gap fill), CCNet duplicate-chunk ratio, and first-touch
+# attribution — each from the plain-Python statement of its contract.
+
+def _user_events(spark):
+    rows = (
+        load_table(spark, SMOKE_DIR, "events")
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .collect()
+    )
+    by_user: dict = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    for evs in by_user.values():
+        evs.sort(key=lambda r: (r["ts"], r["event_id"]))
+    return by_user
+
+
+def test_asof_join_matches_latest_prior_definition(spark):
+    by_user = _user_events(spark)
+    want = {}
+    for u, evs in by_user.items():
+        purchases = [r for r in evs if r["event_type"] == "purchase"]
+        for c in evs:
+            if c["event_type"] != "click":
+                continue
+            # the as-of contract: the LATEST purchase at-or-before the
+            # click, ties broken by the larger event id
+            prior = [p for p in purchases if p["ts"] <= c["ts"]]
+            if prior:
+                best = max(prior, key=lambda p: (p["ts"], p["event_id"]))
+                want[c["event_id"]] = (u, best["event_id"],
+                                       round(best["value"], 2))
+            else:
+                want[c["event_id"]] = (u, None, None)
+
+    out = QUERIES["asof_prior_purchase"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        r["event_id"]: (r["user_id"], r["prior_purchase_id"],
+                        r["prior_purchase_value"])
+        for r in out
+    }
+    assert set(got) == set(want)
+    for eid, (u, pid, pv) in want.items():
+        g = got[eid]
+        assert g[0] == u and g[1] == pid
+        if pv is None:
+            assert g[2] is None
+        else:
+            assert abs(g[2] - pv) <= 5e-3 + 1e-9
+
+
+def test_range_join_matches_interval_definition(spark):
+    by_user = _user_events(spark)
+    want = {}
+    for u, evs in by_user.items():
+        for p in evs:
+            if p["event_type"] != "purchase":
+                continue
+            in_hour = [
+                e for e in evs
+                if p["ts"] - __import__("datetime").timedelta(hours=1)
+                <= e["ts"] <= p["ts"]
+            ]
+            cents = sum(int(_dec2(e["value"]) * 100) for e in in_hour)
+            want[p["event_id"]] = (len(in_hour), cents)
+
+    out = QUERIES["purchase_context_1h"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        r["event_id"]: (r["n_events_1h"], round(r["sum_value_1h"] * 100))
+        for r in out
+    }
+    assert got == want
+
+
+def test_gap_fill_covers_every_hour_with_zero_defaults(spark):
+    from datetime import timedelta
+
+    rows = (
+        load_table(spark, SMOKE_DIR, "events")
+        .select("ts", "event_type", "value")
+        .collect()
+    )
+    per_hour: dict = defaultdict(lambda: [0, 0])
+    for r in rows:
+        if r["event_type"] != "purchase":
+            continue
+        h = r["ts"].replace(minute=0, second=0, microsecond=0)
+        per_hour[h][0] += 1
+        per_hour[h][1] += int(_dec2(r["value"]) * 100)
+    lo, hi = min(per_hour), max(per_hour)
+    grid = []
+    h = lo
+    while h <= hi:
+        grid.append(h)
+        h += timedelta(hours=1)
+
+    out = QUERIES["hourly_gap_fill"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["hour"]: (r["n_events"], round(r["sum_value"] * 100)) for r in out}
+    # the resample contract: one row per hour on the dense grid,
+    # missing hours filled with zeros
+    assert sorted(got) == grid
+    for h in grid:
+        n, cents = per_hour.get(h, (0, 0))
+        assert got[h] == (n, cents), (h,)
+    assert any(got[h] == (0, 0) for h in grid) or len(per_hour) == len(grid)
+
+
+def test_dupline_ratio_matches_chunk_df_definition(spark):
+    import re
+
+    rows = (
+        load_table(spark, SMOKE_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    chunks_of: dict[int, list[str]] = {}
+    df: dict[str, set] = defaultdict(set)
+    for r in rows:
+        w = re.split(r"\s+", r["text"].lower().strip())
+        chunks = [" ".join(w[i:i + 8]) for i in range(0, len(w), 8)]
+        chunks_of[r["doc_id"]] = chunks
+        for c in chunks:
+            df[c].add(r["doc_id"])
+    want = {}
+    for d, chunks in chunks_of.items():
+        dup = sum(1 for c in chunks if len(df[c]) > 1)
+        if dup:
+            want[d] = (len(chunks), dup, round(dup / len(chunks), 4))
+
+    out = QUERIES["doc_dupline_ratio"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"], r["dup_ratio"])
+        for r in out
+    }
+    assert set(got) == set(want)
+    for d, (n, dup, ratio) in want.items():
+        g = got[d]
+        assert (g[0], g[1]) == (n, dup)
+        assert abs(g[2] - ratio) <= 1e-4 + 1e-9
+
+
+def test_first_touch_attribution_matches_session_definition(spark):
+    by_user = _user_events(spark)
+    agg: dict = defaultdict(lambda: [0, 0])
+    for u, evs in by_user.items():
+        sessions: list[list] = []
+        for r in evs:
+            if sessions and (
+                r["ts"] - sessions[-1][-1]["ts"]
+            ).total_seconds() * 1_000_000 < 600 * 1_000_000:
+                sessions[-1].append(r)
+            else:
+                sessions.append([r])
+        for s in sessions:
+            first = s[0]["event_type"]
+            for r in s:
+                if r["event_type"] == "purchase":
+                    agg[first][0] += 1
+                    agg[first][1] += int(_dec2(r["value"]) * 100)
+
+    out = QUERIES["purchase_attribution"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        r["first_touch"]: (r["n_purchases"], round(r["sum_value"] * 100))
+        for r in out
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
