@@ -2061,3 +2061,64 @@ def test_first_touch_attribution_matches_session_definition(spark):
         for r in out
     }
     assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+# ---------------------------------------------------------------------------
+# round-11 ninth batch: the windowed-aggregation semantics behind the
+# streaming family — tumbling 1h windows and 2h/1h sliding windows
+# from their epoch-aligned definitions (the streaming runners share
+# these oracles, so this replay covers them too).
+
+def test_tumbling_windows_match_epoch_aligned_definition(spark):
+    rows = (
+        load_table(spark, SMOKE_DIR, "events")
+        .select("ts", "event_type", "user_id", "value")
+        .collect()
+    )
+    agg: dict = defaultdict(lambda: [0, set(), 0])
+    for r in rows:
+        h = r["ts"].replace(minute=0, second=0, microsecond=0)
+        a = agg[(h, r["event_type"])]
+        a[0] += 1
+        a[1].add(r["user_id"])
+        a[2] += int(_dec2(r["value"]) * 100)
+
+    out = QUERIES["event_window_agg"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        (r["window_start"], r["event_type"]): (
+            r["n_events"], r["n_users"], round(r["sum_value"] * 100)
+        )
+        for r in out
+    }
+    assert got == {k: (n, len(us), c) for k, (n, us, c) in agg.items()}
+
+
+def test_sliding_windows_match_definition(spark):
+    from datetime import timedelta
+
+    rows = (
+        load_table(spark, SMOKE_DIR, "events")
+        .select("ts", "event_type", "value")
+        .collect()
+    )
+    agg: dict = defaultdict(lambda: [0, 0])
+    for r in rows:
+        h = r["ts"].replace(minute=0, second=0, microsecond=0)
+        # a 2h-duration, 1h-slide window family: the event belongs to
+        # the windows starting at h and h-1h
+        for start in (h, h - timedelta(hours=1)):
+            a = agg[(start, r["event_type"])]
+            a[0] += 1
+            a[1] += int(_dec2(r["value"]) * 100)
+
+    out = QUERIES["event_sliding_windows"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        (r["window_start"], r["event_type"]): (
+            r["n_events"], round(r["sum_value"] * 100)
+        )
+        for r in out
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+    # every event is double-counted across the family: total rows in
+    # the sliding view = 2x the raw event count
+    assert sum(n for n, _ in got.values()) == 2 * len(rows)
