@@ -100,21 +100,28 @@ def compare(name: str, spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> Co
 def _eq(a, b) -> bool:
     if a is None and b is None:
         return True
+    # 0-d ndarrays ARE scalars: unwrap before any shape logic so two
+    # equal 0-d arrays don't read as a mismatch
+    if isinstance(a, np.ndarray) and a.ndim == 0:
+        return _eq(a.item(), b)
+    if isinstance(b, np.ndarray) and b.ndim == 0:
+        return _eq(a, b.item())
     # Sequence branch FIRST: before the float branch, because
     # float(np.array([0.5])) silently succeeds and would certify a
     # sequence-vs-scalar shape mismatch green; and before pd.isna,
     # because isna on a multi-element list/ndarray returns an array
     # whose truth value raises ValueError (r10 ADVICE). np.ndarray
     # included — Spark's toPandas yields ndarrays for array<T> columns.
-    if isinstance(a, (list, tuple, np.ndarray)) or isinstance(
-        b, (list, tuple, np.ndarray)
-    ):
-        try:
-            a, b = list(a), list(b)
-        except TypeError:
-            # scalar (incl. 0-d ndarray) vs sequence: a mismatch, not
-            # a harness crash
+    # BOTH sides must be sequences: list('x') would coerce a string
+    # (or any iterable) and certify a sequence-vs-scalar shape
+    # mismatch green — strings, dicts, generators are NOT sequences
+    # here.
+    a_seq = isinstance(a, (list, tuple, np.ndarray))
+    b_seq = isinstance(b, (list, tuple, np.ndarray))
+    if a_seq or b_seq:
+        if not (a_seq and b_seq):
             return False
+        a, b = list(a), list(b)
         # element-wise so nested floats get the same bitwise treatment
         return len(a) == len(b) and all(_eq(x, y) for x, y in zip(a, b))
     if isinstance(a, float) or isinstance(b, float):

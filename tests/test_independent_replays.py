@@ -1427,26 +1427,16 @@ def test_value_histogram_matches_binning_definition(spark):
 # (Python md5 re-derivations + distribution-shape properties).
 
 def test_contamination_matches_ngram_set_intersection(spark):
-    import re
-
-    rows = (
-        load_table(spark, SMOKE_DIR, "documents")
-        .select("doc_id", "text")
-        .collect()
-    )
-
-    def shingles(text: str) -> set:
-        w = re.split(r"\s+", text.lower().strip())
-        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
-
+    # shared shingle contract: one derivation for the whole near-dup
+    # family (defined with batch 7 below; resolved at call time)
+    sh = _string_shingles(spark)
     bench: set = set()
     train: dict[int, set] = {}
-    for r in rows:
-        s = shingles(r["text"])
-        if r["doc_id"] % 100 == 0:
+    for doc_id, s in sh.items():
+        if doc_id % 100 == 0:
             bench |= s
         else:
-            train[r["doc_id"]] = s
+            train[doc_id] = s
     want = {
         d: len(s & bench) for d, s in train.items() if s & bench
     }
@@ -1472,7 +1462,11 @@ def test_quantization_error_matches_numpy_roundtrip(spark):
     span = hi - lo
 
     def half_up(v: float) -> float:
-        return float(Decimal(repr(v)).quantize(Decimal("1"), ROUND_HALF_UP))
+        # repr(float(v)) — np.float64 repr becomes 'np.float64(x)'
+        # under numpy 2.x and would crash Decimal (the _dec2 pattern)
+        return float(
+            Decimal(repr(float(v))).quantize(Decimal("1"), ROUND_HALF_UP)
+        )
 
     errs = []
     for row in m:
@@ -1579,7 +1573,7 @@ def test_kfold_assignment_matches_md5_and_is_balanced(spark):
     for k, n in per.items():
         assert got[k]["n"] == n
         assert abs(got[k]["pct_of_fold"] - n / fold_n[k[0]] * 100) <= 1e-3
-    # hash folds are roughly equal-sized (within 3 sigma of binomial)
+    # hash folds are roughly equal-sized (4-sigma binomial bound)
     total = sum(fold_n.values())
     import math
     sigma = math.sqrt(total * 0.2 * 0.8)
@@ -1849,12 +1843,16 @@ def test_sequence_packing_matches_cumulative_quota_arithmetic(spark):
         for r in out
     }
     assert got == dict(want)
-    # quota invariant: every chunk except a shard's last one reaches
-    # the 500-token budget by construction of the cumulative rule
-    for (shard, chunk), (_, toks) in want.items():
-        last = max(c for s, c in want if s == shard)
-        if chunk < last:
-            assert toks >= 500 - 499  # non-degenerate; chunks are dense
+    # quota invariant of PRE-sum bucketing: a non-last chunk c is
+    # followed by a doc whose pre-sum is >= 500*(c+1), so the running
+    # total through chunk c must reach 500*(c+1)
+    for shard in per_shard:
+        chunks = sorted(c for s, c in want if s == shard)
+        running = 0
+        for c in chunks:
+            running += want[(shard, c)][1]
+            if c < chunks[-1]:
+                assert running >= 500 * (c + 1), (shard, c, running)
     # chunk ids are dense from 0 per shard
     for shard in per_shard:
         chunks = sorted(c for s, c in want if s == shard)

@@ -104,9 +104,18 @@ def test_eq_comparator_descends_into_lists_and_arrays():
     assert not _eq(np.array([0.5]), 0.5)
     assert not _eq(0.5, np.array([0.5]))
     assert not _eq([0.5], 0.5)
-    # ... and a 0-d ndarray (list() raises TypeError) must be a
-    # mismatch, not a harness crash
+    # ... and a 0-d ndarray vs a sequence must be a mismatch, not a
+    # harness crash — while a 0-d ndarray IS its scalar value
     assert not _eq(np.array(1.0), [1.0])
+    assert _eq(np.array(1.0), np.array(1.0))
+    assert _eq(np.array(1.0), 1.0)
+    assert not _eq(np.array(0.0), np.array(-0.0))
+    # strings/dicts/other iterables are NOT sequences: list('x') must
+    # not coerce a shape mismatch green
+    assert not _eq(["x"], "x")
+    assert not _eq(["a", "b"], "ab")
+    assert not _eq([1, 2], {1: "u", 2: "v"})
+    assert _eq("ab", "ab")
     # scalar NA semantics unchanged
     assert _eq(None, None)
     assert not _eq(None, 0.0)
