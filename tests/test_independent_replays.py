@@ -2120,3 +2120,374 @@ def test_sliding_windows_match_definition(spark):
     # every event is double-counted across the family: total rows in
     # the sliding view = 2x the raw event count
     assert sum(n for n, _ in got.values()) == 2 * len(rows)
+
+
+# ---------------------------------------------------------------------------
+# Round-11 batch 10 — the geo kernels, the text-hashing family, the NB
+# classifier, and probabilistic record linkage. Same charter as above:
+# re-derive each result from its canonical external definition in plain
+# Python over raw rows (hashlib / math / re — no Spark expressions, no
+# shared helpers with the builders) and compare semantically.
+
+
+def _synth_lat(k: int, off: float) -> float:
+    return (k % 17) * 10.0 - 80.0 + off
+
+
+def _synth_lon(k: int, off: float) -> float:
+    return (k % 36) * 10.0 - 175.0 + off
+
+
+def test_remote_customers_match_textbook_haversine(spark):
+    """P9 centroid anti-join vs the textbook haversine (asin form).
+
+    The engine computes great-circle distance with the atan2(sqrt a,
+    sqrt 1-a) formulation inside a grid-blocked anti-join; the replay
+    uses the ASIN textbook form over ALL customer x supplier pairs —
+    independent formula, independent (brute-force) candidate
+    generation. Pairs within 1 m of the 300 km cut are left undecided
+    (float slack between the two formulations is < 1 mm)."""
+    import math
+
+    custs = load_table(spark, SMOKE_DIR, "customer").select("c_custkey").collect()
+    supps = load_table(spark, SMOKE_DIR, "supplier").select("s_suppkey").collect()
+    cents = [
+        (_synth_lat(r["s_suppkey"], 0.0), _synth_lon(r["s_suppkey"], 0.0))
+        for r in supps
+    ]
+    assert cents, "fixture must have centroids"
+
+    def hav(p1, l1, p2, l2):
+        dp = math.radians(p2 - p1) / 2.0
+        dl = math.radians(l2 - l1) / 2.0
+        a = (
+            math.sin(dp) ** 2
+            + math.cos(math.radians(p1))
+            * math.cos(math.radians(p2))
+            * math.sin(dl) ** 2
+        )
+        return 2.0 * 6371000.0 * math.asin(min(1.0, math.sqrt(a)))
+
+    keep_certain, drop_certain = set(), set()
+    for r in custs:
+        k = r["c_custkey"]
+        d = min(
+            hav(_synth_lat(k, 0.15), _synth_lon(k, 0.15), cp, cl)
+            for cp, cl in cents
+        )
+        if d > 300000.0 + 1.0:
+            keep_certain.add(k)
+        elif d <= 300000.0 - 1.0:
+            drop_certain.add(k)
+
+    out = QUERIES["remote_customers"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["c_custkey"] for r in out}
+    assert keep_certain <= got, sorted(keep_certain - got)[:5]
+    assert not (drop_certain & got), sorted(drop_certain & got)[:5]
+    # the projected coords are the synthetic grid formula — decimal
+    # literals in the builder SQL make them EXACT decimals, so the
+    # replay compares in exact decimal arithmetic too
+    from decimal import Decimal
+
+    for r in out:
+        k = r["c_custkey"]
+        assert Decimal(r["lat"]) == (k % 17) * Decimal("10.0") - Decimal(
+            "80.0"
+        ) + Decimal("0.15")
+        assert Decimal(r["lon"]) == (k % 36) * Decimal("10.0") - Decimal(
+            "175.0"
+        ) + Decimal("0.15")
+
+
+def test_points_in_region_match_textbook_ray_cast(spark):
+    """P8 point-in-polygon vs the textbook even-odd ray cast.
+
+    The engine kernel and its half-plane oracle are both convexity-
+    aware; the replay runs the general even-odd crossing-count
+    algorithm (no convexity assumption) vertex list by vertex list.
+    The fixture guarantees no point sits on an edge (vertices at .5
+    offsets, points at .15), so the three formulations must agree
+    exactly."""
+    from biodiversity_data_ingestion_spark.plans.queries import _REGION_POLYS
+
+    def inside(lon, lat, poly):
+        hit = False
+        k = len(poly)
+        for i in range(k):
+            x1, y1 = poly[i]
+            x2, y2 = poly[(i + 1) % k]
+            if (y1 > lat) != (y2 > lat):
+                xint = x1 + (lat - y1) * (x2 - x1) / (y2 - y1)
+                if xint > lon:
+                    hit = not hit
+        return hit
+
+    custs = load_table(spark, SMOKE_DIR, "customer").select("c_custkey").collect()
+    want = set()
+    for r in custs:
+        k = r["c_custkey"]
+        lat, lon = _synth_lat(k, 0.15), _synth_lon(k, 0.15)
+        if any(inside(lon, lat, p) for p in _REGION_POLYS):
+            want.add(k)
+
+    out = QUERIES["points_in_region"]["builder"](spark, SMOKE_DIR).collect()
+    assert {r["c_custkey"] for r in out} == want
+    assert want, "fixture must select some points"
+    # and the pure-expression ST_ facade agrees with the same replay
+    st = QUERIES["st_points_in_region"]["builder"](spark, SMOKE_DIR).collect()
+    assert {r["c_custkey"] for r in st} == want
+
+
+def _py_words(text: str) -> list:
+    import re
+
+    return re.split(r"\s+", text.strip().lower())
+
+
+def test_simhash_pipeline_matches_python_rederivation(spark):
+    """The COMPLETE Charikar pipeline re-derived with hashlib: token
+    votes (+1/-1 per bit of the 32-bit md5-prefix hash, duplicates
+    vote once per occurrence), sign fingerprint, 4x8-bit band
+    blocking (candidates = pairs sharing at least one band — part of
+    the contract: hamming <= 6 does NOT pigeonhole into a clean band
+    with only 4 blocks), exact Hamming verify. Full row-set equality."""
+    import hashlib
+
+    docs = load_table(spark, SMOKE_DIR, "documents").select("doc_id", "text").collect()
+    fp = {}
+    for r in docs:
+        votes = [0] * 32
+        for tok in _py_words(r["text"]):
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+            for i in range(32):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        fp[r["doc_id"]] = sum(1 << i for i in range(32) if votes[i] > 0)
+
+    buckets: dict = defaultdict(set)
+    for d, f in fp.items():
+        for i in range(4):
+            buckets[(i, (f >> (8 * i)) & 255)].add(d)
+    want = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for ai, a in enumerate(ms):
+            for b in ms[ai + 1:]:
+                ham = bin(fp[a] ^ fp[b]).count("1")
+                if ham <= 6:
+                    want.add((a, b, ham))
+
+    out = QUERIES["simhash_near_dups"]["builder"](spark, SMOKE_DIR).collect()
+    got = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in out}
+    assert got == want
+    assert want, "fixture must contain near-dup pairs"
+
+
+def test_doc_fingerprints_match_rolling_hash_definition(spark):
+    """Rolling min-gram fingerprint re-derived with hashlib: exact_fp
+    is md5 of the canonicalized text; min_gram_fp is the minimum md5
+    hex digest over all 3-word windows (short docs fall back to the
+    single truncated window)."""
+    import hashlib
+
+    docs = load_table(spark, SMOKE_DIR, "documents").select("doc_id", "text").collect()
+    want = {}
+    for r in docs:
+        canon = r["text"].strip().lower()
+        words = _py_words(r["text"])
+        grams = [
+            " ".join(words[i - 1: i + 2])
+            for i in range(1, max(len(words) - 2, 1) + 1)
+        ]
+        want[r["doc_id"]] = (
+            hashlib.md5(canon.encode()).hexdigest(),
+            min(hashlib.md5(g.encode()).hexdigest() for g in grams),
+        )
+
+    out = QUERIES["doc_fingerprints"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["doc_id"]: (r["exact_fp"], r["min_gram_fp"]) for r in out}
+    assert got == want
+
+
+def test_doc_token_stats_match_regex_definitions(spark):
+    """Token counting re-derived with Python re: whitespace tokens,
+    BPE-ish subtokens (letter runs | digit runs | single other), char
+    counts, chars-per-token ratio (engine rounds to 4dp)."""
+    import re
+
+    docs = load_table(spark, SMOKE_DIR, "documents").select("doc_id", "text").collect()
+    want = {}
+    for r in docs:
+        words = _py_words(r["text"])
+        sub = re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", r["text"])
+        want[r["doc_id"]] = (len(words), len(sub), len(r["text"]),
+                             len(r["text"]) / len(words))
+
+    out = QUERIES["doc_token_stats"]["builder"](spark, SMOKE_DIR).collect()
+    assert {r["doc_id"] for r in out} == set(want)
+    for r in out:
+        n_tok, n_sub, n_chars, cpt = want[r["doc_id"]]
+        assert r["n_tokens"] == n_tok
+        assert r["n_subtokens"] == n_sub
+        assert r["n_chars_computed"] == n_chars
+        # engine rounds to 4dp; half-up vs unrounded slack
+        assert abs(r["chars_per_token"] - cpt) <= 5e-5 + 1e-9
+
+
+def test_doc_language_id_matches_stopword_heuristic(spark):
+    """Language-ID heuristic re-derived in plain Python: per-language
+    stopword occurrence counts (duplicates count) and the documented
+    tie-break cascade (und on all-zero, then en >= es >= fr >= de)."""
+    stops = {
+        "en": {"the", "a", "of", "and", "to"},
+        "es": {"el", "la", "de", "los", "que"},
+        "fr": {"le", "la", "les", "des", "et"},
+        "de": {"der", "die", "das", "und", "ist"},
+    }
+    docs = load_table(spark, SMOKE_DIR, "documents").select("doc_id", "text").collect()
+    want = {}
+    for r in docs:
+        words = _py_words(r["text"])
+        s = {lang: sum(1 for w in words if w in sw) for lang, sw in stops.items()}
+        if max(s.values()) == 0:
+            pred = "und"
+        elif s["en"] >= s["es"] and s["en"] >= s["fr"] and s["en"] >= s["de"]:
+            pred = "en"
+        elif s["es"] >= s["fr"] and s["es"] >= s["de"]:
+            pred = "es"
+        elif s["fr"] >= s["de"]:
+            pred = "fr"
+        else:
+            pred = "de"
+        want[r["doc_id"]] = (s["en"], s["es"], s["fr"], s["de"], pred)
+
+    out = QUERIES["doc_language_id"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        r["doc_id"]: (r["score_en"], r["score_es"], r["score_fr"],
+                      r["score_de"], r["predicted_lang"])
+        for r in out
+    }
+    assert got == want
+
+
+def test_nb_confusion_matches_exact_fraction_rederivation(spark):
+    """Multinomial NB train+classify re-derived end to end: hashed-
+    unigram bucket counts, add-1 smoothed log weights and log priors
+    QUANTIZED to 8dp (the engine's decimal contract) then summed as
+    exact Fractions per (doc, class), argmax by (score desc, class
+    asc), confusion matrix compared exactly."""
+    import hashlib
+    import math
+
+    B = 256
+    docs = load_table(spark, SMOKE_DIR, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % B
+
+    doc_buckets = {r["doc_id"]: [bucket(t) for t in _py_words(r["text"])] for r in docs}
+    cb: dict = defaultdict(int)
+    nc: dict = defaultdict(int)
+    for r in docs:
+        for b in doc_buckets[r["doc_id"]]:
+            cb[(r["lang"], b)] += 1
+            nc[r["lang"]] += 1
+
+    def q8(x: float) -> Fraction:
+        return Fraction(f"{round(x, 8):.8f}")
+
+    langs = sorted(nc)
+    w = {
+        (c, b): q8(math.log((cb.get((c, b), 0) + 1) / (nc[c] + B)))
+        for c in langs
+        for b in range(B)
+    }
+    n_docs = len(docs)
+    prior = {
+        c: q8(math.log(sum(1 for r in docs if r["lang"] == c) / n_docs))
+        for c in langs
+    }
+
+    confusion: dict = defaultdict(int)
+    for r in docs:
+        scores = {
+            c: sum((w[(c, b)] for b in doc_buckets[r["doc_id"]]), Fraction(0))
+            + prior[c]
+            for c in langs
+        }
+        pred = min(langs, key=lambda c: (-scores[c], c))
+        confusion[(r["lang"], pred)] += 1
+
+    out = QUERIES["nb_lang_confusion"]["builder"](spark, SMOKE_DIR).collect()
+    got = {(r["actual"], r["predicted"]): r["n"] for r in out}
+    assert got == dict(confusion)
+    assert sum(got.values()) == n_docs
+
+
+def test_record_linkage_matches_fellegi_sunter_rederivation(spark):
+    """Fellegi-Sunter linkage re-derived from the paper's form: sorted-
+    neighborhood candidates (global (nation, acctbal, custkey) sort,
+    window 10, same nation), data-derived u-probabilities as sums of
+    squared value frequencies, per-field log2 agreement/disagreement
+    odds with m = (.95, .85, .9), threshold 4.0. The replay scores all
+    candidates unrounded; pairs within 1e-3 of the threshold are left
+    undecided (the engine rounds to 4dp)."""
+    import math
+
+    rows = load_table(spark, SMOKE_DIR, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    ).collect()
+    recs = [
+        (
+            r["c_nationkey"],
+            r["c_acctbal"],
+            r["c_custkey"],
+            r["c_mktsegment"],
+            math.floor(r["c_acctbal"] / 1000),
+            r["c_acctbal"] >= 0,
+        )
+        for r in rows
+    ]
+    recs.sort(key=lambda t: (t[0], t[1], t[2]))
+    n = len(recs)
+
+    def u_prob(idx: int) -> float:
+        counts: dict = defaultdict(int)
+        for t in recs:
+            counts[t[idx]] += 1
+        return sum((c / n) ** 2 for c in counts.values())
+
+    u_seg, u_bucket, u_sign = u_prob(3), u_prob(4), u_prob(5)
+    m = {"seg": 0.95, "bucket": 0.85, "sign": 0.9}
+
+    def score(a, b) -> float:
+        s = 0.0
+        for idx, key, u in ((3, "seg", u_seg), (4, "bucket", u_bucket),
+                            (5, "sign", u_sign)):
+            if a[idx] == b[idx]:
+                s += math.log2(m[key] / u)
+            else:
+                s += math.log2((1 - m[key]) / (1 - u))
+        return s
+
+    scored = {}
+    for i, a in enumerate(recs):
+        for b in recs[i + 1: i + 11]:
+            if b[0] != a[0]:
+                continue  # same-nation gate
+            key = (min(a[2], b[2]), max(a[2], b[2]))
+            scored[key] = score(a, b)
+
+    out = QUERIES["customer_record_linkage"]["builder"](spark, SMOKE_DIR).collect()
+    got = {(r["custkey_a"], r["custkey_b"]): r["fs_score"] for r in out}
+    # every engine match is a candidate scoring >= threshold - slack
+    for pair, s in got.items():
+        assert pair in scored, pair
+        assert scored[pair] >= 4.0 - 1e-3, (pair, scored[pair])
+        assert abs(scored[pair] - s) <= 5e-4 + 1e-6, (pair, scored[pair], s)
+    # every clearly-above-threshold candidate is reported
+    for pair, s in scored.items():
+        if s >= 4.0 + 1e-3:
+            assert pair in got, (pair, s)
+    assert got, "fixture must produce matches"
