@@ -2491,3 +2491,258 @@ def test_record_linkage_matches_fellegi_sunter_rederivation(spark):
         if s >= 4.0 + 1e-3:
             assert pair in got, (pair, s)
     assert got, "fixture must produce matches"
+
+
+# ---------------------------------------------------------------------------
+# Round-11 batch 11 — HITS, the AEQD buffer ring, the PII scrub, the
+# quality score, and the remaining hash/vocab fingerprint family.
+
+
+def test_hits_matches_integer_replay_and_kleinberg_recurrence(spark):
+    """HITS re-derived two ways from the raw tables:
+
+    (1) the documented L1-normalized integer trajectory (SCALE=1e6,
+        floor division, auth-then-hub per round) in plain Python ints
+        — must match the engine BIT-EXACTLY (fixed-point contract);
+    (2) Kleinberg's float recurrence with the same L1 normalization —
+        the fixed-point result must track it within the floor-loss
+        envelope (each half-round loses < 1/SCALE per entry, amplified
+        through the L1 division; bound n_iter * 2 * (n + max_deg) /
+        SCALE is deliberately loose)."""
+    o = load_table(spark, SMOKE_DIR, "orders").select("o_orderkey", "o_custkey").collect()
+    li = load_table(spark, SMOKE_DIR, "lineitem").select("l_orderkey", "l_partkey").collect()
+    cust_of = {r["o_orderkey"]: r["o_custkey"] for r in o}
+    edges = sorted({
+        (cust_of[r["l_orderkey"]], r["l_partkey"] + 10000000)
+        for r in li
+        if r["l_orderkey"] in cust_of
+    })
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    out_e: dict = defaultdict(list)
+    in_e: dict = defaultdict(list)
+    for a, b in edges:
+        out_e[a].append(b)
+        in_e[b].append(a)
+
+    S = 10**6
+
+    def half(score: dict, push: dict) -> dict:
+        raw = {v: sum(score[u] for u in us) for v, us in push.items()}
+        l1 = sum(raw.values())
+        return {
+            v: (raw.get(v, 0) * S) // l1 if l1 else 0
+            for v in nodes
+        }
+
+    h = {v: S // n for v in nodes}
+    for _ in range(3):
+        a = half(h, in_e)   # auth from hub, along in-edges
+        h = half(a, out_e)  # hub from NEW auth, along out-edges
+
+    got = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in QUERIES["purchase_hits_scores"]["builder"](spark, SMOKE_DIR).collect()
+    }
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert got[v] == (h[v] / 1e6, a[v] / 1e6), (v, got[v], h[v], a[v])
+
+    # (2) the float Kleinberg recurrence
+    hf = {v: 1.0 / n for v in nodes}
+    for _ in range(3):
+        raw_a = {v: sum(hf[u] for u in us) for v, us in in_e.items()}
+        s = sum(raw_a.values())
+        af = {v: raw_a.get(v, 0.0) / s for v in nodes}
+        raw_h = {v: sum(af[u] for u in us) for v, us in out_e.items()}
+        s = sum(raw_h.values())
+        hf = {v: raw_h.get(v, 0.0) / s for v in nodes}
+    max_deg = max(
+        max((len(v) for v in out_e.values()), default=0),
+        max((len(v) for v in in_e.values()), default=0),
+    )
+    bound = 3 * 2.0 * (n + max_deg) / S
+    worst = max(
+        max(abs(got[v][0] - hf[v]), abs(got[v][1] - af[v])) for v in nodes
+    )
+    assert worst <= bound, (worst, bound)
+
+
+def test_buffer_wkt_matches_aeqd_tangent_plane_formula(spark):
+    """The P10 uncertainty buffer re-derived with math: 16 equally
+    spaced azimuths on the point-centered tangent plane, radius floored
+    at 100 m, ring closed, 6-dp '%.6f lon lat' vertices. Structure
+    (prefix, 17 points, closure) exact; coordinates within one unit in
+    the 6th decimal (the engine folds 2*pi/16 into one literal and
+    Java %.6f rounds HALF_UP — both sub-grid effects)."""
+    import math
+
+    out = QUERIES["uncertainty_buffer_wkt"]["builder"](spark, SMOKE_DIR).collect()
+    assert out
+    R, DEG = 6371000.0, 180.0 / math.pi
+    for r in out:
+        k = r["c_custkey"]
+        lat = float(_synth_lat(k, 0.15))
+        lon = float(_synth_lon(k, 0.15))
+        rad = max(float(k % 5000) + 50.0, 100.0)
+        wkt = r["uncertainty_geom_wkt"]
+        assert wkt.startswith("POLYGON ((") and wkt.endswith("))")
+        pts = wkt[len("POLYGON (("):-2].split(", ")
+        assert len(pts) == 17
+        assert pts[0] == pts[16], "ring must close"
+        ang = rad / R * DEG
+        for i, p in enumerate(pts[:16]):
+            az = i * 2.0 * math.pi / 16.0
+            want_lat = lat + ang * math.cos(az)
+            want_lon = lon + ang * math.sin(az) / math.cos(math.radians(lat))
+            glon, glat = (float(x) for x in p.split(" "))
+            assert abs(glat - want_lat) <= 1.1e-6, (k, i, glat, want_lat)
+            assert abs(glon - want_lon) <= 1.1e-6, (k, i, glon, want_lon)
+
+
+def test_pii_redaction_matches_sequential_scrub_definition(spark):
+    """The C4/Dolma-style PII pass re-derived with Python re: counting
+    order is emails on the raw text, phones on the email-redacted
+    text, IPs on the phone-redacted text (the sequential-scrub
+    contract), aggregated per source."""
+    import re
+
+    email = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    phone = re.compile(r"\d{3}-\d{3}-\d{4}")
+    ipv4 = re.compile(r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}")
+
+    docs = load_table(spark, SMOKE_DIR, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    agg: dict = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for r in docs:
+        did, t = r["doc_id"], r["text"]
+        if did % 7 == 0:
+            t += f" contact user{did}@example.com"
+        if did % 11 == 0:
+            t += f" call 555-{did % 1000:03d}-{did % 10000:04d}"
+        if did % 13 == 0:
+            t += f" from 10.{did % 256}.0.1"
+        n_email = len(email.findall(t))
+        t2 = email.sub("<PII>", t)
+        n_phone = len(phone.findall(t2))
+        t3 = phone.sub("<PII>", t2)
+        n_ip = len(ipv4.findall(t3))
+        a = agg[r["source"]]
+        a[0] += 1
+        a[1] += 1 if n_email + n_phone + n_ip > 0 else 0
+        a[2] += n_email
+        a[3] += n_phone
+        a[4] += n_ip
+
+    out = QUERIES["pii_redaction_stats"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        r["source"]: [r["n_docs"], r["docs_with_pii"], r["total_email"],
+                      r["total_phone"], r["total_ipv4"]]
+        for r in out
+    }
+    assert got == {k: list(v) for k, v in agg.items()}
+    assert any(v[1] > 0 for v in got.values()), "fixture must inject PII"
+
+
+def test_doc_quality_matches_c4_style_formula(spark):
+    """Quality scoring re-derived with Python re: stopword ratio,
+    punctuation ratio (chars removed by the [^\\w\\s] scrub), mean word
+    length, and the gated product formula over the ROUNDED ratios."""
+    import re
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _r4(x: float) -> float:
+        # both engines round doubles HALF_UP on the exact binary value
+        # (0.03125 -> 0.0313); Python's banker round would give 0.0312
+        return float(Decimal(x).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+    stop = {"the", "a", "of", "and", "to"}
+    docs = load_table(spark, SMOKE_DIR, "documents").select("doc_id", "text").collect()
+    want = {}
+    for r in docs:
+        t = r["text"]
+        words = _py_words(t)
+        n_words = len(words)
+        n_stop = sum(1 for w in words if w in stop)
+        n_punct = len(t) - len(re.sub(r"[^\w\s]", "", t))
+        stop_ratio = _r4(n_stop / n_words)
+        punct_ratio = _r4(n_punct / max(len(t), 1))
+        mean_wl = _r4(sum(len(w) for w in words) / n_words)
+        quality = _r4(
+            (1.0 if n_words >= 5 else 0.0)
+            * (1.0 - punct_ratio)
+            * (1.0 if stop_ratio > 0.01 else 0.5)
+        )
+        want[r["doc_id"]] = (n_words, stop_ratio, punct_ratio, mean_wl, quality)
+
+    out = QUERIES["doc_quality"]["builder"](spark, SMOKE_DIR).collect()
+    assert {r["doc_id"] for r in out} == set(want)
+    for r in out:
+        n_words, stop_ratio, punct_ratio, mean_wl, quality = want[r["doc_id"]]
+        assert r["n_words"] == n_words
+        assert abs(r["stopword_ratio"] - stop_ratio) <= 5e-5 + 1e-9
+        assert abs(r["punct_ratio"] - punct_ratio) <= 5e-5 + 1e-9
+        assert abs(r["mean_word_len"] - mean_wl) <= 5e-5 + 1e-9
+        assert abs(r["quality"] - quality) <= 1e-4 + 1e-9
+
+
+def test_dedup_exact_prefix_matches_hashlib_groups(spark):
+    """Exact dedup re-derived with hashlib: md5 over the 2-word prefix,
+    min-id keeper, copy counts — exact dict equality."""
+    import hashlib
+
+    docs = load_table(spark, SMOKE_DIR, "documents").select("doc_id", "text").collect()
+    groups: dict = defaultdict(list)
+    for r in docs:
+        prefix = " ".join(_py_words(r["text"])[:2])
+        groups[hashlib.md5(prefix.encode()).hexdigest()].append(r["doc_id"])
+    want = {h: (min(ids), len(ids)) for h, ids in groups.items()}
+
+    out = QUERIES["dedup_exact_prefix"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["content_hash"]: (r["kept_id"], r["n_copies"]) for r in out}
+    assert got == want
+
+
+def test_bow_fingerprints_match_sorted_set_definition(spark):
+    """Bag-of-words dedup re-derived with hashlib: md5 over the SORTED
+    DISTINCT word set, groups of size > 1 with their sorted members."""
+    import hashlib
+
+    docs = load_table(spark, SMOKE_DIR, "documents").select("doc_id", "text").collect()
+    groups: dict = defaultdict(list)
+    for r in docs:
+        bow = " ".join(sorted(set(_py_words(r["text"]))))
+        groups[hashlib.md5(bow.encode()).hexdigest()].append(r["doc_id"])
+    want = {
+        h: (len(ids), ",".join(str(i) for i in sorted(ids)))
+        for h, ids in groups.items()
+        if len(ids) > 1
+    }
+
+    out = QUERIES["bow_fingerprint_dups"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["bow_fp"]: (r["n_docs"], r["doc_ids"]) for r in out}
+    assert got == want
+    assert want, "fixture must contain permuted duplicates"
+
+
+def test_vocab_token_ids_match_frequency_ranking(spark):
+    """Tokenizer vocab re-derived with a Counter: corpus token
+    frequencies, freq >= 5 cut, contiguous ids by (freq desc, token)."""
+    from collections import Counter
+
+    docs = load_table(spark, SMOKE_DIR, "documents").select("text").collect()
+    counts: Counter = Counter()
+    for r in docs:
+        counts.update(_py_words(r["text"]))
+    kept = sorted(
+        ((t, c) for t, c in counts.items() if c >= 5),
+        key=lambda tc: (-tc[1], tc[0]),
+    )
+    want = {t: (c, i) for i, (t, c) in enumerate(kept)}
+
+    out = QUERIES["vocab_token_ids"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["token"]: (r["freq"], r["token_id"]) for r in out}
+    assert got == want
+    assert want, "fixture must produce a vocabulary"
