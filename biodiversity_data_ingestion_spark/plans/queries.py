@@ -5781,12 +5781,20 @@ def _term_pair_pmi(spark, sf_dir):
         .crossJoin(F.broadcast(n_docs))
         .select(
             "a", "b", "cf",
-            # _pz: PMI is signable (dsir signed-zero class)
+            # _pz: PMI is signable (dsir signed-zero class).
+            # DOUBLE-cast BEFORE multiplying (the corr-close rule,
+            # NOTES r11): cf*n_docs and tf_a*tf_b are products of
+            # corpus-scale COUNTS — int64 products overflow around
+            # n_docs ~ 3e9 (Spark wraps silently, DuckDB throws). The
+            # double products are exact below 2^53 (every test SF and
+            # the 20x probe), and above that both engines run the same
+            # IEEE multiply on identical inputs — bit-equal at any
+            # scale, absorbed by round(4) in value.
             _pz(
                 F.round(
                     F.log(
-                        (F.col("cf") * F.col("n_docs"))
-                        / (F.col("fa.tf") * F.col("fb.tf"))
+                        (F.col("cf").cast("double") * F.col("n_docs").cast("double"))
+                        / (F.col("fa.tf").cast("double") * F.col("fb.tf").cast("double"))
                     ), 4
                 )
             ).alias("pmi"),
@@ -5812,9 +5820,11 @@ _register(
     co AS (SELECT a, b, count(*) AS cf FROM pairs GROUP BY a, b
            HAVING count(*) >= 5)
     SELECT a, b, cf,
-           CASE WHEN round(ln((cf * n.n_docs * 1.0) / (fa.tf * fb.tf)), 4) = 0
+           -- double-cast BEFORE multiplying (int64 count products
+           -- overflow at corpus scale; see the builder comment)
+           CASE WHEN round(ln((cf * 1.0 * n.n_docs) / (fa.tf * 1.0 * fb.tf)), 4) = 0
                 THEN 0.0
-                ELSE round(ln((cf * n.n_docs * 1.0) / (fa.tf * fb.tf)), 4)
+                ELSE round(ln((cf * 1.0 * n.n_docs) / (fa.tf * 1.0 * fb.tf)), 4)
            END AS pmi
     FROM co
     JOIN uni fa ON co.a = fa.t
