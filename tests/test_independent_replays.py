@@ -2746,3 +2746,254 @@ def test_vocab_token_ids_match_frequency_ranking(spark):
     got = {r["token"]: (r["freq"], r["token_id"]) for r in out}
     assert got == want
     assert want, "fixture must produce a vocabulary"
+
+
+# ---------------------------------------------------------------------------
+# Round-11 batch 12 — the ANN pipelines (IVF routing, PQ-ADC) and the
+# remaining geo operators, re-derived end to end in plain Python.
+
+
+def _round_half_away(x: float) -> int:
+    """Both engines round doubles half AWAY FROM ZERO (Spark HALF_UP
+    BigDecimal, DuckDB round); Python round() is banker's. Exact via
+    Fraction on the double's binary value (no re-rounding)."""
+    fr = Fraction(x)
+    return int((fr + Fraction(1, 2)).__floor__()) if fr >= 0 else -int(
+        (-fr + Fraction(1, 2)).__floor__()
+    )
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Spark `div` == DuckDB `//` == TRUNCATING int division (Python //
+    floors, which differs on negatives)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _r6(x: float) -> float:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(x).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def _cos6(a: list, b: list) -> float:
+    import math
+
+    dot = 0.0
+    for i in range(len(a)):
+        dot += a[i] * b[i]
+    na = 0.0
+    for x in a:
+        na += x * x
+    nb = 0.0
+    for x in b:
+        nb += x * x
+    return _r6(dot / (math.sqrt(na) * math.sqrt(nb)))
+
+
+def test_ivf_topk_matches_python_rederivation(spark):
+    """The COMPLETE IVF route+rerank path re-derived in plain Python:
+    2^24 fixed-point per-label centroids (half-away rounding, truncating
+    integer mean), cosine routing to the 3 nearest centroids, exact
+    cosine rerank within the probed buckets, top-10 by (sim desc, id).
+    Independent of the operator AND its chained-CTE oracle."""
+    rows = load_table(spark, SMOKE_DIR, "embeddings").collect()
+    base = [(r["vec_id"], r["label"], [float(x) for x in r["embedding"]])
+            for r in rows if r["vec_id"] >= 5]
+    queries = [(r["vec_id"], [float(x) for x in r["embedding"]])
+               for r in rows if r["vec_id"] < 5]
+
+    # fixed-point centroids per label over the BASE set
+    by_label: dict = defaultdict(list)
+    for _, lbl, ve in base:
+        by_label[lbl].append([_round_half_away(x * 16777216.0) for x in ve])
+    cvec = {
+        lbl: [
+            _trunc_div(sum(v[d] for v in vs), len(vs)) / 16777216.0
+            for d in range(len(vs[0]))
+        ]
+        for lbl, vs in by_label.items()
+    }
+
+    want = set()
+    for qid, qv in queries:
+        routed = sorted(
+            ((_cos6(qv, cv), lbl) for lbl, cv in cvec.items()),
+            key=lambda t: (-t[0], t[1]),
+        )
+        probes = {lbl for _, lbl in routed[:3]}
+        scored = sorted(
+            (
+                (_cos6(qv, ve), vid)
+                for vid, lbl, ve in base
+                if lbl in probes
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (sim, vid) in enumerate(scored[:10], start=1):
+            want.add((qid, vid, sim, rank))
+
+    out = QUERIES["ivf_topk_probe"]["builder"](spark, SMOKE_DIR).collect()
+    got = {(r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"]) for r in out}
+    assert got == want
+    assert len(want) == len(queries) * 10
+
+
+def test_pq_adc_matches_python_rederivation(spark):
+    """Product Quantization with Asymmetric Distance Computation
+    (Jegou et al.) re-derived in plain Python ints: 4 subspaces of 16
+    dims, per-subspace Lloyd with 4 codes seeded by the first 4
+    vec_ids (2 iterations, integer sq-L2 assignment with (dist,
+    cluster) tie-break, truncating-mean centroids), ADC tables =
+    query-to-centroid integer distances, score = sum of the 4 table
+    entries for the base vector's code, top-5 by (dist, vec_id)."""
+    rows = sorted(
+        (
+            (r["vec_id"], [float(x) for x in r["embedding"]])
+            for r in load_table(spark, SMOKE_DIR, "embeddings").collect()
+        ),
+    )
+    n_sub, n_codes, n_iter, topk, nq = 4, 4, 2, 5, 3
+    width = len(rows[0][1]) // n_sub
+    xq = {vid: [_round_half_away(x * 16777216.0) for x in ve] for vid, ve in rows}
+    seeds = [vid for vid, _ in rows[:n_codes]]
+    query_ids = [vid for vid, _ in rows[:nq]]
+
+    def sub_slice(v: list, s: int) -> list:
+        return v[s * width:(s + 1) * width]
+
+    codes: dict = {}      # (vec_id, s) -> cluster
+    qdist: dict = {}      # (query_id, s, cluster) -> int distance
+    for s in range(n_sub):
+        cents = {c: sub_slice(xq[vid], s) for c, vid in enumerate(seeds)}
+        assign = {}
+        for _ in range(n_iter):
+            assign = {
+                vid: min(
+                    cents,
+                    key=lambda c: (
+                        sum((a - b) ** 2
+                            for a, b in zip(sub_slice(xq[vid], s), cents[c])),
+                        c,
+                    ),
+                )
+                for vid, _ in rows
+            }
+            members: dict = defaultdict(list)
+            for vid, c in assign.items():
+                members[c].append(vid)
+            cents = {
+                c: [
+                    _trunc_div(
+                        sum(sub_slice(xq[vid], s)[d] for vid in vids), len(vids)
+                    )
+                    for d in range(width)
+                ]
+                for c, vids in members.items()
+            }
+        for vid, c in assign.items():
+            codes[(vid, s)] = c
+        for qid in query_ids:
+            for c, cq in cents.items():
+                qdist[(qid, s, c)] = sum(
+                    (a - b) ** 2 for a, b in zip(sub_slice(xq[qid], s), cq)
+                )
+
+    want = set()
+    for qid in query_ids:
+        scored = sorted(
+            (
+                (sum(qdist[(qid, s, codes[(vid, s)])] for s in range(n_sub)), vid)
+                for vid, _ in rows
+            )
+        )
+        for rank, (d, vid) in enumerate(scored[:topk], start=1):
+            want.add((qid, vid, d, rank))
+
+    out = QUERIES["pq_adc_topk"]["builder"](spark, SMOKE_DIR).collect()
+    got = {(r["query_id"], r["vec_id"], r["adc_dist"], r["rank"]) for r in out}
+    assert got == want
+    assert len(want) == nq * topk
+
+
+def test_ecoregion_zones_match_ray_cast_annotation(spark):
+    """P12 zone annotation re-derived with the even-odd ray cast over
+    the zone rectangles; matched values keep the fixture's list order
+    (east, polar, tropics), rows with no zone drop."""
+    from biodiversity_data_ingestion_spark.plans.queries import _ZONES
+
+    def inside(lon, lat, poly):
+        hit = False
+        k = len(poly)
+        for i in range(k):
+            x1, y1 = poly[i]
+            x2, y2 = poly[(i + 1) % k]
+            if (y1 > lat) != (y2 > lat):
+                if x1 + (lat - y1) * (x2 - x1) / (y2 - y1) > lon:
+                    hit = not hit
+        return hit
+
+    custs = load_table(spark, SMOKE_DIR, "customer").select("c_custkey").collect()
+    want = {}
+    for r in custs:
+        k = r["c_custkey"]
+        lat, lon = _synth_lat(k, 0.15), _synth_lon(k, 0.15)
+        zs = [z["value"] for z in _ZONES if inside(lon, lat, z["polygon"])]
+        if zs:
+            want[k] = ",".join(zs)
+
+    out = QUERIES["ecoregion_zones"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["c_custkey"]: r["zones"] for r in out}
+    assert got == want
+    assert any("," in v for v in want.values()), "fixture must overlap zones"
+
+
+def test_hull_exact_matches_monotone_chain(spark):
+    """The exact-hull twin re-derived with Andrew's monotone chain
+    (third independent algorithm next to the Spark kernel and the
+    O(n^2) edge-characterization oracle): strict hull vertex count
+    (collinear points dropped; 1 point -> 1, collinear set -> 2) and
+    the doubled CCW shoelace area in centi-degree units."""
+    from decimal import Decimal
+
+    custs = load_table(spark, SMOKE_DIR, "customer").select(
+        "c_custkey", "c_nationkey"
+    ).collect()
+    pts_by_g: dict = defaultdict(set)
+    for r in custs:
+        k = r["c_custkey"]
+        # the synthetic coords are exact decimals, so *100 is an exact int
+        x = int(((k % 36) * Decimal("10.0") - Decimal("175.0") + Decimal("0.15")) * 100)
+        y = int(((k % 17) * Decimal("10.0") - Decimal("80.0") + Decimal("0.15")) * 100)
+        pts_by_g[r["c_nationkey"]].add((x, y))
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    def hull(points):
+        pts = sorted(points)
+        if len(pts) == 1:
+            return pts
+        lower, upper = [], []
+        for p in pts:
+            while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+                lower.pop()
+            lower.append(p)
+        for p in reversed(pts):
+            while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+                upper.pop()
+            upper.append(p)
+        return lower[:-1] + upper[:-1]
+
+    want = {}
+    for g, pts in pts_by_g.items():
+        h = hull(pts)
+        area2 = sum(
+            h[i][0] * h[(i + 1) % len(h)][1] - h[(i + 1) % len(h)][0] * h[i][1]
+            for i in range(len(h))
+        ) if len(h) >= 3 else 0
+        want[g] = (len(pts), len(h), area2)
+
+    out = QUERIES["species_range_hull_exact"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["c_nationkey"]: (r["n_pts"], r["hull_vertices"], r["area2_fp"]) for r in out}
+    assert got == want
