@@ -2997,3 +2997,122 @@ def test_hull_exact_matches_monotone_chain(spark):
     out = QUERIES["species_range_hull_exact"]["builder"](spark, SMOKE_DIR).collect()
     got = {r["c_nationkey"]: (r["n_pts"], r["hull_vertices"], r["area2_fp"]) for r in out}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-11 batch 13 — graph closure over the near-dup pairs, the
+# derivation chain walk, the raster grid kernel, and the streaming CDC
+# merge, re-derived in plain Python.
+
+
+def test_dedup_components_match_union_find(spark):
+    """Near-dup connected components re-derived with union-find over
+    independently re-derived Jaccard pairs (the batch-7 string-shingle
+    replay), component = min member id. Third derivation next to the
+    iterative min-label propagation and the recursive-CTE closure."""
+    pairs = _exact_jaccard_pairs(_string_shingles(spark), 0.5)
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    nodes = {n for p in pairs for n in p}
+    want = {n: find(n) for n in nodes}
+
+    out = QUERIES["dedup_components"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["doc_id"]: r["component"] for r in out}
+    assert got == want
+    assert any(v != k for k, v in want.items()), "fixture must have clusters"
+
+    # and the retained corpus = canonical member per cluster + unpaired
+    docs = load_table(spark, SMOKE_DIR, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    ).collect()
+    keep = {
+        r["doc_id"]: (r["lang"], r["source"], r["n_chars"])
+        for r in docs
+        if want.get(r["doc_id"], r["doc_id"]) == r["doc_id"]
+    }
+    ret = QUERIES["near_dedup_corpus"]["builder"](spark, SMOKE_DIR).collect()
+    got_ret = {r["doc_id"]: (r["lang"], r["source"], r["n_chars"]) for r in ret}
+    assert got_ret == keep
+
+
+def test_derivation_chain_matches_python_walk(spark):
+    """P4 derived-from chain re-derived as a plain parent-map walk:
+    every child follows parents until a node with no edge; the result
+    is (node, root, depth of the full walk)."""
+    custs = load_table(spark, SMOKE_DIR, "customer").select("c_custkey").collect()
+    keys = {r["c_custkey"] for r in custs}
+    parent_of = {k: k - 1 for k in keys if k % 10 != 0}
+
+    want = {}
+    for child, par in parent_of.items():
+        cur, depth = par, 1
+        while cur in parent_of:
+            cur, depth = parent_of[cur], depth + 1
+            assert depth <= 12, "fixture chains must stay under max_depth"
+        want[child] = (cur, depth)
+
+    out = QUERIES["derivation_chain_roots"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["node"]: (r["root"], r["depth"]) for r in out}
+    assert got == want
+    assert max(d for _, d in want.values()) >= 9, "fixture must have deep chains"
+
+
+def test_climate_zonal_matches_grid_formula(spark):
+    """P11 zonal stats re-derived with math: the synthetic raster cell
+    value is sin(floor(lat)+band) + cos(floor(lon)-band), unit
+    conversions temp = x*0.1 - 273.15 (CHELSA bio1), precip = round
+    (x*0.1, 0), raw unscaled — exact equality (Python and DuckDB share
+    libm; engine parity already pins Java's libm to the same 2dp)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def rhu(x: float, places: str) -> float:
+        return float(Decimal(x).quantize(Decimal(places), ROUND_HALF_UP))
+
+    custs = load_table(spark, SMOKE_DIR, "customer").select("c_custkey").collect()
+    want = {}
+    for r in custs:
+        k = r["c_custkey"]
+        fl_lat = math.floor(_synth_lat(k, 0.15))
+        fl_lon = math.floor(_synth_lon(k, 0.15))
+        b1 = rhu((math.sin(fl_lat + 0) + math.cos(fl_lon - 0)) * 0.1 - 273.15, "0.01")
+        b2 = rhu((math.sin(fl_lat + 1) + math.cos(fl_lon - 1)) * 0.1, "1")
+        b3 = rhu(math.sin(fl_lat + 2) + math.cos(fl_lon - 2), "0.01")
+        want[k] = (b1, b2, b3)
+
+    out = QUERIES["climate_zonal_grid"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["c_custkey"]: (r["clim_bio1"], r["clim_bio2"], r["clim_bio3"]) for r in out}
+    assert got == want
+
+
+def test_stream_cdc_upsert_matches_last_writer_fold(spark):
+    """The streaming CDC merge (foreachBatch versioned-parquet upsert)
+    re-derived as a plain dict fold: last writer per user by
+    (ts, event_id) — the whole stream collapses to one row per key."""
+    rows = load_table(spark, SMOKE_DIR, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    ).collect()
+    last: dict = {}
+    for r in rows:
+        key = r["user_id"]
+        stamp = (r["ts"], r["event_id"])
+        if key not in last or stamp > last[key][0]:
+            last[key] = (stamp, (r["ts"], r["event_type"], r["value"]))
+    want = {k: v for k, (_, v) in last.items()}
+
+    out = QUERIES["stream_cdc_upsert"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["user_id"]: (r["ts"], r["event_type"], r["value"]) for r in out}
+    assert got == want
+    assert len(got) < len(rows), "fold must collapse multiple events per user"
