@@ -3116,3 +3116,188 @@ def test_stream_cdc_upsert_matches_last_writer_fold(spark):
     got = {r["user_id"]: (r["ts"], r["event_type"], r["value"]) for r in out}
     assert got == want
     assert len(got) < len(rows), "fold must collapse multiple events per user"
+
+
+# ---------------------------------------------------------------------------
+# Round-11 batch 14 — the flagship pricing summary as an exact-Fraction
+# fold, the conversion funnel, and three "infrastructure must be
+# semantically invisible" replays: the salted join, the bloom-gated
+# semi join, and the custom paginated connector, each re-derived as the
+# plain computation they accelerate.
+
+
+def _rhu(x: float, places: str) -> float:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(x).quantize(Decimal(places), ROUND_HALF_UP))
+
+
+def _rhu_frac(fr: Fraction, scale: int) -> float:
+    """HALF_UP of an EXACT rational at `scale` decimal places, closed
+    to the nearest double — the engine's DECIMAL sum round + double
+    cast. Rounding float(fr) instead loses exact .5 ties (the first
+    run of the q1 replay hit sum = ...055.965 exactly: decimal HALF_UP
+    gives .97, the float path gives .96)."""
+    from decimal import Decimal
+
+    scaled = fr * 10**scale
+    if scaled >= 0:
+        n = int((scaled + Fraction(1, 2)).__floor__())
+    else:
+        n = -int((-scaled + Fraction(1, 2)).__floor__())
+    return float(Decimal(n).scaleb(-scale))
+
+
+def test_q1_matches_exact_fraction_fold(spark):
+    """TPC-H Q1 re-derived as a plain exact-Fraction fold over raw
+    rows: 2dp-quantized money operands, exact rational products and
+    sums, HALF_UP closes — the decimal-exactness contract the engine
+    claims, checked from first principles."""
+    from datetime import datetime
+
+    rows = load_table(spark, SMOKE_DIR, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate",
+    ).collect()
+    cut = datetime(1998, 9, 2)
+    agg: dict = defaultdict(lambda: [Fraction(0)] * 5 + [0])
+    for r in rows:
+        if r["l_shipdate"] > cut:
+            continue
+        a = agg[(r["l_returnflag"], r["l_linestatus"])]
+        price, disc, tax = _dec2(r["l_extendedprice"]), _dec2(r["l_discount"]), _dec2(r["l_tax"])
+        a[0] += Fraction(repr(r["l_quantity"]))
+        a[1] += price
+        a[2] += price * (1 - disc)
+        a[3] += price * (1 - disc) * (1 + tax)
+        a[4] += disc
+        a[5] += 1
+
+    out = QUERIES["q1_pricing_summary"]["builder"](spark, SMOKE_DIR).collect()
+    assert {(r["l_returnflag"], r["l_linestatus"]) for r in out} == set(agg)
+    for r in out:
+        sq, sp, sd, sc, sdisc, n = agg[(r["l_returnflag"], r["l_linestatus"])]
+        assert r["count_order"] == n
+        assert r["sum_qty"] == _rhu_frac(sq, 2)
+        assert r["sum_base_price"] == _rhu_frac(sp, 2)
+        assert r["sum_disc_price"] == _rhu_frac(sd, 2)
+        assert r["sum_charge"] == _rhu_frac(sc, 2)
+        assert abs(r["avg_qty"] - _rhu(float(sq) / n, "0.01")) <= 5e-3 + 1e-9
+        assert r["avg_price"] == _rhu(float(sp) / n, "0.01")
+        assert r["avg_disc"] == _rhu(float(sdisc) / n, "0.0001")
+
+
+def test_funnel_matches_python_fold(spark):
+    """The signup->purchase funnel re-derived as per-user folds: first
+    signup, earliest purchase at-or-after it, 1h conversion flag,
+    cohort-day rollup."""
+    rows = load_table(spark, SMOKE_DIR, "events").select(
+        "user_id", "ts", "event_type"
+    ).collect()
+    first_signup: dict = {}
+    for r in rows:
+        if r["event_type"] == "signup":
+            u = r["user_id"]
+            if u not in first_signup or r["ts"] < first_signup[u]:
+                first_signup[u] = r["ts"]
+    first_purchase: dict = {}
+    for r in rows:
+        u = r["user_id"]
+        if (
+            r["event_type"] == "purchase"
+            and u in first_signup
+            and r["ts"] >= first_signup[u]
+        ):
+            if u not in first_purchase or r["ts"] < first_purchase[u]:
+                first_purchase[u] = r["ts"]
+
+    agg: dict = defaultdict(lambda: [0, 0, 0])
+    for u, fs in first_signup.items():
+        a = agg[fs.strftime("%Y-%m-%d")]
+        a[0] += 1
+        fp = first_purchase.get(u)
+        if fp is not None:
+            a[1] += 1
+            if (fp - fs).total_seconds() <= 3600:
+                a[2] += 1
+
+    out = QUERIES["signup_purchase_funnel"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        r["cohort_day"]: [r["n_signups"], r["n_purchased"], r["n_converted_1h"]]
+        for r in out
+    }
+    assert got == {k: list(v) for k, v in agg.items()}
+    assert sum(v[2] for v in got.values()) > 0, "fixture must convert someone"
+
+
+def test_salted_join_is_semantically_invisible(spark):
+    """The skew-salted join re-derived as the plain dict join it must
+    equal: brand lookup + exact-Fraction revenue rollup."""
+    parts = load_table(spark, SMOKE_DIR, "part").select("p_partkey", "p_brand").collect()
+    brand_of = {r["p_partkey"]: r["p_brand"] for r in parts}
+    li = load_table(spark, SMOKE_DIR, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    ).collect()
+    agg: dict = defaultdict(lambda: [0, Fraction(0), Fraction(0)])
+    for r in li:
+        b = brand_of.get(r["l_partkey"])
+        if b is None:
+            continue
+        a = agg[b]
+        a[0] += 1
+        a[1] += Fraction(repr(r["l_quantity"]))
+        a[2] += _dec2(r["l_extendedprice"]) * (1 - _dec2(r["l_discount"]))
+
+    out = QUERIES["salted_join_brand_revenue"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["p_brand"]: (r["n_lines"], r["sum_qty"], r["revenue"]) for r in out}
+    want = {
+        b: (n, _rhu_frac(sq, 2), _rhu_frac(rev, 2))
+        for b, (n, sq, rev) in agg.items()
+    }
+    assert got == want
+
+
+def test_bloom_gate_is_semantically_invisible(spark):
+    """The bloom-prefiltered semi join re-derived as the plain
+    membership filter it must equal (false positives must die in the
+    exact join): rich customers -> order rollup per priority."""
+    rich = {
+        r["c_custkey"]
+        for r in load_table(spark, SMOKE_DIR, "customer")
+        .select("c_custkey", "c_acctbal").collect()
+        if r["c_acctbal"] > 9000
+    }
+    orders = load_table(spark, SMOKE_DIR, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    ).collect()
+    agg: dict = defaultdict(lambda: [0, Fraction(0)])
+    for r in orders:
+        if r["o_custkey"] in rich:
+            a = agg[r["o_orderpriority"]]
+            a[0] += 1
+            a[1] += _dec2(r["o_totalprice"])
+
+    out = QUERIES["bloom_gated_order_rollup"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["o_orderpriority"]: (r["n_orders"], r["sum_total"]) for r in out}
+    want = {p: (n, _rhu_frac(s, 2)) for p, (n, s) in agg.items()}
+    assert got == want
+    assert want, "fixture must have rich customers"
+
+
+def test_paginated_connector_equals_direct_scan_fold(spark):
+    """The custom Python DataSource (sliced Arrow-batch pagination)
+    re-derived as the plain fold over the direct parquet read — the
+    connector must be a pure transport."""
+    orders = load_table(spark, SMOKE_DIR, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect()
+    agg: dict = defaultdict(lambda: [0, Fraction(0)])
+    for r in orders:
+        a = agg[r["o_orderpriority"]]
+        a[0] += 1
+        a[1] += _dec2(r["o_totalprice"])
+
+    out = QUERIES["paginated_connector_revenue"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["o_orderpriority"]: (r["n_orders"], r["revenue"]) for r in out}
+    want = {p: (n, _rhu_frac(s, 2)) for p, (n, s) in agg.items()}
+    assert got == want
