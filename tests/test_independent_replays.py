@@ -3301,3 +3301,269 @@ def test_paginated_connector_equals_direct_scan_fold(spark):
     got = {r["o_orderpriority"]: (r["n_orders"], r["revenue"]) for r in out}
     want = {p: (n, _rhu_frac(s, 2)) for p, (n, s) in agg.items()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-11 batch 15 — grouping sets, the TPC-H Q3 top-k, windowed
+# growth/share/rank closes, JSON path extraction, and the sketch-family
+# exact twins, re-derived in plain Python.
+
+
+def test_grouping_sets_match_three_explicit_rollups(spark):
+    """GROUPING SETS re-derived as the three explicit aggregations it
+    abbreviates — (status), (priority), (status, priority) — with NULL
+    for the absent dimension and exact-Fraction money sums."""
+    rows = load_table(spark, SMOKE_DIR, "orders").select(
+        "o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"
+    ).collect()
+
+    def roll(keyf):
+        agg: dict = defaultdict(lambda: [0, set(), Fraction(0)])
+        for r in rows:
+            a = agg[keyf(r)]
+            a[0] += 1
+            a[1].add(r["o_custkey"])
+            a[2] += _dec2(r["o_totalprice"])
+        return {
+            k: (n, len(us), _rhu_frac(s, 2)) for k, (n, us, s) in agg.items()
+        }
+
+    want = {}
+    for k, v in roll(lambda r: (r["o_orderstatus"], None)).items():
+        want[k] = v
+    for k, v in roll(lambda r: (None, r["o_orderpriority"])).items():
+        want[k] = v
+    for k, v in roll(lambda r: (r["o_orderstatus"], r["o_orderpriority"])).items():
+        want[k] = v
+
+    out = QUERIES["order_dims_grouping_sets"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        (r["o_orderstatus"], r["o_orderpriority"]):
+            (r["n_orders"], r["n_customers"], r["total_price"])
+        for r in out
+    }
+    assert got == want
+
+
+def test_tpch_q3_matches_exact_fraction_topk(spark):
+    """Q3 shipping priority re-derived as plain filtered folds: BUILDING
+    customers, orders before / lineitems after 1995-03-15, exact
+    revenue per order, top-10 by (rounded revenue desc, orderkey)."""
+    from datetime import datetime
+
+    cut = datetime(1995, 3, 15)
+    building = {
+        r["c_custkey"]
+        for r in load_table(spark, SMOKE_DIR, "customer")
+        .select("c_custkey", "c_mktsegment").collect()
+        if r["c_mktsegment"] == "BUILDING"
+    }
+    ometa = {
+        r["o_orderkey"]: (r["o_orderdate"], r["o_orderpriority"])
+        for r in load_table(spark, SMOKE_DIR, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        .collect()
+        if r["o_orderdate"] < cut and r["o_custkey"] in building
+    }
+    rev: dict = defaultdict(Fraction)
+    for r in load_table(spark, SMOKE_DIR, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    ).collect():
+        if r["l_shipdate"] > cut and r["l_orderkey"] in ometa:
+            rev[r["l_orderkey"]] += _dec2(r["l_extendedprice"]) * (
+                1 - _dec2(r["l_discount"])
+            )
+    ranked = sorted(
+        ((k, _rhu_frac(s, 2)) for k, s in rev.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    want = {
+        (k, ometa[k][0], ometa[k][1], v) for k, v in ranked
+    }
+
+    out = QUERIES["tpch_q3_shipping_priority"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        (r["l_orderkey"], r["o_orderdate"], r["o_orderpriority"], r["revenue"])
+        for r in out
+    }
+    assert got == want
+    assert len(want) == 10
+
+
+def test_yoy_growth_matches_lag_definition(spark):
+    """Year-over-year growth re-derived as per-priority yearly exact
+    sums + the textbook (rev - prev)/prev * 100 close (first year
+    NULL), signed zero normalized."""
+    rows = load_table(spark, SMOKE_DIR, "orders").select(
+        "o_orderpriority", "o_orderdate", "o_totalprice"
+    ).collect()
+    yearly: dict = defaultdict(Fraction)
+    for r in rows:
+        yearly[(r["o_orderpriority"], r["o_orderdate"].year)] += _dec2(r["o_totalprice"])
+
+    want = {}
+    by_prio: dict = defaultdict(list)
+    for (p, y), s in yearly.items():
+        by_prio[p].append((y, _rhu_frac(s, 2)))
+    for p, ys in by_prio.items():
+        ys.sort()
+        prev = None
+        for y, rev in ys:
+            if prev is None:
+                want[(p, y)] = (rev, None)
+            else:
+                g = _rhu((rev - prev) / prev * 100.0, "0.0001")
+                want[(p, y)] = (rev, 0.0 if g == 0 else g)
+            prev = rev
+
+    out = QUERIES["orders_yoy_growth"]["builder"](spark, SMOKE_DIR).collect()
+    got = {(r["o_orderpriority"], r["yr"]): (r["revenue"], r["yoy_pct"]) for r in out}
+    assert got == want
+
+
+def test_revenue_share_matches_ratio_definition(spark):
+    """Nation revenue share re-derived as exact-Fraction revenue per
+    nation and the double ratio close against the exact total."""
+    cust_nation = {}
+    nations = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load_table(spark, SMOKE_DIR, "nation").collect()
+    }
+    for r in load_table(spark, SMOKE_DIR, "customer").select(
+        "c_custkey", "c_nationkey"
+    ).collect():
+        cust_nation[r["c_custkey"]] = nations[r["c_nationkey"]]
+    order_cust = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in load_table(spark, SMOKE_DIR, "orders")
+        .select("o_orderkey", "o_custkey").collect()
+    }
+    rev: dict = defaultdict(Fraction)
+    for r in load_table(spark, SMOKE_DIR, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    ).collect():
+        n = cust_nation.get(order_cust.get(r["l_orderkey"]))
+        if n is not None:
+            rev[n] += _dec2(r["l_extendedprice"]) * (1 - _dec2(r["l_discount"]))
+    total = sum(rev.values(), Fraction(0))
+    want = {
+        n: (_rhu_frac(s, 2), _rhu(float(s) / float(total) * 100.0, "0.0001"))
+        for n, s in rev.items()
+    }
+
+    out = QUERIES["nation_revenue_share"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["n_name"]: (r["revenue"], r["revenue_share_pct"]) for r in out}
+    assert got == want
+
+
+def test_events_json_extract_matches_python_json(spark):
+    """JSON path extraction re-derived with Python json: parse props,
+    take k as an int, keep purchases with 10 <= k <= 90."""
+    import json
+
+    rows = load_table(spark, SMOKE_DIR, "events").select(
+        "event_id", "event_type", "props"
+    ).collect()
+    want = {}
+    for r in rows:
+        if r["event_type"] != "purchase" or r["props"] is None:
+            continue
+        k = json.loads(r["props"]).get("k")
+        if isinstance(k, int) and 10 <= k <= 90:
+            want[r["event_id"]] = k
+
+    out = QUERIES["events_json_extract"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["event_id"]: r["k_val"] for r in out}
+    assert got == want
+    assert want, "fixture must contain in-range purchases"
+
+
+def test_kll_exact_twin_matches_linear_interp_percentiles(spark):
+    """The KLL-quantile exact twin re-derived with the textbook
+    linear-interpolation percentile over sorted values plus a distinct
+    day count."""
+    rows = load_table(spark, SMOKE_DIR, "events").select(
+        "event_type", "user_id", "ts"
+    ).collect()
+    by_type: dict = defaultdict(lambda: ([], set()))
+    for r in rows:
+        vals, days = by_type[r["event_type"]]
+        vals.append(r["user_id"])
+        days.add(r["ts"].date())
+
+    def pct(sorted_vals, q):
+        h = (len(sorted_vals) - 1) * q
+        lo = int(h // 1)
+        frac = h - lo
+        if lo + 1 < len(sorted_vals):
+            return sorted_vals[lo] + frac * (sorted_vals[lo + 1] - sorted_vals[lo])
+        return float(sorted_vals[lo])
+
+    want = {}
+    for t, (vals, days) in by_type.items():
+        vals.sort()
+        want[t] = (
+            len(days),
+            _rhu(pct(vals, 0.5), "0.01"),
+            _rhu(pct(vals, 0.95), "0.01"),
+        )
+
+    out = QUERIES["kll_value_quantiles_exact"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["event_type"]: (r["n_fine_groups"], r["q_0_5"], r["q_0_95"]) for r in out}
+    assert got == want
+
+
+def test_theta_exact_twin_matches_python_sets(spark):
+    """The theta-sketch exact twin re-derived with plain Python sets:
+    per-type distinct user sets, pairwise intersection / union /
+    A-minus-B counts."""
+    rows = load_table(spark, SMOKE_DIR, "events").select(
+        "event_type", "user_id"
+    ).collect()
+    sets: dict = defaultdict(set)
+    for r in rows:
+        sets[r["event_type"]].add(r["user_id"])
+    keys = sorted(sets)
+    want = {}
+    for i, a in enumerate(keys):
+        for b in keys[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            want[(a, b)] = (inter, len(sets[a] | sets[b]), len(sets[a]) - inter)
+
+    out = QUERIES["theta_user_overlap_exact"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        (r["key_a"], r["key_b"]): (r["n_inter"], r["n_union"], r["n_diff_ab"])
+        for r in out
+    }
+    assert got == want
+
+
+def test_brand_price_ranks_match_textbook_rank_definitions(spark):
+    """rank() (gaps) and dense_rank() (no gaps) re-derived from their
+    definitions over the (price desc, partkey) order per brand."""
+    rows = load_table(spark, SMOKE_DIR, "part").select(
+        "p_brand", "p_partkey", "p_retailprice"
+    ).collect()
+    by_brand: dict = defaultdict(list)
+    for r in rows:
+        by_brand[r["p_brand"]].append((r["p_retailprice"], r["p_partkey"]))
+
+    want = {}
+    for b, items in by_brand.items():
+        items.sort(key=lambda t: (-t[0], t[1]))
+        seen_prices = []
+        for i, (price, pk) in enumerate(items):
+            # rank = 1 + number of STRICTLY better rows (ties share)
+            rnk = 1 + sum(1 for p, _ in items if p > price)
+            if price not in seen_prices:
+                seen_prices.append(price)
+            dns = seen_prices.index(price) + 1
+            if rnk <= 5:
+                want[(b, pk)] = (_rhu(price, "0.01"), rnk, dns)
+
+    out = QUERIES["brand_price_ranks"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        (r["p_brand"], r["p_partkey"]): (r["price"], r["price_rank"], r["price_dense_rank"])
+        for r in out
+    }
+    assert got == want
