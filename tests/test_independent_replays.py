@@ -54,6 +54,29 @@ average as an exact integral, the Markov transition matrix, and
 cosine top-k vs a numpy brute force (grounding the reference the
 IVF/PQ recall tests rank against).
 
+Batches 10-15 (late round 11) close the remaining families end to
+end: the geo kernels (textbook asin haversine over brute-force pairs,
+general even-odd ray cast, AEQD tangent-plane ring, the synthetic
+raster grid formula, Andrew's monotone chain as a third hull
+derivation), the text-hashing family (the complete Charikar simhash
+pipeline, rolling min-gram / bag-of-words / prefix fingerprints,
+regex token stats, the stopword language-ID cascade, tokenizer vocab
+ranking, the sequential PII scrub, the C4-style quality formula),
+classifiers and linkage (multinomial NB with exact-Fraction 8dp
+weights, Fellegi-Sunter sorted-neighborhood linkage), the ANN
+pipelines (the COMPLETE IVF route+rerank and PQ-ADC paths in plain
+Python ints — half-away rounding, truncating division), HITS (both
+the bit-exact integer trajectory and Kleinberg's float recurrence
+with a floor-loss envelope), near-dup connected components via
+union-find, the derivation chain walk, the streaming CDC last-writer
+fold, TPC-H Q1 as an exact-Fraction fold (whose first run caught the
+REPLAY rounding a float at a true .5 tie — rational HALF_UP is part
+of the contract), Q3's rounded-revenue top-10, GROUPING SETS as its
+three explicit rollups, growth/share/rank closes, JSON path
+extraction, the KLL/theta exact twins, and invisibility checks for
+the salted join, the bloom-gated semi join, and the paginated
+DataSource connector against the plain computations they accelerate.
+
 Tolerances: integer outputs exact; doubles to the query's rounding
 precision plus float slack (the queries round to 4-6 dp, the replays
 don't — semantic agreement, not bit parity, is the claim under test
