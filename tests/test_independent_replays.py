@@ -3590,3 +3590,223 @@ def test_brand_price_ranks_match_textbook_rank_definitions(spark):
         for r in out
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-11 batch 16 — the flagship cleaning composition end to end, the
+# Count-Min sketch, VARIANT extraction, UDTF chunking, and the
+# incremental-aggregation invariant.
+
+
+def _occ_fixture(spark):
+    """The synthetic occurrence fixture re-derived from raw lineitem /
+    supplier rows (decimal-exact coords, double fmod uncertainty)."""
+    import math
+    from decimal import Decimal
+
+    li = load_table(spark, SMOKE_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice"
+    ).collect()
+    occ = []
+    for r in li:
+        ok = r["l_orderkey"]
+        if ok % 100 == 0:
+            lat, lon = Decimal("0.0"), Decimal("0.0")
+        elif ok % 97 == 0:
+            lat = Decimal("95.0")
+            lon = (ok % 36) * Decimal("10.0") - Decimal("175.0") + Decimal("0.15")
+        else:
+            lat = (ok % 17) * Decimal("10.0") - Decimal("80.0") + Decimal("0.15")
+            lon = (ok % 36) * Decimal("10.0") - Decimal("175.0") + Decimal("0.15")
+        occ.append(
+            (
+                ok * 10 + r["l_linenumber"],
+                f"sp_{r['l_suppkey'] % 50}",
+                lat,
+                lon,
+                math.fmod(r["l_extendedprice"], 7000.0),
+            )
+        )
+    supps = load_table(spark, SMOKE_DIR, "supplier").select("s_suppkey").collect()
+    cents = [
+        (float((r["s_suppkey"] % 17) * 10.0 - 80.0),
+         float((r["s_suppkey"] % 36) * 10.0 - 175.0))
+        for r in supps
+    ]
+    return occ, cents
+
+
+def test_cleaning_pipeline_matches_textbook_composition(spark):
+    """The flagship P7/P9/A5 cleaning chain re-derived as plain Python
+    passes: bounds + zero-zero + uncertainty filters, textbook asin
+    haversine anti-join over ALL centroids (brute force — the engine
+    grid-blocks), keep-first dedup by (uncertainty, id) per (species,
+    lat, lon). The fixture is asserted to keep every point at least
+    1 m away from the 300 km cut so the two haversine formulations
+    cannot disagree."""
+    import math
+
+    occ, cents = _occ_fixture(spark)
+
+    def hav(p1, l1, p2, l2):
+        dp = math.radians(p2 - p1) / 2.0
+        dl = math.radians(l2 - l1) / 2.0
+        a = (
+            math.sin(dp) ** 2
+            + math.cos(math.radians(p1)) * math.cos(math.radians(p2))
+            * math.sin(dl) ** 2
+        )
+        return 2.0 * 6371000.0 * math.asin(min(1.0, math.sqrt(a)))
+
+    survivors = []
+    for oid, sp, lat, lon, unc in occ:
+        flat, flon = float(lat), float(lon)
+        if flat == 0.0 and flon == 0.0:
+            continue
+        if not (-90 <= flat <= 90 and -180 <= flon <= 180):
+            continue
+        if not (1000 <= unc <= 5000):
+            continue
+        d = min(hav(flat, flon, cp, cl) for cp, cl in cents)
+        assert abs(d - 300000.0) > 1.0, "fixture must not sit on the cut"
+        if d <= 300000.0:
+            continue
+        survivors.append((oid, sp, lat, lon, unc))
+
+    best: dict = {}
+    for oid, sp, lat, lon, unc in survivors:
+        key = (sp, lat, lon)
+        if key not in best or (unc, oid) < (best[key][0], best[key][1]):
+            best[key] = (unc, oid)
+    want = {
+        (oid, sp, str(lat), str(lon), unc)
+        for (sp, lat, lon), (unc, oid) in best.items()
+    }
+
+    out = QUERIES["occurrence_cleaning_pipeline"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        (r["occurrence_id"], r["species"], str(r["lat"]), str(r["lon"]),
+         r["uncertainty_m"])
+        for r in out
+    }
+    assert got == want
+    assert want, "fixture must retain records"
+
+    # and the summary: per-species totals, retained counts, HALF_UP %
+    totals: dict = defaultdict(int)
+    for _, sp, _, _, _ in occ:
+        totals[sp] += 1
+    retained: dict = defaultdict(int)
+    for _, sp, _, _, _ in (
+        (oid, sp, lat, lon, unc)
+        for (sp, lat, lon), (unc, oid) in best.items()
+    ):
+        retained[sp] += 1
+    want_sum = {
+        sp: (t, retained.get(sp, 0), _rhu(retained.get(sp, 0) / t * 100.0, "0.01"))
+        for sp, t in totals.items()
+    }
+    s_out = QUERIES["occurrence_cleaning_summary"]["builder"](spark, SMOKE_DIR).collect()
+    got_sum = {
+        r["species"]: (r["total_records"], r["retained_records"], r["percent_retained"])
+        for r in s_out
+    }
+    assert got_sum == want_sum
+
+
+def test_cms_heavy_hitters_match_hashlib_rederivation(spark):
+    """The Count-Min sketch re-derived with hashlib: 4 depth rows of
+    1024 cells keyed by md5 8-hex slices, estimate = min over rows,
+    top-15 by (estimate desc, word)."""
+    import hashlib
+    from collections import Counter
+
+    docs = load_table(spark, SMOKE_DIR, "documents").select("text").collect()
+    counts: Counter = Counter()
+    for r in docs:
+        counts.update(w for w in _py_words(r["text"]) if w != "")
+
+    cells: dict = defaultdict(int)
+    def cell(word, j):
+        return int(hashlib.md5(word.encode()).hexdigest()[8 * j: 8 * j + 8], 16) % 1024
+    for w, c in counts.items():
+        for j in range(4):
+            cells[(j, cell(w, j))] += c
+    est = {w: min(cells[(j, cell(w, j))] for j in range(4)) for w in counts}
+    ranked = sorted(est.items(), key=lambda t: (-t[1], t[0]))[:15]
+    want = {(w, e, i + 1) for i, (w, e) in enumerate(ranked)}
+
+    out = QUERIES["word_heavy_hitters_cms"]["builder"](spark, SMOKE_DIR).collect()
+    got = {(r["word"], r["est_count"], r["rank"]) for r in out}
+    assert got == want
+    # CMS soundness: estimates never undercount
+    assert all(e >= counts[w] for w, e, _ in want)
+
+
+def test_variant_props_stats_match_python_json(spark):
+    """VARIANT extraction re-derived with Python json: $.k as long,
+    grouped count / sum / max / distinct."""
+    import json
+
+    rows = load_table(spark, SMOKE_DIR, "events").select(
+        "event_type", "props"
+    ).collect()
+    agg: dict = defaultdict(lambda: [0, 0, None, set()])
+    for r in rows:
+        a = agg[r["event_type"]]
+        a[0] += 1
+        k = json.loads(r["props"]).get("k") if r["props"] is not None else None
+        if isinstance(k, int):
+            a[1] += k
+            a[2] = k if a[2] is None else max(a[2], k)
+            a[3].add(k)
+
+    out = QUERIES["variant_props_stats"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        r["event_type"]: (r["n"], r["sum_k"], r["max_k"], r["n_distinct_k"])
+        for r in out
+    }
+    want = {t: (n, s, m, len(ks)) for t, (n, s, m, ks) in agg.items()}
+    assert got == want
+
+
+def test_udtf_word_chunks_match_chunk_arithmetic(spark):
+    """The Arrow UDTF LATERAL join re-derived as plain chunk
+    arithmetic: 40-word windows of the trimmed regex split, md5 per
+    chunk, empty docs still yield one chunk (the [''] contract)."""
+    import hashlib
+    import re
+
+    docs = load_table(spark, SMOKE_DIR, "documents").select("doc_id", "text").collect()
+    want = set()
+    for r in docs:
+        words = re.split(r"\s+", r["text"].strip())
+        for i in range(0, max(len(words), 1), 40):
+            w = words[i: i + 40]
+            want.add(
+                (r["doc_id"], i // 40, len(w),
+                 hashlib.md5(" ".join(w).encode()).hexdigest())
+            )
+
+    out = QUERIES["udtf_word_chunks"]["builder"](spark, SMOKE_DIR).collect()
+    got = {(r["doc_id"], r["chunk_idx"], r["n_words"], r["chunk_md5"]) for r in out}
+    assert got == want
+
+
+def test_incremental_monthly_agg_equals_full_recompute(spark):
+    """The stored+delta partial-merge must equal the one-pass monthly
+    rollup from raw rows (exact-Fraction sums) — the incremental path
+    is semantically invisible."""
+    rows = load_table(spark, SMOKE_DIR, "orders").select(
+        "o_orderdate", "o_totalprice"
+    ).collect()
+    agg: dict = defaultdict(lambda: [Fraction(0), 0])
+    for r in rows:
+        a = agg[r["o_orderdate"].strftime("%Y-%m")]
+        a[0] += _dec2(r["o_totalprice"])
+        a[1] += 1
+
+    out = QUERIES["incremental_monthly_agg"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["month"]: (r["revenue"], r["n_orders"]) for r in out}
+    want = {m: (_rhu_frac(s, 2), n) for m, (s, n) in agg.items()}
+    assert got == want
