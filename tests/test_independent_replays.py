@@ -3810,3 +3810,123 @@ def test_incremental_monthly_agg_equals_full_recompute(spark):
     got = {r["month"]: (r["revenue"], r["n_orders"]) for r in out}
     want = {m: (_rhu_frac(s, 2), n) for m, (s, n) in agg.items()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-11 batch 17 — the merge/classify family and word frequencies,
+# re-derived as plain dict folds.
+
+
+def test_customer_record_merge_matches_fold_definitions(spark):
+    """A8/A9 list-merge + set-union + OR-fold re-derived as dict folds:
+    per-customer child-line count across orders, sorted distinct status
+    set, any-big-order flag."""
+    li_counts: dict = defaultdict(int)
+    for r in load_table(spark, SMOKE_DIR, "lineitem").select("l_orderkey").collect():
+        li_counts[r["l_orderkey"]] += 1
+    agg: dict = defaultdict(lambda: [0, set(), False])
+    for r in load_table(spark, SMOKE_DIR, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).collect():
+        a = agg[r["o_custkey"]]
+        a[0] += li_counts.get(r["o_orderkey"], 0)
+        a[1].add(r["o_orderstatus"])
+        a[2] = a[2] or r["o_totalprice"] > 200000.0
+
+    out = QUERIES["customer_record_merge"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["o_custkey"]: (r["n_all_lines"], r["statuses"], r["any_big_order"]) for r in out}
+    want = {c: (n, ",".join(sorted(s)), b) for c, (n, s, b) in agg.items()}
+    assert got == want
+
+
+def test_annotation_merge_matches_full_outer_definition(spark):
+    """J3/J4 full-outer annotation merge re-derived over the union of
+    key sets: rounded per-order mean quantity on one side, F-status
+    priority on the other, NULL where absent."""
+    qty: dict = defaultdict(lambda: [Fraction(0), 0])
+    for r in load_table(spark, SMOKE_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    ).collect():
+        a = qty[r["l_orderkey"]]
+        a[0] += Fraction(repr(r["l_quantity"]))
+        a[1] += 1
+    clim = {k: _rhu(float(s) / n, "0.01") for k, (s, n) in qty.items()}
+    realm = {
+        r["o_orderkey"]: r["o_orderpriority"]
+        for r in load_table(spark, SMOKE_DIR, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority"
+        ).collect()
+        if r["o_orderstatus"] == "F"
+    }
+    want = {
+        k: (clim.get(k), realm.get(k)) for k in set(clim) | set(realm)
+    }
+
+    out = QUERIES["annotation_merge"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["accession"]: (r["clim_mean_qty"], r["biogeo_realm"]) for r in out}
+    assert got == want
+    # both one-sided shapes must occur for the full-outer claim to bite
+    assert any(c is None for c, _ in want.values())
+    assert any(b is None for _, b in want.values())
+
+
+def test_events_classified_matches_case_cascade(spark):
+    """The P1 4-way classify split re-derived as the literal decision
+    cascade with exact-Fraction value sums."""
+    agg: dict = defaultdict(lambda: [0, set(), Fraction(0)])
+    for r in load_table(spark, SMOKE_DIR, "events").select(
+        "event_type", "user_id", "value"
+    ).collect():
+        t = r["event_type"]
+        cat = (
+            "dead_letter" if t == "error"
+            else "conversion" if t in ("purchase", "signup")
+            else "engagement" if t in ("click", "view")
+            else "other"
+        )
+        a = agg[cat]
+        a[0] += 1
+        a[1].add(r["user_id"])
+        a[2] += _dec2(r["value"])
+
+    out = QUERIES["events_classified"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["category"]: (r["n_events"], r["n_users"], r["total_value"]) for r in out}
+    want = {c: (n, len(us), _rhu_frac(s, 2)) for c, (n, us, s) in agg.items()}
+    assert got == want
+
+
+def test_word_freq_matches_counter_definition(spark):
+    """J7 lateral UNNEST word frequencies re-derived with Counters:
+    occurrence counts and distinct-doc counts per token."""
+    from collections import Counter
+
+    occ: Counter = Counter()
+    docs_with: dict = defaultdict(set)
+    for r in load_table(spark, SMOKE_DIR, "documents").select("doc_id", "text").collect():
+        for w in _py_words(r["text"]):
+            occ[w] += 1
+            docs_with[w].add(r["doc_id"])
+
+    out = QUERIES["word_freq"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["word"]: (r["n_docs"], r["n_occ"]) for r in out}
+    want = {w: (len(docs_with[w]), occ[w]) for w in occ}
+    assert got == want
+
+
+def test_article_lists_special_case_matches_override(spark):
+    """A16 per-key article list with the keep-first override re-derived
+    as a fold: sorted orderkey strings per customer, truncated to the
+    first for custkey % 1000 == 7."""
+    arts: dict = defaultdict(list)
+    for r in load_table(spark, SMOKE_DIR, "orders").select(
+        "o_custkey", "o_orderkey"
+    ).collect():
+        arts[r["o_custkey"]].append(str(r["o_orderkey"]))
+    want = {}
+    for c, a in arts.items():
+        a.sort()
+        want[c] = a[0] if c % 1000 == 7 else ",".join(a)
+
+    out = QUERIES["article_lists_special_case"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["o_custkey"]: r["articles"] for r in out}
+    assert got == want
