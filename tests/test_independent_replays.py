@@ -3930,3 +3930,69 @@ def test_article_lists_special_case_matches_override(spark):
     out = QUERIES["article_lists_special_case"]["builder"](spark, SMOKE_DIR).collect()
     got = {r["o_custkey"]: r["articles"] for r in out}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-11 batch 18 — last-per-group, nested explode rollup, and the
+# HLL exact twin, re-derived as dict folds.
+
+
+def test_latest_line_status_matches_max_fold(spark):
+    """S3 latest-annotation re-derived as a max fold over
+    (shipdate, linenumber) per order."""
+    best: dict = {}
+    for r in load_table(spark, SMOKE_DIR, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_linenumber", "l_linestatus"
+    ).collect():
+        key = r["l_orderkey"]
+        stamp = (r["l_shipdate"], r["l_linenumber"])
+        if key not in best or stamp > best[key][0]:
+            best[key] = (stamp, (r["l_linestatus"], r["l_shipdate"]))
+    want = {k: v for k, (_, v) in best.items()}
+
+    out = QUERIES["latest_line_status"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["l_orderkey"]: (r["latest_status"], r["latest_shipdate"]) for r in out}
+    assert got == want
+
+
+def test_nested_order_rollup_matches_left_join_fold(spark):
+    """The nested-document explode rollup must equal the plain left
+    join it round-trips through: per-priority distinct orders, item
+    counts, exact-Fraction price totals (orders with no lineitems
+    still count as orders)."""
+    li: dict = defaultdict(list)
+    for r in load_table(spark, SMOKE_DIR, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    ).collect():
+        li[r["l_orderkey"]].append(_dec2(r["l_extendedprice"]))
+    agg: dict = defaultdict(lambda: [set(), 0, Fraction(0)])
+    for r in load_table(spark, SMOKE_DIR, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    ).collect():
+        a = agg[r["o_orderpriority"]]
+        a[0].add(r["o_orderkey"])
+        for p in li.get(r["o_orderkey"], ()):
+            a[1] += 1
+            a[2] += p
+
+    out = QUERIES["nested_order_rollup"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["o_orderpriority"]: (r["n_orders"], r["n_items"], r["total_price"]) for r in out}
+    want = {p: (len(os), n, _rhu_frac(s, 2)) for p, (os, n, s) in agg.items()}
+    assert got == want
+
+
+def test_hll_exact_twin_matches_python_sets(spark):
+    """The HLL-rollup exact twin re-derived with plain sets: distinct
+    days and distinct users per event type."""
+    days: dict = defaultdict(set)
+    users: dict = defaultdict(set)
+    for r in load_table(spark, SMOKE_DIR, "events").select(
+        "event_type", "ts", "user_id"
+    ).collect():
+        days[r["event_type"]].add(r["ts"].date())
+        users[r["event_type"]].add(r["user_id"])
+
+    out = QUERIES["hll_mergeable_rollup_exact"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["event_type"]: (r["n_fine_groups"], r["exact_distinct"]) for r in out}
+    want = {t: (len(days[t]), len(users[t])) for t in days}
+    assert got == want
