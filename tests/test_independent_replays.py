@@ -3996,3 +3996,206 @@ def test_hll_exact_twin_matches_python_sets(spark):
     got = {r["event_type"]: (r["n_fine_groups"], r["exact_distinct"]) for r in out}
     want = {t: (len(days[t]), len(users[t])) for t in days}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-11 batch 19 — the corpus-curation composition end to end, CUBE,
+# sub-document span dedup, the hash split, and pool-based negatives.
+
+
+def test_corpus_curation_matches_python_composition(spark):
+    """The 3-stage curation flagship re-derived by composing the
+    already-replayed pieces in plain Python: string-shingle Jaccard
+    pairs -> union-find losers, the stopword language-ID cascade and
+    the HALF_UP quality formula per doc, the quality/length gate, and
+    the (source, lang) rollup with a 4dp decimal mean-quality close."""
+    import re
+
+    # losers = non-canonical members of the near-dup components
+    pairs = _exact_jaccard_pairs(_string_shingles(spark), 0.5)
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    losers = {n for p in pairs for n in p if find(n) != n}
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r4(x: float) -> float:
+        return float(Decimal(x).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+    stops = {
+        "en": {"the", "a", "of", "and", "to"},
+        "es": {"el", "la", "de", "los", "que"},
+        "fr": {"le", "la", "les", "des", "et"},
+        "de": {"der", "die", "das", "und", "ist"},
+    }
+    agg: dict = defaultdict(lambda: [0, 0, Fraction(0)])
+    docs = load_table(spark, SMOKE_DIR, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    for r in docs:
+        if r["doc_id"] in losers:
+            continue
+        t = r["text"]
+        words = _py_words(t)
+        n_words = len(words)
+        s = {lang: sum(1 for w in words if w in sw) for lang, sw in stops.items()}
+        if max(s.values()) == 0:
+            lang = "und"
+        elif s["en"] >= s["es"] and s["en"] >= s["fr"] and s["en"] >= s["de"]:
+            lang = "en"
+        elif s["es"] >= s["fr"] and s["es"] >= s["de"]:
+            lang = "es"
+        elif s["fr"] >= s["de"]:
+            lang = "fr"
+        else:
+            lang = "de"
+        n_punct = len(t) - len(re.sub(r"[^\w\s]", "", t))
+        quality = r4(
+            (1.0 if n_words >= 5 else 0.0)
+            * (1.0 - r4(n_punct / max(len(t), 1)))
+            * (1.0 if r4(s["en"] / n_words) > 0.01 else 0.5)
+        )
+        if quality >= 0.4 and n_words >= 5:
+            a = agg[(r["source"], lang)]
+            a[0] += 1
+            a[1] += n_words
+            a[2] += Fraction(f"{quality:.4f}")
+
+    want = {
+        k: (n, tw, _rhu(float(sq) / n, "0.0001"))
+        for k, (n, tw, sq) in agg.items()
+    }
+    out = QUERIES["corpus_curation_pipeline"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        (r["source"], r["predicted_lang"]): (r["n_docs"], r["total_words"], r["mean_quality"])
+        for r in out
+    }
+    assert got == want
+    assert losers, "fixture must drop near-dups for the gate to bite"
+
+
+def test_cube_matches_four_explicit_rollups(spark):
+    """CUBE re-derived as the four explicit aggregations it
+    abbreviates — (), (status), (priority), (status, priority) — with
+    grouping flags and exact-Fraction money sums."""
+    rows = load_table(spark, SMOKE_DIR, "orders").select(
+        "o_orderstatus", "o_orderpriority", "o_totalprice"
+    ).collect()
+
+    want = {}
+    for keyf, flags in (
+        (lambda r: (r["o_orderstatus"], r["o_orderpriority"]), (0, 0)),
+        (lambda r: (r["o_orderstatus"], None), (0, 1)),
+        (lambda r: (None, r["o_orderpriority"]), (1, 0)),
+        (lambda r: (None, None), (1, 1)),
+    ):
+        agg: dict = defaultdict(lambda: [0, Fraction(0)])
+        for r in rows:
+            a = agg[keyf(r)]
+            a[0] += 1
+            a[1] += _dec2(r["o_totalprice"])
+        for k, (n, s) in agg.items():
+            want[k + flags] = (n, _rhu_frac(s, 2))
+
+    out = QUERIES["order_dims_cube"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        (r["o_orderstatus"], r["o_orderpriority"],
+         r["is_status_total"], r["is_priority_total"]):
+            (r["n_orders"], r["total_price"])
+        for r in out
+    }
+    assert got == want
+
+
+def test_paragraph_dedup_matches_span_fold(spark):
+    """Sub-document span dedup re-derived as folds: 10-word spans per
+    doc (at least one), keep-first global occurrence by (doc_id, pos),
+    reassemble each doc's surviving spans in position order."""
+    docs = sorted(
+        (r["doc_id"], r["text"])
+        for r in load_table(spark, SMOKE_DIR, "documents")
+        .select("doc_id", "text").collect()
+    )
+    first_owner: dict = {}
+    spans_by_doc: dict = {}
+    for did, text in docs:
+        words = _py_words(text)
+        n_spans = max(-(-len(words) // 10), 1)
+        spans = [" ".join(words[i * 10:(i + 1) * 10]) for i in range(n_spans)]
+        spans_by_doc[did] = spans
+        for pos, sp in enumerate(spans):
+            first_owner.setdefault(sp, (did, pos))
+
+    want = {}
+    for did, spans in spans_by_doc.items():
+        kept = [
+            sp for pos, sp in enumerate(spans)
+            if first_owner[sp] == (did, pos)
+        ]
+        if kept:
+            want[did] = (len(kept), " ".join(kept))
+
+    out = QUERIES["paragraph_dedup_reassembly"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["doc_id"]: (r["n_kept_spans"], r["text_kept"]) for r in out}
+    assert got == want
+    assert any(n < len(spans_by_doc[d]) for d, (n, _) in want.items()), \
+        "fixture must drop duplicate spans"
+
+
+def test_corpus_split_matches_md5_threshold_definition(spark):
+    """The deterministic train/test split re-derived from its
+    definition: an id is 'test' iff the first 8 hex chars of
+    md5('s42:' || id) fall below the 20% threshold round(0.2 * 16^8)."""
+    import hashlib
+
+    thr = format(round(0.2 * 16**8), "08x")
+    agg: dict = defaultdict(lambda: [0, 0])
+    for r in load_table(spark, SMOKE_DIR, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).collect():
+        h = hashlib.md5(f"s42:{r['doc_id']}".encode()).hexdigest()[:8]
+        split = "test" if h < thr else "train"
+        a = agg[(split, r["lang"])]
+        a[0] += 1
+        a[1] += r["n_chars"]
+
+    out = QUERIES["corpus_split_counts"]["builder"](spark, SMOKE_DIR).collect()
+    got = {(r["split"], r["lang"]): [r["n_docs"], r["sum_chars"]] for r in out}
+    assert got == {k: list(v) for k, v in agg.items()}
+    assert any(k[0] == "test" for k in got) and any(k[0] == "train" for k in got)
+
+
+def test_contrastive_negatives_match_pool_definition(spark):
+    """Pool-based negative sampling re-derived with hashlib: the
+    16-doc md5-ordered shared pool, 3 cross-source negatives per
+    anchor ranked by md5('a:b')."""
+    import hashlib
+
+    docs = load_table(spark, SMOKE_DIR, "documents").select("doc_id", "source").collect()
+    pool = sorted(
+        ((hashlib.md5(str(r["doc_id"]).encode()).hexdigest(), r["doc_id"], r["source"])
+         for r in docs)
+    )[:16]
+    want = set()
+    for r in docs:
+        cands = sorted(
+            (hashlib.md5(f"{r['doc_id']}:{nid}".encode()).hexdigest(), nid, nsrc)
+            for _, nid, nsrc in pool
+            if nsrc != r["source"]
+        )
+        for rn, (_, nid, nsrc) in enumerate(cands[:3], start=1):
+            want.add((r["doc_id"], rn, nid, nsrc))
+
+    out = QUERIES["contrastive_negatives"]["builder"](spark, SMOKE_DIR).collect()
+    got = {(r["doc_id"], r["rn"], r["neg_id"], r["neg_source"]) for r in out}
+    assert got == want
