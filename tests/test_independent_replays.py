@@ -4199,3 +4199,146 @@ def test_contrastive_negatives_match_pool_definition(spark):
     out = QUERIES["contrastive_negatives"]["builder"](spark, SMOKE_DIR).collect()
     got = {(r["doc_id"], r["rn"], r["neg_id"], r["neg_source"]) for r in out}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-11 batch 20 — equi-depth histogram, snapshot diff, one BPE
+# merge round, and textbook Levenshtein.
+
+
+def test_equidepth_deciles_match_interpolated_boundaries(spark):
+    """The equi-depth histogram re-derived from the textbook
+    linear-interpolation decile boundaries + boundary-count bucketing.
+    Interpolated boundaries sit strictly between adjacent distinct data
+    values, so comparisons cannot straddle a 1-ulp formula difference."""
+    vals = sorted(
+        r["l_extendedprice"]
+        for r in load_table(spark, SMOKE_DIR, "lineitem")
+        .select("l_extendedprice").collect()
+    )
+
+    def pct(q):
+        h = (len(vals) - 1) * q
+        lo = int(h)
+        frac = h - lo
+        if lo + 1 < len(vals):
+            return vals[lo] + frac * (vals[lo + 1] - vals[lo])
+        return float(vals[lo])
+
+    bounds = [pct(i / 10.0) for i in range(1, 10)]
+    agg: dict = defaultdict(lambda: [0, None, None])
+    for v in vals:
+        b = sum(1 for x in bounds if v > x)
+        a = agg[b]
+        a[0] += 1
+        a[1] = v if a[1] is None else min(a[1], v)
+        a[2] = v if a[2] is None else max(a[2], v)
+    want = {
+        b: (n, _rhu(lo, "0.01"), _rhu(hi, "0.01"))
+        for b, (n, lo, hi) in agg.items()
+    }
+
+    out = QUERIES["price_equidepth_deciles"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["bucket"]: (r["n_rows"], r["lo"], r["hi"]) for r in out}
+    assert got == want
+    assert len(want) == 10, "deciles must produce 10 buckets"
+    # equi-depth: bucket sizes within interpolation slack of n/10
+    n = len(vals)
+    assert all(abs(c - n / 10) <= n * 0.02 + 2 for c, _, _ in want.values())
+
+
+def test_snapshot_diff_matches_classification_fold(spark):
+    """The CDC snapshot diff re-derived as a key-union classification
+    fold: retention-window snapshots, +10.00 restatement for 1995,
+    added/removed/changed/unchanged, per-class exact delta sums."""
+    rows = load_table(spark, SMOKE_DIR, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    ).collect()
+    old, new = {}, {}
+    for r in rows:
+        y = r["o_orderdate"].year
+        p2 = _rhu(r["o_totalprice"], "0.01")
+        if 1992 <= y <= 1995:
+            old[r["o_orderkey"]] = p2
+        if 1993 <= y <= 1996:
+            new[r["o_orderkey"]] = p2 + 10.0 if y == 1995 else p2
+
+    agg: dict = defaultdict(lambda: [0, Fraction(0)])
+    for k in set(old) | set(new):
+        o, n2 = old.get(k), new.get(k)
+        status = (
+            "added" if o is None
+            else "removed" if n2 is None
+            else "changed" if n2 != o
+            else "unchanged"
+        )
+        a = agg[status]
+        a[0] += 1
+        a[1] += _dec2((n2 or 0.0) - (o or 0.0))
+
+    out = QUERIES["orders_snapshot_diff"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["status"]: (r["n_orders"], r["price_delta"]) for r in out}
+    want = {s: (n, _rhu_frac(d, 2)) for s, (n, d) in agg.items()}
+    assert got == want
+    # the sf0.001 orders span only 1995-1996, so the removed/unchanged
+    # classes are empty there; the two classes the restatement and the
+    # window shift create must both appear
+    assert set(want) >= {"added", "changed"}
+
+
+def test_bpe_pair_merge_matches_weighted_pair_counts(spark):
+    """One distributed BPE merge round re-derived with Counters:
+    word-frequency vocab, adjacent character pairs weighted by word
+    count, top-20 by (count desc, pair)."""
+    from collections import Counter
+
+    wc: Counter = Counter()
+    for r in load_table(spark, SMOKE_DIR, "documents").select("text").collect():
+        wc.update(w for w in _py_words(r["text"]) if w != "")
+    pc: Counter = Counter()
+    for w, c in wc.items():
+        if len(w) >= 2:
+            for i in range(len(w) - 1):
+                pc[w[i:i + 2]] += c
+    ranked = sorted(pc.items(), key=lambda t: (-t[1], t[0]))[:20]
+    want = set(ranked)
+
+    out = QUERIES["bpe_pair_merge"]["builder"](spark, SMOKE_DIR).collect()
+    got = {(r["pair"], r["pair_count"]) for r in out}
+    assert got == want
+    assert len(got) == 20
+
+
+def test_fuzzy_name_match_matches_textbook_levenshtein(spark):
+    """P6 fuzzy matching re-derived with the textbook dynamic-program
+    edit distance (insert/delete/substitute, unit costs) over the
+    probe x corpus pairs."""
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, start=1):
+            cur = [i]
+            for j, cb in enumerate(b, start=1):
+                cur.append(min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (ca != cb),
+                ))
+            prev = cur
+        return prev[-1]
+
+    parts = load_table(spark, SMOKE_DIR, "part").select("p_partkey", "p_name").collect()
+    probes = [(r["p_partkey"], r["p_name"]) for r in parts if r["p_partkey"] % 500 == 0]
+    assert probes, "fixture must contain probe rows"
+    want = set()
+    for pk, pname in probes:
+        for r in parts:
+            if r["p_partkey"] == pk:
+                continue
+            d = lev(r["p_name"], pname)
+            if d <= 12:
+                want.add((pk, r["p_partkey"], r["p_name"], d))
+
+    out = QUERIES["fuzzy_name_match"]["builder"](spark, SMOKE_DIR).collect()
+    got = {(r["probe_key"], r["p_partkey"], r["p_name"], r["edit_dist"]) for r in out}
+    assert got == want
+    assert want, "fixture must produce fuzzy matches"
