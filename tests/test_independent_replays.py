@@ -4342,3 +4342,131 @@ def test_fuzzy_name_match_matches_textbook_levenshtein(spark):
     got = {(r["probe_key"], r["p_partkey"], r["p_name"], r["edit_dist"]) for r in out}
     assert got == want
     assert want, "fixture must produce fuzzy matches"
+
+
+# ---------------------------------------------------------------------------
+# Round-11 batch 21 — the remaining projection/aggregation folds:
+# terms top-k, distinct sets, geotags, event flatten, source overlap,
+# and the specimen document projection.
+
+
+def test_terms_summary_matches_counter_topk(spark):
+    """A14 terms aggregation re-derived with Counters: per-field value
+    counts, top-20 by (count desc, term)."""
+    from collections import Counter
+
+    orders = load_table(spark, SMOKE_DIR, "orders").select(
+        "o_orderstatus", "o_orderpriority"
+    ).collect()
+    custs = load_table(spark, SMOKE_DIR, "customer").select("c_mktsegment").collect()
+    fields = {
+        "order_status": Counter(r["o_orderstatus"] for r in orders),
+        "order_priority": Counter(r["o_orderpriority"] for r in orders),
+        "mktsegment": Counter(r["c_mktsegment"] for r in custs),
+    }
+    want = set()
+    for f, c in fields.items():
+        for term, n in sorted(c.items(), key=lambda t: (-t[1], t[0]))[:20]:
+            want.add((f, term, n))
+
+    out = QUERIES["terms_summary_topk"]["builder"](spark, SMOKE_DIR).collect()
+    got = {(r["field"], r["term"], r["n"]) for r in out}
+    assert got == want
+
+
+def test_segment_sets_match_python_set_fold(spark):
+    """A4 distinct-set summary re-derived as set folds through the
+    nation->region lookup chain."""
+    regions = {
+        r["r_regionkey"]: r["r_name"]
+        for r in load_table(spark, SMOKE_DIR, "region").collect()
+    }
+    nation_region = {
+        r["n_nationkey"]: regions[r["n_regionkey"]]
+        for r in load_table(spark, SMOKE_DIR, "nation").collect()
+    }
+    sets: dict = defaultdict(set)
+    for r in load_table(spark, SMOKE_DIR, "customer").select(
+        "c_nationkey", "c_mktsegment"
+    ).collect():
+        sets[nation_region[r["c_nationkey"]]].add(r["c_mktsegment"])
+
+    out = QUERIES["segment_sets_by_region"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["r_name"]: (r["n_distinct"], r["values"]) for r in out}
+    want = {k: (len(v), ",".join(sorted(v))) for k, v in sets.items()}
+    assert got == want
+
+
+def test_geotag_aggregation_matches_format_fold(spark):
+    """A12 geotag views re-derived as a '%.2f,%.2f' format fold with
+    distinct-customer/nation counts and sorted segment sets."""
+    agg: dict = defaultdict(lambda: [0, set(), set(), set()])
+    for r in load_table(spark, SMOKE_DIR, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    ).collect():
+        k = r["c_custkey"]
+        lat, lon = _synth_lat(k, 0.15), _synth_lon(k, 0.15)
+        if not (-90 <= lat <= 90 and -180 <= lon <= 180):
+            continue
+        a = agg[f"{lat:.2f},{lon:.2f}"]
+        a[0] += 1
+        a[1].add(k)
+        a[2].add(r["c_nationkey"])
+        a[3].add(r["c_mktsegment"])
+
+    out = QUERIES["geotag_aggregation"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        r["geotag"]: (r["n_points"], r["n_customers"], r["n_nations"], r["segments"])
+        for r in out
+    }
+    want = {
+        g: (n, len(cs), len(ns), ",".join(sorted(segs)))
+        for g, (n, cs, ns, segs) in agg.items()
+    }
+    assert got == want
+
+
+def test_user_event_flatten_matches_sorted_join(spark):
+    """P2 flatten re-derived as sorted 'type:id' string joins per user."""
+    logs: dict = defaultdict(list)
+    for r in load_table(spark, SMOKE_DIR, "events").select(
+        "user_id", "event_type", "event_id"
+    ).collect():
+        logs[r["user_id"]].append(f"{r['event_type']}:{r['event_id']}")
+
+    out = QUERIES["user_event_flatten"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["user_id"]: (r["event_log"], r["n_events"]) for r in out}
+    want = {u: (", ".join(sorted(v)), len(v)) for u, v in logs.items()}
+    assert got == want
+
+
+def test_specimen_projection_matches_child_fold(spark):
+    """P2/P3 specimen document projection re-derived as a child fold:
+    per-customer orders sorted by key, comma-joined status/priority
+    strings, tracking status from child presence (childless customers
+    keep NULL strings)."""
+    children: dict = defaultdict(list)
+    for r in load_table(spark, SMOKE_DIR, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus", "o_orderpriority"
+    ).collect():
+        children[r["o_custkey"]].append(
+            (r["o_orderkey"], r["o_orderstatus"], r["o_orderpriority"])
+        )
+    want = {}
+    for r in load_table(spark, SMOKE_DIR, "customer").select("c_custkey").collect():
+        ch = sorted(children.get(r["c_custkey"], []))
+        if ch:
+            want[r["c_custkey"]] = (
+                "Raw Data",
+                ", ".join(t for _, t, _ in ch),
+                ", ".join(u for _, _, u in ch),
+            )
+        else:
+            want[r["c_custkey"]] = ("Submitted", None, None)
+
+    out = QUERIES["specimen_doc_projection"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        r["accession"]: (r["tracking_status"], r["values_joined"], r["units_joined"])
+        for r in out
+    }
+    assert got == want
