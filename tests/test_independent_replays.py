@@ -2161,6 +2161,75 @@ def _synth_lon(k: int, off: float) -> float:
     return (k % 36) * 10.0 - 175.0 + off
 
 
+def _hav(p1: float, l1: float, p2: float, l2: float) -> float:
+    """Textbook great-circle distance (asin form), R = 6371000 m."""
+    import math
+
+    dp = math.radians(p2 - p1) / 2.0
+    dl = math.radians(l2 - l1) / 2.0
+    a = (
+        math.sin(dp) ** 2
+        + math.cos(math.radians(p1)) * math.cos(math.radians(p2))
+        * math.sin(dl) ** 2
+    )
+    return 2.0 * 6371000.0 * math.asin(min(1.0, math.sqrt(a)))
+
+
+def _ray_inside(lon: float, lat: float, poly: list) -> bool:
+    """Textbook even-odd ray cast (no convexity assumption)."""
+    hit = False
+    k = len(poly)
+    for i in range(k):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % k]
+        if (y1 > lat) != (y2 > lat):
+            if x1 + (lat - y1) * (x2 - x1) / (y2 - y1) > lon:
+                hit = not hit
+    return hit
+
+
+def _uf_roots(pairs) -> dict:
+    """Union-find over a pair iterable; returns node -> min-root map."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+_LANG_STOPS = {
+    "en": {"the", "a", "of", "and", "to"},
+    "es": {"el", "la", "de", "los", "que"},
+    "fr": {"le", "la", "les", "des", "et"},
+    "de": {"der", "die", "das", "und", "ist"},
+}
+
+
+def _lang_id(words: list) -> tuple:
+    """The stopword heuristic: per-language occurrence scores plus the
+    documented tie-break cascade (und on all-zero, en >= es >= fr >= de)."""
+    sc = {lang: sum(1 for w in words if w in sw) for lang, sw in _LANG_STOPS.items()}
+    if max(sc.values()) == 0:
+        pred = "und"
+    elif sc["en"] >= sc["es"] and sc["en"] >= sc["fr"] and sc["en"] >= sc["de"]:
+        pred = "en"
+    elif sc["es"] >= sc["fr"] and sc["es"] >= sc["de"]:
+        pred = "es"
+    elif sc["fr"] >= sc["de"]:
+        pred = "fr"
+    else:
+        pred = "de"
+    return sc, pred
+
+
 def test_remote_customers_match_textbook_haversine(spark):
     """P9 centroid anti-join vs the textbook haversine (asin form).
 
@@ -2170,8 +2239,6 @@ def test_remote_customers_match_textbook_haversine(spark):
     independent formula, independent (brute-force) candidate
     generation. Pairs within 1 m of the 300 km cut are left undecided
     (float slack between the two formulations is < 1 mm)."""
-    import math
-
     custs = load_table(spark, SMOKE_DIR, "customer").select("c_custkey").collect()
     supps = load_table(spark, SMOKE_DIR, "supplier").select("s_suppkey").collect()
     cents = [
@@ -2180,22 +2247,11 @@ def test_remote_customers_match_textbook_haversine(spark):
     ]
     assert cents, "fixture must have centroids"
 
-    def hav(p1, l1, p2, l2):
-        dp = math.radians(p2 - p1) / 2.0
-        dl = math.radians(l2 - l1) / 2.0
-        a = (
-            math.sin(dp) ** 2
-            + math.cos(math.radians(p1))
-            * math.cos(math.radians(p2))
-            * math.sin(dl) ** 2
-        )
-        return 2.0 * 6371000.0 * math.asin(min(1.0, math.sqrt(a)))
-
     keep_certain, drop_certain = set(), set()
     for r in custs:
         k = r["c_custkey"]
         d = min(
-            hav(_synth_lat(k, 0.15), _synth_lon(k, 0.15), cp, cl)
+            _hav(_synth_lat(k, 0.15), _synth_lon(k, 0.15), cp, cl)
             for cp, cl in cents
         )
         if d > 300000.0 + 1.0:
@@ -2233,24 +2289,12 @@ def test_points_in_region_match_textbook_ray_cast(spark):
     exactly."""
     from biodiversity_data_ingestion_spark.plans.queries import _REGION_POLYS
 
-    def inside(lon, lat, poly):
-        hit = False
-        k = len(poly)
-        for i in range(k):
-            x1, y1 = poly[i]
-            x2, y2 = poly[(i + 1) % k]
-            if (y1 > lat) != (y2 > lat):
-                xint = x1 + (lat - y1) * (x2 - x1) / (y2 - y1)
-                if xint > lon:
-                    hit = not hit
-        return hit
-
     custs = load_table(spark, SMOKE_DIR, "customer").select("c_custkey").collect()
     want = set()
     for r in custs:
         k = r["c_custkey"]
         lat, lon = _synth_lat(k, 0.15), _synth_lon(k, 0.15)
-        if any(inside(lon, lat, p) for p in _REGION_POLYS):
+        if any(_ray_inside(lon, lat, p) for p in _REGION_POLYS):
             want.add(k)
 
     out = QUERIES["points_in_region"]["builder"](spark, SMOKE_DIR).collect()
@@ -2360,28 +2404,11 @@ def test_doc_language_id_matches_stopword_heuristic(spark):
     """Language-ID heuristic re-derived in plain Python: per-language
     stopword occurrence counts (duplicates count) and the documented
     tie-break cascade (und on all-zero, then en >= es >= fr >= de)."""
-    stops = {
-        "en": {"the", "a", "of", "and", "to"},
-        "es": {"el", "la", "de", "los", "que"},
-        "fr": {"le", "la", "les", "des", "et"},
-        "de": {"der", "die", "das", "und", "ist"},
-    }
     docs = load_table(spark, SMOKE_DIR, "documents").select("doc_id", "text").collect()
     want = {}
     for r in docs:
-        words = _py_words(r["text"])
-        s = {lang: sum(1 for w in words if w in sw) for lang, sw in stops.items()}
-        if max(s.values()) == 0:
-            pred = "und"
-        elif s["en"] >= s["es"] and s["en"] >= s["fr"] and s["en"] >= s["de"]:
-            pred = "en"
-        elif s["es"] >= s["fr"] and s["es"] >= s["de"]:
-            pred = "es"
-        elif s["fr"] >= s["de"]:
-            pred = "fr"
-        else:
-            pred = "de"
-        want[r["doc_id"]] = (s["en"], s["es"], s["fr"], s["de"], pred)
+        sc, pred = _lang_id(_py_words(r["text"]))
+        want[r["doc_id"]] = (sc["en"], sc["es"], sc["fr"], sc["de"], pred)
 
     out = QUERIES["doc_language_id"]["builder"](spark, SMOKE_DIR).collect()
     got = {
@@ -2418,7 +2445,12 @@ def test_nb_confusion_matches_exact_fraction_rederivation(spark):
             nc[r["lang"]] += 1
 
     def q8(x: float) -> Fraction:
-        return Fraction(f"{round(x, 8):.8f}")
+        # HALF_UP at 8dp over the shortest repr (engine DECIMAL(38,8)
+        # contract); Python round() is banker's and would drift a
+        # 1e-8 step on exact ties
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return Fraction(Decimal(repr(x)).quantize(Decimal("1e-8"), ROUND_HALF_UP))
 
     langs = sorted(nc)
     w = {
@@ -2674,14 +2706,12 @@ def test_doc_quality_matches_c4_style_formula(spark):
     length, and the gated product formula over the ROUNDED ratios."""
     import re
 
-    from decimal import ROUND_HALF_UP, Decimal
-
     def _r4(x: float) -> float:
-        # both engines round doubles HALF_UP on the exact binary value
-        # (0.03125 -> 0.0313); Python's banker round would give 0.0312
-        return float(Decimal(x).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+        # HALF_UP, shortest-repr mirror (0.03125 -> 0.0313; Python's
+        # banker round would give 0.0312) — see module-level _rhu
+        return _rhu(x, "0.0001")
 
-    stop = {"the", "a", "of", "and", "to"}
+    stop = _LANG_STOPS["en"]
     docs = load_table(spark, SMOKE_DIR, "documents").select("doc_id", "text").collect()
     want = {}
     for r in docs:
@@ -2794,9 +2824,7 @@ def _trunc_div(a: int, b: int) -> int:
 
 
 def _r6(x: float) -> float:
-    from decimal import ROUND_HALF_UP, Decimal
-
-    return float(Decimal(x).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+    return _rhu(x, "0.000001")
 
 
 def _cos6(a: list, b: list) -> float:
@@ -2945,23 +2973,12 @@ def test_ecoregion_zones_match_ray_cast_annotation(spark):
     (east, polar, tropics), rows with no zone drop."""
     from biodiversity_data_ingestion_spark.plans.queries import _ZONES
 
-    def inside(lon, lat, poly):
-        hit = False
-        k = len(poly)
-        for i in range(k):
-            x1, y1 = poly[i]
-            x2, y2 = poly[(i + 1) % k]
-            if (y1 > lat) != (y2 > lat):
-                if x1 + (lat - y1) * (x2 - x1) / (y2 - y1) > lon:
-                    hit = not hit
-        return hit
-
     custs = load_table(spark, SMOKE_DIR, "customer").select("c_custkey").collect()
     want = {}
     for r in custs:
         k = r["c_custkey"]
         lat, lon = _synth_lat(k, 0.15), _synth_lon(k, 0.15)
-        zs = [z["value"] for z in _ZONES if inside(lon, lat, z["polygon"])]
+        zs = [z["value"] for z in _ZONES if _ray_inside(lon, lat, z["polygon"])]
         if zs:
             want[k] = ",".join(zs)
 
@@ -3034,22 +3051,7 @@ def test_dedup_components_match_union_find(spark):
     replay), component = min member id. Third derivation next to the
     iterative min-label propagation and the recursive-CTE closure."""
     pairs = _exact_jaccard_pairs(_string_shingles(spark), 0.5)
-
-    parent: dict = {}
-
-    def find(x):
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in pairs:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-
-    nodes = {n for p in pairs for n in p}
-    want = {n: find(n) for n in nodes}
+    want = _uf_roots(pairs)
 
     out = QUERIES["dedup_components"]["builder"](spark, SMOKE_DIR).collect()
     got = {r["doc_id"]: r["component"] for r in out}
@@ -3099,10 +3101,9 @@ def test_climate_zonal_matches_grid_formula(spark):
     (x*0.1, 0), raw unscaled — exact equality (Python and DuckDB share
     libm; engine parity already pins Java's libm to the same 2dp)."""
     import math
-    from decimal import ROUND_HALF_UP, Decimal
 
     def rhu(x: float, places: str) -> float:
-        return float(Decimal(x).quantize(Decimal(places), ROUND_HALF_UP))
+        return _rhu(x, places)
 
     custs = load_table(spark, SMOKE_DIR, "customer").select("c_custkey").collect()
     want = {}
@@ -3150,9 +3151,15 @@ def test_stream_cdc_upsert_matches_last_writer_fold(spark):
 
 
 def _rhu(x: float, places: str) -> float:
+    """HALF_UP of a DOUBLE at the engine contract: Spark's
+    round(double, n) goes through BigDecimal.valueOf, i.e. the
+    SHORTEST decimal repr — not the binary expansion. Decimal(x)
+    would diverge on values whose shortest repr sits exactly on a
+    rounding boundary while the binary value is a hair below (the
+    _dec2 convention; caught in the round-11 self-review)."""
     from decimal import ROUND_HALF_UP, Decimal
 
-    return float(Decimal(x).quantize(Decimal(places), ROUND_HALF_UP))
+    return float(Decimal(repr(float(x))).quantize(Decimal(places), ROUND_HALF_UP))
 
 
 def _rhu_frac(fr: Fraction, scale: int) -> float:
@@ -3487,12 +3494,20 @@ def test_events_json_extract_matches_python_json(spark):
     rows = load_table(spark, SMOKE_DIR, "events").select(
         "event_id", "event_type", "props"
     ).collect()
+    import re
+
     want = {}
     for r in rows:
         if r["event_type"] != "purchase" or r["props"] is None:
             continue
         k = json.loads(r["props"]).get("k")
-        if isinstance(k, int) and 10 <= k <= 90:
+        # try_cast(text AS INT) semantics: plain JSON ints qualify, and
+        # so would a string-encoded integer ("42"); bools/floats do not
+        if isinstance(k, str) and re.fullmatch(r"\s*-?\d+\s*", k):
+            k = int(k)
+        elif isinstance(k, bool) or not isinstance(k, int):
+            continue
+        if 10 <= k <= 90:
             want[r["event_id"]] = k
 
     out = QUERIES["events_json_extract"]["builder"](spark, SMOKE_DIR).collect()
@@ -3515,12 +3530,18 @@ def test_kll_exact_twin_matches_linear_interp_percentiles(spark):
         days.add(r["ts"].date())
 
     def pct(sorted_vals, q):
-        h = (len(sorted_vals) - 1) * q
-        lo = int(h // 1)
-        frac = h - lo
-        if lo + 1 < len(sorted_vals):
-            return sorted_vals[lo] + frac * (sorted_vals[lo + 1] - sorted_vals[lo])
-        return float(sorted_vals[lo])
+        # Spark Percentile's EXACT arithmetic (see queries.py
+        # _dd_spark_percentile): (hi-rank)*v[lo] + (rank-lo)*v[hi].
+        # The textbook v[lo] + frac*(v[hi]-v[lo]) is algebraically
+        # equal but floating-point different by an ulp, which can
+        # split the 2dp round boundary (seen at sf0.001).
+        import math
+
+        rank = (len(sorted_vals) - 1) * q
+        lo, hi = math.floor(rank), math.ceil(rank)
+        if lo == hi:
+            return float(sorted_vals[lo])
+        return (hi - rank) * sorted_vals[lo] + (rank - lo) * sorted_vals[hi]
 
     want = {}
     for t, (vals, days) in by_type.items():
@@ -3562,8 +3583,12 @@ def test_theta_exact_twin_matches_python_sets(spark):
 
 
 def test_brand_price_ranks_match_textbook_rank_definitions(spark):
-    """rank() (gaps) and dense_rank() (no gaps) re-derived from their
-    definitions over the (price desc, partkey) order per brand."""
+    """rank()/dense_rank() re-derived from their peer-group definitions
+    over the window's FULL order key (price desc, partkey). The key is
+    unique (partkey breaks every price tie), so peers are impossible
+    and both collapse to the row position — asserting tie-sharing over
+    price alone would FAIL against a correct engine the moment a brand
+    has two equal prices (round-11 self-review finding)."""
     rows = load_table(spark, SMOKE_DIR, "part").select(
         "p_brand", "p_partkey", "p_retailprice"
     ).collect()
@@ -3574,15 +3599,14 @@ def test_brand_price_ranks_match_textbook_rank_definitions(spark):
     want = {}
     for b, items in by_brand.items():
         items.sort(key=lambda t: (-t[0], t[1]))
-        seen_prices = []
+        keys = [(-p, pk) for p, pk in items]
+        assert len(set(keys)) == len(keys), "order key must be unique"
         for i, (price, pk) in enumerate(items):
-            # rank = 1 + number of STRICTLY better rows (ties share)
-            rnk = 1 + sum(1 for p, _ in items if p > price)
-            if price not in seen_prices:
-                seen_prices.append(price)
-            dns = seen_prices.index(price) + 1
-            if rnk <= 5:
-                want[(b, pk)] = (_rhu(price, "0.01"), rnk, dns)
+            # peer group = rows equal on the FULL key -> singleton, so
+            # rank = 1 + #strictly-prior keys = i+1 and dense_rank =
+            # #distinct keys at-or-before = i+1
+            if i + 1 <= 5:
+                want[(b, pk)] = (_rhu(price, "0.01"), i + 1, i + 1)
 
     out = QUERIES["brand_price_ranks"]["builder"](spark, SMOKE_DIR).collect()
     got = {
@@ -3644,19 +3668,7 @@ def test_cleaning_pipeline_matches_textbook_composition(spark):
     lat, lon). The fixture is asserted to keep every point at least
     1 m away from the 300 km cut so the two haversine formulations
     cannot disagree."""
-    import math
-
     occ, cents = _occ_fixture(spark)
-
-    def hav(p1, l1, p2, l2):
-        dp = math.radians(p2 - p1) / 2.0
-        dl = math.radians(l2 - l1) / 2.0
-        a = (
-            math.sin(dp) ** 2
-            + math.cos(math.radians(p1)) * math.cos(math.radians(p2))
-            * math.sin(dl) ** 2
-        )
-        return 2.0 * 6371000.0 * math.asin(min(1.0, math.sqrt(a)))
 
     survivors = []
     for oid, sp, lat, lon, unc in occ:
@@ -3667,7 +3679,7 @@ def test_cleaning_pipeline_matches_textbook_composition(spark):
             continue
         if not (1000 <= unc <= 5000):
             continue
-        d = min(hav(flat, flon, cp, cl) for cp, cl in cents)
+        d = min(_hav(flat, flon, cp, cl) for cp, cl in cents)
         assert abs(d - 300000.0) > 1.0, "fixture must not sit on the cut"
         if d <= 300000.0:
             continue
@@ -3751,13 +3763,14 @@ def test_variant_props_stats_match_python_json(spark):
     rows = load_table(spark, SMOKE_DIR, "events").select(
         "event_type", "props"
     ).collect()
-    agg: dict = defaultdict(lambda: [0, 0, None, set()])
+    agg: dict = defaultdict(lambda: [0, None, None, set()])
     for r in rows:
         a = agg[r["event_type"]]
         a[0] += 1
         k = json.loads(r["props"]).get("k") if r["props"] is not None else None
-        if isinstance(k, int):
-            a[1] += k
+        # engines sum over an all-NULL group as NULL, never 0
+        if isinstance(k, int) and not isinstance(k, bool):
+            a[1] = k if a[1] is None else a[1] + k
             a[2] = k if a[2] is None else max(a[2], k)
             a[3].add(k)
 
@@ -3977,7 +3990,11 @@ def test_nested_order_rollup_matches_left_join_fold(spark):
 
     out = QUERIES["nested_order_rollup"]["builder"](spark, SMOKE_DIR).collect()
     got = {r["o_orderpriority"]: (r["n_orders"], r["n_items"], r["total_price"]) for r in out}
-    want = {p: (len(os), n, _rhu_frac(s, 2)) for p, (os, n, s) in agg.items()}
+    # a priority whose orders have zero lineitems sums to NULL, not 0
+    want = {
+        p: (len(os), n, _rhu_frac(s, 2) if n else None)
+        for p, (os, n, s) in agg.items()
+    }
     assert got == want
 
 
@@ -4013,31 +4030,12 @@ def test_corpus_curation_matches_python_composition(spark):
 
     # losers = non-canonical members of the near-dup components
     pairs = _exact_jaccard_pairs(_string_shingles(spark), 0.5)
-    parent: dict = {}
-
-    def find(x):
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in pairs:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    losers = {n for p in pairs for n in p if find(n) != n}
-
-    from decimal import ROUND_HALF_UP, Decimal
+    roots = _uf_roots(pairs)
+    losers = {n for n, root in roots.items() if root != n}
 
     def r4(x: float) -> float:
-        return float(Decimal(x).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+        return _rhu(x, "0.0001")
 
-    stops = {
-        "en": {"the", "a", "of", "and", "to"},
-        "es": {"el", "la", "de", "los", "que"},
-        "fr": {"le", "la", "les", "des", "et"},
-        "de": {"der", "die", "das", "und", "ist"},
-    }
     agg: dict = defaultdict(lambda: [0, 0, Fraction(0)])
     docs = load_table(spark, SMOKE_DIR, "documents").select(
         "doc_id", "source", "text"
@@ -4048,22 +4046,12 @@ def test_corpus_curation_matches_python_composition(spark):
         t = r["text"]
         words = _py_words(t)
         n_words = len(words)
-        s = {lang: sum(1 for w in words if w in sw) for lang, sw in stops.items()}
-        if max(s.values()) == 0:
-            lang = "und"
-        elif s["en"] >= s["es"] and s["en"] >= s["fr"] and s["en"] >= s["de"]:
-            lang = "en"
-        elif s["es"] >= s["fr"] and s["es"] >= s["de"]:
-            lang = "es"
-        elif s["fr"] >= s["de"]:
-            lang = "fr"
-        else:
-            lang = "de"
+        sc, lang = _lang_id(words)
         n_punct = len(t) - len(re.sub(r"[^\w\s]", "", t))
         quality = r4(
             (1.0 if n_words >= 5 else 0.0)
             * (1.0 - r4(n_punct / max(len(t), 1)))
-            * (1.0 if r4(s["en"] / n_words) > 0.01 else 0.5)
+            * (1.0 if r4(sc["en"] / n_words) > 0.01 else 0.5)
         )
         if quality >= 0.4 and n_words >= 5:
             a = agg[(r["source"], lang)]
