@@ -2188,6 +2188,22 @@ def _ray_inside(lon: float, lat: float, poly: list) -> bool:
     return hit
 
 
+def _spark_pct(sorted_vals, q):
+    """Spark Percentile's EXACT arithmetic (queries.py
+    _dd_spark_percentile): (hi-rank)*v[lo] + (rank-lo)*v[hi]. The
+    textbook v[lo] + frac*(v[hi]-v[lo]) is algebraically equal but
+    floating-point different by an ulp — already visible at 3 of 9
+    decile boundaries on the sf0.001 lineitem prices — and can split
+    a round/bucket boundary."""
+    import math
+
+    rank = (len(sorted_vals) - 1) * q
+    lo, hi = math.floor(rank), math.ceil(rank)
+    if lo == hi:
+        return float(sorted_vals[lo])
+    return (hi - rank) * sorted_vals[lo] + (rank - lo) * sorted_vals[hi]
+
+
 def _uf_roots(pairs) -> dict:
     """Union-find over a pair iterable; returns node -> min-root map."""
     parent: dict = {}
@@ -3102,18 +3118,15 @@ def test_climate_zonal_matches_grid_formula(spark):
     libm; engine parity already pins Java's libm to the same 2dp)."""
     import math
 
-    def rhu(x: float, places: str) -> float:
-        return _rhu(x, places)
-
     custs = load_table(spark, SMOKE_DIR, "customer").select("c_custkey").collect()
     want = {}
     for r in custs:
         k = r["c_custkey"]
         fl_lat = math.floor(_synth_lat(k, 0.15))
         fl_lon = math.floor(_synth_lon(k, 0.15))
-        b1 = rhu((math.sin(fl_lat + 0) + math.cos(fl_lon - 0)) * 0.1 - 273.15, "0.01")
-        b2 = rhu((math.sin(fl_lat + 1) + math.cos(fl_lon - 1)) * 0.1, "1")
-        b3 = rhu(math.sin(fl_lat + 2) + math.cos(fl_lon - 2), "0.01")
+        b1 = _rhu((math.sin(fl_lat + 0) + math.cos(fl_lon - 0)) * 0.1 - 273.15, "0.01")
+        b2 = _rhu((math.sin(fl_lat + 1) + math.cos(fl_lon - 1)) * 0.1, "1")
+        b3 = _rhu(math.sin(fl_lat + 2) + math.cos(fl_lon - 2), "0.01")
         want[k] = (b1, b2, b3)
 
     out = QUERIES["climate_zonal_grid"]["builder"](spark, SMOKE_DIR).collect()
@@ -3503,7 +3516,7 @@ def test_events_json_extract_matches_python_json(spark):
         k = json.loads(r["props"]).get("k")
         # try_cast(text AS INT) semantics: plain JSON ints qualify, and
         # so would a string-encoded integer ("42"); bools/floats do not
-        if isinstance(k, str) and re.fullmatch(r"\s*-?\d+\s*", k):
+        if isinstance(k, str) and re.fullmatch(r"\s*[+-]?\d+\s*", k):
             k = int(k)
         elif isinstance(k, bool) or not isinstance(k, int):
             continue
@@ -3529,27 +3542,13 @@ def test_kll_exact_twin_matches_linear_interp_percentiles(spark):
         vals.append(r["user_id"])
         days.add(r["ts"].date())
 
-    def pct(sorted_vals, q):
-        # Spark Percentile's EXACT arithmetic (see queries.py
-        # _dd_spark_percentile): (hi-rank)*v[lo] + (rank-lo)*v[hi].
-        # The textbook v[lo] + frac*(v[hi]-v[lo]) is algebraically
-        # equal but floating-point different by an ulp, which can
-        # split the 2dp round boundary (seen at sf0.001).
-        import math
-
-        rank = (len(sorted_vals) - 1) * q
-        lo, hi = math.floor(rank), math.ceil(rank)
-        if lo == hi:
-            return float(sorted_vals[lo])
-        return (hi - rank) * sorted_vals[lo] + (rank - lo) * sorted_vals[hi]
-
     want = {}
     for t, (vals, days) in by_type.items():
         vals.sort()
         want[t] = (
             len(days),
-            _rhu(pct(vals, 0.5), "0.01"),
-            _rhu(pct(vals, 0.95), "0.01"),
+            _rhu(_spark_pct(vals, 0.5), "0.01"),
+            _rhu(_spark_pct(vals, 0.95), "0.01"),
         )
 
     out = QUERIES["kll_value_quantiles_exact"]["builder"](spark, SMOKE_DIR).collect()
@@ -3763,13 +3762,21 @@ def test_variant_props_stats_match_python_json(spark):
     rows = load_table(spark, SMOKE_DIR, "events").select(
         "event_type", "props"
     ).collect()
+    import re as _re
+
     agg: dict = defaultdict(lambda: [0, None, None, set()])
     for r in rows:
         a = agg[r["event_type"]]
         a[0] += 1
         k = json.loads(r["props"]).get("k") if r["props"] is not None else None
-        # engines sum over an all-NULL group as NULL, never 0
-        if isinstance(k, int) and not isinstance(k, bool):
+        # try_variant_get(..., 'long') casts JSON true -> 1 and a
+        # digit string '7' -> 7 (probed live on this Spark); engines
+        # sum over an all-NULL group as NULL, never 0
+        if isinstance(k, bool):
+            k = int(k)
+        elif isinstance(k, str) and _re.fullmatch(r"\s*[+-]?\d+\s*", k):
+            k = int(k)
+        if isinstance(k, int):
             a[1] = k if a[1] is None else a[1] + k
             a[2] = k if a[2] is None else max(a[2], k)
             a[3].add(k)
@@ -4195,25 +4202,19 @@ def test_contrastive_negatives_match_pool_definition(spark):
 
 
 def test_equidepth_deciles_match_interpolated_boundaries(spark):
-    """The equi-depth histogram re-derived from the textbook
-    linear-interpolation decile boundaries + boundary-count bucketing.
-    Interpolated boundaries sit strictly between adjacent distinct data
-    values, so comparisons cannot straddle a 1-ulp formula difference."""
+    """The equi-depth histogram re-derived from linear-interpolation
+    decile boundaries (Spark Percentile's exact op order — the
+    textbook form differs by an ulp at 3 of 9 boundaries on this very
+    fixture, and a data value CAN coincide with a boundary when a
+    decile rank lands between duplicate prices, so the formula choice
+    is load-bearing for the 'v > bound' bucket cut) + boundary-count
+    bucketing."""
     vals = sorted(
         r["l_extendedprice"]
         for r in load_table(spark, SMOKE_DIR, "lineitem")
         .select("l_extendedprice").collect()
     )
-
-    def pct(q):
-        h = (len(vals) - 1) * q
-        lo = int(h)
-        frac = h - lo
-        if lo + 1 < len(vals):
-            return vals[lo] + frac * (vals[lo + 1] - vals[lo])
-        return float(vals[lo])
-
-    bounds = [pct(i / 10.0) for i in range(1, 10)]
+    bounds = [_spark_pct(vals, i / 10.0) for i in range(1, 10)]
     agg: dict = defaultdict(lambda: [0, None, None])
     for v in vals:
         b = sum(1 for x in bounds if v > x)
