@@ -2143,9 +2143,14 @@ _register(
     FROM lineitem
     QUALIFY row_number() OVER (
         PARTITION BY l_orderkey
-        ORDER BY l_shipdate DESC, l_linenumber DESC) = 1
+        ORDER BY l_shipdate DESC, l_linenumber DESC, l_linestatus DESC) = 1
     """,
-    "SURVEY §2.1 S3 latest-annotation (element_at(col,-1)); transforms.py:89-96",
+    "SURVEY §2.1 S3 latest-annotation (element_at(col,-1)); transforms.py:89-96. "
+    "Oracle orders by the FULL struct-sort key incl. l_linestatus: the synthetic "
+    "lineitem has duplicate (orderkey, shipdate, linenumber) rows with differing "
+    "status (42 groups at sf0.1), Spark's array_sort max breaks that tie on the "
+    "third struct field, and without it the oracle's choice is engine-arbitrary "
+    "(caught by the first full-registry sf0.1 sweep, round 11)",
 )
 
 # ---------------------------------------------------------------------------

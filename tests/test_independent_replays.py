@@ -3958,14 +3958,17 @@ def test_article_lists_special_case_matches_override(spark):
 
 
 def test_latest_line_status_matches_max_fold(spark):
-    """S3 latest-annotation re-derived as a max fold over
-    (shipdate, linenumber) per order."""
+    """S3 latest-annotation re-derived as a max fold over the FULL
+    struct-sort key (shipdate, linenumber, linestatus) per order — the
+    synthetic data has duplicate (orderkey, shipdate, linenumber) rows
+    with differing status, and Spark's array_sort max breaks that tie
+    on the third field (the sf0.1 sweep finding)."""
     best: dict = {}
     for r in load_table(spark, SMOKE_DIR, "lineitem").select(
         "l_orderkey", "l_shipdate", "l_linenumber", "l_linestatus"
     ).collect():
         key = r["l_orderkey"]
-        stamp = (r["l_shipdate"], r["l_linenumber"])
+        stamp = (r["l_shipdate"], r["l_linenumber"], r["l_linestatus"])
         if key not in best or stamp > best[key][0]:
             best[key] = (stamp, (r["l_linestatus"], r["l_shipdate"]))
     want = {k: v for k, (_, v) in best.items()}
