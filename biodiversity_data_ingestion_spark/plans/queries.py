@@ -6975,12 +6975,25 @@ def _supplier_shipping_coverage(spark, sf_dir):
     # lineitem has no receipt date in this schema (ends at l_shipdate);
     # derive a deterministic transit interval end from existing columns:
     # receipt = ship + 1..7 days keyed by line number.
+    # The window ORDER BY is made TOTAL with the row's natural unique
+    # key (orderkey, linenumber): duplicates of (s, e) are interval-
+    # union no-ops, but DuckDB v1.0.0's PARALLEL window over TIED ROWS
+    # frames returns wrong, run-to-run varying running maxes
+    # (threads=1 is correct; caught by the round-11 sf0.1 sweep,
+    # ground-truthed in plain Python). A DISTINCT would also fix it
+    # but costs a second fact-table exchange — the tie-break keys are
+    # free (plan stays at 1 exchange, the reused supplier
+    # partitioning).
     li = _t(spark, sf_dir, "lineitem").select(
         "l_suppkey",
         F.to_date("l_shipdate").alias("s"),
         F.date_add(F.to_date("l_shipdate"), (F.col("l_linenumber") % 7) + 1).alias("e"),
+        "l_orderkey",
+        "l_linenumber",
     )
-    w = Window.partitionBy("l_suppkey").orderBy("s", "e")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "s", "e", "l_orderkey", "l_linenumber"
+    )
     prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
     marked = li.withColumn(
         "new_island",
@@ -7003,19 +7016,24 @@ _register(
     _supplier_shipping_coverage,
     """
     WITH iv AS (
+        -- total window order via the natural unique key: see the
+        -- builder comment (DuckDB parallel-window tie defect)
         SELECT l_suppkey, CAST(l_shipdate AS DATE) AS s,
-               CAST(l_shipdate AS DATE) + CAST((l_linenumber % 7) + 1 AS INTEGER) AS e
+               CAST(l_shipdate AS DATE) + CAST((l_linenumber % 7) + 1 AS INTEGER) AS e,
+               l_orderkey, l_linenumber
         FROM lineitem),
     m AS (
-        SELECT l_suppkey, s, e,
-               max(e) OVER (PARTITION BY l_suppkey ORDER BY s, e
+        SELECT l_suppkey, s, e, l_orderkey, l_linenumber,
+               max(e) OVER (PARTITION BY l_suppkey
+                            ORDER BY s, e, l_orderkey, l_linenumber
                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                  AS prev_e
         FROM iv),
     g AS (
         SELECT l_suppkey, s, e,
                sum(CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END)
-                 OVER (PARTITION BY l_suppkey ORDER BY s, e
+                 OVER (PARTITION BY l_suppkey
+                       ORDER BY s, e, l_orderkey, l_linenumber
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS island
         FROM m),

@@ -4462,3 +4462,41 @@ def test_specimen_projection_matches_child_fold(spark):
         for r in out
     }
     assert got == want
+
+
+def test_shipping_coverage_matches_sweep_line_union(spark):
+    """Interval union re-derived with the textbook sweep-line merge
+    over the DISTINCT per-supplier intervals. This query earned its
+    replay the hard way: the round-11 sf0.1 sweep caught DuckDB
+    v1.0.0's PARALLEL window returning wrong, run-to-run varying
+    running maxes over tied ROWS frames (threads=1 correct) — the
+    fix dedupes intervals so the window order is total, and this
+    replay pins the semantics independently of any window at all."""
+    rows = load_table(spark, SMOKE_DIR, "lineitem").select(
+        "l_suppkey", "l_shipdate", "l_linenumber"
+    ).collect()
+    from datetime import timedelta
+
+    ivs: dict = defaultdict(set)
+    for r in rows:
+        s = r["l_shipdate"].date()
+        ivs[r["l_suppkey"]].add((s, s + timedelta(days=(r["l_linenumber"] % 7) + 1)))
+
+    want = {}
+    for k, iv in ivs.items():
+        islands = []
+        cur_s, cur_e = None, None
+        for s, e in sorted(iv):
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    islands.append((cur_s, cur_e))
+                cur_s, cur_e = s, e
+            elif e > cur_e:
+                cur_e = e
+        islands.append((cur_s, cur_e))
+        want[k] = (len(islands), sum((e - s).days + 1 for s, e in islands))
+
+    out = QUERIES["supplier_shipping_coverage"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["l_suppkey"]: (r["n_intervals"], r["covered_days"]) for r in out}
+    assert got == want
+    assert any(n > 1 for n, _ in want.values()), "fixture must contain gaps"
