@@ -4500,3 +4500,209 @@ def test_shipping_coverage_matches_sweep_line_union(spark):
     got = {r["l_suppkey"]: (r["n_intervals"], r["covered_days"]) for r in out}
     assert got == want
     assert any(n > 1 for n, _ in want.values()), "fixture must contain gaps"
+
+
+# ---------------------------------------------------------------------------
+# Batch 22 (round 11, this session): the remaining canonical-definition
+# queries in the user-analytics and statistics families — streaks,
+# trailing windows, cohort retention, rolling time-range sums, MAD,
+# and the per-group Pearson close.
+
+
+def test_price_quantity_corr_matches_pearson_from_raw_rows(spark):
+    """Per-returnflag Pearson r and covariance re-derived from raw
+    lineitem rows with exact-Fraction moments (the corr-close rule:
+    moments exact, close in double)."""
+    rows = (
+        load_table(spark, SMOKE_DIR, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice", "l_discount")
+        .collect()
+    )
+    groups: dict = defaultdict(list)
+    for r in rows:
+        groups[r["l_returnflag"]].append(
+            (_dec2(r["l_quantity"]), _dec2(r["l_extendedprice"]),
+             _dec2(r["l_discount"]))
+        )
+
+    import math
+
+    want = {}
+    for flag, pts in groups.items():
+        n = len(pts)
+        sx = sum(p[0] for p in pts)
+        sy = sum(p[1] for p in pts)
+        sd = sum(p[2] for p in pts)
+        sxx = sum(p[0] * p[0] for p in pts)
+        syy = sum(p[1] * p[1] for p in pts)
+        sxy = sum(p[0] * p[1] for p in pts)
+        sxd = sum(p[0] * p[2] for p in pts)
+        vx = n * float(sxx) - float(sx) * float(sx)
+        vy = n * float(syy) - float(sy) * float(sy)
+        corr = None
+        if vx > 0 and vy > 0:
+            corr = (n * float(sxy) - float(sx) * float(sy)) / (
+                math.sqrt(vx) * math.sqrt(vy)
+            )
+        covar = (float(sxd) - float(sx) * float(sd) / n) / n
+        want[flag] = (n, corr, covar)
+
+    out = QUERIES["price_quantity_corr"]["builder"](spark, SMOKE_DIR).collect()
+    assert {r["l_returnflag"] for r in out} == set(want)
+    for r in out:
+        n, corr, covar = want[r["l_returnflag"]]
+        assert r["n"] == n
+        if corr is None:
+            assert r["qty_price_corr"] is None
+        else:
+            assert abs(r["qty_price_corr"] - corr) <= 1e-4 + 1e-9
+        assert abs(r["qty_disc_covar"] - covar) <= 1e-4 + 1e-9
+
+
+def test_event_value_mad_matches_continuous_quantile_definition(spark):
+    """Median absolute deviation per event type re-derived with the
+    textbook continuous (linearly interpolated) quantile over sorted
+    raw values — MAD = median(|x - median(x)|)."""
+    rows = (
+        load_table(spark, SMOKE_DIR, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+    by_type: dict = defaultdict(list)
+    for r in rows:
+        by_type[r["event_type"]].append(float(r["value"]))
+
+    def q50(vals: list) -> float:
+        s = sorted(vals)
+        n = len(s)
+        if n % 2:
+            return s[n // 2]
+        return (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+    want = {}
+    for t, vals in by_type.items():
+        med = q50(vals)
+        mad = q50([abs(v - med) for v in vals])
+        want[t] = (med, mad)
+
+    out = QUERIES["event_value_mad"]["builder"](spark, SMOKE_DIR).collect()
+    assert {r["event_type"] for r in out} == set(want)
+    for r in out:
+        med, mad = want[r["event_type"]]
+        assert abs(r["median_value"] - med) <= 1e-4 + 1e-9
+        assert abs(r["mad"] - mad) <= 1e-4 + 1e-9
+
+
+def test_longest_daily_streak_matches_consecutive_day_fold(spark):
+    """Longest run of consecutive active days re-derived by walking the
+    sorted distinct day list — fully independent of the islands
+    (day-index minus row_number) trick both engines use."""
+    rows = load_table(spark, SMOKE_DIR, "events").select("user_id", "ts").collect()
+    days: dict = defaultdict(set)
+    for r in rows:
+        days[r["user_id"]].add(r["ts"].date())
+
+    want = {}
+    for u, ds in days.items():
+        best = cur = 1
+        prev = None
+        for d in sorted(ds):
+            if prev is not None and (d - prev).days == 1:
+                cur += 1
+            else:
+                cur = 1
+            best = max(best, cur)
+            prev = d
+        want[u] = best
+
+    out = QUERIES["user_longest_daily_streak"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["user_id"]: r["longest_streak"] for r in out}
+    assert got == want
+    assert any(v > 1 for v in want.values()), "fixture must contain streaks"
+
+
+def test_trailing_7d_active_users_matches_window_set_definition(spark):
+    """DAU / trailing-7-day WAU / stickiness re-derived with plain set
+    arithmetic over the distinct (user, day) pairs."""
+    rows = load_table(spark, SMOKE_DIR, "events").select("user_id", "ts").collect()
+    from datetime import timedelta
+
+    by_day: dict = defaultdict(set)
+    for r in rows:
+        by_day[r["ts"].date()].add(r["user_id"])
+
+    want = {}
+    for day in by_day:
+        dau = len(by_day[day])
+        wau = len(set().union(
+            *(by_day.get(day - timedelta(days=k), set()) for k in range(7))
+        ))
+        stick = Fraction(dau, wau)
+        want[day.isoformat()] = (dau, wau, stick)
+
+    out = QUERIES["trailing_7d_active_users"]["builder"](spark, SMOKE_DIR).collect()
+    assert {r["day"] for r in out} == set(want)
+    for r in out:
+        dau, wau, stick = want[r["day"]]
+        assert (r["dau"], r["wau_7d"]) == (dau, wau)
+        assert abs(r["stickiness"] - float(stick)) <= 1e-4 + 1e-9
+
+
+def test_rolling_1h_value_matches_time_range_definition(spark):
+    """Per-event trailing-1-hour purchase sum re-derived with an O(n^2)
+    scan over each user's purchases: frame = events whose floor(epoch)
+    lies within 3600 s at or before the current row's."""
+    rows = (
+        load_table(spark, SMOKE_DIR, "events")
+        .filter("event_type = 'purchase'")
+        .select("user_id", "event_id", "ts", "value")
+        .collect()
+    )
+    from datetime import datetime
+
+    epoch0 = datetime(1970, 1, 1)
+    by_user: dict = defaultdict(list)
+    for r in rows:
+        # floor-of-epoch mirrors both engines' integral-second ordering;
+        # any constant offset (timezone) cancels in the differences
+        sec = int((r["ts"] - epoch0).total_seconds() // 1)
+        by_user[r["user_id"]].append((sec, r["event_id"], _dec2(r["value"])))
+
+    want = {}
+    for u, evs in by_user.items():
+        for sec, eid, _ in evs:
+            frame = [v for s, _, v in evs if sec - 3600 <= s <= sec]
+            want[(u, eid)] = (sum(int(v * 100) for v in frame), len(frame))
+
+    out = QUERIES["user_rolling_1h_value"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        (r["user_id"], r["event_id"]):
+            (round(r["rolling_1h_sum"] * 100), r["rolling_1h_n"])
+        for r in out
+    }
+    assert got == want
+    assert any(n > 1 for _, n in want.values()), "fixture must overlap windows"
+
+
+def test_retention_cohorts_match_first_day_fold(spark):
+    """Cohort retention re-derived as a plain fold: cohort = each
+    user's first active date, then distinct actives per (cohort,
+    day-offset) cell."""
+    rows = load_table(spark, SMOKE_DIR, "events").select("user_id", "ts").collect()
+    first: dict = {}
+    for r in rows:
+        d = r["ts"].date()
+        if r["user_id"] not in first or d < first[r["user_id"]]:
+            first[r["user_id"]] = d
+
+    cells: dict = defaultdict(set)
+    for r in rows:
+        u = r["user_id"]
+        off = (r["ts"].date() - first[u]).days
+        cells[(first[u].isoformat(), off)].add(u)
+
+    want = {k: len(v) for k, v in cells.items()}
+    out = QUERIES["user_retention_cohorts"]["builder"](spark, SMOKE_DIR).collect()
+    got = {(r["cohort_day"], r["day_offset"]): r["n_active"] for r in out}
+    assert got == want
+    assert any(off > 0 for _, off in want), "fixture must contain return visits"
