@@ -4706,3 +4706,168 @@ def test_retention_cohorts_match_first_day_fold(spark):
     got = {(r["cohort_day"], r["day_offset"]): r["n_active"] for r in out}
     assert got == want
     assert any(off > 0 for _, off in want), "fixture must contain return visits"
+
+
+# ---------------------------------------------------------------------------
+# Batch 23: k-anonymity, TPC-H Q18, bitmap aggregation, event trigrams,
+# and both document chunking schemes — each re-derived as a plain fold.
+
+
+def test_k_anonymity_audit_matches_class_count_definition(spark):
+    """k-anonymity (k=5) over the (nation, segment) quasi-identifier:
+    equivalence-class sizes from a plain dict fold."""
+    rows = (
+        load_table(spark, SMOKE_DIR, "customer")
+        .select("c_nationkey", "c_mktsegment")
+        .collect()
+    )
+    classes: dict = defaultdict(int)
+    for r in rows:
+        classes[(r["c_nationkey"], r["c_mktsegment"])] += 1
+
+    sizes = list(classes.values())
+    at_risk = sum(n for n in sizes if n < 5)
+    out = QUERIES["k_anonymity_audit"]["builder"](spark, SMOKE_DIR).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_classes"] == len(sizes)
+    assert r["n_small_classes"] == sum(1 for n in sizes if n < 5)
+    assert r["n_rows_at_risk"] == at_risk
+    assert r["min_class_size"] == min(sizes)
+    assert abs(r["pct_at_risk"] - float(Fraction(at_risk * 100, sum(sizes)))) \
+        <= 1e-4 + 1e-9
+
+
+def test_q18_large_orders_matches_spec_fold(spark):
+    """TPC-H Q18: orders whose line quantities sum past 150, folded
+    from raw lineitem rows and joined through plain dicts."""
+    li = load_table(spark, SMOKE_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    ).collect()
+    qty: dict = defaultdict(Fraction)
+    for r in li:
+        qty[r["l_orderkey"]] += _dec2(r["l_quantity"])
+    big = {k: v for k, v in qty.items() if v > 150}
+
+    orders = {
+        r["o_orderkey"]: (r["o_custkey"], r["o_orderdate"], r["o_totalprice"])
+        for r in load_table(spark, SMOKE_DIR, "orders").collect()
+    }
+    cust = {
+        r["c_custkey"]: r["c_name"]
+        for r in load_table(spark, SMOKE_DIR, "customer").collect()
+    }
+    want = set()
+    for ok, q in big.items():
+        ck, od, tp = orders[ok]
+        want.add((ck, cust[ck], ok, od, round(float(tp) * 100), int(q * 100)))
+
+    out = QUERIES["tpch_q18_large_orders"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        (r["c_custkey"], r["c_name"], r["o_orderkey"], r["o_orderdate"],
+         round(r["o_totalprice"] * 100), round(r["total_qty"] * 100))
+        for r in out
+    }
+    assert got == want
+    assert want, "fixture must contain large orders"
+
+
+def test_nation_segment_bitmap_matches_bit_arithmetic(spark):
+    """Segment bitmap re-derived with plain Python int OR over
+    1 << (ord(first_char) % 16)."""
+    rows = (
+        load_table(spark, SMOKE_DIR, "customer")
+        .select("c_nationkey", "c_mktsegment")
+        .collect()
+    )
+    bits: dict = defaultdict(int)
+    segs: dict = defaultdict(set)
+    for r in rows:
+        bits[r["c_nationkey"]] |= 1 << (ord(r["c_mktsegment"][0]) % 16)
+        segs[r["c_nationkey"]].add(r["c_mktsegment"])
+
+    out = QUERIES["nation_segment_bitmap"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["c_nationkey"]: (r["segment_bitmap"], r["n_segments"]) for r in out}
+    assert got == {k: (bits[k], len(segs[k])) for k in bits}
+
+
+def test_event_trigram_topk_matches_sequence_definition(spark):
+    """Per-user event-type trigrams from the (ts, event_id)-sorted
+    sequence, ranked by the query's total order and cut at 20."""
+    rows = (
+        load_table(spark, SMOKE_DIR, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    seqs: dict = defaultdict(list)
+    for r in rows:
+        seqs[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+
+    support: dict = defaultdict(int)
+    users: dict = defaultdict(set)
+    for u, evs in seqs.items():
+        evs.sort(key=lambda t: (t[0], t[1]))
+        types = [t[2] for t in evs]
+        for i in range(len(types) - 2):
+            tri = tuple(types[i:i + 3])
+            support[tri] += 1
+            users[tri].add(u)
+
+    ranked = sorted(
+        support,
+        key=lambda t: (-support[t], -len(users[t]), t[0], t[1], t[2]),
+    )[:20]
+    want = [(t[0], t[1], t[2], support[t], len(users[t])) for t in ranked]
+
+    out = QUERIES["event_trigram_topk"]["builder"](spark, SMOKE_DIR).collect()
+    got = [(r["e1"], r["e2"], r["e3"], r["support"], r["n_users"]) for r in out]
+    assert got == want
+
+
+def test_doc_chunk_windows_match_stride_arithmetic(spark):
+    """Token-window chunking (64-token windows, stride 48) re-derived
+    with plain list slicing over the whitespace split."""
+    import math
+
+    rows = load_table(spark, SMOKE_DIR, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    want = {}
+    for r in rows:
+        words = _py_words(r["text"])
+        n = len(words)
+        n_chunks = max(math.ceil((n - 64) / 48.0), 0) + 1
+        for i in range(n_chunks):
+            want[(r["doc_id"], i)] = len(words[i * 48:i * 48 + 64])
+
+    out = QUERIES["doc_chunk_windows"]["builder"](spark, SMOKE_DIR).collect()
+    got = {(r["doc_id"], r["chunk_idx"]): r["chunk_tokens"] for r in out}
+    assert got == want
+    assert any(i > 0 for _, i in want), "fixture must contain multi-chunk docs"
+
+
+def test_doc_chunking_matches_char_stride_and_md5(spark):
+    """Character chunking (200 chars, stride 150) re-derived with plain
+    slicing + hashlib md5."""
+    import hashlib
+    import math
+
+    rows = load_table(spark, SMOKE_DIR, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    want = {}
+    for r in rows:
+        t = r["text"]
+        n_chunks = max(math.ceil((len(t) - 200) / 150.0) + 1, 1)
+        for i in range(int(n_chunks)):
+            piece = t[i * 150:i * 150 + 200]
+            want[(r["doc_id"], i)] = (
+                len(piece), hashlib.md5(piece.encode("utf-8")).hexdigest()
+            )
+
+    out = QUERIES["doc_chunking"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_len"], r["chunk_md5"])
+        for r in out
+    }
+    assert got == want
