@@ -4871,3 +4871,283 @@ def test_doc_chunking_matches_char_stride_and_md5(spark):
         for r in out
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Batch 24: Lloyd's k-means end to end, the random-projection sketch,
+# Gopher-style trigram repetition, greedy BPE encoding, TPC-H Q6/Q9,
+# and the per-user gap/first-last window families.
+
+
+def _dec4(v) -> Fraction:
+    """Exact 4dp quantization the way both engines CAST(double AS
+    DECIMAL(18,4)): HALF_UP on the shortest decimal repr."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return Fraction(
+        Decimal(repr(float(v))).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+    )
+
+
+def test_kmeans_clusters_match_lloyd_fixed_point_iterations(spark):
+    """Lloyd's algorithm re-derived in plain Python ints: 2^24
+    fixed-point coordinates, seeds = first 8 vec_ids, 4 rounds of
+    (min-sq-L2 assignment with cluster-id tie-break, truncating
+    integer-mean update), final census per cluster."""
+    rows = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in load_table(spark, SMOKE_DIR, "embeddings").collect()
+    )
+    xq = {vid: [_round_half_away(x * 16777216.0) for x in ve] for vid, ve in rows}
+    dims = len(rows[0][1])
+    cents = {c: list(xq[vid]) for c, (vid, _) in enumerate(rows[:8])}
+
+    assign: dict = {}
+    for _ in range(4):
+        assign = {
+            vid: min(
+                cents,
+                key=lambda c: (
+                    sum((xq[vid][d] - cents[c][d]) ** 2 for d in range(dims)),
+                    c,
+                ),
+            )
+            for vid, _ in rows
+        }
+        members: dict = defaultdict(list)
+        for vid, c in assign.items():
+            members[c].append(vid)
+        cents = {
+            c: [
+                _trunc_div(sum(xq[v][d] for v in vids), len(vids))
+                for d in range(dims)
+            ]
+            for c, vids in members.items()
+        }
+
+    census: dict = defaultdict(list)
+    for vid, c in assign.items():
+        census[c].append(vid)
+    want = {c: (len(v), min(v)) for c, v in census.items()}
+
+    out = QUERIES["kmeans_clusters"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["cluster"]: (r["n_vecs"], r["min_vec_id"]) for r in out}
+    assert got == want
+    assert len(want) > 1, "fixture must produce multiple clusters"
+
+
+def test_random_projection_matches_integer_hash_signs(spark):
+    """Signed random projection re-derived in plain Python: the
+    integer-mix sign hash per (input dim, output component), an
+    ascending-order float dot, and the 1/sqrt(k) scale."""
+    import math
+
+    def sign(i: int, j: int) -> float:
+        k = (i * 8 + j + 1) * 2654435761 % 2147483648
+        k = (k ^ (k // 65536)) * 1597334677 % 2147483648
+        k = k ^ (k // 8192)
+        return 1.0 if (k // 16) % 2 == 0 else -1.0
+
+    rows = load_table(spark, SMOKE_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    want = {}
+    for r in rows:
+        v = [float(x) for x in r["embedding"]]
+        for j in range(8):
+            acc = 0.0
+            for i in range(64):
+                acc = acc + sign(i, j) * v[i]
+            want[(r["vec_id"], j)] = acc / math.sqrt(8.0)
+
+    out = QUERIES["embedding_random_projection"]["builder"](spark, SMOKE_DIR).collect()
+    assert {(r["vec_id"], r["j"]) for r in out} == set(want)
+    for r in out:
+        assert abs(r["comp"] - want[(r["vec_id"], r["j"])]) <= 1e-6 + 1e-9
+
+
+def test_repetition_scores_match_trigram_set_definition(spark):
+    """Gopher-style repetition: duplicate word-trigram fraction from
+    plain tuple sets."""
+    rows = load_table(spark, SMOKE_DIR, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    want = {}
+    for r in rows:
+        w = _py_words(r["text"])
+        if len(w) < 3:
+            continue
+        grams = [" ".join(w[i:i + 3]) for i in range(len(w) - 2)]
+        want[r["doc_id"]] = (len(grams), len(set(grams)),
+                             1 - Fraction(len(set(grams)), len(grams)))
+
+    out = QUERIES["doc_repetition_scores"]["builder"](spark, SMOKE_DIR).collect()
+    assert {r["doc_id"] for r in out} == set(want)
+    for r in out:
+        n, nd, ratio = want[r["doc_id"]]
+        assert (r["n_grams"], r["n_distinct"]) == (n, nd)
+        assert abs(r["repetition_ratio"] - float(ratio)) <= 1e-4 + 1e-9
+    assert any(nd < n for n, nd, _ in want.values()), "fixture must repeat"
+
+
+def test_bpe_encoding_matches_greedy_merge_definition(spark):
+    """Three BPE merge rounds re-derived as the canonical greedy
+    algorithm: count adjacent symbol pairs weighted by word frequency,
+    pick the (count desc, pair asc) winner, merge leftmost-first
+    non-overlapping — no window machinery."""
+    rows = load_table(spark, SMOKE_DIR, "documents").select("text").collect()
+    wcount: dict = defaultdict(int)
+    for r in rows:
+        for w in _py_words(r["text"]):
+            if w:
+                wcount[w] += 1
+
+    syms = {w: list(w) for w in wcount}
+    for _ in range(3):
+        pc: dict = defaultdict(int)
+        for w, ss in syms.items():
+            for a, b in zip(ss, ss[1:]):
+                pc[(a, b)] += wcount[w]
+        if not pc:
+            break
+        best = min(pc, key=lambda p: (-pc[p], p[0], p[1]))
+        for w, ss in syms.items():
+            out, i = [], 0
+            while i < len(ss):
+                if (i + 1 < len(ss)
+                        and (ss[i], ss[i + 1]) == best):
+                    out.append(ss[i] + ss[i + 1])
+                    i += 2
+                else:
+                    out.append(ss[i])
+                    i += 1
+            syms[w] = out
+
+    want = {w: (len(ss), " ".join(ss)) for w, ss in syms.items()}
+    out = QUERIES["bpe_vocab_encoding"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["word"]: (r["n_bpe_tokens"], r["encoded"]) for r in out}
+    assert got == want
+    assert any(n < len(w) for w, (n, _) in want.items()), \
+        "fixture must contain merged words"
+
+
+def test_forecast_revenue_change_matches_q6_fold(spark):
+    """TPC-H Q6 re-derived as an exact-Fraction fold over the filtered
+    rows."""
+    rows = load_table(spark, SMOKE_DIR, "lineitem").select(
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
+    ).collect()
+    total, n = Fraction(0), 0
+    for r in rows:
+        if (r["l_shipdate"].year == 1996
+                and 0.05 <= r["l_discount"] <= 0.07
+                and r["l_quantity"] < 24):
+            total += _dec4(r["l_extendedprice"] * r["l_discount"])
+            n += 1
+
+    out = QUERIES["forecast_revenue_change"]["builder"](spark, SMOKE_DIR).collect()
+    assert len(out) == 1 and out[0]["n_lines"] == n and n > 0
+    assert out[0]["revenue_delta"] == _rhu_frac(total, 2)
+
+
+def test_part_type_profit_matches_q9_fold(spark):
+    """TPC-H Q9 (profit by nation and year) re-derived with plain dict
+    joins and an exact-Fraction sum of the 4dp-quantized per-row
+    profit."""
+    part = {
+        r["p_partkey"]: (r["p_name"], r["p_retailprice"])
+        for r in load_table(spark, SMOKE_DIR, "part").collect()
+    }
+    supp = {
+        r["s_suppkey"]: r["s_nationkey"]
+        for r in load_table(spark, SMOKE_DIR, "supplier").collect()
+    }
+    nation = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load_table(spark, SMOKE_DIR, "nation").collect()
+    }
+    agg: dict = defaultdict(Fraction)
+    for r in load_table(spark, SMOKE_DIR, "lineitem").collect():
+        pname, retail = part[r["l_partkey"]]
+        if "gear" not in pname:
+            continue
+        profit = (r["l_extendedprice"] * (1 - r["l_discount"])
+                  - retail * 0.1 * r["l_quantity"])
+        key = (nation[supp[r["l_suppkey"]]], r["l_shipdate"].year)
+        agg[key] += _dec4(profit)
+
+    want = {k: _rhu_frac(v, 2) for k, v in agg.items()}
+    out = QUERIES["part_type_profit"]["builder"](spark, SMOKE_DIR).collect()
+    got = {(r["nation"], r["o_year"]): r["sum_profit"] for r in out}
+    assert got == want
+    assert want, "fixture must match the part-name filter"
+
+
+def test_user_event_gaps_match_lag_and_ntile_definitions(spark):
+    """Per-user inter-event gaps and the ntile(4) activity quartile
+    re-derived from sorted microsecond timestamps and the textbook
+    ntile bucket formula (first n%4 buckets get one extra row)."""
+    from datetime import datetime
+
+    rows = load_table(spark, SMOKE_DIR, "events").select(
+        "user_id", "ts", "event_id"
+    ).collect()
+    epoch0 = datetime(1970, 1, 1)
+    by_user: dict = defaultdict(list)
+    for r in rows:
+        us = (r["ts"] - epoch0) // __import__("datetime").timedelta(microseconds=1)
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], us))
+
+    stats = {}
+    for u, evs in by_user.items():
+        evs.sort(key=lambda t: (t[0], t[1]))
+        gaps = [b[2] - a[2] for a, b in zip(evs, evs[1:])]
+        if gaps:
+            avg = Fraction(sum(gaps), len(gaps) * 10**6)
+            stats[u] = (len(evs), _rhu_frac(avg, 2), max(gaps) // 10**6)
+        else:
+            stats[u] = (len(evs), None, None)
+
+    order = sorted(stats, key=lambda u: (stats[u][0], u))
+    n, k = len(order), 4
+    q, rem = divmod(n, k)
+    quartile = {}
+    pos = 0
+    for b in range(1, k + 1):
+        size = q + (1 if b <= rem else 0)
+        for u in order[pos:pos + size]:
+            quartile[u] = b
+        pos += size
+
+    out = QUERIES["user_event_gaps"]["builder"](spark, SMOKE_DIR).collect()
+    assert {r["user_id"] for r in out} == set(stats)
+    for r in out:
+        n_ev, avg, mx = stats[r["user_id"]]
+        assert r["n_events"] == n_ev
+        assert r["avg_gap_s"] == avg
+        assert r["max_gap_s"] == mx
+        assert r["activity_quartile"] == quartile[r["user_id"]]
+
+
+def test_user_first_last_events_match_sequence_endpoints(spark):
+    """First / last / second event type per user from the plain
+    (ts, event_id)-sorted sequence."""
+    rows = load_table(spark, SMOKE_DIR, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    seqs: dict = defaultdict(list)
+    for r in rows:
+        seqs[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+
+    want = {}
+    for u, evs in seqs.items():
+        evs.sort(key=lambda t: (t[0], t[1]))
+        types = [t[2] for t in evs]
+        want[u] = (types[0], types[-1], types[1] if len(types) > 1 else None)
+
+    out = QUERIES["user_first_last_events"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        r["user_id"]: (r["first_type"], r["last_type"], r["second_type"])
+        for r in out
+    }
+    assert got == want
