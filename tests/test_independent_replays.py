@@ -5151,3 +5151,261 @@ def test_user_first_last_events_match_sequence_endpoints(spark):
         for r in out
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Batch 25: SCD2 history, weighted reservoir sampling, upsampling,
+# per-user mode, TPC-H Q2/Q8/Q14 folds, and the retention filter.
+
+
+def test_scd2_history_matches_change_point_walk(spark):
+    """SCD2 re-derived as the canonical change-point walk: per user,
+    sort purchases, keep rows whose 2dp value differs from the
+    PREVIOUS ROW's, tile validity between consecutive change points,
+    drop zero-length intervals."""
+    rows = (
+        load_table(spark, SMOKE_DIR, "events")
+        .filter("event_type = 'purchase'")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    by_user: dict = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(
+            (r["ts"], r["event_id"], _rhu(r["value"], "0.01"))
+        )
+
+    want = set()
+    for u, evs in by_user.items():
+        evs.sort(key=lambda t: (t[0], t[1]))
+        changes = []
+        prev = None
+        for ts, _, v in evs:
+            if prev is None or v != prev:
+                changes.append((ts, v))
+            prev = v
+        for i, (ts, v) in enumerate(changes):
+            valid_to = changes[i + 1][0] if i + 1 < len(changes) else None
+            if valid_to is None or valid_to != ts:
+                want.add((u, ts, valid_to, v))
+
+    out = QUERIES["user_value_scd2"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        (r["user_id"], r["valid_from"], r["valid_to"], r["value"]) for r in out
+    }
+    assert got == want
+    assert any(t is not None for _, _, t, _ in want), "fixture must close rows"
+
+
+def test_weighted_doc_sample_matches_efraimidis_spirakis(spark):
+    """Weighted sampling without replacement re-derived from the
+    Efraimidis-Spirakis definition: key = u^(1/w) with u from the md5
+    hex prefix, top-50 by (key desc, doc_id)."""
+    import hashlib
+
+    rows = load_table(spark, SMOKE_DIR, "documents").select(
+        "doc_id", "n_chars"
+    ).collect()
+    keyed = []
+    for r in rows:
+        h = hashlib.md5(f"ws:{r['doc_id']}".encode()).hexdigest()
+        u = (int(h[:8], 16) + 1.0) / 4294967296.0
+        keyed.append(
+            (r["doc_id"], r["n_chars"], _rhu(u ** (1.0 / r["n_chars"]), "0.000000001"))
+        )
+    keyed.sort(key=lambda t: (-t[2], t[0]))
+    want = keyed[:50]
+
+    out = QUERIES["weighted_doc_sample"]["builder"](spark, SMOKE_DIR).collect()
+    got = [(r["doc_id"], r["n_chars"], r["sample_key"]) for r in out]
+    assert got == want
+
+
+def test_source_upsampling_matches_factor_arithmetic(spark):
+    """Upsampling census re-derived from the per-source factor map."""
+    rows = load_table(spark, SMOKE_DIR, "documents").select(
+        "doc_id", "source"
+    ).collect()
+    factor = lambda s: 3 if s == "src0" else (2 if s == "src1" else 1)  # noqa: E731
+    docs: dict = defaultdict(set)
+    for r in rows:
+        docs[r["source"]].add(r["doc_id"])
+
+    out = QUERIES["source_upsampling"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        r["source"]: (r["n_rows_after"], r["n_docs"], r["max_copy_idx"])
+        for r in out
+    }
+    want = {
+        s: (len(ids) * factor(s), len(ids), factor(s) - 1)
+        for s, ids in docs.items()
+    }
+    assert got == want
+    assert len(want) >= 3, "fixture must contain several sources"
+
+
+def test_most_common_event_matches_mode_definition(spark):
+    """Per-user modal event type with the (count desc, type asc)
+    tie-break, from a plain counter."""
+    rows = load_table(spark, SMOKE_DIR, "events").select(
+        "user_id", "event_type"
+    ).collect()
+    counts: dict = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        counts[r["user_id"]][r["event_type"]] += 1
+
+    want = {}
+    for u, c in counts.items():
+        mode = min(c, key=lambda t: (-c[t], t))
+        want[u] = (mode, c[mode])
+
+    out = QUERIES["most_common_event_per_user"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["user_id"]: (r["mode_type"], r["n"]) for r in out}
+    assert got == want
+
+
+def test_min_cost_part_supplier_matches_q2_fold(spark):
+    """TPC-H Q2's min-cost-supplier shape re-derived with plain dict
+    folds: filtered parts, per-part min line price, every supplier
+    row that hits it (DISTINCT)."""
+    parts = {
+        r["p_partkey"]: r["p_brand"]
+        for r in load_table(spark, SMOKE_DIR, "part").collect()
+        if r["p_type"] == "ECONOMY" and r["p_size"] <= 15
+    }
+    supp = {
+        r["s_suppkey"]: (r["s_name"], r["s_nationkey"])
+        for r in load_table(spark, SMOKE_DIR, "supplier").collect()
+    }
+    nation = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load_table(spark, SMOKE_DIR, "nation").collect()
+    }
+    li = [
+        (r["l_partkey"], r["l_suppkey"], r["l_extendedprice"])
+        for r in load_table(spark, SMOKE_DIR, "lineitem").collect()
+        if r["l_partkey"] in parts
+    ]
+    min_price: dict = {}
+    for pk, _, ep in li:
+        if pk not in min_price or ep < min_price[pk]:
+            min_price[pk] = ep
+
+    want = set()
+    for pk, sk, ep in li:
+        if ep == min_price[pk]:
+            s_name, nk = supp[sk]
+            want.add((pk, parts[pk], s_name, nation[nk],
+                      round(min_price[pk] * 100)))
+
+    out = QUERIES["min_cost_part_supplier"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        (r["p_partkey"], r["p_brand"], r["s_name"], r["supplier_nation"],
+         round(r["min_price"] * 100))
+        for r in out
+    }
+    assert got == want
+    assert want, "fixture must match the part filter"
+
+
+def test_national_market_share_matches_q8_ratio(spark):
+    """TPC-H Q8's market share re-derived from exact-Fraction volume
+    sums and a final double division. Runs at sf0.01: sf0.001 has no
+    NATION_6 supplier inside the ECONOMY/AMERICA/1996-97 filter, so
+    the numerator path would be vacuous there (verified by running
+    the oracle at both SFs)."""
+    sf_dir = "/root/testdata/sf0.01"
+    part_ok = {
+        r["p_partkey"]
+        for r in load_table(spark, sf_dir, "part").collect()
+        if r["p_type"] == "ECONOMY"
+    }
+    region_nations = set()
+    regions = {
+        r["r_regionkey"]: r["r_name"]
+        for r in load_table(spark, sf_dir, "region").collect()
+    }
+    nation_rows = load_table(spark, sf_dir, "nation").collect()
+    nations = {r["n_nationkey"]: r["n_name"] for r in nation_rows}
+    for r in nation_rows:
+        if regions[r["n_regionkey"]] == "AMERICA":
+            region_nations.add(r["n_nationkey"])
+    cust_ok = {
+        r["c_custkey"]
+        for r in load_table(spark, sf_dir, "customer").collect()
+        if r["c_nationkey"] in region_nations
+    }
+    orders = {
+        r["o_orderkey"]: (r["o_custkey"], r["o_orderdate"])
+        for r in load_table(spark, sf_dir, "orders").collect()
+    }
+    supp = {
+        r["s_suppkey"]: r["s_nationkey"]
+        for r in load_table(spark, sf_dir, "supplier").collect()
+    }
+    num: dict = defaultdict(Fraction)
+    den: dict = defaultdict(Fraction)
+    for r in load_table(spark, sf_dir, "lineitem").collect():
+        if r["l_partkey"] not in part_ok or r["l_orderkey"] not in orders:
+            continue
+        ck, od = orders[r["l_orderkey"]]
+        if ck not in cust_ok or not (1996 <= od.year <= 1997):
+            continue
+        vol = _dec4(r["l_extendedprice"] * (1 - r["l_discount"]))
+        den[od.year] += vol
+        if nations[supp[r["l_suppkey"]]] == "NATION_6":
+            num[od.year] += vol
+
+    out = QUERIES["national_market_share"]["builder"](spark, sf_dir).collect()
+    got = {r["o_year"]: r["mkt_share"] for r in out}
+    assert set(got) == set(den)
+    for y in den:
+        want = float(num[y]) / float(den[y])
+        assert abs(got[y] - want) <= 1e-6 + 1e-9
+    assert any(num.values()), "fixture must contain the share nation"
+
+
+def test_promo_revenue_share_matches_q14_ratio(spark):
+    """TPC-H Q14 re-derived: promo / total revenue over the March-1996
+    window from exact-Fraction sums."""
+    ptype = {
+        r["p_partkey"]: r["p_type"]
+        for r in load_table(spark, SMOKE_DIR, "part").collect()
+    }
+    num, den = Fraction(0), Fraction(0)
+    for r in load_table(spark, SMOKE_DIR, "lineitem").collect():
+        d = r["l_shipdate"]
+        if not (d.year == 1996 and d.month == 3):
+            continue
+        vol = _dec4(r["l_extendedprice"] * (1 - r["l_discount"]))
+        den += vol
+        if ptype[r["l_partkey"]] == "PROMO":
+            num += vol
+
+    out = QUERIES["promo_revenue_share"]["builder"](spark, SMOKE_DIR).collect()
+    assert len(out) == 1 and den > 0
+    want = float(num) * 100.0 / float(den)
+    assert abs(out[0]["promo_share_pct"] - want) <= 1e-6 + 1e-9
+
+
+def test_lineitem_retention_matches_inclusive_bound_counts(spark):
+    """Retention census re-derived with plain inclusive-bound counting
+    (the P7 coordinate-filter semantics)."""
+    rows = load_table(spark, SMOKE_DIR, "lineitem").select(
+        "l_returnflag", "l_discount", "l_quantity"
+    ).collect()
+    tot: dict = defaultdict(int)
+    ret: dict = defaultdict(int)
+    for r in rows:
+        tot[r["l_returnflag"]] += 1
+        if 0.02 <= r["l_discount"] <= 0.08 and 5.0 <= r["l_quantity"] <= 45.0:
+            ret[r["l_returnflag"]] += 1
+
+    out = QUERIES["lineitem_retention"]["builder"](spark, SMOKE_DIR).collect()
+    assert {r["l_returnflag"] for r in out} == set(tot)
+    for r in out:
+        f = r["l_returnflag"]
+        assert (r["total_records"], r["retained_records"]) == (tot[f], ret[f])
+        pct = Fraction(ret[f] * 100, tot[f])
+        assert abs(r["percent_retained"] - float(pct)) <= 5e-3 + 1e-9
+    assert any(ret[f] < tot[f] for f in tot), "filter must drop rows"
