@@ -5409,3 +5409,313 @@ def test_lineitem_retention_matches_inclusive_bound_counts(spark):
         pct = Fraction(ret[f] * 100, tot[f])
         assert abs(r["percent_retained"] - float(pct)) <= 5e-3 + 1e-9
     assert any(ret[f] < tot[f] for f in tot), "filter must drop rows"
+
+
+# ---------------------------------------------------------------------------
+# Batch 26: data-profiling audits (null profile, column stats, key
+# skew, FK orphans), set algebra, the inverted index, first-seen, the
+# CDC upsert merge, the incremental MinHash gate, and the JSON props
+# census — each from plain Python folds.
+
+
+def test_orders_null_profile_matches_column_scan(spark):
+    rows = load_table(spark, SMOKE_DIR, "orders").collect()
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    n = len(rows)
+    nulls = {c: sum(1 for r in rows if r[c] is None) for c in cols}
+
+    out = QUERIES["orders_null_profile"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["col_name"]: (r["n_nulls"], r["null_rate"]) for r in out}
+    assert set(got) == set(cols)
+    for c in cols:
+        assert got[c][0] == nulls[c]
+        assert abs(got[c][1] - nulls[c] / n) <= 1e-6 + 1e-9
+
+
+def test_lineitem_column_stats_match_profiling_folds(spark):
+    rows = load_table(spark, SMOKE_DIR, "lineitem").select(
+        "l_shipdate", "l_orderkey", "l_returnflag", "l_extendedprice",
+        "l_quantity"
+    ).collect()
+    n = len(rows)
+    prices = [r["l_extendedprice"] for r in rows]
+    qty = sum(_dec2(r["l_quantity"]) for r in rows)
+
+    out = QUERIES["lineitem_column_stats"]["builder"](spark, SMOKE_DIR).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_rows"] == n
+    assert r["null_shipdate"] == sum(1 for x in rows if x["l_shipdate"] is None)
+    assert r["ndv_orderkey"] == len({x["l_orderkey"] for x in rows})
+    assert r["ndv_returnflag"] == len({x["l_returnflag"] for x in rows})
+    assert round(r["min_price"] * 100) == round(min(prices) * 100)
+    assert round(r["max_price"] * 100) == round(max(prices) * 100)
+    assert abs(r["avg_qty"] - float(qty / n)) <= 1e-4 + 1e-9
+
+
+def test_key_skew_report_matches_counter_definition(spark):
+    rows = load_table(spark, SMOKE_DIR, "events").select("user_id").collect()
+    cnt: dict = defaultdict(int)
+    for r in rows:
+        cnt[r["user_id"]] += 1
+    n_keys, mx, total = len(cnt), max(cnt.values()), sum(cnt.values())
+    top5 = sorted(cnt, key=lambda u: (-cnt[u], u))[:5]
+    heavy = ",".join(f"{u}:{cnt[u]}" for u in top5)
+
+    out = QUERIES["key_skew_report"]["builder"](spark, SMOKE_DIR).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_keys"], r["max_cnt"]) == (n_keys, mx)
+    assert abs(r["avg_cnt"] - float(Fraction(total, n_keys))) <= 1e-4 + 1e-9
+    assert abs(r["skew_ratio"] - float(Fraction(mx * n_keys, total))) \
+        <= 1e-4 + 1e-9
+    assert r["heavy_hitters"] == heavy
+
+
+def test_fk_orphan_audit_matches_existence_scan(spark):
+    def keys(table, col):
+        return {r[col] for r in load_table(spark, SMOKE_DIR, table).collect()}
+
+    li = load_table(spark, SMOKE_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    ).collect()
+    orders = load_table(spark, SMOKE_DIR, "orders").select(
+        "o_orderkey", "o_custkey"
+    ).collect()
+    cust = load_table(spark, SMOKE_DIR, "customer").select(
+        "c_custkey", "c_nationkey"
+    ).collect()
+    supp = load_table(spark, SMOKE_DIR, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    ).collect()
+    nat = load_table(spark, SMOKE_DIR, "nation").select(
+        "n_nationkey", "n_regionkey"
+    ).collect()
+
+    ok, pk, sk = keys("orders", "o_orderkey"), keys("part", "p_partkey"), \
+        keys("supplier", "s_suppkey")
+    ck, nk, rk = keys("customer", "c_custkey"), keys("nation", "n_nationkey"), \
+        keys("region", "r_regionkey")
+    want = {
+        "lineitem.l_orderkey->orders":
+            (len(li), sum(1 for r in li if r["l_orderkey"] not in ok)),
+        "lineitem.l_partkey->part":
+            (len(li), sum(1 for r in li if r["l_partkey"] not in pk)),
+        "lineitem.l_suppkey->supplier":
+            (len(li), sum(1 for r in li if r["l_suppkey"] not in sk)),
+        "orders.o_custkey->customer":
+            (len(orders), sum(1 for r in orders if r["o_custkey"] not in ck)),
+        "customer.c_nationkey->nation":
+            (len(cust), sum(1 for r in cust if r["c_nationkey"] not in nk)),
+        "supplier.s_nationkey->nation":
+            (len(supp), sum(1 for r in supp if r["s_nationkey"] not in nk)),
+        "nation.n_regionkey->region":
+            (len(nat), sum(1 for r in nat if r["n_regionkey"] not in rk)),
+    }
+    out = QUERIES["fk_orphan_audit"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["edge"]: (r["n_child"], r["n_orphans"]) for r in out}
+    assert got == want
+
+
+def test_priority_custkey_setops_match_set_algebra(spark):
+    orders = load_table(spark, SMOKE_DIR, "orders").select(
+        "o_custkey", "o_orderpriority"
+    ).collect()
+    urgent = {r["o_custkey"] for r in orders if r["o_orderpriority"] == "1-URGENT"}
+    low = {r["o_custkey"] for r in orders if r["o_orderpriority"] == "5-LOW"}
+    nat0 = {
+        r["c_custkey"]
+        for r in load_table(spark, SMOKE_DIR, "customer").collect()
+        if r["c_nationkey"] == 0
+    }
+    want = (urgent & low) - nat0
+
+    out = QUERIES["priority_custkey_setops"]["builder"](spark, SMOKE_DIR).collect()
+    assert {r["custkey"] for r in out} == want
+    assert len(out) == len(want)
+    assert want and (urgent & low) - want, "both set ops must bite"
+
+
+def test_two_level_distinct_matches_set_census(spark):
+    rows = load_table(spark, SMOKE_DIR, "events").select(
+        "event_type", "user_id"
+    ).collect()
+    users: dict = defaultdict(set)
+    for r in rows:
+        users[r["event_type"]].add(r["user_id"])
+    out = QUERIES["two_level_distinct"]["builder"](spark, SMOKE_DIR).collect()
+    assert {r["event_type"]: r["n_distinct_users"] for r in out} == \
+        {t: len(u) for t, u in users.items()}
+
+
+def test_global_topk_events_match_total_order_cut(spark):
+    rows = load_table(spark, SMOKE_DIR, "events").select(
+        "event_id", "event_type", "value"
+    ).collect()
+    ranked = sorted(rows, key=lambda r: (-r["value"], r["event_id"]))[:100]
+    want = [(r["event_id"], r["event_type"], r["value"]) for r in ranked]
+    out = QUERIES["global_topk_events"]["builder"](spark, SMOKE_DIR).collect()
+    assert [(r["event_id"], r["event_type"], r["value"]) for r in out] == want
+
+
+def test_inverted_index_postings_match_set_fold(spark):
+    rows = load_table(spark, SMOKE_DIR, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    docs: dict = defaultdict(set)
+    for r in rows:
+        for t in set(_py_words(r["text"])):
+            docs[t].add(r["doc_id"])
+    want = {
+        t: (len(ids), ",".join(str(i) for i in sorted(ids)))
+        for t, ids in docs.items()
+        if 2 <= len(ids) <= 450
+    }
+    out = QUERIES["inverted_index_postings"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["term"]: (r["doc_freq"], r["postings"]) for r in out}
+    assert got == want
+
+
+def test_stream_first_seen_matches_min_fold(spark):
+    rows = load_table(spark, SMOKE_DIR, "events").select(
+        "user_id", "ts", "event_id"
+    ).collect()
+    first: dict = {}
+    for r in rows:
+        k = (r["ts"], r["event_id"])
+        if r["user_id"] not in first or k < first[r["user_id"]]:
+            first[r["user_id"]] = k
+    out = QUERIES["stream_first_seen"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["user_id"]: (r["first_ts"], r["first_event_id"]) for r in out}
+    assert got == first
+
+
+def test_customer_upsert_merge_matches_dict_fold(spark):
+    """The CDC upsert/delete merge re-derived as a plain dict fold:
+    build the update set, overlay it on the base by key, drop
+    deletes."""
+    base = {
+        r["c_custkey"]: (r["c_nationkey"], r["c_acctbal"], r["c_mktsegment"])
+        for r in load_table(spark, SMOKE_DIR, "customer").collect()
+    }
+    merged = dict(base)
+    deletes = set()
+    for ck, (natk, bal, seg) in base.items():
+        if bal < 0 and natk != 24:
+            merged[ck] = (natk, 0.0, "RECOVERED")
+        if natk == 0:
+            merged[ck + 1000000] = (natk, bal, seg)
+        if natk == 24:
+            deletes.add(ck)
+    want = {
+        ck: (natk, round(bal * 100), seg)
+        for ck, (natk, bal, seg) in merged.items()
+        if ck not in deletes
+    }
+    out = QUERIES["customer_upsert_merge"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        r["c_custkey"]: (r["c_nationkey"], round(r["acctbal"] * 100),
+                         r["c_mktsegment"])
+        for r in out
+    }
+    assert got == want
+    assert deletes and any(ck > 1000000 for ck in want), \
+        "fixture must exercise inserts and deletes"
+
+
+def test_incremental_minhash_gate_matches_python_rederivation(spark):
+    """The incremental-ingest LSH gate (new docs vs existing corpus)
+    re-derived with hashlib: 3-token shingles, 16 minhashes as 8-hex
+    slices of md5('g:shingle'), 4 bands of 4, bucket-join new-vs-old,
+    exact Jaccard >= 0.5 verify."""
+    import hashlib
+
+    rows = load_table(spark, SMOKE_DIR, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    sh = {}
+    for r in rows:
+        w = _py_words(r["text"])
+        sh[r["doc_id"]] = list(dict.fromkeys(
+            " ".join(w[i:i + 3]) for i in range(max(len(w) - 2, 0))
+        ))
+
+    def mh(doc):
+        out = []
+        for g in range(4):
+            hs = [hashlib.md5(f"{g}:{s}".encode()).hexdigest() for s in sh[doc]]
+            for j in range(4):
+                out.append(min(h[8 * j:8 * j + 8] for h in hs))
+        return out
+
+    buckets: dict = defaultdict(lambda: (set(), set()))
+    for d in sh:
+        sig = mh(d)
+        for b in range(4):
+            key = hashlib.md5(
+                f"{b},{sig[4 * b]},{sig[4 * b + 1]},{sig[4 * b + 2]},{sig[4 * b + 3]}".encode()
+            ).hexdigest()
+            buckets[key][0 if d % 10 == 0 else 1].add(d)
+
+    cands = set()
+    for new, old in buckets.values():
+        for a in new:
+            for b in old:
+                cands.add((a, b))
+
+    want = {}
+    for a, b in cands:
+        sa, sb = set(sh[a]), set(sh[b])
+        inter = len(sa & sb)
+        j = Fraction(inter, len(sa) + len(sb) - inter)
+        jr = _rhu_frac(j, 6)
+        if jr >= 0.5:
+            want[(a, b)] = jr
+
+    out = QUERIES["incremental_minhash_gate"]["builder"](spark, SMOKE_DIR).collect()
+    got = {(r["new_id"], r["old_id"]): r["jaccard"] for r in out}
+    assert got == want
+    assert want, "fixture must contain cross-ingest near-dups"
+
+
+def test_user_props_map_matches_json_census(spark):
+    import json
+
+    rows = load_table(spark, SMOKE_DIR, "events").select(
+        "event_type", "props"
+    ).collect()
+    n: dict = defaultdict(int)
+    vals: dict = defaultdict(set)
+    for r in rows:
+        props = r["props"]
+        obj = json.loads(props) if isinstance(props, str) else props
+        if obj is None:
+            continue
+        for k, v in obj.items():
+            if v is None:
+                continue
+            n[(r["event_type"], k)] += 1
+            vals[(r["event_type"], k)].add(v if isinstance(v, str) else
+                                           json.dumps(v))
+    out = QUERIES["user_props_map"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        (r["event_type"], r["key"]): (r["n"], r["n_distinct_values"])
+        for r in out
+    }
+    assert got == {k: (n[k], len(vals[k])) for k in n}
+
+
+def test_event_type_pivot_matches_count_matrix(spark):
+    rows = load_table(spark, SMOKE_DIR, "events").select(
+        "ts", "event_type"
+    ).collect()
+    mat: dict = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        mat[r["ts"].date().isoformat()][r["event_type"]] += 1
+    out = QUERIES["event_type_pivot"]["builder"](spark, SMOKE_DIR).collect()
+    types = ["click", "error", "purchase", "signup", "view"]
+    got = {r["event_date"]: tuple(r[t] for t in types) for r in out}
+    assert got == {
+        d: tuple(c.get(t, 0) for t in types) for d, c in mat.items()
+    }
