@@ -5719,3 +5719,262 @@ def test_event_type_pivot_matches_count_matrix(spark):
     assert got == {
         d: tuple(c.get(t, 0) for t in types) for d, c in mat.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# Batch 27: revenue concentration, the Q13 count histogram, running
+# shares, basket pairs, fixed-point centroids, null-safe equality,
+# per-source caps, Q7 bilateral volume, and the quality-threshold
+# retention sweep.
+
+
+def test_part_revenue_concentration_matches_threshold_fold(spark):
+    """At sf0.01 (at sf0.001 every part clears the 1/2000 cut, verified by oracle). Concentration cut re-derived with exact decimal sums: parts
+    whose revenue exceeds 1/2000 of the total."""
+    sf_dir = "/root/testdata/sf0.01"
+    agg: dict = defaultdict(Fraction)
+    for r in load_table(spark, sf_dir, "lineitem").collect():
+        agg[r["l_partkey"]] += _dec4(
+            r["l_extendedprice"] * (1 - r["l_discount"])
+        )
+    total = sum(agg.values())
+    want = {
+        pk: _rhu_frac(rev, 2) for pk, rev in agg.items() if rev * 2000 > total
+    }
+    out = QUERIES["part_revenue_concentration"]["builder"](spark, sf_dir).collect()
+    got = {r["l_partkey"]: r["part_revenue"] for r in out}
+    assert got == want
+    assert 0 < len(want) < len(agg), "threshold must bite both ways"
+
+
+def test_order_count_distribution_matches_q13_histogram(spark):
+    """At sf0.01 (sf0.001 has no zero-order customer, verified). TPC-H Q13 re-derived: per-customer order counts under the
+    anti-priority filter, then the count-of-counts histogram."""
+    sf_dir = "/root/testdata/sf0.01"
+    cust = {
+        r["c_custkey"]
+        for r in load_table(spark, sf_dir, "customer").collect()
+    }
+    per: dict = {c: 0 for c in cust}
+    for r in load_table(spark, sf_dir, "orders").collect():
+        if r["o_custkey"] in per and not r["o_orderpriority"].startswith("1"):
+            per[r["o_custkey"]] += 1
+    hist: dict = defaultdict(int)
+    for c in per.values():
+        hist[c] += 1
+    out = QUERIES["order_count_distribution"]["builder"](spark, sf_dir).collect()
+    assert {r["c_count"]: r["custdist"] for r in out} == dict(hist)
+    assert 0 in hist, "LEFT JOIN must keep customers with no orders"
+
+
+def test_running_share_matches_prefix_sum_fold(spark):
+    """Running monthly revenue share re-derived with a plain prefix
+    sum over chronologically sorted exact decimal month revenues."""
+    cust_nat = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in load_table(spark, SMOKE_DIR, "customer").collect()
+    }
+    nation = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load_table(spark, SMOKE_DIR, "nation").collect()
+    }
+    orders = {
+        r["o_orderkey"]: (cust_nat[r["o_custkey"]],
+                          f"{r['o_orderdate'].year:04d}-{r['o_orderdate'].month:02d}")
+        for r in load_table(spark, SMOKE_DIR, "orders").collect()
+    }
+    rev: dict = defaultdict(Fraction)
+    for r in load_table(spark, SMOKE_DIR, "lineitem").collect():
+        nk, month = orders[r["l_orderkey"]]
+        rev[(nation[nk], month)] += _dec4(
+            r["l_extendedprice"] * (1 - r["l_discount"])
+        )
+
+    by_nation: dict = defaultdict(dict)
+    for (nname, month), v in rev.items():
+        by_nation[nname][month] = v
+
+    want = {}
+    for nname, months in by_nation.items():
+        tot = sum(months.values())
+        run = Fraction(0)
+        for month in sorted(months):
+            run += months[month]
+            want[(nname, month)] = (
+                _rhu_frac(months[month], 2),
+                _rhu_frac(run, 2),
+                float(run) / float(tot),
+            )
+
+    out = QUERIES["nation_monthly_running_share"]["builder"](spark, SMOKE_DIR).collect()
+    assert {(r["n_name"], r["month"]) for r in out} == set(want)
+    for r in out:
+        mrev, crun, share = want[(r["n_name"], r["month"])]
+        assert r["revenue"] == mrev
+        assert r["cum_revenue"] == crun
+        assert abs(r["cum_share"] - share) <= 1e-4 + 1e-9
+
+
+def test_copurchase_pairs_match_basket_definition(spark):
+    """Basket pair support re-derived with itertools over distinct
+    per-order part sets — the explode every graph query builds on."""
+    from itertools import combinations
+
+    baskets: dict = defaultdict(set)
+    for r in load_table(spark, SMOKE_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect():
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+
+    support: dict = defaultdict(int)
+    for parts in baskets.values():
+        for a, b in combinations(sorted(parts), 2):
+            support[(a, b)] += 1
+    want = {p: s for p, s in support.items() if s >= 2}
+
+    out = QUERIES["part_copurchase_pairs"]["builder"](spark, SMOKE_DIR).collect()
+    got = {(r["part_a"], r["part_b"]): r["support"] for r in out}
+    assert got == want
+    assert want, "fixture must contain repeated pairs"
+
+
+def test_label_centroids_match_fixed_point_mean(spark):
+    """Per-label centroids re-derived: 2^24 fixed-point sums, double
+    mean, descale, 6dp."""
+    rows = load_table(spark, SMOKE_DIR, "embeddings").select(
+        "label", "embedding"
+    ).collect()
+    sums: dict = defaultdict(lambda: [0] * 64)
+    ns: dict = defaultdict(int)
+    for r in rows:
+        ns[r["label"]] += 1
+        for d, x in enumerate(r["embedding"]):
+            sums[r["label"]][d] += _round_half_away(float(x) * 16777216.0)
+
+    out = QUERIES["label_centroids"]["builder"](spark, SMOKE_DIR).collect()
+    assert {(r["label"], r["dim"]) for r in out} == {
+        (lbl, d) for lbl in ns for d in range(64)
+    }
+    for r in out:
+        want = (sums[r["label"]][r["dim"]] / ns[r["label"]]) / 16777216.0
+        assert r["n_vecs"] == ns[r["label"]]
+        assert abs(r["centroid_val"] - want) <= 1e-6 + 1e-9
+
+
+def test_null_safe_lang_pairs_match_group_combinatorics(spark):
+    """Null-safe self-join pair counts re-derived as C(n,2) per group
+    — pins IS NOT DISTINCT FROM semantics (NULL matches NULL)."""
+    groups: dict = defaultdict(int)
+    for r in load_table(spark, SMOKE_DIR, "documents").select(
+        "doc_id", "lang"
+    ).collect():
+        key = None if r["lang"] == "zh" else r["lang"]
+        groups[key] += 1
+    want = {
+        ("<null>" if k is None else k): n * (n - 1) // 2
+        for k, n in groups.items()
+        if n >= 2
+    }
+    out = QUERIES["null_safe_lang_pairs"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["lang_group"]: r["n_pairs"] for r in out}
+    assert got == want
+    assert "<null>" in want, "the nulled-out group must pair with itself"
+
+
+def test_source_capped_corpus_matches_ranked_cut(spark):
+    """Per-source cap re-derived with a plain sort and slice."""
+    rows = load_table(spark, SMOKE_DIR, "documents").select(
+        "source", "doc_id", "n_chars"
+    ).collect()
+    by_src: dict = defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append((r["n_chars"], r["doc_id"]))
+    want = {}
+    for s, docs in by_src.items():
+        docs.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (nc, did) in enumerate(docs[:50], start=1):
+            want[(s, did)] = (nc, rank)
+    out = QUERIES["source_capped_corpus"]["builder"](spark, SMOKE_DIR).collect()
+    got = {(r["source"], r["doc_id"]): (r["n_chars"], r["cap_rank"]) for r in out}
+    assert got == want
+
+
+def test_bilateral_shipping_volume_matches_q7_fold(spark):
+    """At sf0.01 (sf0.001 has no NATION_1/NATION_2 trade, verified). TPC-H Q7 re-derived with dict joins and exact decimal sums over
+    the two nation directions."""
+    sf_dir = "/root/testdata/sf0.01"
+    nation = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load_table(spark, sf_dir, "nation").collect()
+    }
+    cust_nat = {
+        r["c_custkey"]: nation[r["c_nationkey"]]
+        for r in load_table(spark, sf_dir, "customer").collect()
+    }
+    supp_nat = {
+        r["s_suppkey"]: nation[r["s_nationkey"]]
+        for r in load_table(spark, sf_dir, "supplier").collect()
+    }
+    orders = {
+        r["o_orderkey"]: cust_nat[r["o_custkey"]]
+        for r in load_table(spark, sf_dir, "orders").collect()
+    }
+    agg: dict = defaultdict(Fraction)
+    for r in load_table(spark, sf_dir, "lineitem").collect():
+        if not (1996 <= r["l_shipdate"].year <= 1997):
+            continue
+        sn, cn = supp_nat[r["l_suppkey"]], orders[r["l_orderkey"]]
+        if {sn, cn} != {"NATION_1", "NATION_2"}:
+            continue
+        agg[(sn, cn, r["l_shipdate"].year)] += _dec4(
+            r["l_extendedprice"] * (1 - r["l_discount"])
+        )
+    want = {k: _rhu_frac(v, 2) for k, v in agg.items()}
+    out = QUERIES["bilateral_shipping_volume"]["builder"](spark, sf_dir).collect()
+    got = {
+        (r["supp_nation"], r["cust_nation"], r["l_year"]): r["volume"]
+        for r in out
+    }
+    assert got == want
+    assert len({(a, b) for a, b, _ in want}) == 2, "both directions must appear"
+
+
+def test_quality_threshold_sweep_matches_bucket_cumsum(spark):
+    """The quality-retention curve re-derived: per-doc C4-style quality
+    score (engine rounding mirrored), decile buckets, reverse
+    cumulative doc/word counts."""
+    import re as _re
+
+    rows = load_table(spark, SMOKE_DIR, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    buckets: dict = defaultdict(lambda: [0, 0])
+    for r in rows:
+        text = r["text"]
+        words = _py_words(text)
+        n_words = len(words)
+        n_stop = sum(1 for w in words if w in ("the", "a", "of", "and", "to"))
+        n_punct = len(text) - len(_re.sub(r"[^\w\s]", "", text))
+        gate = 1.0 if n_words >= 5 else 0.0
+        q = _rhu(
+            gate * (1.0 - _rhu(n_punct / max(len(text), 1), "0.0001"))
+            * (1.0 if _rhu(n_stop / n_words, "0.0001") > 0.01 else 0.5),
+            "0.0001",
+        )
+        b = int(q * 10 // 1)
+        buckets[b][0] += 1
+        buckets[b][1] += n_words
+
+    want = {}
+    docs = words_acc = 0
+    for b in sorted(buckets, reverse=True):
+        docs += buckets[b][0]
+        words_acc += buckets[b][1]
+        want[b / 10] = (docs, words_acc)
+
+    out = QUERIES["quality_threshold_sweep"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        r["threshold"]: (r["docs_retained"], r["words_retained"]) for r in out
+    }
+    assert got == want
+    assert len(want) > 1, "fixture must spread across buckets"
