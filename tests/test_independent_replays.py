@@ -5943,27 +5943,15 @@ def test_quality_threshold_sweep_matches_bucket_cumsum(spark):
     """The quality-retention curve re-derived: per-doc C4-style quality
     score (engine rounding mirrored), decile buckets, reverse
     cumulative doc/word counts."""
-    import re as _re
-
     rows = load_table(spark, SMOKE_DIR, "documents").select(
         "doc_id", "text"
     ).collect()
     buckets: dict = defaultdict(lambda: [0, 0])
     for r in rows:
-        text = r["text"]
-        words = _py_words(text)
-        n_words = len(words)
-        n_stop = sum(1 for w in words if w in ("the", "a", "of", "and", "to"))
-        n_punct = len(text) - len(_re.sub(r"[^\w\s]", "", text))
-        gate = 1.0 if n_words >= 5 else 0.0
-        q = _rhu(
-            gate * (1.0 - _rhu(n_punct / max(len(text), 1), "0.0001"))
-            * (1.0 if _rhu(n_stop / n_words, "0.0001") > 0.01 else 0.5),
-            "0.0001",
-        )
+        q = _c4_quality(r["text"])
         b = int(q * 10 // 1)
         buckets[b][0] += 1
-        buckets[b][1] += n_words
+        buckets[b][1] += len(_py_words(r["text"]))
 
     want = {}
     docs = words_acc = 0
@@ -5978,3 +5966,267 @@ def test_quality_threshold_sweep_matches_bucket_cumsum(spark):
     }
     assert got == want
     assert len(want) > 1, "fixture must spread across buckets"
+
+
+# ---------------------------------------------------------------------------
+# Batch 28: top-1-per-group semantics (priority rank, first order, max
+# revenue, dominant share, sole return supplier), anti-join gates, the
+# hourly top-k, prefix-sum compaction bins, and the near-dup keep-best
+# composition end to end.
+
+
+def _c4_quality(text: str) -> float:
+    """The C4-style quality score with engine rounding mirrored
+    (HALF_UP over the shortest repr at each round site)."""
+    import re as _re
+
+    words = _py_words(text)
+    n_words = len(words)
+    n_stop = sum(1 for w in words if w in ("the", "a", "of", "and", "to"))
+    n_punct = len(text) - len(_re.sub(r"[^\w\s]", "", text))
+    gate = 1.0 if n_words >= 5 else 0.0
+    return _rhu(
+        gate * (1.0 - _rhu(n_punct / max(len(text), 1), "0.0001"))
+        * (1.0 if _rhu(n_stop / n_words, "0.0001") > 0.01 else 0.5),
+        "0.0001",
+    )
+
+
+def test_dedup_rank_priority_matches_case_rank_fold(spark):
+    """Top order per customer under the explicit priority CASE rank,
+    then (date, orderkey) — re-derived with a plain min()."""
+    rank = {"1-URGENT": 1, "2-HIGH": 2, "3-MEDIUM": 3,
+            "4-NOT SPECIFIED": 4, "5-LOW": 5}
+    best: dict = {}
+    for r in load_table(spark, SMOKE_DIR, "orders").collect():
+        key = (rank.get(r["o_orderpriority"], 6), r["o_orderdate"],
+               r["o_orderkey"])
+        if r["o_custkey"] not in best or key < best[r["o_custkey"]][0]:
+            best[r["o_custkey"]] = (key, r["o_orderkey"], r["o_orderpriority"])
+
+    out = QUERIES["dedup_rank_priority"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["o_custkey"]: (r["o_orderkey"], r["o_orderpriority"]) for r in out}
+    assert got == {c: (ok, pr) for c, (_, ok, pr) in best.items()}
+
+
+def test_dominant_part_suppliers_match_share_fold(spark):
+    """Suppliers holding >30% of a red part's 1996 quantity,
+    re-derived with exact integer quantity sums."""
+    red = {
+        r["p_partkey"]
+        for r in load_table(spark, SMOKE_DIR, "part").collect()
+        if r["p_name"].startswith("red ")
+    }
+    per: dict = defaultdict(Fraction)
+    for r in load_table(spark, SMOKE_DIR, "lineitem").collect():
+        if r["l_partkey"] in red and r["l_shipdate"].year == 1996:
+            per[(r["l_partkey"], r["l_suppkey"])] += _dec2(r["l_quantity"])
+    part_tot: dict = defaultdict(int)
+    supp_q = {k: int(v) for k, v in per.items()}  # integral quantities
+    for (pk, _), q in supp_q.items():
+        part_tot[pk] += q
+    dominant = {
+        sk for (pk, sk), q in supp_q.items() if q * 10 > part_tot[pk] * 3
+    }
+    supp = {
+        r["s_suppkey"]: (r["s_name"], r["s_nationkey"])
+        for r in load_table(spark, SMOKE_DIR, "supplier").collect()
+    }
+    nation = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load_table(spark, SMOKE_DIR, "nation").collect()
+    }
+    want = {
+        (sk, supp[sk][0], nation[supp[sk][1]]) for sk in dominant
+    }
+    out = QUERIES["dominant_part_suppliers"]["builder"](spark, SMOKE_DIR).collect()
+    got = {(r["s_suppkey"], r["s_name"], r["supplier_nation"]) for r in out}
+    assert got == want
+    assert want, "fixture must contain dominant suppliers"
+
+
+def test_sole_return_supplier_matches_q21_fold(spark):
+    """The Q21 shape: multi-supplier orders where exactly one supplier
+    returned — counted per that supplier from plain sets."""
+    per: dict = defaultdict(lambda: (set(), set()))
+    for r in load_table(spark, SMOKE_DIR, "lineitem").collect():
+        allk, rk = per[r["l_orderkey"]]
+        allk.add(r["l_suppkey"])
+        if r["l_returnflag"] == "R":
+            rk.add(r["l_suppkey"])
+    numwait: dict = defaultdict(int)
+    for allk, rk in per.values():
+        if len(allk) > 1 and len(rk) == 1:
+            numwait[next(iter(rk))] += 1
+    supp = {
+        r["s_suppkey"]: (r["s_name"], r["s_nationkey"])
+        for r in load_table(spark, SMOKE_DIR, "supplier").collect()
+    }
+    nation = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load_table(spark, SMOKE_DIR, "nation").collect()
+    }
+    want = {
+        (supp[sk][0], nation[supp[sk][1]]): n for sk, n in numwait.items()
+    }
+    out = QUERIES["sole_return_supplier"]["builder"](spark, SMOKE_DIR).collect()
+    got = {(r["s_name"], r["n_name"]): r["numwait"] for r in out}
+    assert got == want
+    assert want, "fixture must contain sole-return orders"
+
+
+def test_top_revenue_supplier_matches_q15_fold(spark):
+    """Q15: the max-revenue supplier(s) over Q1-1996 from exact
+    decimal sums — ALL ties kept by definition."""
+    rev: dict = defaultdict(Fraction)
+    for r in load_table(spark, SMOKE_DIR, "lineitem").collect():
+        d = r["l_shipdate"]
+        if d.year == 1996 and d.month <= 3:
+            rev[r["l_suppkey"]] += _dec4(
+                r["l_extendedprice"] * (1 - r["l_discount"])
+            )
+    mx = max(rev.values())
+    supp = {
+        r["s_suppkey"]: r["s_name"]
+        for r in load_table(spark, SMOKE_DIR, "supplier").collect()
+    }
+    want = {
+        (sk, supp[sk], _rhu_frac(v, 2)) for sk, v in rev.items() if v == mx
+    }
+    out = QUERIES["top_revenue_supplier"]["builder"](spark, SMOKE_DIR).collect()
+    got = {(r["s_suppkey"], r["s_name"], r["total_revenue"]) for r in out}
+    assert got == want
+
+
+def test_first_order_per_customer_matches_min_fold(spark):
+    best: dict = {}
+    for r in load_table(spark, SMOKE_DIR, "orders").collect():
+        if (r["o_custkey"] not in best
+                or r["o_orderkey"] < best[r["o_custkey"]][0]):
+            best[r["o_custkey"]] = (r["o_orderkey"], r["o_orderstatus"])
+    out = QUERIES["first_order_per_customer"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        r["o_custkey"]: (r["first_orderkey"], r["first_status"]) for r in out
+    }
+    assert got == best
+
+
+def test_lapsed_rich_customers_match_q22_fold(spark):
+    """The Q22 shape: balances above the positive mean with no recent
+    orders — exact decimal comparison, anti-join as a set check."""
+    cust = load_table(spark, SMOKE_DIR, "customer").collect()
+    pos = [_dec2(r["c_acctbal"]) for r in cust if r["c_acctbal"] > 0]
+    total_pos, n_pos = sum(pos), len(pos)
+    recent = {
+        r["o_custkey"]
+        for r in load_table(spark, SMOKE_DIR, "orders").collect()
+        if r["o_orderdate"].year >= 1999
+    }
+    agg: dict = defaultdict(lambda: [0, Fraction(0)])
+    for r in cust:
+        bal = _dec2(r["c_acctbal"])
+        if bal * n_pos > total_pos and r["c_custkey"] not in recent:
+            agg[r["c_mktsegment"]][0] += 1
+            agg[r["c_mktsegment"]][1] += bal
+    want = {s: (n, _rhu_frac(t, 2)) for s, (n, t) in agg.items()}
+    out = QUERIES["lapsed_rich_customers"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["c_mktsegment"]: (r["numcust"], r["totacctbal"]) for r in out}
+    assert got == want
+    assert want, "fixture must contain lapsed rich customers"
+
+
+def test_inactive_customers_match_antijoin_set(spark):
+    active = {
+        r["o_custkey"]
+        for r in load_table(spark, SMOKE_DIR, "orders").collect()
+        if r["o_orderdate"].year >= 2000
+    }
+    cust = load_table(spark, SMOKE_DIR, "customer").collect()
+    want = {
+        (r["c_custkey"], r["c_name"], r["c_nationkey"])
+        for r in cust
+        if r["c_custkey"] not in active
+    }
+    out = QUERIES["inactive_customers"]["builder"](spark, SMOKE_DIR).collect()
+    got = {(r["c_custkey"], r["c_name"], r["c_nationkey"]) for r in out}
+    assert got == want
+    assert len(want) < len(cust), "anti-join must drop someone"
+
+
+def test_stream_windowed_topk_matches_hourly_census(spark):
+    counts: dict = defaultdict(int)
+    for r in load_table(spark, SMOKE_DIR, "events").collect():
+        hour = r["ts"].replace(minute=0, second=0, microsecond=0)
+        counts[(hour, r["event_type"])] += 1
+    by_hour: dict = defaultdict(list)
+    for (hour, et), n in counts.items():
+        by_hour[hour].append((n, et))
+    want = {}
+    for hour, lst in by_hour.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        for rnk, (n, et) in enumerate(lst[:2], start=1):
+            want[(hour, et)] = (n, rnk)
+    out = QUERIES["stream_windowed_topk"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["rnk"])
+        for r in out
+    }
+    assert got == want
+
+
+def test_file_compaction_bins_match_prefix_sum_walk(spark):
+    """Bin assignment re-derived as the sequential walk: files in id
+    order, bin = floor(bytes-before / 16384)."""
+    sizes: dict = defaultdict(int)
+    for r in load_table(spark, SMOKE_DIR, "orders").collect():
+        fid = r["o_orderkey"] // 50
+        sizes[fid] += 24 + len(r["o_orderpriority"]) + len(r["o_orderstatus"])
+    before = 0
+    agg: dict = defaultdict(list)
+    for fid in sorted(sizes):
+        agg[before // 16384].append((fid, sizes[fid]))
+        before += sizes[fid]
+    want = {
+        b: (len(fs), sum(s for _, s in fs), min(f for f, _ in fs),
+            max(f for f, _ in fs))
+        for b, fs in agg.items()
+    }
+    out = QUERIES["file_compaction_bins"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        r["bin"]: (r["n_files"], r["total_bytes"], r["first_file"],
+                   r["last_file"])
+        for r in out
+    }
+    assert got == want
+    assert len(want) > 1, "fixture must fill multiple bins"
+
+
+def test_near_dedup_keep_best_matches_component_argmax(spark):
+    """The keep-best composition end to end: exact-Jaccard edges at
+    the 6dp threshold, union-find components, per-component argmax by
+    (quality desc, doc_id), singleton docs kept with n_members=1."""
+    sh = _string_shingles(spark)
+    pairs = _exact_jaccard_pairs(sh, 0.5)
+    roots = _uf_roots(pairs.keys())
+    rows = load_table(spark, SMOKE_DIR, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    meta = {r["doc_id"]: (r["source"], _c4_quality(r["text"])) for r in rows}
+
+    clusters: dict = defaultdict(list)
+    for d in meta:
+        clusters[roots.get(d, d)].append(d)
+    want = {}
+    for members in clusters.values():
+        best = min(members, key=lambda d: (-meta[d][1], d))
+        want[best] = (meta[best][0], meta[best][1], len(members))
+
+    out = QUERIES["near_dedup_keep_best"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        r["doc_id"]: (r["source"], r["quality"], r["n_members"]) for r in out
+    }
+    assert set(got) == set(want)
+    for d, (src, q, n) in want.items():
+        assert got[d][0] == src and got[d][2] == n
+        assert abs(got[d][1] - q) <= 1e-4 + 1e-9
+    assert any(n > 1 for _, _, n in want.values()), "must contain clusters"
