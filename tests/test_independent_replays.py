@@ -6230,3 +6230,237 @@ def test_near_dedup_keep_best_matches_component_argmax(spark):
         assert got[d][0] == src and got[d][2] == n
         assert abs(got[d][1] - q) <= 1e-4 + 1e-9
     assert any(n > 1 for _, _, n in want.values()), "must contain clusters"
+
+
+# ---------------------------------------------------------------------------
+# Batch 29: the reporting tier — calendar rollups, ROLLUP/dims/union
+# censuses, LEFT JOIN rollups (lexicographic string_agg order), the
+# salted-agg invisibility check, the unpivot, and cross-doc span
+# duplication.
+
+
+def test_orders_monthly_matches_calendar_fold(spark):
+    agg: dict = defaultdict(lambda: [0, set(), Fraction(0)])
+    for r in load_table(spark, SMOKE_DIR, "orders").collect():
+        k = (r["o_orderdate"].year, r["o_orderdate"].month)
+        agg[k][0] += 1
+        agg[k][1].add(r["o_custkey"])
+        agg[k][2] += _dec2(r["o_totalprice"])
+    want = {
+        k: (n, len(c), _rhu_frac(t, 2)) for k, (n, c, t) in agg.items()
+    }
+    out = QUERIES["orders_monthly"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        (r["month"].year, r["month"].month):
+            (r["n_orders"], r["n_customers"], r["total_price"])
+        for r in out
+    }
+    assert got == want
+
+
+def test_orders_quarterly_dow_matches_calendar_fold(spark):
+    agg: dict = defaultdict(lambda: [0, Fraction(0)])
+    for r in load_table(spark, SMOKE_DIR, "orders").collect():
+        d = r["o_orderdate"]
+        qtr = (d.month - 1) // 3 + 1
+        dow = (d.weekday() + 1) % 7 + 1  # Sunday=1 ... Saturday=7
+        agg[(d.year, qtr, dow)][0] += 1
+        agg[(d.year, qtr, dow)][1] += _dec2(r["o_totalprice"])
+    want = {k: (n, _rhu_frac(t, 2)) for k, (n, t) in agg.items()}
+    out = QUERIES["orders_quarterly_dow"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        (r["yr"], r["qtr"], r["dow"]): (r["n_orders"], r["revenue"])
+        for r in out
+    }
+    assert got == want
+    assert all(1 <= k[2] <= 7 for k in want)
+
+
+def test_deep_nested_rollup_matches_left_join_fold(spark):
+    cust = load_table(spark, SMOKE_DIR, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).collect()
+    seg = {r["c_custkey"]: r["c_mktsegment"] for r in cust}
+    order_cust = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in load_table(spark, SMOKE_DIR, "orders").collect()
+    }
+    agg: dict = defaultdict(lambda: [set(), set(), 0, 0])
+    for r in cust:
+        agg[r["c_mktsegment"]][0].add(r["c_custkey"])
+    for ok, ck in order_cust.items():
+        agg[seg[ck]][1].add(ok)
+    for r in load_table(spark, SMOKE_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    ).collect():
+        s = seg[order_cust[r["l_orderkey"]]]
+        agg[s][2] += 1
+        agg[s][3] += int(r["l_quantity"])
+    want = {
+        s: (len(c), len(o), n, q) for s, (c, o, n, q) in agg.items()
+    }
+    out = QUERIES["deep_nested_rollup"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        r["c_mktsegment"]:
+            (r["n_customers"], r["n_orders"], r["n_items"], r["sum_qty"])
+        for r in out
+    }
+    assert got == want
+
+
+def test_order_lineitems_rollup_matches_lexicographic_agg(spark):
+    """Pins the string_agg ordering contract (lexicographic over the
+    stringified line numbers — coincides with numeric for this data's
+    1..7 range) and the empty-string default for line-less orders."""
+    lines: dict = defaultdict(list)
+    for r in load_table(spark, SMOKE_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    ).collect():
+        lines[r["l_orderkey"]].append(str(r["l_linenumber"]))
+    want = {}
+    for r in load_table(spark, SMOKE_DIR, "orders").collect():
+        ls = sorted(lines.get(r["o_orderkey"], []))
+        want[r["o_orderkey"]] = (r["o_orderstatus"], len(ls), ",".join(ls))
+    out = QUERIES["order_lineitems_rollup"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        r["o_orderkey"]: (r["o_orderstatus"], r["n_lines"], r["line_numbers"])
+        for r in out
+    }
+    assert got == want
+    assert any(v[1] > 1 for v in want.values()), "must contain multi-line orders"
+
+
+def test_orders_rollup_matches_three_explicit_tiers(spark):
+    rows = load_table(spark, SMOKE_DIR, "orders").select(
+        "o_orderpriority", "o_orderstatus", "o_totalprice"
+    ).collect()
+    agg: dict = defaultdict(lambda: [0, Fraction(0)])
+    for r in rows:
+        t = _dec2(r["o_totalprice"])
+        for key in [(r["o_orderpriority"], r["o_orderstatus"]),
+                    (r["o_orderpriority"], None), (None, None)]:
+            agg[key][0] += 1
+            agg[key][1] += t
+    want = {k: (n, _rhu_frac(t, 2)) for k, (n, t) in agg.items()}
+    out = QUERIES["orders_rollup"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        (r["o_orderpriority"], r["o_orderstatus"]):
+            (r["n_orders"], r["sum_total"])
+        for r in out
+    }
+    assert got == want
+    assert (None, None) in got, "grand total tier must exist"
+
+
+def test_order_priority_dims_match_three_groupings(spark):
+    rows = load_table(spark, SMOKE_DIR, "orders").select(
+        "o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"
+    ).collect()
+
+    def census(keyfn):
+        agg: dict = defaultdict(lambda: [0, set(), Fraction(0)])
+        for r in rows:
+            k = keyfn(r)
+            agg[k][0] += 1
+            agg[k][1].add(r["o_custkey"])
+            agg[k][2] += _dec2(r["o_totalprice"])
+        return {
+            k: (n, len(c), _rhu_frac(t, 2)) for k, (n, c, t) in agg.items()
+        }
+
+    want = {}
+    for k, v in census(lambda r: (r["o_orderstatus"], None)).items():
+        want[k] = v
+    for k, v in census(lambda r: (None, r["o_orderpriority"])).items():
+        want[k] = v
+    for k, v in census(
+        lambda r: (r["o_orderstatus"], r["o_orderpriority"])
+    ).items():
+        want[k] = v
+
+    out = QUERIES["order_priority_dims"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        (r["filter_status"], r["filter_priority"]):
+            (r["n_orders"], r["n_customers"], r["total_price"])
+        for r in out
+    }
+    assert got == want
+
+
+def test_global_metrics_union_matches_per_table_folds(spark):
+    li = [_dec2(r["l_extendedprice"])
+          for r in load_table(spark, SMOKE_DIR, "lineitem").collect()]
+    od = [_dec2(r["o_totalprice"])
+          for r in load_table(spark, SMOKE_DIR, "orders").collect()]
+    ev = [_dec2(r["value"])
+          for r in load_table(spark, SMOKE_DIR, "events").collect()]
+    want = {
+        "lineitem": (len(li), _rhu_frac(sum(li), 2)),
+        "orders": (len(od), _rhu_frac(sum(od), 2)),
+        "events": (len(ev), _rhu_frac(sum(ev), 2)),
+    }
+    out = QUERIES["global_metrics_union"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["metric"]: (r["n_rows"], r["total"]) for r in out}
+    assert got == want
+
+
+def test_salted_type_counts_match_plain_census(spark):
+    """The salted aggregation must be INVISIBLE: identical to the
+    plain per-type census."""
+    agg: dict = {}
+    for r in load_table(spark, SMOKE_DIR, "events").select(
+        "event_type", "event_id"
+    ).collect():
+        t = r["event_type"]
+        if t not in agg:
+            agg[t] = [0, r["event_id"], r["event_id"]]
+        agg[t][0] += 1
+        agg[t][1] = min(agg[t][1], r["event_id"])
+        agg[t][2] = max(agg[t][2], r["event_id"])
+    out = QUERIES["salted_type_counts"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        r["event_type"]: [r["n_events"], r["min_event_id"], r["max_event_id"]]
+        for r in out
+    }
+    assert got == agg
+
+
+def test_part_metrics_unpivot_matches_stacked_rows(spark):
+    want = set()
+    for r in load_table(spark, SMOKE_DIR, "part").collect():
+        if r["p_partkey"] % 100 == 0:
+            want.add((r["p_partkey"], "size", float(r["p_size"])))
+            want.add((r["p_partkey"], "retailprice",
+                      _rhu(r["p_retailprice"], "0.01")))
+    out = QUERIES["part_metrics_unpivot"]["builder"](spark, SMOKE_DIR).collect()
+    got = {(r["p_partkey"], r["metric"], r["value"]) for r in out}
+    assert got == want
+    assert want, "fixture must contain sampled parts"
+
+
+def test_span_dedup_stats_match_cross_doc_span_census(spark):
+    import math
+
+    rows = load_table(spark, SMOKE_DIR, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    spans: dict = {}
+    occ: dict = defaultdict(int)
+    for r in rows:
+        w = _py_words(r["text"])
+        n = max(math.ceil(len(w) / 10.0), 1)
+        ss = [" ".join(w[(i - 1) * 10:i * 10]) for i in range(1, n + 1)]
+        spans[r["doc_id"]] = ss
+        for s in ss:
+            occ[s] += 1
+    want = {}
+    for d, ss in spans.items():
+        dup = sum(1 for s in ss if occ[s] > 1)
+        want[d] = (len(ss), dup, Fraction(dup, len(ss)))
+    out = QUERIES["span_dedup_stats"]["builder"](spark, SMOKE_DIR).collect()
+    assert {r["doc_id"] for r in out} == set(want)
+    for r in out:
+        n, dup, fr = want[r["doc_id"]]
+        assert (r["n_spans"], r["n_dup_spans"]) == (n, dup)
+        assert abs(r["dup_fraction"] - float(fr)) <= 1e-4 + 1e-9
+    assert any(d for _, d, _ in want.values()), "fixture must contain dups"
