@@ -6464,3 +6464,332 @@ def test_span_dedup_stats_match_cross_doc_span_census(spark):
         assert (r["n_spans"], r["n_dup_spans"]) == (n, dup)
         assert abs(r["dup_fraction"] - float(fr)) <= 1e-4 + 1e-9
     assert any(d for _, d, _ in want.values()), "fixture must contain dups"
+
+
+# ---------------------------------------------------------------------------
+# Batch 30: the TPC-H query-shape tail — semi joins, Q12/Q10/Q5/Q17/
+# Q16/Q19 folds, the distinct dimension walk, top-3 per customer, the
+# co-group assembly, and the URL aggregation.
+
+
+def test_customers_with_urgent_orders_match_semijoin_set(spark):
+    urgent = {
+        r["o_custkey"]
+        for r in load_table(spark, SMOKE_DIR, "orders").collect()
+        if r["o_orderpriority"] == "1-URGENT"
+    }
+    cust = load_table(spark, SMOKE_DIR, "customer").collect()
+    want = {
+        (r["c_custkey"], r["c_name"], r["c_nationkey"])
+        for r in cust if r["c_custkey"] in urgent
+    }
+    out = QUERIES["customers_with_urgent_orders"]["builder"](spark, SMOKE_DIR).collect()
+    assert {(r["c_custkey"], r["c_name"], r["c_nationkey"]) for r in out} == want
+    assert 0 < len(want) < len(cust)
+
+
+def test_dedup_min_by_matches_min_fold(spark):
+    best: dict = {}
+    for r in load_table(spark, SMOKE_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    ).collect():
+        key = (r["l_quantity"], r["l_linenumber"])
+        if r["l_orderkey"] not in best or key < best[r["l_orderkey"]][0]:
+            best[r["l_orderkey"]] = (key, r["l_linenumber"], r["l_quantity"])
+    out = QUERIES["dedup_min_by"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["l_orderkey"]: (r["l_linenumber"], r["l_quantity"]) for r in out}
+    assert got == {k: (ln, q) for k, (_, ln, q) in best.items()}
+
+
+def test_priority_class_line_counts_match_q12_fold(spark):
+    prio = {
+        r["o_orderkey"]: r["o_orderpriority"]
+        for r in load_table(spark, SMOKE_DIR, "orders").collect()
+    }
+    agg: dict = defaultdict(lambda: [0, 0])
+    for r in load_table(spark, SMOKE_DIR, "lineitem").collect():
+        if r["l_shipdate"].year != 1996:
+            continue
+        hi = prio[r["l_orderkey"]] in ("1-URGENT", "2-HIGH")
+        agg[r["l_linestatus"]][0 if hi else 1] += 1
+    out = QUERIES["priority_class_line_counts"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        r["l_linestatus"]: [r["high_line_count"], r["low_line_count"]]
+        for r in out
+    }
+    assert got == dict(agg)
+
+
+def test_priority_returned_orders_match_q4_fold(spark):
+    returned = {
+        r["l_orderkey"]
+        for r in load_table(spark, SMOKE_DIR, "lineitem").collect()
+        if r["l_returnflag"] == "R"
+    }
+    agg: dict = defaultdict(int)
+    for r in load_table(spark, SMOKE_DIR, "orders").collect():
+        d = r["o_orderdate"]
+        if d.year == 1996 and d.month <= 3 and r["o_orderkey"] in returned:
+            agg[r["o_orderpriority"]] += 1
+    out = QUERIES["priority_returned_orders"]["builder"](spark, SMOKE_DIR).collect()
+    assert {r["o_orderpriority"]: r["order_count"] for r in out} == dict(agg)
+
+
+def test_promo_disjunctive_filter_matches_q19_fold(spark):
+    # sf0.01: no line satisfies any disjunct at sf0.001 (oracle-verified)
+    sf_dir = "/root/testdata/sf0.01"
+    parts = {
+        r["p_partkey"]: (r["p_brand"], r["p_size"])
+        for r in load_table(spark, sf_dir, "part").collect()
+    }
+    spec = {"Brand#12": (5, 1, 11), "Brand#23": (10, 10, 20),
+            "Brand#34": (15, 20, 30)}
+    agg: dict = defaultdict(lambda: [Fraction(0), 0])
+    for r in load_table(spark, sf_dir, "lineitem").collect():
+        brand, size = parts[r["l_partkey"]]
+        if brand not in spec:
+            continue
+        smax, qlo, qhi = spec[brand]
+        if 1 <= size <= smax and qlo <= r["l_quantity"] <= qhi:
+            agg[brand][0] += _dec4(
+                r["l_extendedprice"] * (1 - r["l_discount"])
+            )
+            agg[brand][1] += 1
+    want = {b: (_rhu_frac(t, 2), n) for b, (t, n) in agg.items()}
+    out = QUERIES["promo_disjunctive_filter"]["builder"](spark, sf_dir).collect()
+    assert {r["p_brand"]: (r["revenue"], r["n_lines"]) for r in out} == want
+    assert want, "fixture must match a disjunct"
+
+
+def test_regional_supplier_revenue_matches_q5_fold(spark):
+    nation = {
+        r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
+        for r in load_table(spark, SMOKE_DIR, "nation").collect()
+    }
+    region = {
+        r["r_regionkey"]: r["r_name"]
+        for r in load_table(spark, SMOKE_DIR, "region").collect()
+    }
+    cust = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in load_table(spark, SMOKE_DIR, "customer").collect()
+    }
+    supp = {
+        r["s_suppkey"]: r["s_nationkey"]
+        for r in load_table(spark, SMOKE_DIR, "supplier").collect()
+    }
+    orders = {
+        r["o_orderkey"]: (r["o_custkey"], r["o_orderdate"])
+        for r in load_table(spark, SMOKE_DIR, "orders").collect()
+    }
+    agg: dict = defaultdict(Fraction)
+    for r in load_table(spark, SMOKE_DIR, "lineitem").collect():
+        ck, od = orders[r["l_orderkey"]]
+        snk = supp[r["l_suppkey"]]
+        if (od.year == 1996 and snk == cust[ck]
+                and region[nation[snk][1]] == "ASIA"):
+            agg[nation[snk][0]] += _dec4(
+                r["l_extendedprice"] * (1 - r["l_discount"])
+            )
+    want = {n: _rhu_frac(v, 2) for n, v in agg.items()}
+    out = QUERIES["regional_supplier_revenue"]["builder"](spark, SMOKE_DIR).collect()
+    assert {r["n_name"]: r["revenue"] for r in out} == want
+    assert want, "fixture must contain local ASIA supply chains"
+
+
+def test_returned_item_top_customers_match_q10_fold(spark):
+    nation = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load_table(spark, SMOKE_DIR, "nation").collect()
+    }
+    cust = {
+        r["c_custkey"]: (r["c_name"], r["c_acctbal"], nation[r["c_nationkey"]])
+        for r in load_table(spark, SMOKE_DIR, "customer").collect()
+    }
+    orders = {
+        r["o_orderkey"]: (r["o_custkey"], r["o_orderdate"])
+        for r in load_table(spark, SMOKE_DIR, "orders").collect()
+    }
+    agg: dict = defaultdict(Fraction)
+    for r in load_table(spark, SMOKE_DIR, "lineitem").collect():
+        ck, od = orders[r["l_orderkey"]]
+        if (r["l_returnflag"] == "R" and od.year == 1996
+                and 7 <= od.month <= 9):
+            agg[ck] += _dec4(r["l_extendedprice"] * (1 - r["l_discount"]))
+    ranked = sorted(
+        ((_rhu_frac(v, 2), ck) for ck, v in agg.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:20]
+    want = [
+        (ck, cust[ck][0], cust[ck][1], cust[ck][2], rev) for rev, ck in ranked
+    ]
+    out = QUERIES["returned_item_top_customers"]["builder"](spark, SMOKE_DIR).collect()
+    got = [
+        (r["c_custkey"], r["c_name"], r["c_acctbal"], r["n_name"], r["revenue"])
+        for r in out
+    ]
+    assert got == want
+    assert len(want) == 20
+
+
+def test_revenue_by_nation_matches_exact_decimal_fold(spark):
+    """The headline money rollup: 2dp x (1 - 2dp) exact products per
+    row, per (region, nation)."""
+    nation = {
+        r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
+        for r in load_table(spark, SMOKE_DIR, "nation").collect()
+    }
+    region = {
+        r["r_regionkey"]: r["r_name"]
+        for r in load_table(spark, SMOKE_DIR, "region").collect()
+    }
+    cust = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in load_table(spark, SMOKE_DIR, "customer").collect()
+    }
+    orders = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in load_table(spark, SMOKE_DIR, "orders").collect()
+    }
+    agg: dict = defaultdict(lambda: [Fraction(0), set()])
+    for r in load_table(spark, SMOKE_DIR, "lineitem").collect():
+        nk = cust[orders[r["l_orderkey"]]]
+        nname, rk = nation[nk]
+        key = (region[rk], nname)
+        agg[key][0] += _dec2(r["l_extendedprice"]) * (1 - _dec2(r["l_discount"]))
+        agg[key][1].add(r["l_orderkey"])
+    want = {k: (_rhu_frac(t, 2), len(o)) for k, (t, o) in agg.items()}
+    out = QUERIES["revenue_by_nation"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        (r["r_name"], r["n_name"]): (r["revenue"], r["n_orders"]) for r in out
+    }
+    assert got == want
+
+
+def test_small_quantity_revenue_matches_q17_fold(spark):
+    brands = {"Brand#12", "Brand#23", "Brand#34", "Brand#45", "Brand#5"}
+    bp = {
+        r["p_partkey"]: r["p_brand"]
+        for r in load_table(spark, SMOKE_DIR, "part").collect()
+        if r["p_brand"] in brands
+    }
+    li = [
+        (r["l_partkey"], r["l_quantity"], r["l_extendedprice"])
+        for r in load_table(spark, SMOKE_DIR, "lineitem").collect()
+        if r["l_partkey"] in bp
+    ]
+    qty: dict = defaultdict(Fraction)
+    cnt: dict = defaultdict(int)
+    for pk, q, _ in li:
+        qty[pk] += _dec2(q)
+        cnt[pk] += 1
+    agg: dict = defaultdict(lambda: [Fraction(0), 0])
+    for pk, q, ep in li:
+        if int(_dec2(q)) * cnt[pk] * 5 < int(qty[pk]):
+            agg[bp[pk]][0] += _dec2(ep)
+            agg[bp[pk]][1] += 1
+    want = {b: (_rhu_frac(t, 2), n) for b, (t, n) in agg.items()}
+    out = QUERIES["small_quantity_revenue"]["builder"](spark, SMOKE_DIR).collect()
+    assert {r["p_brand"]: (r["small_qty_revenue"], r["n_lines"]) for r in out} \
+        == want
+    assert want, "fixture must contain small-quantity lines"
+
+
+def test_supplier_diversity_matches_q16_fold(spark):
+    bad = {
+        r["s_suppkey"]
+        for r in load_table(spark, SMOKE_DIR, "supplier").collect()
+        if r["s_acctbal"] < 0
+    }
+    parts = {
+        r["p_partkey"]: (r["p_brand"], r["p_type"], r["p_size"])
+        for r in load_table(spark, SMOKE_DIR, "part").collect()
+        if r["p_brand"] != "Brand#45" and r["p_size"] % 4 == 1
+    }
+    su: dict = defaultdict(set)
+    for r in load_table(spark, SMOKE_DIR, "lineitem").collect():
+        if r["l_partkey"] in parts and r["l_suppkey"] not in bad:
+            su[parts[r["l_partkey"]]].add(r["l_suppkey"])
+    out = QUERIES["supplier_diversity_by_type"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        (r["p_brand"], r["p_type"], r["p_size"]): r["supplier_cnt"]
+        for r in out
+    }
+    assert got == {k: len(v) for k, v in su.items()}
+    assert got, "fixture must match the size filter"
+
+
+def test_table_data_distinct_matches_set_walk(spark):
+    nation = {
+        r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
+        for r in load_table(spark, SMOKE_DIR, "nation").collect()
+    }
+    region = {
+        r["r_regionkey"]: r["r_name"]
+        for r in load_table(spark, SMOKE_DIR, "region").collect()
+    }
+    want = set()
+    for r in load_table(spark, SMOKE_DIR, "customer").collect():
+        nname, rk = nation[r["c_nationkey"]]
+        want.add((region[rk], nname, r["c_mktsegment"]))
+    out = QUERIES["table_data_distinct"]["builder"](spark, SMOKE_DIR).collect()
+    got = [(r["r_name"], r["n_name"], r["c_mktsegment"]) for r in out]
+    assert set(got) == want and len(got) == len(want)
+
+
+def test_top3_orders_per_customer_match_sorted_cut(spark):
+    by_cust: dict = defaultdict(list)
+    for r in load_table(spark, SMOKE_DIR, "orders").collect():
+        by_cust[r["o_custkey"]].append((r["o_totalprice"], r["o_orderkey"]))
+    want = {}
+    for c, lst in by_cust.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        for rk, (tp, ok) in enumerate(lst[:3], start=1):
+            want[(c, ok)] = (tp, rk)
+    out = QUERIES["top3_orders_per_customer"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        (r["o_custkey"], r["o_orderkey"]): (r["o_totalprice"], r["rk"])
+        for r in out
+    }
+    assert got == want
+
+
+def test_nation_cogroup_matches_sorted_agg_assembly(spark):
+    segs: dict = defaultdict(list)
+    for r in load_table(spark, SMOKE_DIR, "customer").collect():
+        segs[r["c_nationkey"]].append(r["c_mktsegment"])
+    names: dict = defaultdict(list)
+    for r in load_table(spark, SMOKE_DIR, "supplier").collect():
+        names[r["s_nationkey"]].append(r["s_name"])
+    want = {}
+    for r in load_table(spark, SMOKE_DIR, "nation").collect():
+        k = r["n_nationkey"]
+        want[r["n_name"]] = (
+            ",".join(sorted(segs.get(k, []))),
+            ",".join(sorted(names.get(k, []))),
+            len(segs.get(k, [])),
+            len(names.get(k, [])),
+        )
+    out = QUERIES["nation_cogroup"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        r["n_name"]: (r["customer_segments"], r["supplier_names"],
+                      r["n_customers"], r["n_suppliers"])
+        for r in out
+    }
+    assert got == want
+
+
+def test_qc_links_per_part_matches_url_assembly(spark):
+    links: dict = defaultdict(list)
+    for r in load_table(spark, SMOKE_DIR, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_linenumber"
+    ).collect():
+        links[r["l_partkey"]].append(
+            f"https://qc.example/{r['l_orderkey']}/{r['l_linenumber']}"
+        )
+    want = {
+        pk: (",".join(sorted(ls)), len(ls)) for pk, ls in links.items()
+    }
+    out = QUERIES["qc_links_per_part"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["l_partkey"]: (r["qc_links"], r["n_links"]) for r in out}
+    assert got == want
