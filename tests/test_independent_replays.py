@@ -6793,3 +6793,161 @@ def test_qc_links_per_part_matches_url_assembly(spark):
     out = QUERIES["qc_links_per_part"]["builder"](spark, SMOKE_DIR).collect()
     got = {r["l_partkey"]: (r["qc_links"], r["n_links"]) for r in out}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Batch 31: the streaming runners' batch-equivalent semantics —
+# distinct pairs, static enrichment, the interval join, hourly
+# windows, and both watermarked outer joins with their completion
+# cuts — re-derived as plain folds over the raw events.
+
+
+def test_stream_distinct_pairs_match_set_fold(spark):
+    rows = load_table(spark, SMOKE_DIR, "events").select(
+        "user_id", "event_type"
+    ).collect()
+    want = {(r["user_id"], r["event_type"]) for r in rows}
+    for q in ("stream_distinct_pairs", "stream_dedup_within_watermark"):
+        out = QUERIES[q]["builder"](spark, SMOKE_DIR).collect()
+        got = [(r["user_id"], r["event_type"]) for r in out]
+        assert set(got) == want and len(got) == len(want), q
+
+
+def test_stream_static_enrichment_matches_tier_fold(spark):
+    rows = load_table(spark, SMOKE_DIR, "events").select(
+        "user_id", "event_type", "value"
+    ).collect()
+    agg: dict = defaultdict(lambda: [0, Fraction(0)])
+    for r in rows:
+        k = (r["user_id"] % 3, r["event_type"])
+        agg[k][0] += 1
+        agg[k][1] += _dec2(r["value"])
+    want = {k: (n, _rhu_frac(t, 2)) for k, (n, t) in agg.items()}
+    out = QUERIES["stream_static_enrichment"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        (r["tier"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in out
+    }
+    assert got == want
+
+
+def test_stream_interval_join_matches_window_scan(spark):
+    from datetime import timedelta
+
+    rows = load_table(spark, SMOKE_DIR, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user: dict = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    want = set()
+    for evs in by_user.values():
+        for p in evs:
+            if p["event_type"] != "purchase":
+                continue
+            for e in evs:
+                if p["ts"] - timedelta(hours=1) <= e["ts"] <= p["ts"]:
+                    want.add((p["event_id"], e["event_id"]))
+    out = QUERIES["stream_interval_join"]["builder"](spark, SMOKE_DIR).collect()
+    got = {(r["p_event_id"], r["e_event_id"]) for r in out}
+    assert got == want
+    assert len(out) == len(want)
+
+
+def test_stream_event_window_matches_hourly_fold(spark):
+    rows = load_table(spark, SMOKE_DIR, "events").collect()
+    agg: dict = defaultdict(lambda: [0, set(), Fraction(0)])
+    for r in rows:
+        hour = r["ts"].replace(minute=0, second=0, microsecond=0)
+        k = (hour, r["event_type"])
+        agg[k][0] += 1
+        agg[k][1].add(r["user_id"])
+        agg[k][2] += _dec2(r["value"])
+    want = {k: (n, len(u), _rhu_frac(t, 2)) for k, (n, u, t) in agg.items()}
+    out = QUERIES["stream_event_window"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        (r["window_start"], r["event_type"]):
+            (r["n_events"], r["n_users"], r["sum_value"])
+        for r in out
+    }
+    assert got == want
+
+
+def _purchase_click_cut(spark):
+    from datetime import timedelta
+
+    rows = load_table(spark, SMOKE_DIR, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    p = [r for r in rows if r["event_type"] == "purchase"]
+    e = [r for r in rows if r["event_type"] == "click"]
+    cut = min(max(r["ts"] for r in p), max(r["ts"] for r in e)) \
+        - timedelta(hours=1)
+    return p, e, cut
+
+
+def _us(ts) -> int:
+    from datetime import datetime, timedelta
+
+    return (ts - datetime(1970, 1, 1)) // timedelta(microseconds=1)
+
+
+def test_stream_left_outer_join_matches_cut_definition(spark):
+    from datetime import timedelta
+
+    p, e, cut = _purchase_click_cut(spark)
+    by_user: dict = defaultdict(list)
+    for r in e:
+        by_user[r["user_id"]].append(r)
+    want = []
+    for pr in p:
+        if not pr["ts"] < cut:
+            continue
+        matches = [
+            er["event_id"] for er in by_user.get(pr["user_id"], [])
+            if pr["ts"] - timedelta(hours=1) <= er["ts"] <= pr["ts"]
+        ]
+        if matches:
+            want += [(pr["event_id"], _us(pr["ts"]), str(m)) for m in matches]
+        else:
+            want.append((pr["event_id"], _us(pr["ts"]), "none"))
+    out = QUERIES["stream_left_outer_join"]["builder"](spark, SMOKE_DIR).collect()
+    got = [(r["p_event_id"], r["p_us"], r["e_event_id_s"]) for r in out]
+    assert sorted(got) == sorted(want)
+    assert any(m == "none" for _, _, m in want), "must emit unmatched rows"
+
+
+def test_stream_full_outer_join_matches_cut_definition(spark):
+    from datetime import timedelta
+
+    p, e, cut = _purchase_click_cut(spark)
+    clicks_by_user: dict = defaultdict(list)
+    for r in e:
+        clicks_by_user[r["user_id"]].append(r)
+    matched_clicks = set()
+    want = []
+    for pr in p:
+        matches = [
+            er for er in clicks_by_user.get(pr["user_id"], [])
+            if pr["ts"] - timedelta(hours=1) <= er["ts"] <= pr["ts"]
+        ]
+        for er in matches:
+            matched_clicks.add(er["event_id"])
+            want.append((str(pr["event_id"]), _us(pr["ts"]),
+                         str(er["event_id"]), _us(er["ts"])))
+        if not matches and pr["ts"] < cut:
+            want.append((str(pr["event_id"]), _us(pr["ts"]), "none", None))
+    for er in e:
+        if er["event_id"] not in matched_clicks \
+                and er["ts"] < cut - timedelta(hours=1):
+            want.append(("none", None, str(er["event_id"]), _us(er["ts"])))
+    out = QUERIES["stream_full_outer_join"]["builder"](spark, SMOKE_DIR).collect()
+    got = [
+        (r["p_event_id_s"], r["p_us"], r["e_event_id_s"], r["e_us"])
+        for r in out
+    ]
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    assert sorted(got, key=key) == sorted(want, key=key)
+    assert any(a == "none" for a, _, _, _ in want) \
+        and any(c == "none" for _, _, c, _ in want), \
+        "both unmatched sides must appear"
