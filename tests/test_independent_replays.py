@@ -6951,3 +6951,291 @@ def test_stream_full_outer_join_matches_cut_definition(spark):
     assert any(a == "none" for a, _, _, _ in want) \
         and any(c == "none" for _, _, c, _ in want), \
         "both unmatched sides must appear"
+
+
+# ---------------------------------------------------------------------------
+# Batch 32: the reference-domain projection tier (gate rows, GBIF-style
+# validation routes, URL/name assembly, provenance, lineage error
+# channels, taxon key quirks, ETL routing), the nested doc census,
+# digit redaction, the exact sketch twin, and the full corpus quality
+# gate composition.
+
+
+def test_gate_rows_projection_matches_literal_stamp(spark):
+    from datetime import datetime
+
+    want = {
+        (str(r["o_orderkey"]), r["o_custkey"], "Validated",
+         datetime(2026, 1, 1))
+        for r in load_table(spark, SMOKE_DIR, "orders").collect()
+        if r["o_orderstatus"] == "O"
+    }
+    out = QUERIES["gate_rows_projection"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        (r["record_id"], r["entity_key"], r["status"], r["date_seen"])
+        for r in out
+    }
+    assert got == want and want
+
+
+def test_name_validation_split_matches_route_rules(spark):
+    want = {}
+    for r in load_table(spark, SMOKE_DIR, "part").collect():
+        pk = r["p_partkey"]
+        m = pk % 3
+        mt = "EXACT" if m == 0 else ("FUZZY" if m == 1 else "NONE")
+        conf = 99 if m == 0 else (50 + pk % 50 if m == 1 else 0)
+        route = "validated" if (mt == "EXACT"
+                                or (mt == "FUZZY" and conf >= 95)) \
+            else "to_check"
+        want[pk] = (mt, conf, route)
+    out = QUERIES["name_validation_split"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        r["p_partkey"]: (r["match_type"], r["confidence"], r["route"])
+        for r in out
+    }
+    assert got == want
+    assert {v[2] for v in want.values()} == {"validated", "to_check"}
+
+
+def test_part_urls_match_string_assembly(spark):
+    import re as _re
+
+    want = {}
+    for r in load_table(spark, SMOKE_DIR, "part").collect():
+        m = _re.match(r"^([A-Za-z0-9_]+)", r["p_name"])
+        t = r["p_type"].strip()
+        want[r["p_partkey"]] = (
+            f"https://parts.example/{r['p_brand']}/{r['p_partkey']}",
+            m.group(1) if m else "",
+            t if t else "UNKNOWN",
+            r["p_brand"].upper(),
+        )
+    out = QUERIES["part_urls"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        r["p_partkey"]: (r["part_url"], r["first_word"], r["type_clean"],
+                         r["brand_uc"])
+        for r in out
+    }
+    assert got == want
+
+
+def test_provenance_requests_match_portal_assembly(spark):
+    cust = {
+        r["c_custkey"]: r["c_name"]
+        for r in load_table(spark, SMOKE_DIR, "customer").collect()
+    }
+    want = set()
+    for r in load_table(spark, SMOKE_DIR, "orders").collect():
+        ck, ok = r["o_custkey"], r["o_orderkey"]
+        want.add((
+            str(ck), ok, f"https://portal.example/data/{ck}/{ok}",
+            cust[ck], _rhu(r["o_totalprice"], "0.01"),
+        ))
+    out = QUERIES["provenance_requests"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        (r["tax_id"], r["accession"], r["portal_url"], r["organism"],
+         r["usage_key"])
+        for r in out
+    }
+    assert got == want
+
+
+def test_supplier_lineage_matches_error_channel_rules(spark):
+    nation = {
+        r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
+        for r in load_table(spark, SMOKE_DIR, "nation").collect()
+        if r["n_nationkey"] < 20
+    }
+    region = {
+        r["r_regionkey"]: r["r_name"]
+        for r in load_table(spark, SMOKE_DIR, "region").collect()
+    }
+    want = {}
+    for r in load_table(spark, SMOKE_DIR, "supplier").collect():
+        hit = nation.get(r["s_nationkey"])
+        if hit:
+            want[r["s_suppkey"]] = (hit[0], region[hit[1]], None)
+        else:
+            want[r["s_suppkey"]] = ("LOOKUP_ERROR", "LOOKUP_ERROR",
+                                    "taxonomy lookup failed")
+    out = QUERIES["supplier_lineage_enrichment"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        r["s_suppkey"]: (r["nation_name"], r["region_name"], r["error"])
+        for r in out
+    }
+    assert got == want
+    assert any(v[2] for v in want.values()), "error channel must fire"
+
+
+def test_taxon_key_quirks_match_special_case_rules(spark):
+    nation = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load_table(spark, SMOKE_DIR, "nation").collect()
+    }
+    errors = {"624", "1773", "2697049"}
+    want = {}
+    for r in load_table(spark, SMOKE_DIR, "customer").collect():
+        ck = r["c_custkey"]
+        organism = ("Ochlodes sylvanus" if ck % 97 == 0 else f"org_{ck}")
+        country = "Spain" if ck % 5 == 0 else nation[r["c_nationkey"]]
+        tax_key = ("876063_3126489" if organism == "Ochlodes sylvanus"
+                   else str(ck))
+        if tax_key in errors:
+            want[tax_key] = ("error", None, None)
+        else:
+            want[tax_key] = ("ok", organism,
+                             str("Spain" in country).lower())
+    out = QUERIES["taxon_key_quirks"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        r["tax_key"]: (r["category"], r["organism"], r["nagoya_protocol"])
+        for r in out
+    }
+    assert got == want
+    assert any(v[0] == "error" for v in want.values()) or \
+        all(k not in errors for k in want), "error rule checked"
+
+
+def test_metadata_etl_rollup_matches_routing_fold(spark):
+    agg: dict = {}
+    for r in load_table(spark, SMOKE_DIR, "events").select(
+        "event_id", "user_id", "event_type"
+    ).collect():
+        cat = ("errors" if r["event_type"] == "error"
+               else "conversions" if r["event_type"] in ("purchase", "signup")
+               else "engagement")
+        k = (r["user_id"], cat)
+        if k not in agg:
+            agg[k] = [0, r["event_id"]]
+        agg[k][0] += 1
+        agg[k][1] = min(agg[k][1], r["event_id"])
+    out = QUERIES["metadata_etl_rollup"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        (r["tax_id"], r["category"]):
+            [r["n_records"], r["min_event_id"]]
+        for r in out
+    }
+    assert got == agg
+    assert all(r["n_records"] == r["n_collected"] for r in out)
+
+
+def test_nested_customer_doc_matches_left_join_census(spark):
+    orders_by_cust: dict = defaultdict(set)
+    cust_of_order: dict = {}
+    for r in load_table(spark, SMOKE_DIR, "orders").collect():
+        orders_by_cust[r["o_custkey"]].add(r["o_orderkey"])
+        cust_of_order[r["o_orderkey"]] = r["o_custkey"]
+    lines: dict = defaultdict(int)
+    for r in load_table(spark, SMOKE_DIR, "lineitem").select(
+        "l_orderkey"
+    ).collect():
+        lines[cust_of_order[r["l_orderkey"]]] += 1
+    want = {}
+    for r in load_table(spark, SMOKE_DIR, "customer").collect():
+        ck = r["c_custkey"]
+        want[ck] = (len(orders_by_cust.get(ck, ())), lines.get(ck, 0))
+    out = QUERIES["nested_customer_doc"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["c_custkey"]: (r["n_orders"], r["n_lines"]) for r in out}
+    assert got == want
+
+
+def test_doc_redaction_matches_regex_scrub(spark):
+    import hashlib
+    import re as _re
+
+    want = {}
+    for r in load_table(spark, SMOKE_DIR, "documents").select(
+        "doc_id", "text"
+    ).collect():
+        red = _re.sub(r"[0-9]+", "#", r["text"])
+        want[r["doc_id"]] = (
+            len(_re.findall(r"[0-9]+", r["text"])), len(red),
+            hashlib.md5(red.encode("utf-8")).hexdigest(),
+        )
+    out = QUERIES["doc_redaction"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        r["doc_id"]: (r["n_digit_runs"], r["redacted_len"], r["redacted_md5"])
+        for r in out
+    }
+    assert got == want
+    # the synthetic corpus is digit-free at every SF (verified), so the
+    # scrub is an identity there; probe the digit path on planted rows
+    # with the same Spark expressions the operator uses
+    probe = spark.createDataFrame(
+        [("a1bb23c456", ), ("no digits", )], ["text"]
+    ).selectExpr(
+        "size(regexp_extract_all(text, '[0-9]+', 0)) AS n",
+        "length(regexp_replace(text, '[0-9]+', '#')) AS red_len",
+        "regexp_replace(text, '[0-9]+', '#') AS red",
+    ).collect()
+    got_probe = {(r["n"], r["red_len"], r["red"]) for r in probe}
+    assert got_probe == {(3, 7, "a#bb#c#"), (0, 9, "no digits")}
+
+
+def test_sketch_value_stats_exact_matches_plain_folds(spark):
+    vals: dict = defaultdict(list)
+    for r in load_table(spark, SMOKE_DIR, "events").select(
+        "event_type", "value"
+    ).collect():
+        if r["value"] is not None:
+            vals[r["event_type"]].append(r["value"])
+    out = QUERIES["sketch_value_stats_exact"]["builder"](spark, SMOKE_DIR).collect()
+    assert {r["event_type"] for r in out} == set(vals)
+    for r in out:
+        vs = vals[r["event_type"]]
+        assert r["n"] == len(vs)
+        assert r["n_distinct"] == len(set(vs))
+        assert r["min_value"] == _rhu(min(vs), "0.01")
+        assert r["max_value"] == _rhu(max(vs), "0.01")
+        mean = sum(_dec2(v) for v in vs) / len(vs)
+        assert abs(r["mean"] - float(mean)) <= 5e-3 + 1e-9
+
+
+def test_corpus_quality_gate_matches_full_composition(spark):
+    """The whole curation gate re-derived: md5 exact dedup keeping the
+    min doc_id per text, the C4 quality score, the stopword language
+    cascade with its fixed tie order, the 0.4/5 gate, and the final
+    per-language census."""
+    import hashlib
+
+    rows = load_table(spark, SMOKE_DIR, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    kept: dict = {}
+    for r in rows:
+        h = hashlib.md5(r["text"].encode("utf-8")).hexdigest()
+        if h not in kept or r["doc_id"] < kept[h]:
+            kept[h] = r["doc_id"]
+    kept_ids = set(kept.values())
+
+    agg: dict = defaultdict(lambda: [0, 0])
+    for r in rows:
+        if r["doc_id"] not in kept_ids:
+            continue
+        words = _py_words(r["text"])
+        n_words = len(words)
+        q = _c4_quality(r["text"])
+        if not (q >= 0.4 and n_words >= 5):
+            continue
+        scores = {
+            lang: sum(1 for w in words if w in stops)
+            for lang, stops in _LANG_STOPS.items()
+        }
+        if max(scores.values()) == 0:
+            lang = "und"
+        elif (scores["en"] >= scores["es"] and scores["en"] >= scores["fr"]
+                and scores["en"] >= scores["de"]):
+            lang = "en"
+        elif scores["es"] >= scores["fr"] and scores["es"] >= scores["de"]:
+            lang = "es"
+        elif scores["fr"] >= scores["de"]:
+            lang = "fr"
+        else:
+            lang = "de"
+        agg[lang][0] += 1
+        agg[lang][1] += n_words
+
+    out = QUERIES["corpus_quality_gate"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["predicted_lang"]: (r["n_docs"], r["total_words"]) for r in out}
+    assert got == {k: (n, w) for k, (n, w) in agg.items()}
+    assert len(got) > 1, "fixture must span languages"
