@@ -4898,33 +4898,8 @@ def test_kmeans_clusters_match_lloyd_fixed_point_iterations(spark):
         (r["vec_id"], [float(x) for x in r["embedding"]])
         for r in load_table(spark, SMOKE_DIR, "embeddings").collect()
     )
-    xq = {vid: [_round_half_away(x * 16777216.0) for x in ve] for vid, ve in rows}
-    dims = len(rows[0][1])
-    cents = {c: list(xq[vid]) for c, (vid, _) in enumerate(rows[:8])}
-
-    assign: dict = {}
-    for _ in range(4):
-        assign = {
-            vid: min(
-                cents,
-                key=lambda c: (
-                    sum((xq[vid][d] - cents[c][d]) ** 2 for d in range(dims)),
-                    c,
-                ),
-            )
-            for vid, _ in rows
-        }
-        members: dict = defaultdict(list)
-        for vid, c in assign.items():
-            members[c].append(vid)
-        cents = {
-            c: [
-                _trunc_div(sum(xq[v][d] for v in vids), len(vids))
-                for d in range(dims)
-            ]
-            for c, vids in members.items()
-        }
-
+    assign = _kmeans_assign(rows, 4)
+    assign.pop(None)
     census: dict = defaultdict(list)
     for vid, c in assign.items():
         census[c].append(vid)
@@ -7239,3 +7214,173 @@ def test_corpus_quality_gate_matches_full_composition(spark):
     got = {r["predicted_lang"]: (r["n_docs"], r["total_words"]) for r in out}
     assert got == {k: (n, w) for k, (n, w) in agg.items()}
     assert len(got) > 1, "fixture must span languages"
+
+
+# ---------------------------------------------------------------------------
+# Batch 33: the remaining ANN-family siblings and the BPE merge
+# trajectory — IVF with learned k-means routing, the exhaustive top-k
+# twin, semantic dedup via within-cluster components, and the three
+# recorded best pairs of BPE training.
+
+
+def _kmeans_assign(rows, n_rounds: int) -> dict:
+    """Plain-Python Lloyd assignment: 2^24 fixed-point, first-8 seeds,
+    (sq-L2, cluster) tie-break, truncating integer-mean updates.
+    Returns {vec_id: cluster} after `n_rounds` assignment rounds, plus
+    the post-round centroids under key None."""
+    xq = {vid: [_round_half_away(x * 16777216.0) for x in ve]
+          for vid, ve in rows}
+    dims = len(rows[0][1])
+    cents = {c: list(xq[vid]) for c, (vid, _) in enumerate(rows[:8])}
+    assign: dict = {}
+    for _ in range(n_rounds):
+        assign = {
+            vid: min(
+                cents,
+                key=lambda c: (
+                    sum((xq[vid][d] - cents[c][d]) ** 2 for d in range(dims)),
+                    c,
+                ),
+            )
+            for vid, _ in rows
+        }
+        members: dict = defaultdict(list)
+        for vid, c in assign.items():
+            members[c].append(vid)
+        cents = {
+            c: [
+                _trunc_div(sum(xq[v][d] for v in vids), len(vids))
+                for d in range(dims)
+            ]
+            for c, vids in members.items()
+        }
+    assign[None] = cents
+    return assign
+
+
+def test_ivf_topk_exhaustive_matches_numpy_free_brute_force(spark):
+    rows = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in load_table(spark, SMOKE_DIR, "embeddings").collect()
+    )
+    queries = [(v, e) for v, e in rows if v < 5]
+    base = [(v, e) for v, e in rows if v >= 5]
+    want = set()
+    for qid, qv in queries:
+        scored = sorted(
+            ((_cos6(qv, bv), bid) for bid, bv in base),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (sim, bid) in enumerate(scored[:10], start=1):
+            want.add((qid, bid, sim, rank))
+    out = QUERIES["ivf_topk_exhaustive"]["builder"](spark, SMOKE_DIR).collect()
+    got = {(r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"])
+           for r in out}
+    assert got == want
+
+
+def test_ivf_kmeans_topk_matches_learned_routing_rederivation(spark):
+    """IVF with a LEARNED coarse quantizer: 3 Lloyd rounds, centroid
+    cosine routing to 3 probes, exact rerank in the probed buckets."""
+    rows = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in load_table(spark, SMOKE_DIR, "embeddings").collect()
+    )
+    assign = _kmeans_assign(rows, 3)
+    cents = assign.pop(None)
+    cvec = {c: [q / 16777216.0 for q in v] for c, v in cents.items()}
+    vecs = dict(rows)
+    by_cluster: dict = defaultdict(list)
+    for vid, c in assign.items():
+        by_cluster[c].append(vid)
+
+    want = set()
+    for qid, qv in rows:
+        if qid % 50 != 0:
+            continue
+        routed = sorted(
+            ((_cos6(qv, cv), lbl) for lbl, cv in cvec.items()),
+            key=lambda t: (-t[0], t[1]),
+        )
+        probes = [lbl for _, lbl in routed[:3]]
+        scored = sorted(
+            (
+                (_cos6(qv, vecs[vid]), vid)
+                for lbl in probes for vid in by_cluster[lbl]
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (sim, vid) in enumerate(scored[:5], start=1):
+            want.add((qid, vid, sim, rank))
+
+    out = QUERIES["ivf_kmeans_topk"]["builder"](spark, SMOKE_DIR).collect()
+    got = {(r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"])
+           for r in out}
+    assert got == want
+    assert want, "fixture must contain queries"
+
+
+def test_semantic_dedup_matches_cluster_component_rederivation(spark):
+    """Semantic dedup end to end: 2 Lloyd assignment rounds, 6dp
+    cosine >= 0.4 edges within clusters, union-find, keep every vector
+    that is not a non-root member."""
+    rows = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in load_table(spark, SMOKE_DIR, "embeddings").collect()
+    )
+    assign = _kmeans_assign(rows, 2)
+    assign.pop(None)
+    vecs = dict(rows)
+    by_cluster: dict = defaultdict(list)
+    for vid, c in assign.items():
+        by_cluster[c].append(vid)
+    pairs = []
+    for vids in by_cluster.values():
+        vids.sort()
+        for i, a in enumerate(vids):
+            for b in vids[i + 1:]:
+                if _cos6(vecs[a], vecs[b]) >= 0.4:
+                    pairs.append((a, b))
+    roots = _uf_roots(pairs)
+    dropped = {n for n, r in roots.items() if r != n}
+    want = sorted(v for v, _ in rows if v not in dropped)
+    out = QUERIES["semantic_dedup_corpus"]["builder"](spark, SMOKE_DIR).collect()
+    assert sorted(r["vec_id"] for r in out) == want
+    assert dropped, "fixture must contain semantic dups"
+
+
+def test_bpe_train_vocab_matches_greedy_merge_trajectory(spark):
+    """The three recorded best merges of BPE training, re-derived with
+    the canonical greedy algorithm (weighted pair counts, (count desc,
+    pair asc) winner, leftmost-first merge)."""
+    rows = load_table(spark, SMOKE_DIR, "documents").select("text").collect()
+    wcount: dict = defaultdict(int)
+    for r in rows:
+        for w in _py_words(r["text"]):
+            if w:
+                wcount[w] += 1
+    syms = {w: list(w) for w in wcount}
+    want = []
+    for rnd in (1, 2, 3):
+        pc: dict = defaultdict(int)
+        for w, ss in syms.items():
+            for a, b in zip(ss, ss[1:]):
+                pc[(a, b)] += wcount[w]
+        best = min(pc, key=lambda p: (-pc[p], p[0], p[1]))
+        want.append((rnd, best[0], best[1], pc[best]))
+        for w, ss in syms.items():
+            out, i = [], 0
+            while i < len(ss):
+                if i + 1 < len(ss) and (ss[i], ss[i + 1]) == best:
+                    out.append(ss[i] + ss[i + 1])
+                    i += 2
+                else:
+                    out.append(ss[i])
+                    i += 1
+            syms[w] = out
+
+    out = QUERIES["bpe_train_vocab"]["builder"](spark, SMOKE_DIR).collect()
+    got = sorted(
+        (r["rnd"], r["sym_a"], r["sym_b"], r["pair_count"]) for r in out
+    )
+    assert got == sorted(want)
