@@ -284,7 +284,17 @@ def minhash_lsh_pairs(
     Deterministic: hashes are md5-based (portable to the SQL oracle).
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded 6.
     """
-    sig = minhash_signatures(df, id_col, text, n, num_hashes)
+    # Docs with fewer than n words have NO shingles: every minhash
+    # component is NULL, concat_ws skips NULLs, and ALL such docs would
+    # share the n_bands buckets md5(str(b)) — a quadratic candidate
+    # explosion on any real corpus (short docs are common at 100 TB) and
+    # a 0/0 Jaccard in the verify step, which raises under ANSI. They
+    # cannot be near-dups under the shingle definition, so drop them
+    # before banding (the SQL oracle's NULL buckets never join — same
+    # semantics).
+    sig = minhash_signatures(df, id_col, text, n, num_hashes).where(
+        F.size("shingles") > 0
+    )
     n_bands = num_hashes // band_size
     bands = F.array(
         *[
@@ -407,7 +417,12 @@ def minhash_incremental_pairs(
     n_bands = num_hashes // band_size
 
     def side(df: DataFrame) -> DataFrame:
-        sig = minhash_signatures(df, id_col, text, n, num_hashes)
+        # shingle-less docs excluded for the same reasons as in
+        # minhash_lsh_pairs: shared md5(str(b)) buckets (candidate
+        # explosion) and an ANSI 0/0 in the verify join
+        sig = minhash_signatures(df, id_col, text, n, num_hashes).where(
+            F.size("shingles") > 0
+        )
         bands = F.array(
             *[
                 F.md5(

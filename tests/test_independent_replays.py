@@ -5190,12 +5190,17 @@ def test_weighted_doc_sample_matches_efraimidis_spirakis(spark):
     keyed = []
     for r in rows:
         h = hashlib.md5(f"ws:{r['doc_id']}".encode()).hexdigest()
+        if not r["n_chars"]:
+            # zero-length docs are OUT OF CONTRACT for this query: the
+            # Spark builder raises DIVIDE_BY_ZERO under ANSI (on by
+            # default in this build) and the DuckDB oracle yields a NULL
+            # key (1.0/0 is NULL there, not inf) — both verified live.
+            # The fixture has none; exclude rather than invent a mirror.
+            continue
         u = (int(h[:8], 16) + 1.0) / 4294967296.0
-        # engines compute 1.0/0 = inf (double division), u^inf = 0.0 for
-        # u < 1; Python 1.0/0 raises, so mirror the inf explicitly
-        exp = 1.0 / r["n_chars"] if r["n_chars"] else float("inf")
         keyed.append(
-            (r["doc_id"], r["n_chars"], _rhu(u ** exp, "0.000000001"))
+            (r["doc_id"], r["n_chars"],
+             _rhu(u ** (1.0 / r["n_chars"]), "0.000000001"))
         )
     keyed.sort(key=lambda t: (-t[2], t[0]))
     want = keyed[:50]
@@ -5635,9 +5640,10 @@ def test_incremental_minhash_gate_matches_python_rederivation(spark):
 
     buckets: dict = defaultdict(lambda: (set(), set()))
     for d in sh:
-        # docs under 3 words have no shingles: the oracle's list_min over
-        # an empty list is NULL, its band md5 is NULL, and a NULL bucket
-        # never joins — mirror by excluding them from bucketing entirely
+        # docs under 3 words have no shingles; BOTH engines exclude them
+        # (the oracle's NULL band buckets never join; the operator drops
+        # empty-shingle docs before banding — operators/dedup.py), and
+        # Python's min() over the empty hash list would crash anyway
         if not sh[d]:
             continue
         sig = mh(d)
@@ -7264,7 +7270,7 @@ def test_corpus_quality_gate_matches_full_composition(spark):
 # recorded best pairs of BPE training.
 
 
-def _kmeans_assign(rows, n_rounds: int) -> dict:
+def _kmeans_assign(rows, n_rounds: int) -> tuple:
     """Plain-Python Lloyd assignment: 2^24 fixed-point, first-8 seeds,
     (sq-L2, cluster) tie-break, truncating integer-mean updates.
     Returns ({vec_id: cluster}, {cluster: centroid}) after `n_rounds`

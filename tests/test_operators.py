@@ -218,6 +218,44 @@ def test_incremental_minhash_gate_matches_full_run_cross_pairs(spark):
     assert inc  # non-vacuous: the corpus does have cross-split dups
 
 
+def test_minhash_shingleless_docs_never_pair_or_crash(spark):
+    # docs with fewer than n words have NO shingles: every minhash
+    # component is NULL and concat_ws would have collapsed their band
+    # buckets to the shared md5(str(band)) — ALL short docs colliding in
+    # n_bands buckets (quadratic candidates on a real corpus, where short
+    # docs are common) and a 0/0 Jaccard in the verify step, which
+    # RAISES under this build's ANSI default. The operators drop
+    # empty-shingle docs before banding; short docs must neither crash
+    # nor pair, and real dups must be unaffected.
+    from pyspark.sql import Row
+
+    rows = [
+        Row(doc_id=1, text="hi"),                      # 1 word: no shingles
+        Row(doc_id=2, text="hi there"),                # 2 words: no shingles
+        Row(doc_id=10, text="ok"),                     # short, new batch
+        Row(doc_id=3, text="alpha beta gamma delta epsilon zeta eta"),
+        Row(doc_id=20, text="alpha beta gamma delta epsilon zeta eta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, num_hashes=16, band_size=4, threshold=0.5
+        ).collect()
+    }
+    assert full == {(3, 20): 1.0}
+    inc = {
+        (r["new_id"], r["old_id"]): r["jaccard"]
+        for r in dedup.minhash_incremental_pairs(
+            docs.where(F.col("doc_id") < 10),
+            docs.where(F.col("doc_id") >= 10),
+            "doc_id", "text",
+            n=3, num_hashes=16, band_size=4, threshold=0.5,
+        ).collect()
+    }
+    assert inc == {(20, 3): 1.0}
+
+
 def test_incremental_minhash_gate_empty_new_batch(spark):
     # a day with no new documents must yield an empty pair set, not an
     # error — and never touch the existing corpus quadratically
