@@ -237,6 +237,17 @@ def ngram_jaccard_pairs(
     )
 
 
+def _band_concat(*cols) -> Column:
+    """Comma-joined band key via NULL-PROPAGATING concat — one NULL
+    minhash component (a shingle-less doc) nulls the whole bucket,
+    mirroring the SQL oracle's `||`. concat_ws would skip NULLs and
+    alias every shingle-less doc into one shared bucket per band."""
+    out = [cols[0]]
+    for c in cols[1:]:
+        out += [F.lit(","), c]
+    return F.concat(*out)
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text: str, n: int = 3, num_hashes: int = 16
 ) -> DataFrame:
@@ -284,23 +295,24 @@ def minhash_lsh_pairs(
     Deterministic: hashes are md5-based (portable to the SQL oracle).
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded 6.
     """
-    # Docs with fewer than n words have NO shingles: every minhash
-    # component is NULL, concat_ws skips NULLs, and ALL such docs would
-    # share the n_bands buckets md5(str(b)) — a quadratic candidate
-    # explosion on any real corpus (short docs are common at 100 TB) and
-    # a 0/0 Jaccard in the verify step, which raises under ANSI. They
-    # cannot be near-dups under the shingle definition, so drop them
-    # before banding (the SQL oracle's NULL buckets never join — same
-    # semantics).
-    sig = minhash_signatures(df, id_col, text, n, num_hashes).where(
-        F.size("shingles") > 0
-    )
+    sig = minhash_signatures(df, id_col, text, n, num_hashes)
     n_bands = num_hashes // band_size
+    # NULL-PROPAGATING band hash (concat, not concat_ws): docs with
+    # fewer than n words have no shingles, so every minhash component
+    # is NULL. concat_ws would SKIP the NULLs and give all such docs
+    # the same n_bands buckets md5(str(b)) — a quadratic candidate
+    # explosion on any real corpus (short docs are common at 100 TB)
+    # and a 0/0 Jaccard in the verify step, which raises under ANSI.
+    # With concat their buckets are NULL (exactly the SQL oracle's
+    # NULL-propagating `||`) and the post-explode isNotNull filter
+    # drops them. The filter sits ABOVE the generate, on the computed
+    # bucket — no predicate-pushdown re-evaluation of the signature
+    # expressions (a size(shingles) filter costs a measured 2.5x; a
+    # raw-token-count pre-filter costs an extra split pass ~1.25x).
     bands = F.array(
         *[
             F.md5(
-                F.concat_ws(
-                    ",",
+                _band_concat(
                     F.lit(str(b)),
                     *[F.col(f"mh{b * band_size + j}") for j in range(band_size)],
                 )
@@ -325,7 +337,7 @@ def minhash_lsh_pairs(
     # a real corpus all the same.
     blocked = sig.select(
         "doc_id", bands.alias("bands"), F.posexplode(bands).alias("band", "bucket")
-    )
+    ).where(F.col("bucket").isNotNull())
     member_lists = blocked.groupBy("bucket").agg(
         F.first("band").alias("band"),  # bucket embeds the band index
         F.array_sort(
@@ -417,17 +429,15 @@ def minhash_incremental_pairs(
     n_bands = num_hashes // band_size
 
     def side(df: DataFrame) -> DataFrame:
-        # shingle-less docs excluded for the same reasons as in
-        # minhash_lsh_pairs: shared md5(str(b)) buckets (candidate
-        # explosion) and an ANSI 0/0 in the verify join
-        sig = minhash_signatures(df, id_col, text, n, num_hashes).where(
-            F.size("shingles") > 0
-        )
+        # shingle-less docs excluded the same way as minhash_lsh_pairs:
+        # NULL-propagating band keys + post-explode isNotNull (shared
+        # md5(str(b)) buckets would explode quadratically; the verify
+        # join's 0/0 raises under ANSI)
+        sig = minhash_signatures(df, id_col, text, n, num_hashes)
         bands = F.array(
             *[
                 F.md5(
-                    F.concat_ws(
-                        ",",
+                    _band_concat(
                         F.lit(str(b)),
                         *[
                             F.col(f"mh{b * band_size + j}")
@@ -443,7 +453,7 @@ def minhash_incremental_pairs(
             "shingles",
             bands.alias("bands"),
             F.posexplode(bands).alias("band", "bucket"),
-        )
+        ).where(F.col("bucket").isNotNull())
     old_b = side(existing).select(
         F.col("doc_id").alias("old_id"),
         F.col("band"),
