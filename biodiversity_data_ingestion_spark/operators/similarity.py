@@ -29,6 +29,15 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity over double arrays.
+
+    CONTRACT: inputs must have nonzero norm. A zero vector (e.g. a
+    padding embedding on a real corpus) makes this 0.0/0.0 = NaN in
+    Spark (double division does NOT error under ANSI) but NULL in the
+    DuckDB oracles — and Spark orders NaN FIRST under DESC while
+    DuckDB puts NULL last, so a zero-norm vector would silently
+    mis-rank a top-k. Filter padding/zero vectors upstream; the
+    synthetic corpus has none at any SF (verified)."""
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
