@@ -7409,3 +7409,84 @@ def test_bpe_train_vocab_matches_greedy_merge_trajectory(spark):
         (r["rnd"], r["sym_a"], r["sym_b"], r["pair_count"]) for r in out
     )
     assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# Batch 34: close the streaming-twin gap explicitly — the three session
+# runners must agree row for row, and the per-user DYNAMIC gap rule
+# and the 2-hour sliding windows get their own plain folds.
+
+
+def test_session_twins_agree_row_for_row(spark):
+    """user_sessions, stream_user_sessions, and stream_stateful_sessions
+    share one oracle; pin the three BUILDERS to identical row sets so
+    the gap-definition replay transitively covers all three."""
+    def rows(name):
+        return sorted(
+            (r["session_start"], r["user_id"], r["n_events"],
+             round(r["sum_value"] * 100))
+            for r in QUERIES[name]["builder"](spark, SMOKE_DIR).collect()
+        )
+
+    base = rows("user_sessions")
+    assert rows("stream_user_sessions") == base
+    assert rows("stream_stateful_sessions") == base
+    assert base, "fixture must contain sessions"
+
+
+def test_dynamic_gap_sessions_match_per_user_gap_fold(spark):
+    """The dynamic sessionizer's per-user gap (5 + (user_id%3)*5
+    minutes) re-derived as the plain gap fold."""
+    rows = (
+        load_table(spark, SMOKE_DIR, "events")
+        .select("user_id", "ts", "value")
+        .collect()
+    )
+    by_user: dict = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append((r["ts"], r["value"]))
+
+    want = set()
+    for u, evs in by_user.items():
+        gap_us = (5 + (u % 3) * 5) * 60_000_000
+        evs.sort()
+        sessions: list[list] = []
+        for ts, v in evs:
+            if sessions and _us(ts) - _us(sessions[-1][-1][0]) < gap_us:
+                sessions[-1].append((ts, v))
+            else:
+                sessions.append([(ts, v)])
+        for sess in sessions:
+            cents = sum(int(_dec2(v) * 100) for _, v in sess)
+            want.add((sess[0][0], u, len(sess), cents))
+
+    out = QUERIES["stream_dynamic_gap_sessions"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        (r["session_start"], r["user_id"], r["n_events"],
+         round(r["sum_value"] * 100))
+        for r in out
+    }
+    assert got == want
+    assert len({u % 3 for u in by_user}) == 3, "all three gap tiers present"
+
+
+def test_sliding_windows_runner_matches_two_hour_fold(spark):
+    """stream_sliding_windows (2-hour windows, 1-hour slide): every
+    event lands in exactly the two hour-aligned windows covering it."""
+    from datetime import timedelta
+
+    rows = load_table(spark, SMOKE_DIR, "events").collect()
+    agg: dict = defaultdict(lambda: [0, Fraction(0)])
+    for r in rows:
+        hour = r["ts"].replace(minute=0, second=0, microsecond=0)
+        for start in (hour - timedelta(hours=1), hour):
+            k = (start, r["event_type"])
+            agg[k][0] += 1
+            agg[k][1] += _dec2(r["value"])
+    want = {k: (n, _rhu_frac(t, 2)) for k, (n, t) in agg.items()}
+    out = QUERIES["stream_sliding_windows"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in out
+    }
+    assert got == want
