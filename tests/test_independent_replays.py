@@ -7490,3 +7490,102 @@ def test_sliding_windows_runner_matches_two_hour_fold(spark):
         for r in out
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Batch 35: the serialization roundtrips checked against plain folds —
+# the WARC/XML writers must parse back to exactly the source-derived
+# values — and the full metadata census.
+
+
+def test_warc_roundtrip_matches_utf8_byte_and_word_folds(spark):
+    want = {}
+    for r in load_table(spark, SMOKE_DIR, "documents").select(
+        "doc_id", "text"
+    ).collect():
+        words = [w for w in _py_words(r["text"]) if w]
+        want[r["doc_id"]] = (
+            "response", f"https://example.org/doc/{r['doc_id']}",
+            len(r["text"].encode("utf-8")), len(words),
+        )
+    out = QUERIES["warc_record_roundtrip"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        r["doc_id"]: (r["warc_type"], r["target_uri"], r["content_length"],
+                      r["n_words"])
+        for r in out
+    }
+    assert got == want
+
+
+def test_xml_roundtrip_matches_source_rows(spark):
+    want = {
+        r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
+        for r in load_table(spark, SMOKE_DIR, "nation").collect()
+    }
+    out = QUERIES["xml_record_roundtrip"]["builder"](spark, SMOKE_DIR).collect()
+    got = {r["nationkey"]: (r["name"], r["regionkey"]) for r in out}
+    assert got == want
+
+
+def test_full_metadata_roundtrip_matches_census_fold(spark):
+    nation = {
+        r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
+        for r in load_table(spark, SMOKE_DIR, "nation").collect()
+    }
+    region = {
+        r["r_regionkey"]: r["r_name"]
+        for r in load_table(spark, SMOKE_DIR, "region").collect()
+    }
+    sup: dict = defaultdict(lambda: [0, 0, 0, 0])  # n, male, sym, meta
+    for r in load_table(spark, SMOKE_DIR, "supplier").collect():
+        a = sup[r["s_nationkey"]]
+        a[0] += 1
+        a[1] += r["s_suppkey"] % 2 == 0
+        a[2] += r["s_acctbal"] < 0
+        a[3] += r["s_acctbal"] >= 9000
+    cus: dict = defaultdict(lambda: [0, 0, 0, 0, set()])  # n, reads, neg, hi
+    for r in load_table(spark, SMOKE_DIR, "customer").collect():
+        a = cus[r["c_nationkey"]]
+        a[0] += 1
+        a[1] += r["c_custkey"] * 3
+        a[2] += r["c_acctbal"] < 0
+        a[3] += r["c_acctbal"] > 9000
+        a[4].add(r["c_mktsegment"])
+
+    per_region: dict = defaultdict(list)
+    for nk, (nname, rk) in nation.items():
+        per_region[region[rk]].append(nk)
+
+    want = {}
+    for rname, nks in per_region.items():
+        n_sup = sum(sup[nk][0] for nk in nks if nk in sup)
+        n_male = sum(sup[nk][1] for nk in nks if nk in sup)
+        n_sym = sum(sup[nk][2] for nk in nks if nk in sup)
+        n_meta = sum(sup[nk][3] for nk in nks if nk in sup)
+        n_cust = sum(cus[nk][0] for nk in nks if nk in cus)
+        reads = sum(cus[nk][1] for nk in nks if nk in cus)
+        n_neg = sum(cus[nk][2] for nk in nks if nk in cus)
+        n_hi = sum(cus[nk][3] for nk in nks if nk in cus)
+        n_seg = sum(len(cus[nk][4]) for nk in nks if nk in cus)
+        statuses = {f"SYM_{nk % 2}|META_{nk % 3}" for nk in nks}
+        want[rname] = (
+            len(nks), n_sup, n_male, n_neg, n_sym, n_meta, n_cust, reads,
+            n_sup, n_neg + n_sym + n_hi + n_meta, n_seg, len(nks) * 7,
+            # max over the SUFFIXED strings (not max(name)+suffix): with
+            # prefix pairs like NATION_2/NATION_24, '_' > '4' flips the
+            # winner once the suffix is appended
+            len(statuses), max(nation[nk][0] + "_sp" for nk in nks),
+        )
+
+    out = QUERIES["full_metadata_roundtrip"]["builder"](spark, SMOKE_DIR).collect()
+    got = {
+        r["current_status"]: (
+            r["n_taxa"], r["n_organisms"], r["n_male"], r["n_specimens"],
+            r["n_symbionts"], r["n_metagenomes"], r["n_raw"],
+            r["total_reads"], r["n_assemblies"], r["n_companion"],
+            r["n_projects"], r["n_rank_names"], r["n_statuses"],
+            r["top_species"],
+        )
+        for r in out
+    }
+    assert got == want
