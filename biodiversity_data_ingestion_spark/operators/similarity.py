@@ -32,12 +32,14 @@ def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity over double arrays.
 
     CONTRACT: inputs must have nonzero norm. A zero vector (e.g. a
-    padding embedding on a real corpus) makes this 0.0/0.0 = NaN in
-    Spark (double division does NOT error under ANSI) but NULL in the
-    DuckDB oracles — and Spark orders NaN FIRST under DESC while
-    DuckDB puts NULL last, so a zero-norm vector would silently
-    mis-rank a top-k. Filter padding/zero vectors upstream; the
-    synthetic corpus has none at any SF (verified)."""
+    padding embedding on a real corpus) makes this x/0.0, which
+    RAISES SparkArithmeticException [DIVIDE_BY_ZERO] under this
+    build's ANSI-on default — Spark's zero check applies to double
+    division too (verified live on this exact function); the DuckDB
+    oracles yield NULL for the same input. So one zero-norm vector
+    kills a cosine_topk job rather than mis-ranking it. Filter
+    padding/zero vectors upstream; the synthetic corpus has none at
+    any SF (verified)."""
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 

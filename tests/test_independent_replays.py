@@ -7461,12 +7461,14 @@ def test_dynamic_gap_sessions_match_per_user_gap_fold(spark):
             want.add((sess[0][0], u, len(sess), cents))
 
     out = QUERIES["stream_dynamic_gap_sessions"]["builder"](spark, SMOKE_DIR).collect()
-    got = {
+    got = sorted(
         (r["session_start"], r["user_id"], r["n_events"],
          round(r["sum_value"] * 100))
         for r in out
-    }
-    assert got == want
+    )
+    # sorted-list (not set) comparison so duplicate session rows from a
+    # regressed runner cannot collapse into a green
+    assert got == sorted(want)
     assert len({u % 3 for u in by_user}) == 3, "all three gap tiers present"
 
 
