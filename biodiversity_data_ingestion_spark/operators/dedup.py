@@ -341,7 +341,9 @@ def minhash_lsh_pairs(
     member_lists = blocked.groupBy("bucket").agg(
         F.first("band").alias("band"),  # bucket embeds the band index
         F.array_sort(
-            F.collect_list(F.struct("doc_id", F.slice("bands", 1, 3).alias("b3")))
+            F.collect_list(
+                F.struct("doc_id", F.slice("bands", 1, n_bands - 1).alias("b3"))
+            )
         ).alias("docs"),
     )
     # hot-bucket chunking (exact-dup clusters make maximal buckets):
@@ -356,8 +358,17 @@ def minhash_lsh_pairs(
         F.col("p.a.b3").alias("_ba"),
         F.col("p.b.b3").alias("_bb"),
     )
+    # first-matching-band guard over ALL n_bands - 1 earlier bands
+    # (mirrors minhash_incremental_pairs): a pair colliding on bands
+    # i < j is kept by band i only, for ANY band count. The previous
+    # hardcoded 3 let a pair colliding on two bands >= 3 enter the
+    # candidate stream twice when num_hashes // band_size > 4 — the
+    # verify step's groupBy(doc_a, doc_b) collapsed them (output was
+    # never wrong), but each extra candidate row shuffles its two
+    # shingle-set legs again, exactly the multiplicity-scaled cost
+    # this guard exists to remove.
     first_match = F.lit(True)
-    for j in range(3):
+    for j in range(n_bands - 1):
         eq = F.element_at("_ba", j + 1) == F.element_at("_bb", j + 1)
         first_match = first_match & F.when(F.col("band") > j, ~eq).otherwise(
             F.lit(True)

@@ -29,18 +29,22 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity over double arrays.
+    """Cosine similarity over double arrays; NULL on zero-norm input.
 
-    CONTRACT: inputs must have nonzero norm. A zero vector (e.g. a
-    padding embedding on a real corpus) makes this x/0.0, which
-    RAISES SparkArithmeticException [DIVIDE_BY_ZERO] under this
-    build's ANSI-on default — Spark's zero check applies to double
-    division too (verified live on this exact function); the DuckDB
-    oracles yield NULL for the same input. So one zero-norm vector
-    kills a cosine_topk job rather than mis-ranking it. Filter
-    padding/zero vectors upstream; the synthetic corpus has none at
-    any SF (verified)."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    A zero vector (e.g. a padding embedding on a real corpus) makes the
+    bare quotient x/0.0, which RAISES SparkArithmeticException
+    [DIVIDE_BY_ZERO] under this build's ANSI-on default — Spark's zero
+    check applies to double division too (verified live). nullif turns
+    the zero denominator into NULL, and x/NULL is NULL under ANSI (no
+    check), so a zero-norm vector yields a NULL similarity instead of
+    killing an hours-long job. This is EXACTLY the DuckDB oracles'
+    behavior (x/0.0 -> NULL in DuckDB 1.0): threshold filters
+    (cos >= t) drop NULLs in both engines, and ranking windows order
+    cos DESC with nulls-last in both (Spark desc == desc_nulls_last;
+    DuckDB default_null_order = nulls_last), so parity holds with a
+    planted zero vector — regression-tested in
+    test_operators.test_zero_norm_embeddings_null_not_crash."""
+    return _dot(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0))
 
 
 def as_double_vec(col: Column) -> Column:

@@ -187,7 +187,38 @@ def test_minhash_lsh_recall(spark):
     assert recall >= 0.9, f"LSH recall {recall} over {len(exact)} true pairs"
 
 
-def test_incremental_minhash_gate_matches_full_run_cross_pairs(spark):
+def test_minhash_lsh_nondefault_band_count(spark):
+    # r11 ADVICE: the first-matching-band guard was hardcoded to 3
+    # earlier bands (assuming num_hashes // band_size == 4); with more
+    # bands a pair colliding on two bands >= 3 entered the candidate
+    # stream twice. The verify groupBy collapsed those to one output
+    # row, so the observable contract is: at ANY band count the result
+    # is duplicate-free, exactly-verified (subset of true pairs), and
+    # at least as complete as the 4-band run (more bands => recall
+    # monotonically up, never down).
+    from biodiversity_data_ingestion_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    four = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=16, band_size=4, threshold=0.5
+        ).collect()
+    }
+    rows8 = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=32, band_size=4, threshold=0.5
+        ).collect()
+    ]
+    assert len(rows8) == len(set(rows8))  # no duplicate output rows
+    eight = set(rows8)
+    assert eight <= exact  # exact verification still holds at 8 bands
+    assert four <= eight  # extra bands only ADD candidate coverage
     # the incremental gate must find exactly the (new, old) pairs the
     # FULL self-pairing run finds — same banding, same verification —
     # while never pairing the existing corpus against itself
@@ -290,6 +321,93 @@ def test_ivf_recall_vs_exact(spark):
     }
     recall = len(ivf & exact) / len(exact)
     assert recall >= 0.5, f"IVF recall {recall}"  # n_probe=3 of 10 buckets
+
+
+# ---------------------------------------------------------------------------
+# zero-norm embeddings (padding vectors) must yield NULL similarity, not
+# kill the job — and must do so in EXACT parity with the DuckDB oracle
+
+
+def _zero_norm_fixture_rows():
+    # vec_id 3 (query side) and 7 (corpus side) are planted all-zero
+    # padding vectors; the rest are deterministic positive vectors
+    return [
+        (
+            i,
+            i % 3,
+            [0.0] * 8
+            if i in (3, 7)
+            else [((i * 7 + d * 13) % 10) / 10.0 + 0.1 for d in range(8)],
+        )
+        for i in range(12)
+    ]
+
+
+def test_zero_norm_embeddings_null_not_crash(spark):
+    # r11 verdict top item: a zero-norm embedding used to make cosine()
+    # RAISE [DIVIDE_BY_ZERO] under this build's ANSI default — one
+    # padding vector killed an hours-long ANN job. cosine() now yields
+    # NULL on a zero denominator (nullif), exactly the DuckDB oracles'
+    # x/0.0 -> NULL: threshold filters drop the rows and DESC ranking
+    # windows push them last in BOTH engines (nulls-last defaults).
+    import duckdb
+    import pandas as pd
+
+    from .oracle_harness import compare
+
+    rows = _zero_norm_fixture_rows()
+    emb = spark.createDataFrame(rows, "vec_id INT, label INT, embedding ARRAY<DOUBLE>")
+    corpus, queries = emb.where(F.col("vec_id") >= 5), emb.where(F.col("vec_id") < 5)
+
+    topk = similarity.cosine_topk(corpus, queries, k=10)
+    got = topk.collect()
+    # zero query 3: every sim NULL; zero corpus 7: NULL for every query;
+    # NULL rows rank AFTER all non-null rows, ranks stay dense
+    assert all(r["cos_sim"] is None for r in got if r["query_id"] == 3)
+    assert all(r["cos_sim"] is None for r in got if r["neighbor_id"] == 7)
+    for q in range(5):
+        ranked = sorted((r for r in got if r["query_id"] == q), key=lambda r: r["rank"])
+        assert [r["rank"] for r in ranked] == list(range(1, 8))
+        tail_nulls = [r["cos_sim"] is None for r in ranked]
+        assert tail_nulls == sorted(tail_nulls)  # non-null block, then NULLs
+
+    # bitwise side-by-side with the oracle engine on the same frame
+    con = duckdb.connect()
+    con.register("emb", pd.DataFrame(rows, columns=["vec_id", "label", "embedding"]))
+    res = compare(
+        "zero_norm_cosine_topk",
+        topk,
+        con,
+        """
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM emb WHERE vec_id < 5),
+        c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM emb WHERE vec_id >= 5),
+        s AS (
+            SELECT query_id, neighbor_id,
+                   round(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * cv[i]))
+                         / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                            * sqrt(list_sum(list_transform(cv, x -> x * x)))), 6) AS cos_sim
+            FROM q, c)
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM s
+        QUALIFY rank <= 10
+        """,
+    )
+    assert res.ok, res.problems
+
+    # threshold-filter family: zero-vector pairs are silently dropped
+    # (NULL >= t is NULL), never crash, never pair
+    for pairs in (
+        similarity.cosine_dup_pairs(emb, threshold=0.4),
+        similarity.signlsh_dup_pairs(emb, threshold=0.4),
+        similarity.semantic_dedup_pairs(emb, k=2, n_iter=2, threshold=0.9),
+    ):
+        for r in pairs.collect():
+            assert r["id_a"] not in (3, 7) and r["id_b"] not in (3, 7)
+
+    # routing family: a zero query still routes (label tie-break) and a
+    # zero corpus vector ranks last — no crash end-to-end
+    assert similarity.ivf_topk(corpus, queries, k=5, n_probe=2).count() > 0
 
 
 # ---------------------------------------------------------------------------
