@@ -12838,20 +12838,76 @@ _register(
 # near-duplicate variants of already-proven patterns come after. The
 # full registry is still exported — only the ordering changes.
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-11 WINDOW — the deterministic evidence-freshness rotation
-    # (VERDICT r10 #1): 49 of the exactly-50 queries whose newest
-    # driver row predates r4 (verified against CORRECTNESS_r01..r10 on
-    # disk). After this window runs green, video_decode_features
-    # (displaced below) is the ONLY query in the 249-query registry
-    # left with pre-r4 driver evidence — it leads the r12 window.
-    # ONE changed-query slot leads (playbook rule:
-    # evidence on arrival): lineitem_corr_matrix's close was rewritten
-    # this round after the standing 10x probe caught its decimal
-    # sum-product overflowing at scale; it displaces
-    # video_decode_features (green r3 row on disk; four sibling codec
-    # reps remain in-window; r12 queue head). Then the stale queue:
-    # stalest first (the three r2 rows), then the r3 block
-    # alphabetically.
+    # ROUND-12 WINDOW. Changed-operator block leads (playbook rule:
+    # evidence on arrival): the zero-norm cosine guard (nullif
+    # denominator — VERDICT r11 #1) rewrites the cosine expression in
+    # every ANN-family plan, so all six cosine-family queries re-run
+    # this round; minhash_lsh_dups + incremental_minhash_gate ride
+    # along for the band-guard parameterization (identical plan at the
+    # default 4 bands, belt-and-braces). Then the stale queue:
+    # video_decode_features (r3 — the last pre-r4 driver row in the
+    # registry, VERDICT r11 #2), the full remaining CORRECTNESS_r04
+    # block (35 queries, alphabetical), and the six oldest r6 rows.
+    # After this window runs green, no registry query's newest driver
+    # evidence predates r6.
+    "ann_cosine_topk",
+    "embedding_cosine_dups",
+    "ivf_topk_probe",
+    "ivf_kmeans_topk",
+    "ivf_topk_exhaustive",
+    "semantic_dedup_corpus",
+    "minhash_lsh_dups",
+    "incremental_minhash_gate",
+    "video_decode_features",
+    "bpe_vocab_encoding",
+    "copurchase_pagerank",
+    "corpus_curation_pipeline",
+    "event_type_pivot",
+    "event_value_mad",
+    "fk_orphan_audit",
+    "fuzzy_name_match",
+    "gif_decode_features",
+    "gopher_quality_rules",
+    "hll_mergeable_rollup",
+    "inverted_index_postings",
+    "jpeg_color_decode_features",
+    "key_skew_report",
+    "kll_value_quantiles",
+    "kmeans_clusters",
+    "leakage_safe_splits",
+    "null_safe_lang_pairs",
+    "part_metrics_unpivot",
+    "price_equidepth_deciles",
+    "signup_purchase_funnel",
+    "source_overlap_matrix",
+    "stream_cdc_upsert",
+    "stream_dedup_within_watermark",
+    "stream_first_seen",
+    "stream_interval_join",
+    "stream_windowed_topk",
+    "theta_user_overlap",
+    "tpch_q18_large_orders",
+    "trailing_7d_active_users",
+    "user_event_gaps",
+    "user_longest_daily_streak",
+    "user_retention_cohorts",
+    "vocab_token_ids",
+    "weighted_doc_sample",
+    "word_heavy_hitters_cms",
+    "bilateral_shipping_volume",
+    "bow_fingerprint_dups",
+    "brand_price_ranks",
+    "corpus_split_counts",
+    "doc_dupline_ratio",
+    "doc_redaction",
+)
+
+_PRIORITY_R11: tuple[str, ...] = (
+    # ROUND-11 WINDOW, kept for the historical record (50/50 green in
+    # CORRECTNESS_r11.json) — the deterministic evidence-freshness
+    # rotation (VERDICT r10 #1): 49 of the exactly-50 queries whose
+    # newest driver row predated r4, led by the one changed-query slot
+    # (lineitem_corr_matrix's overflow-fixed close).
     "lineitem_corr_matrix",
     "top3_orders_per_customer",
     "user_event_flatten",
