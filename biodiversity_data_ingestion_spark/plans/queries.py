@@ -5967,10 +5967,33 @@ _register(
 # duplicate texts (by md5 fingerprint) each pair of sources shares. The
 # self-join is on the 32-char fingerprint (uniform, unskewed key) and
 # the src_a < src_b guard keeps each pair once.
+#
+# PLANTED ROWS (r11 verdict #5): the synthetic corpus has zero
+# cross-source exact dups below sf0.1, so at the driver's sf0.01 the
+# oracle row was documented-vacuous (both sides empty — asserting
+# nothing about the join or the countDistinct). Three planted sources
+# sharing two literal texts (mirrored as VALUES in the oracle) make
+# the comparison assert the fingerprint self-join, the pair guard, and
+# a shared_texts count > 1 at EVERY SF; at sf0.1 the real corpus's 8
+# cross-source pairs additionally flow through unchanged.
+
+_OVERLAP_PLANT = (
+    ("zz_planted_a", "planted cross-source duplicate one"),
+    ("zz_planted_a", "planted cross-source duplicate two"),
+    ("zz_planted_b", "planted cross-source duplicate one"),
+    ("zz_planted_c", "planted cross-source duplicate one"),
+    ("zz_planted_c", "planted cross-source duplicate two"),
+)
+
 
 def _source_overlap_matrix(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    fp = docs.select(F.col("source"), F.md5(F.col("text")).alias("fp")).distinct()
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    planted = spark.createDataFrame(list(_OVERLAP_PLANT), "source STRING, text STRING")
+    fp = (
+        docs.unionByName(planted)
+        .select(F.col("source"), F.md5(F.col("text")).alias("fp"))
+        .distinct()
+    )
     a = fp.select(F.col("source").alias("src_a"), "fp")
     b = fp.select(F.col("source").alias("src_b"), "fp")
     return (
@@ -5981,18 +6004,25 @@ def _source_overlap_matrix(spark, sf_dir):
     )
 
 
+_OVERLAP_PLANT_SQL = ", ".join(f"('{s}', '{t}')" for s, t in _OVERLAP_PLANT)
+
 _register(
     "source_overlap_matrix",
     _source_overlap_matrix,
-    """
-    WITH fp AS (SELECT DISTINCT source, md5(text) AS fp FROM documents)
+    f"""
+    WITH aug AS (
+        SELECT source, text FROM documents
+        UNION ALL
+        SELECT * FROM (VALUES {_OVERLAP_PLANT_SQL}) v(source, text)),
+    fp AS (SELECT DISTINCT source, md5(text) AS fp FROM aug)
     SELECT a.source AS src_a, b.source AS src_b,
            count(DISTINCT a.fp) AS shared_texts
     FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
     GROUP BY 1, 2
     """,
     "north star: pairwise source-overlap matrix (exact-dup fingerprint "
-    "self-join on an unskewed hash key; corpus provenance analysis)",
+    "self-join on an unskewed hash key; corpus provenance analysis; "
+    "planted literal dups keep the oracle row non-vacuous at sf0.01)",
 )
 
 

@@ -727,6 +727,12 @@ def test_source_overlap_matrix_nonvacuous(spark, tmp_path):
         ("blogs", "news"): 1,
         ("cc", "news"): 1,
         ("cc", "forums"): 1,
+        # the r12 in-query plant (non-vacuity at the driver SF): three
+        # literal sources sharing two literal texts, appended by the
+        # builder AND the oracle identically
+        ("zz_planted_a", "zz_planted_b"): 1,
+        ("zz_planted_a", "zz_planted_c"): 2,
+        ("zz_planted_b", "zz_planted_c"): 1,
     }
 
     con = duckdb.connect()

@@ -7703,3 +7703,45 @@ def test_layout_pruning_audit_matches_morton_interleave_fold(spark):
     # files and bydate's day sort already prunes the box; the 10x/20x
     # scale probe is the tier that exercises the real separation)
     assert got["zorder"][0] == got["bydate"][0] > 1
+
+
+def test_copurchase_communities_matches_python_lpa_replay(spark):
+    """The sixth iterative graph primitive replayed end-to-end at the
+    FULL QUERY boundary (r12, VERDICT r11 #5): the chained-CTE oracle
+    shares the LPA step structure with the engine (same hand, same
+    mental model), so oracle parity alone proves consistency, not
+    correctness. Here the whole query is re-derived from first
+    principles in plain dicts — baskets -> unordered co-purchase part
+    pairs -> symmetric adjacency -> 3 synchronous rounds of
+    (max neighbor-label count, min label) — at the driver's SF."""
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    adj = defaultdict(set)
+    for parts in baskets.values():
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    adj[a].add(b)
+    labels = {v: v for v in adj}
+    for _ in range(3):
+        labels = {
+            v: min(
+                cnt := {
+                    lab: sum(1 for u in nbrs if labels[u] == lab)
+                    for lab in {labels[u] for u in nbrs}
+                },
+                key=lambda lab: (-cnt[lab], lab),
+            )
+            for v, nbrs in adj.items()
+        }
+    got = {
+        r["node"]: r["community"]
+        for r in QUERIES["copurchase_communities"]["builder"](spark, SF_DIR).collect()
+    }
+    assert got == labels
+    # non-vacuous: propagation actually merged nodes into communities
+    assert len(set(labels.values())) < len(labels)
