@@ -520,6 +520,15 @@ def simhash64(df: DataFrame, id_col: str, text: str) -> DataFrame:
         F.col(id_col).alias("doc_id"),
         F.explode(tokenize(F.lower(F.col(text)))).alias("tok"),
     )
+    # drop the empty token: split(trim(x)) yields [""] for empty /
+    # whitespace-only / NULL-free degenerate docs, which would give
+    # EVERY such doc the identical md5("")-based fingerprint — on a
+    # real corpus (empty docs are common at 100 TB) that is a
+    # quadratic pair explosion whose OUTPUT itself is n^2, the same
+    # class the minhash NULL-propagating band fix closed. Token-less
+    # docs simply drop out of the fingerprint table (the shingle-less
+    # minhash contract); mirrored as `tok <> ''` in the SQL oracle.
+    toks = toks.where(F.col("tok") != "")
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
     toks = toks.withColumn("h", h)
     bit_sums = [

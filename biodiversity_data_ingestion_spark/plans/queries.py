@@ -1239,8 +1239,11 @@ _register(
     f"""
     WITH toks AS (
         SELECT doc_id, unnest({_DD_WORDS}) AS tok FROM documents),
+    -- tok <> '' mirrors the engine's empty-token drop (empty/whitespace
+    -- docs otherwise all share one fingerprint => n^2 output at scale)
     th AS (
-        SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+        FROM toks WHERE tok <> ''),
     bits AS (
         SELECT doc_id,
                {', '.join(f"sum(CASE WHEN (h // {2**i}) % 2 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(32))}
@@ -12877,9 +12880,13 @@ _PRIORITY: tuple[str, ...] = (
     # default 4 bands, belt-and-braces). Then the stale queue:
     # video_decode_features (r3 — the last pre-r4 driver row in the
     # registry, VERDICT r11 #2), the full remaining CORRECTNESS_r04
-    # block (35 queries, alphabetical), and the six oldest r6 rows.
-    # After this window runs green, no registry query's newest driver
-    # evidence predates r6.
+    # block (35 queries, alphabetical), and five of the six oldest r6
+    # rows (doc_redaction, the sixth, was displaced mid-round by
+    # simhash_near_dups — its builder AND oracle changed when the
+    # empty-token drop landed, so it re-runs on arrival). After this
+    # window runs green, no registry query's newest driver evidence
+    # predates r6.
+    "simhash_near_dups",
     "ann_cosine_topk",
     "embedding_cosine_dups",
     "ivf_topk_probe",
@@ -12929,7 +12936,6 @@ _PRIORITY: tuple[str, ...] = (
     "brand_price_ranks",
     "corpus_split_counts",
     "doc_dupline_ratio",
-    "doc_redaction",
 )
 
 _PRIORITY_R11: tuple[str, ...] = (

@@ -1359,3 +1359,58 @@ def test_bloom_prefilter_semi_join_equals_plain(spark):
             ).collect()
         )
         assert got == plain
+
+
+# ---------------------------------------------------------------------------
+# pathological text rows (NULL / empty / whitespace-only / single word /
+# unicode) must never crash the text-analysis or dedup families — the
+# r12 follow-on to the zero-norm embedding audit: a 100 TB crawl corpus
+# always contains such rows, and under the ANSI default any unguarded
+# expression raise kills the whole job
+
+
+def test_pathological_documents_never_crash(spark):
+    from biodiversity_data_ingestion_spark.operators import textops
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "   "),
+        (4, "word"),
+        (5, "ümläut 世界 emoji"),
+        (6, "a normal english document with the usual words and the rest"),
+        (7, "a normal english document with the usual words and the rest"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    # text-analysis family: one output row per input, NULL metrics for
+    # the NULL document, zero crash anywhere
+    for fn in (textops.token_stats, textops.language_id,
+               textops.quality_score, textops.fingerprint):
+        out = fn(docs, "doc_id", "text").collect()
+        assert len(out) == len(rows), fn.__name__
+    ts = {r["doc_id"]: r["n_tokens"] for r in textops.token_stats(docs, "doc_id", "text").collect()}
+    assert ts[1] is None and ts[4] == 1
+
+    # dedup family: NULL/short docs neither pair nor crash; the planted
+    # exact duplicate (6, 7) is still found by every path
+    exact = {r["content_hash"]: (r["kept_id"], r["n_copies"])
+             for r in dedup.dedup_exact(docs, "text", "doc_id").collect()}
+    assert (6, 2) in exact.values()
+    for pairs_fn in (
+        lambda: dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5),
+        lambda: dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5),
+        lambda: dedup.simhash_near_pairs(docs, "doc_id", "text"),
+    ):
+        got = {(r["doc_a"], r["doc_b"]) for r in pairs_fn().collect()}
+        assert got == {(6, 7)}, got
+
+    # ANN family with NULL / ragged embeddings: NULL similarity, no raise
+    emb = spark.createDataFrame(
+        [(1, [0.5, 0.5, 0.5, 0.5]), (2, None), (3, [0.1, 0.9, 0.2, 0.7]),
+         (4, [0.3, 0.4])],  # ragged width: zip_with pads with NULL
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    topk = similarity.cosine_topk(emb, emb.where(F.col("vec_id") == 1), k=10).collect()
+    sims = {r["neighbor_id"]: r["cos_sim"] for r in topk}
+    assert sims[2] is None and sims[4] is None and sims[3] is not None
