@@ -221,6 +221,13 @@ def decode_wav_features(
                     w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes(),
                 )
                 raw = w.readframes(nf)
+            # stdlib wave trusts the header frame count and returns
+            # whatever bytes exist: a TRUNCATED payload would otherwise
+            # produce a self-inconsistent row (n_frames from the header,
+            # rms/peak over fewer actual samples). Treat short data as
+            # malformed -> quarantined under on_error='null'.
+            if len(raw) != nf * width * ch:
+                raise ValueError("truncated PCM data")
             a = np.frombuffer(raw, dtype="<i2" if width == 2 else "u1").astype(np.float64)
             rms = math.sqrt(float(np.mean(a * a))) if a.size else 0.0
             peak = int(np.max(np.abs(a))) if a.size else 0

@@ -1414,3 +1414,45 @@ def test_pathological_documents_never_crash(spark):
     topk = similarity.cosine_topk(emb, emb.where(F.col("vec_id") == 1), k=10).collect()
     sims = {r["neighbor_id"]: r["cos_sim"] for r in topk}
     assert sims[2] is None and sims[4] is None and sims[3] is not None
+
+
+def test_truncated_payloads_quarantine_across_all_codecs(spark):
+    # The realistic 100 TB corruption class: a VALID header with the
+    # body cut mid-stream (failed upload, truncated blob). Contract,
+    # pinned per decoder: the full payload decodes; under
+    # on_error='null' NO truncation ever raises or hangs; gross
+    # truncations (header-only, quarter, half, three-quarter cuts)
+    # quarantine to all-null rows. Documented tail tolerance (matches
+    # real-world decoders): a GIF missing only its 0x3B trailer, a PNG
+    # missing one IEND byte, and a Y4M missing its final (unused
+    # chroma) byte still decode — the pixel data is complete. WAV
+    # explicitly REJECTS short PCM data (a header/data mismatch would
+    # otherwise yield a self-inconsistent row).
+    from biodiversity_data_ingestion_spark.operators import multimodal as M
+
+    base = spark.range(0, 1).withColumnRenamed("id", "doc_id")
+    cases = [
+        ("wav", M.synth_wav_payload, M.decode_wav_features, False),
+        ("bmp", M.synth_bmp_payload, M.decode_bmp_features, False),
+        ("y4m", M.synth_y4m_payload, M.decode_y4m_features, True),
+        ("png", M.synth_png_payload, M.decode_png_features, True),
+        ("gif", M.synth_gif_payload, M.decode_gif_features, True),
+        ("jpeg", M.synth_jpeg_payload, M.decode_jpeg_features, False),
+        ("jpeg444", M.synth_jpeg444_payload, M.decode_jpeg444_features, False),
+    ]
+    for name, synth, dec, tail_tolerant in cases:
+        payload = bytes(synth(base, "doc_id").select("payload").first()[0])
+        n = len(payload)
+        rows = [(0, bytearray(payload))]
+        cuts = [8, n // 4, n // 2, 3 * n // 4, n - 1]
+        for i, c in enumerate(cuts):
+            rows.append((i + 1, bytearray(payload[: max(1, c)])))
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        out = {r["doc_id"]: r for r in dec(df, "doc_id", on_error="null").collect()}
+        feats = [c for c in out[0].__fields__ if c != "doc_id"]
+        probe = feats[1]
+        assert out[0][probe] is not None, f"{name}: full payload must decode"
+        for i in range(1, 5):  # header-only through 3/4 cut: quarantined
+            assert out[i][probe] is None, f"{name}: cut {cuts[i-1]}/{n} must be null"
+        last = out[5][probe] is not None
+        assert last == tail_tolerant, f"{name}: last-byte-cut decoded={last}"
