@@ -207,15 +207,19 @@ def main() -> None:
     # comparability wins; load brackets below + the A/B-in-one-process
     # rule (NOTES.md) remain the defense against ambient-load noise.
     timings: dict[str, float] = {}
+    all_reps: dict[str, list[float]] = {}
     for name in HEADLINE:
         best = None
+        reps = []
         for _ in range(3):
             t0 = time.perf_counter()
             df = QUERIES[name]["builder"](spark, sf_dir)
             t1 = time.perf_counter() if name not in EAGER else t0
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t1
+            reps.append(round(dt, 3))
             best = dt if best is None else min(best, dt)
+        all_reps[name] = reps
         timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
 
@@ -236,6 +240,14 @@ def main() -> None:
                 # showed interleaved repeats carry a systematic +15-25%
                 # JIT-cold penalty that would break history comparability
                 "interleaved": False,
+                # every repeat, in execution order: lets a reader
+                # distinguish a sustained ambient stall (all repeats
+                # slow — the r12 audio_decode 14.6s transient) from a
+                # one-off (best unaffected) WITHOUT rerunning. The
+                # r12 lesson: container loadavg does not reliably
+                # predict host contention, so the raw repeats are the
+                # ambient diagnostic.
+                "repeats_all": all_reps,
                 "load_avg_1m_start": load_start,
                 "load_avg_1m_end": round(os.getloadavg()[0], 2),
             }
