@@ -22,6 +22,11 @@ lesson — identical code has swung 1.5x on ambient load alone):
    best-of-3 A/B on a quiet box (load < ~2) must reproduce it.
    Interleaved A/B across variants IN ONE PROCESS for code-vs-code
    comparisons; never compare timings across processes minutes apart.
+   r12 caveat: container loadavg does NOT reliably predict host
+   contention (the lowest-load r12 run was the slowest of three
+   same-code runs, a 1.33x total spread). When runs disagree, take
+   best-of-N-RUNS per query and read `repeats_all` — a sustained
+   stall shows in all three repeats; a one-off leaves best intact.
 4. Iterative/eager queries (the EAGER set) are the load-sensitive
    family — their quiet-vs-loaded envelope is in NOTES.md; a swing
    inside the envelope with no code change needs no investigation.
