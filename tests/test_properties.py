@@ -349,3 +349,59 @@ def test_label_propagation_matches_synchronous_reference(
             new[v] = min(cnt, key=lambda l: (-cnt[l], l))
         labels = new
     assert got == labels
+
+
+_VOCAB = ["red", "blue", "fish", "tree", "sky", "run", "dog", "sun"]
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=8),
+        min_size=0,
+        max_size=10,
+    ),
+    num_hashes=st.sampled_from([8, 16, 24, 32]),
+    band_size=st.sampled_from([2, 4]),
+)
+@settings(**_SETTINGS)
+def test_minhash_lsh_subset_exact_any_band_count(
+    spark_prop, docs, num_hashes, band_size
+):
+    # r12 generalization of the band-guard fix: at ANY
+    # (num_hashes, band_size) the banded-LSH output must be
+    # duplicate-free, a SUBSET of the true n-gram Jaccard pairs at the
+    # threshold (exact verification holds), and every reported jaccard
+    # must equal the true value — the first-matching-band guard and
+    # the chunked bucket pairing may change CANDIDATES, never results.
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark_prop.createDataFrame(rows, "doc_id long, text string")
+    got_rows = [
+        ((r.doc_a, r.doc_b), r.jaccard)
+        for r in dedup.minhash_lsh_pairs(
+            df, "doc_id", "text", n=2,
+            num_hashes=num_hashes, band_size=band_size, threshold=0.3,
+        ).collect()
+    ]
+    keys = [k for k, _ in got_rows]
+    assert len(keys) == len(set(keys))  # duplicate-free at any band count
+
+    def sh(t):
+        w = t.strip().lower().split()
+        return {" ".join(w[i : i + 2]) for i in range(len(w) - 1)}
+
+    want = {}
+    for i, a in rows:
+        for j, b in rows:
+            if i >= j:
+                continue
+            sa, sb = sh(a), sh(b)
+            inter = len(sa & sb)
+            if not sa or not sb or inter == 0:
+                continue
+            jac = round(inter / (len(sa) + len(sb) - inter), 6)
+            if jac >= 0.3:
+                want[(i, j)] = jac
+    got = dict(got_rows)
+    # subset with exact scores (LSH may miss pairs, never invent them)
+    for k, v in got.items():
+        assert want.get(k) == v, (k, v, want.get(k))
