@@ -632,7 +632,25 @@ def _stage_events_with_sentinel(
             break
     if tmax is None or not stats_ok:
         tmax = max(pq.read_table(src, columns=["ts"])["ts"].to_pylist())
-    sentinel_ts = tmax + pd.Timedelta(days=margin_days)
+    # a corpus carrying garbage timestamps near the TIMESTAMP(NANOS)
+    # ceiling (year 2262 — malformed logs commonly hold year-9999
+    # junk that clamps there) would make this add raise an opaque
+    # OutOfBoundsDatetime mid-stage. Fall back to a 1-day margin
+    # (still far above every session gap this module stages — gaps
+    # are minutes); only if even +1 day does not fit raise a CLEAR
+    # contract error instead of a pandas internals traceback.
+    try:
+        sentinel_ts = pd.Timestamp(tmax) + pd.Timedelta(days=margin_days)
+    except (OverflowError, pd.errors.OutOfBoundsDatetime):
+        try:
+            sentinel_ts = pd.Timestamp(tmax) + pd.Timedelta(days=1)
+        except (OverflowError, pd.errors.OutOfBoundsDatetime):
+            raise ValueError(
+                "bounded-replay sentinel needs headroom above max(ts): "
+                f"max event time {tmax} is within 1 day of the "
+                "TIMESTAMP(NANOS) ceiling (2262-04-11); filter or cap "
+                "malformed far-future timestamps upstream"
+            ) from None
     sentinel = pa.Table.from_pylist(
         [
             {

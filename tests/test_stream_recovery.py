@@ -378,3 +378,65 @@ def test_quality_gated_write_quarantines_bad_batches(spark, tmp_path):
         False,
         True,
     ]
+
+
+def test_sentinel_staging_near_timestamp_ceiling(tmp_path):
+    # A corpus with garbage far-future timestamps (year-9999 junk clamps
+    # at the TIMESTAMP(NANOS) ceiling, year 2262) used to make the
+    # sentinel add raise an opaque pandas OutOfBoundsDatetime mid-stage.
+    # Contract now: fall back to a 1-day margin when the default does
+    # not fit; raise a CLEAR error only when max(ts) is within 1 day of
+    # the ceiling. Pure staging logic — no Spark session needed.
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biodiversity_data_ingestion_spark.streaming.stateful import (
+        _stage_events_with_sentinel,
+    )
+
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("ns")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+
+    def stage_dir(tmax):
+        d = tmp_path / f"sf_{tmax.value}"
+        d.mkdir()
+        t = pa.Table.from_pylist(
+            [
+                {"event_id": 1, "ts": tmax - pd.Timedelta(hours=1),
+                 "user_id": 7, "event_type": "a", "value": 1.0, "props": None},
+                {"event_id": 2, "ts": tmax,
+                 "user_id": 7, "event_type": "b", "value": 2.0, "props": None},
+            ],
+            schema=schema,
+        )
+        pq.write_table(t, str(d / "events.parquet"))
+        return str(d)
+
+    # within 10 years of the ceiling but > 1 day: 1-day fallback engages
+    near = pd.Timestamp.max - pd.Timedelta(days=100)
+    stage = _stage_events_with_sentinel(None, stage_dir(near))
+    sent = pq.read_table(f"{stage}/01_sentinel.parquet")["ts"].to_pylist()[0]
+    assert pd.Timestamp(sent) == near + pd.Timedelta(days=1)
+
+    # within 1 day of the ceiling: clear contract error, not a pandas
+    # internals traceback
+    import pytest as _pytest
+
+    at_edge = pd.Timestamp.max - pd.Timedelta(hours=2)
+    with _pytest.raises(ValueError, match="headroom above max"):
+        _stage_events_with_sentinel(None, stage_dir(at_edge))
+
+    # ordinary data: default margin unchanged
+    normal = pd.Timestamp("2024-06-01 12:00:00")
+    stage = _stage_events_with_sentinel(None, stage_dir(normal))
+    sent = pq.read_table(f"{stage}/01_sentinel.parquet")["ts"].to_pylist()[0]
+    assert pd.Timestamp(sent) == normal + pd.Timedelta(days=3650)
