@@ -320,7 +320,7 @@ def minhash_lsh_pairs(
             for b in range(n_bands)
         ]
     )
-    # candidate generation over (doc_id, bucket, first-3-band-hashes)
+    # candidate generation over (doc_id, bucket, earlier-band-hashes)
     # ONLY — the shingle arrays never enter the bucket grouping (at
     # scale they dominate the bytes). Join-free bucket-list shape: group
     # members per bucket and pair-explode inside, so the signature stage
@@ -340,9 +340,16 @@ def minhash_lsh_pairs(
     ).where(F.col("bucket").isNotNull())
     member_lists = blocked.groupBy("bucket").agg(
         F.first("band").alias("band"),  # bucket embeds the band index
+        # each member carries ONLY the band hashes EARLIER than its own
+        # band index (that is all the first-matching-band guard ever
+        # consults): slicing by the row's band caps the per-member
+        # payload at `band` hashes instead of n_bands - 1 — without it
+        # the bucket shuffle ships O(n_bands^2) hash strings per doc at
+        # high band counts, the multiplicity-scaled width the guard
+        # exists to remove. All rows in a bucket share the same band.
         F.array_sort(
             F.collect_list(
-                F.struct("doc_id", F.slice("bands", 1, n_bands - 1).alias("b3"))
+                F.struct("doc_id", F.slice("bands", 1, F.col("band")).alias("eb"))
             )
         ).alias("docs"),
     )
@@ -355,18 +362,20 @@ def minhash_lsh_pairs(
         "band",
         F.col("p.a.doc_id").alias("doc_a"),
         F.col("p.b.doc_id").alias("doc_b"),
-        F.col("p.a.b3").alias("_ba"),
-        F.col("p.b.b3").alias("_bb"),
+        F.col("p.a.eb").alias("_ba"),
+        F.col("p.b.eb").alias("_bb"),
     )
-    # first-matching-band guard over ALL n_bands - 1 earlier bands
-    # (mirrors minhash_incremental_pairs): a pair colliding on bands
-    # i < j is kept by band i only, for ANY band count. The previous
-    # hardcoded 3 let a pair colliding on two bands >= 3 enter the
-    # candidate stream twice when num_hashes // band_size > 4 — the
-    # verify step's groupBy(doc_a, doc_b) collapsed them (output was
-    # never wrong), but each extra candidate row shuffles its two
-    # shingle-set legs again, exactly the multiplicity-scaled cost
-    # this guard exists to remove.
+    # first-matching-band guard over ALL earlier bands (mirrors
+    # minhash_incremental_pairs): a pair colliding on bands i < j is
+    # kept by band i only, for ANY band count. The previous hardcoded 3
+    # let a pair colliding on two bands >= 3 enter the candidate stream
+    # twice when num_hashes // band_size > 4 — the verify step's
+    # groupBy(doc_a, doc_b) collapsed them (output was never wrong),
+    # but each extra candidate row shuffles its two shingle-set legs
+    # again, exactly the multiplicity-scaled cost this guard exists to
+    # remove. element_at stays in bounds under ANSI: the when(band > j)
+    # branch is evaluated only where the eb slice has band >= j+1
+    # elements (CaseWhen branches are lazy per row).
     first_match = F.lit(True)
     for j in range(n_bands - 1):
         eq = F.element_at("_ba", j + 1) == F.element_at("_bb", j + 1)
@@ -465,17 +474,19 @@ def minhash_incremental_pairs(
             bands.alias("bands"),
             F.posexplode(bands).alias("band", "bucket"),
         ).where(F.col("bucket").isNotNull())
+    # per-row earlier-bands slice (same width cap as minhash_lsh_pairs):
+    # the guard only ever reads hashes for bands < this row's band
     old_b = side(existing).select(
         F.col("doc_id").alias("old_id"),
         F.col("band"),
         F.col("bucket"),
-        F.slice("bands", 1, n_bands - 1).alias("_bo"),
+        F.slice("bands", 1, F.col("band")).alias("_bo"),
     )
     new_b = side(new).select(
         F.col("doc_id").alias("new_id"),
         F.col("band"),
         F.col("bucket"),
-        F.slice("bands", 1, n_bands - 1).alias("_bn"),
+        F.slice("bands", 1, F.col("band")).alias("_bn"),
     )
     cand_all = new_b.join(old_b, ["band", "bucket"])
     # first-matching-band emission: every earlier band must differ

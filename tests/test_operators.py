@@ -219,6 +219,9 @@ def test_minhash_lsh_nondefault_band_count(spark):
     eight = set(rows8)
     assert eight <= exact  # exact verification still holds at 8 bands
     assert four <= eight  # extra bands only ADD candidate coverage
+
+
+def test_incremental_minhash_gate_matches_full_run_cross_pairs(spark):
     # the incremental gate must find exactly the (new, old) pairs the
     # FULL self-pairing run finds — same banding, same verification —
     # while never pairing the existing corpus against itself
