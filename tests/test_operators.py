@@ -1418,6 +1418,18 @@ def test_pathological_documents_never_crash(spark):
     sims = {r["neighbor_id"]: r["cos_sim"] for r in topk}
     assert sims[2] is None and sims[4] is None and sims[3] is not None
 
+    # NULL embeddings through the clustering path: kmeans assigns the
+    # NULL-dist doc DETERMINISTICALLY (struct-min orders the NULL
+    # distance first, cluster-id tie-break => cluster 0 — stable
+    # across partitionings) and SemDeDup never pairs it (NULL cosine
+    # drops at the threshold) — no crash end-to-end
+    ass = {r["vec_id"]: r["cluster"]
+           for r in similarity.kmeans_lloyd(emb, "vec_id", "embedding", k=2, n_iter=2).collect()}
+    assert len(ass) == 4 and ass[2] == 0
+    sem = [(r["id_a"], r["id_b"])
+           for r in similarity.semantic_dedup_pairs(emb, k=2, n_iter=2, threshold=0.9).collect()]
+    assert not any(2 in p for p in sem)
+
 
 def test_truncated_payloads_quarantine_across_all_codecs(spark):
     # The realistic 100 TB corruption class: a VALID header with the
