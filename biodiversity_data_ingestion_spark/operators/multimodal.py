@@ -352,9 +352,16 @@ def decode_bmp_features(
             assert magic == b"BM", "not a BMP payload"
             _hs, w, h, _planes, bpp = struct.unpack_from("<IiiHH", buf, 14)
             assert bpp == 24, f"unsupported bpp {bpp}"
+            # corrupt-header quarantine: zero/negative width would mean
+            # empty pixel rows downstream (NaN means — a garbage row,
+            # not an error), and a SHRUNK width/height still "decodes"
+            # over a subset of the real pixels — plausible-looking but
+            # wrong. Dims must be positive and exactly fill the file.
+            assert w > 0 and h != 0, f"bad BMP dims {w}x{h}"
             flipped = h > 0  # positive height = bottom-up rows
             h = abs(h)
             stride = (w * 3 + 3) // 4 * 4
+            assert pix_off + stride * h == len(buf), "pixel data size mismatch"
             rows = np.frombuffer(
                 buf, dtype=np.uint8, count=stride * h, offset=pix_off
             ).reshape(h, stride)[:, : w * 3]
@@ -477,7 +484,12 @@ def decode_y4m_features(
                     fps = int(num) / int(den)
                 elif tok.startswith("C"):
                     cs = tok[1:]
-            assert w and h and cs.startswith("420"), f"unsupported y4m {header}"
+            # w/h must be POSITIVE ints: "W-4" parses to a truthy -4 and
+            # frombuffer(count=w*h) would happily read 16 garbage bytes
+            assert (
+                w is not None and h is not None and w > 0 and h > 0
+                and cs.startswith("420")
+            ), f"unsupported y4m {header}"
             frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
             pos, nf, y_sum = nl + 1, 0, 0
             while pos < len(buf):
@@ -1288,6 +1300,16 @@ def decode_jpeg_features(
             # non-multiple-of-8 images (the common case) decode exactly
             # instead of silently truncating planes
             nbw, nbh = (w + 7) // 8, (h + 7) // 8
+            # corrupt-SOF quarantine: zero dims would yield a NaN-mean
+            # garbage row; HUGE declared dims (e.g. 0xFFFF x 0xFFFF)
+            # would allocate a multi-GiB block grid BEFORE the bit
+            # reader could fail — an allocation bomb per corrupt row at
+            # scale. Each 8x8 block consumes >= 2 bits (DC code + EOB),
+            # so the entropy stream bounds the legal block count.
+            assert w > 0 and h > 0, f"bad JPEG dims {w}x{h}"
+            assert nbw * nbh <= 4 * (end - scan_start) + 64, (
+                "declared dims exceed entropy stream capacity"
+            )
             img = np.zeros((nbh * 8, nbw * 8), dtype=np.uint8)
             prev_dc = 0
             for bi in range(nbh):
@@ -1516,6 +1538,12 @@ def decode_jpeg444_features(
             # ceil-padded MCU grid per spec; planes cropped to (h, w)
             # after the scan so non-block-multiple dims decode exactly
             nbw, nbh = (w + 7) // 8, (h + 7) // 8
+            # same corrupt-SOF guards as the grayscale kernel (zero-dim
+            # NaN rows; huge-dim allocation bomb), scaled by blocks/MCU
+            assert w > 0 and h > 0, f"bad JPEG dims {w}x{h}"
+            assert nbw * nbh * max(1, len(comp_order)) <= 4 * (
+                end - scan_start
+            ) + 64, "declared dims exceed entropy stream capacity"
             planes = {
                 cid: np.zeros((nbh * 8, nbw * 8), dtype=np.uint8)
                 for cid in comp_order

@@ -43,7 +43,14 @@ def cosine(a: Column, b: Column) -> Column:
     cos DESC with nulls-last in both (Spark desc == desc_nulls_last;
     DuckDB default_null_order = nulls_last), so parity holds with a
     planted zero vector — regression-tested in
-    test_operators.test_zero_norm_embeddings_null_not_crash."""
+    test_operators.test_zero_norm_embeddings_null_not_crash.
+
+    VERSION COUPLING: the x/0.0 -> NULL oracle behavior is the DuckDB
+    1.0 default. DuckDB >= 1.1 defaults ieee_floating_point_ops=true
+    (x/0.0 -> inf, ranking FIRST under cos DESC — the parity would
+    silently invert). Every oracle connection therefore pins
+    `SET ieee_floating_point_ops = false` (no-op-guarded on 1.0); see
+    tests/oracle_harness.duckdb_con."""
     return _dot(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0))
 
 

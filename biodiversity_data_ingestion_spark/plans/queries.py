@@ -5989,14 +5989,21 @@ _OVERLAP_PLANT = (
 )
 
 
-def _source_overlap_matrix(spark, sf_dir):
+def _source_overlap_matrix(spark, sf_dir, _plant_probe=False):
+    # _plant_probe is a HARNESS-ONLY flag (ADVICE r12): the registered
+    # parity query passes True so the oracle comparison stays
+    # non-vacuous at the driver's sf0.01 (real corpus has zero
+    # cross-source exact dups below sf0.1). The production entry point
+    # — this function's default call — unions nothing: its output is a
+    # faithful corpus-provenance analysis with no fabricated pairs
+    # (pinned by test_source_overlap_matrix_production_has_no_plant).
     docs = _t(spark, sf_dir, "documents").select("source", "text")
-    planted = spark.createDataFrame(list(_OVERLAP_PLANT), "source STRING, text STRING")
-    fp = (
-        docs.unionByName(planted)
-        .select(F.col("source"), F.md5(F.col("text")).alias("fp"))
-        .distinct()
-    )
+    if _plant_probe:
+        planted = spark.createDataFrame(
+            list(_OVERLAP_PLANT), "source STRING, text STRING"
+        )
+        docs = docs.unionByName(planted)
+    fp = docs.select(F.col("source"), F.md5(F.col("text")).alias("fp")).distinct()
     a = fp.select(F.col("source").alias("src_a"), "fp")
     b = fp.select(F.col("source").alias("src_b"), "fp")
     return (
@@ -6009,9 +6016,13 @@ def _source_overlap_matrix(spark, sf_dir):
 
 _OVERLAP_PLANT_SQL = ", ".join(f"('{s}', '{t}')" for s, t in _OVERLAP_PLANT)
 
+def _source_overlap_matrix_probe(spark, sf_dir):
+    return _source_overlap_matrix(spark, sf_dir, _plant_probe=True)
+
+
 _register(
     "source_overlap_matrix",
-    _source_overlap_matrix,
+    _source_overlap_matrix_probe,
     f"""
     WITH aug AS (
         SELECT source, text FROM documents
@@ -6024,8 +6035,11 @@ _register(
     GROUP BY 1, 2
     """,
     "north star: pairwise source-overlap matrix (exact-dup fingerprint "
-    "self-join on an unskewed hash key; corpus provenance analysis; "
-    "planted literal dups keep the oracle row non-vacuous at sf0.01)",
+    "self-join on an unskewed hash key; corpus provenance analysis). "
+    "This REGISTERED variant is the harness probe (_plant_probe=True): "
+    "planted literal dups keep the oracle row non-vacuous at sf0.01, "
+    "mirrored as VALUES in the SQL. The production call "
+    "(_source_overlap_matrix default) plants nothing",
 )
 
 
@@ -12871,8 +12885,76 @@ _register(
 # near-duplicate variants of already-proven patterns come after. The
 # full registry is still exported — only the ordering changes.
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-12 WINDOW. Changed-operator block leads (playbook rule:
-    # evidence on arrival): the zero-norm cosine guard (nullif
+    # ROUND-13 WINDOW. Changed-operator block leads (playbook rule:
+    # evidence on arrival): source_overlap_matrix (the plant moved
+    # behind a harness-only flag — ADVICE r12 — builder + registered
+    # wrapper changed, output identical by construction) and the four
+    # queries over decoders that grew corrupt-header guards this round
+    # (BMP exact-fill/positive dims, Y4M positive dims, both JPEG
+    # kernels' entropy-capacity allocation-bomb bound — guards only,
+    # unreachable on valid payloads, but the kernels' bytes changed).
+    # Then the entire r6-stale tail (VERDICT r12 #1): all 34 queries
+    # whose newest driver row is r6, alphabetical. The remaining 11
+    # slots take the r8 block alphabetically (bm25..event_trigram);
+    # after this window runs green, no registry query's newest driver
+    # evidence predates r8 (18 r8 rows remain for the r14 rotation).
+    "source_overlap_matrix",
+    "image_decode_features",
+    "video_decode_features",
+    "jpeg_decode_features",
+    "jpeg_color_decode_features",
+    "doc_redaction",
+    "doc_repetition_scores",
+    "epoch_shuffle_shards",
+    "event_transition_matrix",
+    "forecast_revenue_change",
+    "global_topk_events",
+    "lineitem_column_stats",
+    "media_frame_plan",
+    "media_resize_dims",
+    "metadata_etl_rollup",
+    "mixture_temperature_weights",
+    "most_common_event_per_user",
+    "nation_monthly_running_share",
+    "nation_segment_bitmap",
+    "nested_customer_doc",
+    "orders_null_profile",
+    "part_copurchase_pairs",
+    "part_type_profit",
+    "pii_redaction_stats",
+    "priority_custkey_setops",
+    "quality_threshold_sweep",
+    "salted_type_counts",
+    "source_capped_corpus",
+    "source_upsampling",
+    "span_dedup_stats",
+    "st_points_in_region",
+    "stream_distinct_pairs",
+    "stream_full_outer_join",
+    "stream_left_outer_join",
+    "supplier_shipping_coverage",
+    "two_level_distinct",
+    "user_event_entropy",
+    "user_first_last_events",
+    "user_props_map",
+    "bm25_doc_retrieval",
+    "bpe_pair_merge",
+    "brand_price_percentiles",
+    "contrastive_negatives",
+    "copurchase_kcore",
+    "customer_record_linkage",
+    "customers_with_urgent_orders",
+    "doc_chunking",
+    "doc_language_id",
+    "doc_quality",
+    "event_trigram_topk",
+)
+
+_PRIORITY_R12: tuple[str, ...] = (
+    # ROUND-12 WINDOW, kept for the historical record (47/50 hash-green
+    # + 3 sketch no_oracle in CORRECTNESS_r12.json). Changed-operator
+    # block led (playbook rule: evidence on arrival): the zero-norm
+    # cosine guard (nullif
     # denominator — VERDICT r11 #1) rewrites the cosine expression in
     # every ANN-family plan, so all six cosine-family queries re-run
     # this round; minhash_lsh_dups + incremental_minhash_gate ride

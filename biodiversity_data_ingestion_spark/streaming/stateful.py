@@ -15,6 +15,7 @@ when keys are unbounded.
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Any, Iterator
 
 import numpy as np
@@ -644,6 +645,19 @@ def _stage_events_with_sentinel(
     except (OverflowError, pd.errors.OutOfBoundsDatetime):
         try:
             sentinel_ts = pd.Timestamp(tmax) + pd.Timedelta(days=1)
+            # the degraded margin must be VISIBLE: a corpus carrying
+            # clamped far-future garbage otherwise gets a materially
+            # different replay sentinel with no signal to operators
+            warnings.warn(
+                "bounded-replay sentinel margin degraded from "
+                f"{margin_days} day(s) to 1 day: max event time {tmax} "
+                "is within margin of the TIMESTAMP(NANOS) ceiling "
+                "(2262-04-11) — the corpus likely carries clamped "
+                "far-future garbage timestamps; filter or cap them "
+                "upstream",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         except (OverflowError, pd.errors.OutOfBoundsDatetime):
             raise ValueError(
                 "bounded-replay sentinel needs headroom above max(ts): "

@@ -33,6 +33,17 @@ TABLES = (
 
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Zero-norm cosine parity (operators/similarity.py::cosine) relies
+    # on DuckDB's x/0.0 -> NULL. DuckDB >= 1.1 flips the default to
+    # IEEE semantics (x/0.0 -> inf, which would rank FIRST under
+    # ORDER BY cos DESC and silently invert the nulls-last parity), so
+    # pin the pre-1.1 behavior whenever the setting exists. On 1.0
+    # (this container) the SET is unknown and the default already
+    # matches — swallow the error.
+    try:
+        con.execute("SET ieee_floating_point_ops = false")
+    except duckdb.Error:
+        pass
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")

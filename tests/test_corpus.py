@@ -744,6 +744,28 @@ def test_source_overlap_matrix_nonvacuous(spark, tmp_path):
     }
     assert oracle == got
 
+    # the PRODUCTION entry point (default _plant_probe=False) must
+    # return a faithful provenance analysis: the real cross-source
+    # pairs from the fixture and NOTHING fabricated (ADVICE r12: the
+    # plant is harness-only, gated behind the flag)
+    from biodiversity_data_ingestion_spark.plans.queries import (
+        _source_overlap_matrix,
+    )
+
+    prod = {
+        (r.src_a, r.src_b): r.shared_texts
+        for r in _source_overlap_matrix(spark, str(tmp_path)).collect()
+    }
+    assert prod == {
+        ("blogs", "cc"): 1,
+        ("blogs", "news"): 1,
+        ("cc", "news"): 1,
+        ("cc", "forums"): 1,
+    }
+    assert not any(
+        s.startswith("zz_planted") for pair in prod for s in pair
+    ), "production output must carry no planted sources"
+
 
 def test_k_core_peels_cascade(spark):
     # classic cascade: a triangle core (1,2,3 all degree >= 2 forever)

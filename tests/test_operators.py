@@ -374,8 +374,16 @@ def test_zero_norm_embeddings_null_not_crash(spark):
         tail_nulls = [r["cos_sim"] is None for r in ranked]
         assert tail_nulls == sorted(tail_nulls)  # non-null block, then NULLs
 
-    # bitwise side-by-side with the oracle engine on the same frame
+    # bitwise side-by-side with the oracle engine on the same frame.
+    # Pin pre-1.1 division semantics (x/0.0 -> NULL) — DuckDB >= 1.1
+    # defaults ieee_floating_point_ops=true, where x/0.0 -> inf would
+    # rank FIRST under ORDER BY cos DESC and invert the parity this
+    # test exists to assert (see oracle_harness.duckdb_con).
     con = duckdb.connect()
+    try:
+        con.execute("SET ieee_floating_point_ops = false")
+    except duckdb.Error:
+        pass
     con.register("emb", pd.DataFrame(rows, columns=["vec_id", "label", "embedding"]))
     res = compare(
         "zero_norm_cosine_topk",
@@ -1471,3 +1479,174 @@ def test_truncated_payloads_quarantine_across_all_codecs(spark):
             assert out[i][probe] is None, f"{name}: cut {cuts[i-1]}/{n} must be null"
         last = out[5][probe] is not None
         assert last == tail_tolerant, f"{name}: last-byte-cut decoded={last}"
+
+
+def test_corrupt_headers_quarantine_across_all_codecs(spark):
+    # The OTHER 100 TB corruption class (r12 verdict #6): an intact
+    # body under a CORRUPT header — bit-flipped magic, mis-declared
+    # dimensions, bogus depth/precision fields. Contract, pinned per
+    # codec and per field: under on_error='null' every corruption
+    # either quarantines to an all-null row or decodes to a defensible
+    # row (pinned explicitly below) — never a garbage row, never a
+    # raise, and never an allocation bomb (a corrupt JPEG SOF declaring
+    # 0xFFFF x 0xFFFF would otherwise allocate a ~4 GiB block grid per
+    # row before the bit reader could fail; the entropy-capacity guard
+    # in the decoder is what this case proves).
+    import struct
+
+    from biodiversity_data_ingestion_spark.operators import multimodal as M
+
+    base = spark.range(0, 1).withColumnRenamed("id", "doc_id")
+
+    def mut(payload, fn):
+        m = bytearray(payload)
+        fn(m)
+        return bytes(m)
+
+    def repl(old, new):
+        def fn(m):
+            i = bytes(m).index(old)
+            m[i : i + len(old)] = new
+        return fn
+
+    def pack(fmt, off, *vals):
+        def fn(m):
+            struct.pack_into(fmt, m, off, *vals)
+        return fn
+
+    def sof_pack(payload, dh, dw=None, prec=None):
+        # SOF0 body: marker(2) len(2) prec(1) h(2) w(2) ncomp(1)...
+        sof = bytes(payload).index(b"\xff\xc0")
+        def fn(m):
+            if prec is not None:
+                m[sof + 4] = prec
+            struct.pack_into(">H", m, sof + 5, dh)
+            struct.pack_into(">H", m, sof + 7, dh if dw is None else dw)
+        return fn
+
+    # (codec, synth, decoder, [(label, mutate_fn_factory, expect)])
+    # expect: "null" = quarantined; "same" = decodes bit-identically to
+    # the valid payload (tolerated corruption — the field is not
+    # authoritative); "decodes" = non-null but legitimately different
+    # (header-trusted reinterpretation, self-consistent by contract)
+    specs = [
+        ("wav", M.synth_wav_payload, M.decode_wav_features, [
+            ("bad RIFF magic", lambda p: repl(b"RIFF", b"XIFF"), "null"),
+            ("bad WAVE magic", lambda p: repl(b"WAVE", b"XAVE"), "null"),
+            ("channels=0", lambda p: pack("<H", 22, 0), "null"),
+            # stdlib wave accepts rate=0; the duration division is the
+            # guard that routes it to the dead letter
+            ("rate=0", lambda p: pack("<I", 24, 0), "null"),
+            # declared data size 2x actual: header/data mismatch would
+            # yield a self-INCONSISTENT row (header frames, half the
+            # samples) — the r12 short-PCM check quarantines it
+            ("data size doubled",
+             lambda p: pack("<I", 40, 2 * struct.unpack_from("<I", p, 40)[0]),
+             "null"),
+            # declared data size 1/2 actual: wave trusts the chunk and
+            # decodes HALF the frames — self-consistent (n_frames,
+            # rms, peak all agree), trailing bytes ignored per spec
+            ("data size halved",
+             lambda p: pack("<I", 40, struct.unpack_from("<I", p, 40)[0] // 2),
+             "decodes"),
+        ]),
+        ("bmp", M.synth_bmp_payload, M.decode_bmp_features, [
+            ("bad BM magic", lambda p: repl(b"BM", b"XM"), "null"),
+            # width-1 keeps the SAME 4-byte stride (synth w=8 -> 7,
+            # both stride 24): the result is a well-formed w=7 BMP
+            # whose padding bytes hold pixel garbage — undetectable by
+            # ANY decoder (padding content is unspecified), so it
+            # decodes header-trusted. Width-2 SHRINKS the stride
+            # (20*h != file size) and the exact-fill check quarantines
+            ("width-1 (stride unchanged: valid BMP)",
+             lambda p: pack("<i", 18, struct.unpack_from("<i", p, 18)[0] - 1),
+             "decodes"),
+            ("width-2 (stride shrinks)",
+             lambda p: pack("<i", 18, struct.unpack_from("<i", p, 18)[0] - 2),
+             "null"),
+            ("width+1",
+             lambda p: pack("<i", 18, struct.unpack_from("<i", p, 18)[0] + 1),
+             "null"),
+            ("width=0", lambda p: pack("<i", 18, 0), "null"),
+            # NEGATIVE height is legal BMP (top-down rows): decodes,
+            # and channel means are order-invariant => bit-identical
+            ("height negated (top-down)",
+             lambda p: pack("<i", 22, -struct.unpack_from("<i", p, 22)[0]),
+             "same"),
+            ("bpp=32", lambda p: pack("<H", 28, 32), "null"),
+        ]),
+        ("y4m", M.synth_y4m_payload, M.decode_y4m_features, [
+            ("bad magic", lambda p: repl(b"YUV4MPEG2", b"YUV4MPEG9"), "null"),
+            ("width=0", lambda p: repl(b" W8 ", b" W0 "), "null"),
+            ("negative width", lambda p: repl(b" W8 ", b" W-8 "), "null"),
+            ("chroma 444", lambda p: repl(b"C420jpeg", b"C444    "), "null"),
+        ]),
+        ("png", M.synth_png_payload, M.decode_png_features, [
+            ("bad signature", lambda p: pack("<B", 0, 0x88), "null"),
+            ("IHDR width+1",
+             lambda p: pack(">I", 16, struct.unpack_from(">I", p, 16)[0] + 1),
+             "null"),
+            # huge declared width: the scanline-length assert fires
+            # BEFORE any per-row work — no allocation, no hang
+            ("IHDR width huge", lambda p: pack(">I", 16, 0x40000000), "null"),
+            ("IHDR depth=16", lambda p: pack("<B", 24, 16), "null"),
+        ]),
+        ("gif", M.synth_gif_payload, M.decode_gif_features, [
+            ("bad magic", lambda p: repl(b"GIF89a", b"GIF89x"), "null"),
+            ("no global color table", lambda p: pack("<B", 10, 0x77), "null"),
+            # image-descriptor dims are authoritative: corrupting them
+            # breaks the LZW pixel-count cross-check
+            ("image width+1",
+             lambda p: pack("<H", 786, struct.unpack_from("<H", p, 786)[0] + 1),
+             "null"),
+            ("LZW min code 8->7", lambda p: pack("<B", 791, 7), "null"),
+            # the logical SCREEN descriptor is display metadata, not
+            # the decoded image's dims — corruption there is tolerated
+            ("screen width+1",
+             lambda p: pack("<H", 6, struct.unpack_from("<H", p, 6)[0] + 1),
+             "same"),
+        ]),
+        ("jpeg", M.synth_jpeg_payload, M.decode_jpeg_features, [
+            ("bad SOI", lambda p: pack("<B", 1, 0xD7), "null"),
+            ("SOF dims=0", lambda p: sof_pack(p, 0), "null"),
+            # THE allocation-bomb case: 0xFFFF x 0xFFFF = 67M blocks /
+            # ~4 GiB grid; the entropy-capacity guard must quarantine
+            # it without allocating
+            ("SOF dims huge", lambda p: sof_pack(p, 0xFFFF), "null"),
+            ("SOF precision=12", lambda p: sof_pack(
+                p, struct.unpack_from(
+                    ">H", p, bytes(p).index(b"\xff\xc0") + 5)[0], None, 12),
+             "null"),
+        ]),
+        ("jpeg444", M.synth_jpeg444_payload, M.decode_jpeg444_features, [
+            ("bad SOI", lambda p: pack("<B", 1, 0xD7), "null"),
+            ("SOF dims huge", lambda p: sof_pack(p, 0xFFFF), "null"),
+        ]),
+    ]
+
+    for name, synth, dec, muts in specs:
+        payload = bytes(synth(base, "doc_id").select("payload").first()[0])
+        rows = [(0, bytearray(payload))]
+        for i, (_, mk, _) in enumerate(muts):
+            rows.append((i + 1, bytearray(mut(payload, mk(payload)))))
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        out = {r["doc_id"]: r for r in dec(df, "doc_id", on_error="null").collect()}
+        feats = [c for c in out[0].__fields__ if c != "doc_id"]
+        probe = feats[1]
+        assert out[0][probe] is not None, f"{name}: valid payload must decode"
+        for i, (label, _, expect) in enumerate(muts):
+            got = out[i + 1]
+            if expect == "null":
+                for c in feats:
+                    assert got[c] is None, (
+                        f"{name}/{label}: {c}={got[c]!r}, expected quarantine"
+                    )
+            elif expect == "same":
+                for c in feats:
+                    assert got[c] == out[0][c], (
+                        f"{name}/{label}: {c} {got[c]!r} != {out[0][c]!r}"
+                    )
+            else:  # "decodes"
+                assert got[probe] is not None, (
+                    f"{name}/{label}: expected a self-consistent decode"
+                )
