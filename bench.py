@@ -37,6 +37,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -187,6 +188,22 @@ EAGER = {
 }
 
 
+def _calibrate(spark) -> float:
+    """Fixed pure-CPU reference workload (r12 verdict #2): a
+    whole-stage-codegen'd aggregate over an in-memory range — no I/O,
+    no Python, no data dependence — so its wall-clock tracks ONLY host
+    CPU contention. Timed at run start, every 10 queries, and at run
+    end; the median divides every query timing into a dimensionless
+    "multiples of the probe" figure that stays comparable across
+    ambient-load regimes (same-code totals have spanned 1.44x on this
+    shared host with zero diff)."""
+    t0 = time.perf_counter()
+    spark.range(150_000_000).selectExpr(
+        "sum(id * 7 % 11) AS a", "count(if(id % 3 = 0, 1, null)) AS b"
+    ).collect()
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -201,6 +218,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # warm-up: JVM + parquet footer caches
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    _calibrate(spark)  # unmeasured: absorbs the probe's codegen compile
+    cal_times = [_calibrate(spark)]
 
     # CONSECUTIVE best-of-3 (the r1-r8 convention, kept deliberately):
     # a round-9 controlled A/B in ONE process measured interleaved
@@ -213,7 +232,9 @@ def main() -> None:
     # rule (NOTES.md) remain the defense against ambient-load noise.
     timings: dict[str, float] = {}
     all_reps: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    for qi, name in enumerate(HEADLINE):
+        if qi and qi % 10 == 0:
+            cal_times.append(_calibrate(spark))
         best = None
         reps = []
         for _ in range(3):
@@ -227,6 +248,8 @@ def main() -> None:
         all_reps[name] = reps
         timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+    cal_times.append(_calibrate(spark))
+    cal = statistics.median(cal_times)
 
     # FIELD ORDER MATTERS: the round artifact keeps only the LAST ~2000
     # chars of this line (r11's "value" was already truncated away), so
@@ -254,8 +277,23 @@ def main() -> None:
             # ambient diagnostic.
             "repeats_all": all_reps,
             "queries": timings,
+            # each query in MULTIPLES OF THE CALIBRATION PROBE — the
+            # contention-portable figure: compare these across rounds,
+            # raw seconds only within one run (r12 verdict #2)
+            "queries_normalized": {
+                n: round(t / cal, 2) for n, t in timings.items()
+            },
             "sf": sf,
             "value": round(sum(timings.values()), 3),
+            # the fixed pure-CPU probe (see _calibrate): every
+            # measurement in run order, then the median used as the
+            # normalization divisor and the probe's own spread —
+            # max/min > ~1.3 means contention SHIFTED mid-run and even
+            # normalized figures carry noise
+            "calibration_times": cal_times,
+            "calibration": round(cal, 3),
+            "calibration_spread": round(max(cal_times) / min(cal_times), 2),
+            "value_normalized": round(sum(timings.values()) / cal, 2),
             "load_avg_1m_start": load_start,
             "load_avg_1m_end": round(os.getloadavg()[0], 2),
         }

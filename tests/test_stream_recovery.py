@@ -422,8 +422,19 @@ def test_sentinel_staging_near_timestamp_ceiling(tmp_path):
         return str(d)
 
     # within 10 years of the ceiling but > 1 day: 1-day fallback engages
+    # AND is VISIBLE (ADVICE r12: a silently degraded margin means a
+    # materially different replay sentinel with no operator signal)
+    import warnings as _warnings
+
     near = pd.Timestamp.max - pd.Timedelta(days=100)
-    stage = _stage_events_with_sentinel(None, stage_dir(near))
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        stage = _stage_events_with_sentinel(None, stage_dir(near))
+    assert any(
+        issubclass(w.category, RuntimeWarning)
+        and "sentinel margin degraded" in str(w.message)
+        for w in caught
+    ), "1-day fallback must warn"
     sent = pq.read_table(f"{stage}/01_sentinel.parquet")["ts"].to_pylist()[0]
     assert pd.Timestamp(sent) == near + pd.Timedelta(days=1)
 
@@ -435,8 +446,13 @@ def test_sentinel_staging_near_timestamp_ceiling(tmp_path):
     with _pytest.raises(ValueError, match="headroom above max"):
         _stage_events_with_sentinel(None, stage_dir(at_edge))
 
-    # ordinary data: default margin unchanged
+    # ordinary data: default margin unchanged, and NO degradation warn
     normal = pd.Timestamp("2024-06-01 12:00:00")
-    stage = _stage_events_with_sentinel(None, stage_dir(normal))
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        stage = _stage_events_with_sentinel(None, stage_dir(normal))
+    assert not any(
+        "sentinel margin degraded" in str(w.message) for w in caught
+    ), "ordinary data must not warn"
     sent = pq.read_table(f"{stage}/01_sentinel.parquet")["ts"].to_pylist()[0]
     assert pd.Timestamp(sent) == normal + pd.Timedelta(days=3650)
