@@ -30,6 +30,15 @@ lesson — identical code has swung 1.5x on ambient load alone):
 4. Iterative/eager queries (the EAGER set) are the load-sensitive
    family — their quiet-vs-loaded envelope is in NOTES.md; a swing
    inside the envelope with no code change needs no investigation.
+5. r13 CALIBRATION PROTOCOL: every run times a fixed pure-CPU probe
+   (see _calibrate) at start, every 10 queries, and at end. Read
+   `queries_normalized` / `value_normalized` (multiples of the probe
+   median) for cross-round comparison and `calibration_spread` as the
+   confidence gate: spread > ~1.3 means contention SHIFTED mid-run and
+   even normalized figures carry noise — prefer the lower-spread run.
+   r13 reference: same-code raw totals 142.8 vs 89.9 s (1.59x) read
+   363 vs 272 normalized (1.33x) — the probe shrinks ambient noise
+   but does not cancel contention that moves between probe points.
 """
 
 from __future__ import annotations
