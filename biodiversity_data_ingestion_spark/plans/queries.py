@@ -11802,8 +11802,15 @@ _register(
 
 def _variant_props_stats(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
+    # try_parse_json, NOT parse_json: the strict variant raises
+    # [MALFORMED_VARIANT]/[INVALID_JSON] on the first garbage props
+    # string — one bad producer row kills an hours-long job at corpus
+    # scale. try_parse_json yields NULL (try_variant_get then yields
+    # NULL k), the quarantine discipline every source here follows;
+    # the oracle mirrors it with a json_valid() guard. Pinned by
+    # test_variant_props_malformed_json_quarantines.
     v = ev.select(
-        "event_type", F.parse_json("props").alias("v")
+        "event_type", F.try_parse_json("props").alias("v")
     ).select(
         "event_type",
         F.try_variant_get("v", "$.k", "long").alias("k"),
@@ -11820,13 +11827,17 @@ _register(
     "variant_props_stats",
     _variant_props_stats,
     """
+    WITH p AS (
+        SELECT event_type,
+               CASE WHEN props IS NOT NULL AND json_valid(props)
+                    THEN CAST(json_extract(props, '$.k') AS BIGINT)
+               END AS k
+        FROM events)
     SELECT event_type, count(*) AS n,
-           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
-               AS sum_k,
-           max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
-           count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT))
-               AS n_distinct_k
-    FROM events GROUP BY event_type
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           max(k) AS max_k,
+           count(DISTINCT k) AS n_distinct_k
+    FROM p GROUP BY event_type
     """,
     "engine extension: Spark 4 VARIANT semi-structured path "
     "(parse_json once -> lazy variant_get extraction; the schema-free "
@@ -12893,12 +12904,17 @@ _PRIORITY: tuple[str, ...] = (
     # (BMP exact-fill/positive dims, Y4M positive dims, both JPEG
     # kernels' entropy-capacity allocation-bomb bound — guards only,
     # unreachable on valid payloads, but the kernels' bytes changed).
-    # Then the entire r6-stale tail (VERDICT r12 #1): all 34 queries
-    # whose newest driver row is r6, alphabetical. The remaining 11
-    # slots take the r8 block alphabetically (bm25..event_trigram);
-    # after this window runs green, no registry query's newest driver
-    # evidence predates r8 (18 r8 rows remain for the r14 rotation).
+    # variant_props_stats also changed late in r13 (try_parse_json +
+    # json_valid-guarded oracle — the malformed-props quarantine), so
+    # it leads too. Then the entire r6-stale tail (VERDICT r12 #1):
+    # all 34 queries whose newest driver row is r6, alphabetical. The
+    # remaining 10 slots take the r8 block alphabetically
+    # (bm25..doc_quality; event_trigram_topk was displaced by the
+    # variant swap); after this window runs green, no registry query's
+    # newest driver evidence predates r8 (18 r8 rows remain for the
+    # r14 rotation).
     "source_overlap_matrix",
+    "variant_props_stats",
     "image_decode_features",
     "video_decode_features",
     "jpeg_decode_features",
@@ -12947,7 +12963,6 @@ _PRIORITY: tuple[str, ...] = (
     "doc_chunking",
     "doc_language_id",
     "doc_quality",
-    "event_trigram_topk",
 )
 
 _PRIORITY_R12: tuple[str, ...] = (

@@ -15,17 +15,39 @@ from pyspark.sql import functions as F
 
 def read_gtf(spark: SparkSession, path: str) -> DataFrame:
     """GTF -> (accession, record_type, info): drop comment lines, split
-    on tabs, project columns 1/3/9 (1-indexed, as the reference does)."""
-    lines = spark.read.text(path)
+    on tabs, project columns 1/3/9 (1-indexed, as the reference does).
+
+    Ragged lines (fewer than 9 tab-separated columns — truncated
+    download, mid-record cut) are DROPPED, not half-projected:
+    ``getItem(8)`` on a short array is NULL, so without the arity
+    filter a cut line would yield a partial (accession, type, NULL)
+    row — the self-inconsistent-row class every other source here
+    quarantines. Use ``read_gtf_with_dead_letters`` to capture them."""
+    good, _ = read_gtf_with_dead_letters(spark, path)
+    return good
+
+
+def read_gtf_with_dead_letters(spark: SparkSession, path: str):
+    """GTF scan with the same dead-letter discipline as the JSONL/CSV/
+    XML sources: returns (good, dead) where ``good`` carries only
+    well-formed (>= 9 column) records and ``dead.raw_line`` carries
+    non-comment lines that fail the arity check, for quarantine writes.
+    One cached scan serves both branches."""
+    lines = spark.read.text(path).where(
+        ~F.col("value").startswith("#") & (F.length("value") > 0)
+    ).cache()
     cols = F.split(F.col("value"), "\t")
-    return (
-        lines.where(~F.col("value").startswith("#"))
+    well_formed = F.size(cols) >= 9
+    good = (
+        lines.where(well_formed)
         .select(
             cols.getItem(0).alias("accession"),
             cols.getItem(2).alias("record_type"),
             cols.getItem(8).alias("info"),
         )
     )
+    dead = lines.where(~well_formed).select(F.col("value").alias("raw_line"))
+    return good, dead
 
 
 def read_csv_with_dead_letters(

@@ -1372,6 +1372,48 @@ def test_bloom_prefilter_semi_join_equals_plain(spark):
         assert got == plain
 
 
+def test_variant_props_malformed_json_quarantines(spark, tmp_path):
+    # the pathological tier, VARIANT edition: a real event stream always
+    # carries some garbage props strings. Strict parse_json raises on
+    # the FIRST one and kills the job; the builder uses try_parse_json
+    # (NULL k), the oracle mirrors it with json_valid(). Parity is
+    # checked bitwise on a planted fixture spanning valid / no-$.k /
+    # NULL / two malformed shapes.
+    import duckdb
+
+    from biodiversity_data_ingestion_spark.plans.queries import QUERIES
+
+    from .oracle_harness import compare
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, "click", 1.0, '{"k": 7}'),
+        (2, "2024-01-01 00:01:00", 10, "click", 1.0, '{"k": 9}'),
+        (3, "2024-01-01 00:02:00", 11, "click", 1.0, "{bad json"),
+        (4, "2024-01-01 00:03:00", 11, "click", 1.0, None),
+        (5, "2024-01-01 00:04:00", 12, "view", 1.0, "not json at all"),
+        (6, "2024-01-01 00:05:00", 12, "view", 1.0, '{"j": 1}'),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    spec = QUERIES["variant_props_stats"]
+    out = spec["builder"](spark, str(tmp_path))  # must not raise
+    got = {r["event_type"]: (r["n"], r["sum_k"], r["max_k"], r["n_distinct_k"])
+           for r in out.collect()}
+    assert got == {"click": (4, 16, 9, 2), "view": (2, None, None, 0)}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet/*.parquet'"
+    )
+    res = compare("variant_props_malformed", out, con, spec["oracle"])
+    assert res.ok, res.problems
+
+
 # ---------------------------------------------------------------------------
 # pathological text rows (NULL / empty / whitespace-only / single word /
 # unicode) must never crash the text-analysis or dedup families — the

@@ -110,6 +110,40 @@ def test_gtf_parse(spark, tmp_path):
     }
 
 
+def test_gtf_ragged_lines_quarantine(spark, tmp_path):
+    # the 100 TB corruption class for line formats: a download cut
+    # mid-record leaves a < 9-column line. getItem(8) on it is NULL,
+    # so an unfiltered projection would emit a partial
+    # (accession, type, NULL) row — the self-inconsistent-row class.
+    # Contract: good rows only from read_gtf; the dead-letter variant
+    # captures the raw ragged lines (comments/blank lines are neither).
+    gtf = tmp_path / "ragged.gtf"
+    gtf.write_text(
+        "#!genome-build x\n"
+        "ACC1\tsrc\tgene\t1\t100\t.\t+\t.\tgene_id \"g1\";\n"
+        "ACC2\tsrc\texon\t1\t50\n"  # cut mid-record: 5 columns
+        "\n"
+        "ACC3 no tabs at all\n"
+    )
+    from biodiversity_data_ingestion_spark.sources.text import (
+        read_gtf,
+        read_gtf_with_dead_letters,
+    )
+
+    good = read_gtf(spark, str(gtf)).collect()
+    assert [(r["accession"], r["record_type"], r["info"]) for r in good] == [
+        ("ACC1", "gene", 'gene_id "g1";')
+    ]
+    assert not any(r["info"] is None for r in good), "no partial rows"
+
+    good2, dead = read_gtf_with_dead_letters(spark, str(gtf))
+    assert good2.count() == 1
+    assert sorted(r["raw_line"] for r in dead.collect()) == [
+        "ACC2\tsrc\texon\t1\t50",
+        "ACC3 no tabs at all",
+    ]
+
+
 def test_bucketed_join_is_exchange_free(spark, tmp_path):
     # co-located join: two tables bucketed+sorted on the join key must
     # join with NO Exchange (and no sort-before-join) in the plan — the
