@@ -23,7 +23,7 @@ def read_gtf(spark: SparkSession, path: str) -> DataFrame:
     filter a cut line would yield a partial (accession, type, NULL)
     row — the self-inconsistent-row class every other source here
     quarantines. Use ``read_gtf_with_dead_letters`` to capture them."""
-    good, _ = read_gtf_with_dead_letters(spark, path)
+    good, _ = _gtf_split(spark, path, cache=False)
     return good
 
 
@@ -33,9 +33,19 @@ def read_gtf_with_dead_letters(spark: SparkSession, path: str):
     well-formed (>= 9 column) records and ``dead.raw_line`` carries
     non-comment lines that fail the arity check, for quarantine writes.
     One cached scan serves both branches."""
+    return _gtf_split(spark, path, cache=True)
+
+
+def _gtf_split(spark: SparkSession, path: str, cache: bool):
+    # cache only when BOTH branches will be consumed (the dead-letter
+    # variant): caching in the single-branch read_gtf path would pin
+    # every scanned text partition in memory for no reuse — a real
+    # footprint at corpus scale
     lines = spark.read.text(path).where(
-        ~F.col("value").startswith("#") & (F.length("value") > 0)
-    ).cache()
+        (~F.col("value").startswith("#")) & (F.length("value") > 0)
+    )
+    if cache:
+        lines = lines.cache()
     cols = F.split(F.col("value"), "\t")
     well_formed = F.size(cols) >= 9
     good = (
