@@ -5996,7 +5996,8 @@ def _source_overlap_matrix(spark, sf_dir, _plant_probe=False):
     # cross-source exact dups below sf0.1). The production entry point
     # — this function's default call — unions nothing: its output is a
     # faithful corpus-provenance analysis with no fabricated pairs
-    # (pinned by test_source_overlap_matrix_production_has_no_plant).
+    # (pinned by the production-shape assertions in
+    # test_source_overlap_matrix_nonvacuous).
     docs = _t(spark, sf_dir, "documents").select("source", "text")
     if _plant_probe:
         planted = spark.createDataFrame(
@@ -12911,8 +12912,8 @@ _PRIORITY: tuple[str, ...] = (
     # remaining 10 slots take the r8 block alphabetically
     # (bm25..doc_quality; event_trigram_topk was displaced by the
     # variant swap); after this window runs green, no registry query's
-    # newest driver evidence predates r8 (18 r8 rows remain for the
-    # r14 rotation).
+    # newest driver evidence predates r8 (19 r8 rows remain for the
+    # r14 rotation, counting the displaced event_trigram_topk).
     "source_overlap_matrix",
     "variant_props_stats",
     "image_decode_features",
