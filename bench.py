@@ -95,6 +95,9 @@ HEADLINE = (
     # round-3 third-session codecs: hand-rolled LZW and Huffman
     "gif_decode_features",
     "jpeg_decode_features",
+    # round-13: the fourth from-scratch compressed codec (SOF2
+    # spectral-selection progressive, multi-scan entropy decode)
+    "jpeg_progressive_decode_features",
     # round-4 additions: the two newly oracle-exact iterative ops
     # (fixed-point trajectories) and the incremental near-dedup gate
     "kmeans_clusters",

@@ -115,23 +115,27 @@ def binary_features(df: DataFrame, id_col: str, payload_col: str = "payload") ->
 
 
 def decode_media(df: DataFrame, payload_col: str = "payload"):
-    """STUB for the remaining codec classes (full-color/progressive
-    JPEG, H.264/Opus-class stream codecs), which require codec
-    libraries (PIL/ffmpeg) not installed in this container. On a real
-    deployment this becomes a mapInPandas kernel decoding each Arrow
-    batch to pixel/sample arrays; the batch shape and schema contract
-    are exactly those of `binary_features`. Everything else decodes
-    FOR REAL here: PCM WAV audio (`decode_wav_features`), 24-bit BMP
-    (`decode_bmp_features`), YUV4MPEG2 video (`decode_y4m_features`),
-    DEFLATE-compressed PNG (`decode_png_features`), LZW-compressed GIF
-    with a hand-rolled dictionary coder (`decode_gif_features`), and
-    baseline grayscale JPEG with a hand-rolled Huffman entropy coder
-    (`decode_jpeg_features`)."""
+    """STUB for the remaining codec classes (H.264/Opus-class stream
+    codecs, and progressive JPEG's successive-approximation refinement
+    scans), which require codec libraries (PIL/ffmpeg) not installed
+    in this container. On a real deployment this becomes a mapInPandas
+    kernel decoding each Arrow batch to pixel/sample arrays; the batch
+    shape and schema contract are exactly those of `binary_features`.
+    Everything else decodes FOR REAL here: PCM WAV audio
+    (`decode_wav_features`), 24-bit BMP (`decode_bmp_features`),
+    YUV4MPEG2 video (`decode_y4m_features`), DEFLATE-compressed PNG
+    (`decode_png_features`), LZW-compressed GIF with a hand-rolled
+    dictionary coder (`decode_gif_features`), baseline JPEG in
+    grayscale (`decode_jpeg_features`) and full-color YCbCr 4:4:4
+    (`decode_jpeg444_features`), and progressive spectral-selection
+    JPEG (`decode_jpeg_progressive_features`) — all with hand-rolled
+    entropy coders."""
     raise NotImplementedError(
-        "full-color/progressive JPEG and H.264/Opus-class decode need "
-        "codec libraries (PIL/ffmpeg); WAV/BMP/y4m/PNG/GIF/baseline-"
-        "grayscale-JPEG decode for real here — same mapInPandas batch "
-        "contract"
+        "H.264/Opus-class stream decode (and progressive-JPEG "
+        "successive-approximation refinement) need codec libraries "
+        "(PIL/ffmpeg); WAV/BMP/y4m/PNG/GIF/baseline-JPEG/color-JPEG/"
+        "progressive-JPEG decode for real here — same mapInPandas "
+        "batch contract"
     )
 
 
@@ -1080,6 +1084,10 @@ class _JpegBitWriter:
         self.n = 0
 
     def put(self, code: int, length: int) -> None:
+        # an over-wide code here means a BROKEN Huffman table (canonical
+        # assignment spilled past the length's code space — a Kraft-sum
+        # bug); silently masking it would emit an undecodable stream
+        assert 0 <= code < (1 << length), f"code {code} overflows {length} bits"
         self.acc = (self.acc << length) | (code & ((1 << length) - 1))
         self.n += length
         while self.n >= 8:
@@ -1609,6 +1617,322 @@ def decode_jpeg444_features(
                     "mean_y": pd.array(cols[3], dtype="float64"),
                     "mean_cb": pd.array(cols[4], dtype="float64"),
                     "mean_cr": pd.array(cols[5], dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
+# --- progressive JPEG (spectral selection) ---------------------------------
+# The FOURTH from-scratch compressed codec: progressive-mode JPEG
+# (SOF2) in its spectral-selection form — the scan structure real
+# progressive encoders emit first (DC scan for every block, then AC
+# band scans), decoded by accumulating per-block coefficient vectors
+# ACROSS scans before one dequantize+IDCT pass. Reference parity: the
+# reference pipeline treats image payloads as opaque bytes
+# (gcs_to_gcs.py-style copies); the decode tier is engine extension,
+# and this narrows the decode_media stub to H.264/Opus + successive-
+# approximation refinement only.
+#
+# Envelope (documented, asserted): grayscale (1 component), 8-bit,
+# Ah = 0 per scan (spectral selection WITHOUT successive-approximation
+# refinement; Al >= 0 point transforms honored), no restart intervals.
+# The entropy coder is general: EOBn run coding (the progressive-only
+# symbol class), ZRL, in-band (run, size) coefficients.
+
+# custom canonical AC table for the progressive band scan: EOBn runs
+# r=0..4 as 3-bit codes, longer EOBn / ZRL as 4-bit, small (run,size)
+# coefficient symbols as 5-bit. Progressive encoders routinely write
+# custom DHTs — the decoder reads whatever tables the file declares.
+# The distribution is a COMPLETE canonical code (Kraft sum 5/8 + 4/16
+# + 4/32 = 1.0): an over-full bits table makes canonical assignment
+# spill past the length's code space and the writer would emit
+# truncated codes (the bug _JpegBitWriter.put now asserts against).
+_JPEG_PROG_AC_BITS = [0, 0, 5, 4, 4] + [0] * 11
+_JPEG_PROG_AC_VALS = [
+    0x00, 0x10, 0x20, 0x30, 0x40,  # EOB1..EOB16 (3-bit)
+    0x50, 0x60, 0x70, 0xF0,        # EOB32/64/128, ZRL (4-bit)
+    0x01, 0x02, 0x11, 0x21,        # (run, size) coefficients (5-bit)
+]
+
+
+def synth_jpeg_progressive_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic progressive (SOF2) grayscale synthesis — the twin
+    for the progressive decode. Same content envelope as the baseline
+    twin (w = 8*(1 + id%3), h = 8*(1 + id%2), uniform blocks valued
+    100 + id%64 + 2*block_row + 3*block_col, quant all ones) so the
+    closed form is identical: mean_gray = 100 + id%64 + (h/8 - 1)
+    + 1.5*(w/8 - 1). TWO scans: scan 1 codes every block's DC
+    (Ss=Se=0), scan 2 codes the 1..63 AC band (Ss=1, Se=63) as a
+    single EOBn run — all ACs quantize to zero, so one EOBn symbol
+    (+ its length bits) covers the whole image, exercising the
+    progressive-only run coding end-to-end."""
+    import struct
+
+    from pyspark.sql.types import BinaryType
+
+    out_schema = StructType(
+        [df.schema[id_col], StructField("payload", BinaryType(), True)]
+    )
+    id_name = id_col
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def build(did: int) -> bytes:
+            w, h = 8 * (1 + did % 3), 8 * (1 + did % 2)
+            nbw, nbh = w // 8, h // 8
+            nblocks = nbw * nbh
+            # scan 1: every block's DC diff (no AC symbols in DC scans)
+            wr = _JpegBitWriter()
+            prev_dc = 0
+            for bi in range(nbh):
+                for bj in range(nbw):
+                    v = 100 + did % 64 + 2 * bi + 3 * bj
+                    dc = 8 * (v - 128)  # DC of a uniform block, q=1
+                    t, amp = _jpeg_amplitude(dc - prev_dc)
+                    code, ln = dc_codes[t]
+                    wr.put(code, ln)
+                    if t:
+                        wr.put(amp, t)
+                    prev_dc = dc
+            dc_scan = wr.flush()
+            # scan 2: the whole AC band is zero -> ONE EOBn run of
+            # exactly nblocks: largest r with 2^r <= nblocks, the
+            # remainder in r appended bits
+            wr = _JpegBitWriter()
+            r = nblocks.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            wr.put(code, ln)
+            if r:
+                wr.put(nblocks - (1 << r), r)
+            ac_scan = wr.flush()
+
+            def seg(marker: int, payload: bytes) -> bytes:
+                return bytes([0xFF, marker]) + struct.pack(
+                    ">H", len(payload) + 2
+                ) + payload
+
+            dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+            sof = seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+            dht_dc = seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+            dht_ac = seg(
+                0xC4,
+                bytes([0x10]) + bytes(_JPEG_PROG_AC_BITS) + bytes(_JPEG_PROG_AC_VALS),
+            )
+            # SOS: ncomp, (comp id, DC<<4|AC table sel), Ss, Se, Ah<<4|Al
+            sos1 = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+            sos2 = seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+            return (
+                b"\xff\xd8" + dqt + sof + dht_dc
+                + sos1 + dc_scan
+                + dht_ac + sos2 + ac_scan
+                + b"\xff\xd9"
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_name: pdf[id_name],
+                    "payload": [build(int(d)) for d in pdf[id_name]],
+                }
+            )
+
+    return fan_out(df.select(id_name)).mapInPandas(kernel, schema=out_schema)
+
+
+def decode_jpeg_progressive_features(
+    df: DataFrame, id_col: str, payload_col: str = "payload",
+    on_error: str = "raise",
+) -> DataFrame:
+    """REAL progressive-JPEG decode (spectral selection): multi-scan
+    marker parse (SOF2; DHT tables may arrive between scans), per-scan
+    entropy decode into ONE per-block coefficient grid — DC scans code
+    every block's DC diff (<< Al), AC band scans code zigzag indices
+    [Ss, Se] with EOBn run symbols / ZRL / (run, size) coefficients —
+    then a single dequantize + 2D IDCT + crop pass. Same Arrow
+    mapInPandas batch contract and on_error='null' dead letter as every
+    other decoder. Envelope asserted in-kernel: grayscale, 8-bit,
+    Ah = 0 (no successive-approximation refinement scans), no restart
+    intervals. Corrupt-SOF guards match the baseline kernel: positive
+    dims, and the block grid is allocated only after the (mandatory
+    first) DC scan's entropy capacity bounds it — a corrupt SOF
+    declaring 0xFFFF x 0xFFFF must quarantine, not allocate."""
+    import struct
+
+    from pyspark.sql.types import DoubleType
+
+    out_schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("n_pixels", LongType(), True),
+            StructField("n_scans", LongType(), True),
+            StructField("mean_gray", DoubleType(), True),
+        ]
+    )
+    id_name = id_col
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        k = np.arange(8)
+        C = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) * np.where(
+            k[:, None] == 0, np.sqrt(1 / 8), np.sqrt(2 / 8)
+        )
+
+        def _entropy_end(buf: bytes, start: int) -> int:
+            # entropy data runs to the next real marker (FF followed by
+            # anything but the 00 stuffing byte)
+            i = start
+            while i + 1 < len(buf):
+                if buf[i] == 0xFF and buf[i + 1] != 0x00:
+                    return i
+                i += 1
+            raise ValueError("unterminated entropy segment")
+
+        def decode(buf):
+            if buf is None:
+                return (None,) * 5
+            buf = bytes(buf)
+            assert buf[:2] == b"\xff\xd8", "not a JPEG payload"
+            pos = 2
+            qt = None
+            w = h = None
+            huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+            zz = None  # (nblocks, 64) coefficient grid, int64
+            nbw = nbh = 0
+            prev_dc = 0
+            n_scans = 0
+            while pos + 1 < len(buf):
+                assert buf[pos] == 0xFF, "marker expected"
+                marker = buf[pos + 1]
+                if marker == 0xFF:  # fill byte before a marker
+                    pos += 1
+                    continue
+                if marker == 0xD9:
+                    break
+                (ln,) = struct.unpack_from(">H", buf, pos + 2)
+                body = buf[pos + 4 : pos + 2 + ln]
+                if marker == 0xDB:
+                    assert body[0] & 0xF0 == 0, "8-bit quant table only"
+                    qt = np.array(list(body[1:65]), dtype=np.int64)
+                elif marker == 0xC2:
+                    prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+                    assert (prec, ncomp) == (8, 1), "grayscale progressive only"
+                    assert body[7] == 0x11, "no subsampling"
+                elif marker == 0xC0:
+                    raise ValueError("baseline SOF0 — use decode_jpeg_features")
+                elif marker == 0xDD:
+                    raise ValueError("restart intervals unsupported")
+                elif marker == 0xC4:
+                    off = 0
+                    while off < len(body):
+                        cls_id = body[off]
+                        bits = list(body[off + 1 : off + 17])
+                        nv = sum(bits)
+                        vals = list(body[off + 17 : off + 17 + nv])
+                        codes = _jpeg_canonical_codes(bits, vals)
+                        huff[(cls_id >> 4, cls_id & 0x0F)] = {
+                            (c, l): s for s, (c, l) in codes.items()
+                        }
+                        off += 17 + nv
+                elif marker == 0xDA:
+                    assert w is not None, "SOS before SOF2"
+                    ns = body[0]
+                    assert ns == 1, "one component per scan (grayscale)"
+                    sel = body[2]
+                    ss, se, ahal = body[3], body[4], body[5]
+                    ah, al = ahal >> 4, ahal & 0x0F
+                    assert ah == 0, (
+                        "successive-approximation refinement unsupported "
+                        "(spectral selection only)"
+                    )
+                    assert 0 <= ss <= se <= 63, f"bad spectral band {ss}..{se}"
+                    seg_start = pos + 2 + ln
+                    seg_end = _entropy_end(buf, seg_start)
+                    rd = _JpegBitReader(buf[seg_start:seg_end])
+                    if zz is None:
+                        # the first scan must be the DC scan (spec:
+                        # every block's DC precedes any AC band) — its
+                        # entropy capacity bounds the grid allocation
+                        # (>= 1 bit per block), closing the corrupt-SOF
+                        # allocation bomb exactly as in the baseline
+                        # kernel
+                        assert ss == 0, "first progressive scan must be DC"
+                        assert w > 0 and h > 0, f"bad JPEG dims {w}x{h}"
+                        nbw, nbh = (w + 7) // 8, (h + 7) // 8
+                        assert nbw * nbh <= 8 * (seg_end - seg_start) + 64, (
+                            "declared dims exceed entropy stream capacity"
+                        )
+                        zz = np.zeros((nbw * nbh, 64), dtype=np.int64)
+                    nblocks = zz.shape[0]
+                    if ss == 0:
+                        dc_tab = huff[(0, sel >> 4)]
+                        for b in range(nblocks):
+                            t = rd.huff(dc_tab)
+                            prev_dc += _jpeg_extend(rd.bits(t), t)
+                            zz[b, 0] = prev_dc << al
+                    else:
+                        ac_tab = huff[(1, sel & 0x0F)]
+                        eob_run = 0
+                        for b in range(nblocks):
+                            if eob_run:
+                                eob_run -= 1
+                                continue
+                            kk = ss
+                            while kk <= se:
+                                sym = rd.huff(ac_tab)
+                                r, s = sym >> 4, sym & 0x0F
+                                if s == 0:
+                                    if r == 15:  # ZRL: 16 zeros
+                                        kk += 16
+                                        continue
+                                    # EOBn: this block's band ends and
+                                    # the next (run - 1) blocks' bands
+                                    # are all zero
+                                    eob_run = (1 << r) + rd.bits(r) - 1
+                                    break
+                                kk += r
+                                assert kk <= se, "coefficient run past band"
+                                zz[b, kk] = _jpeg_extend(rd.bits(s), s) << al
+                                kk += 1
+                    n_scans += 1
+                    pos = seg_end
+                    continue
+                pos += 2 + ln
+            assert zz is not None and qt is not None, "no scan decoded"
+            img = np.zeros((nbh * 8, nbw * 8), dtype=np.uint8)
+            for b in range(zz.shape[0]):
+                bi, bj = divmod(b, nbw)
+                coef = np.zeros(64, dtype=np.float64)
+                coef[_JPEG_ZIGZAG] = zz[b] * qt
+                block = C.T @ coef.reshape(8, 8) @ C
+                px = np.clip(np.round(block + 128), 0, 255).astype(np.uint8)
+                img[bi * 8 : bi * 8 + 8, bj * 8 : bj * 8 + 8] = px
+            img = img[:h, :w]
+            return w, h, w * h, n_scans, float(img.astype(np.float64).mean())
+
+        def _safe(b):
+            try:
+                return decode(b)
+            except Exception:
+                if on_error == "raise":
+                    raise
+                return (None,) * 5
+
+        for pdf in batches:
+            feats = [_safe(b) for b in pdf[payload_col]]
+            cols = list(zip(*feats)) if feats else [[]] * 5
+            yield pd.DataFrame(
+                {
+                    id_name: pdf[id_name],
+                    "width": pd.array(cols[0], dtype="Int64"),
+                    "height": pd.array(cols[1], dtype="Int64"),
+                    "n_pixels": pd.array(cols[2], dtype="Int64"),
+                    "n_scans": pd.array(cols[3], dtype="Int64"),
+                    "mean_gray": pd.array(cols[4], dtype="float64"),
                 }
             )
 

@@ -10586,6 +10586,43 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# 196b. jpeg_progressive_decode_features — progressive-mode JPEG
+# (SOF2, spectral selection): multi-scan entropy decode (DC scan for
+# every block, then AC band scans with EOBn run symbols — the
+# progressive-only coding class) accumulated into one per-block
+# coefficient grid before a single dequantize+IDCT pass. Added r13:
+# narrows the decode_media stub to H.264/Opus + successive-
+# approximation refinement. Same uniform-block synth envelope as the
+# baseline twin, so the closed form is identical (plus n_scans = 2).
+
+def _jpeg_progressive_decode_features(spark, sf_dir):
+    from ..operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    jp = multimodal.synth_jpeg_progressive_payload(docs, "doc_id")
+    return multimodal.decode_jpeg_progressive_features(jp, "doc_id")
+
+
+_register(
+    "jpeg_progressive_decode_features",
+    _jpeg_progressive_decode_features,
+    """
+    SELECT doc_id,
+           CAST(8 * (1 + doc_id % 3) AS BIGINT) AS width,
+           CAST(8 * (1 + doc_id % 2) AS BIGINT) AS height,
+           CAST(64 * (1 + doc_id % 3) * (1 + doc_id % 2) AS BIGINT) AS n_pixels,
+           CAST(2 AS BIGINT) AS n_scans,
+           CAST(100 + doc_id % 64 + (doc_id % 2)
+                + 1.5 * (doc_id % 3) AS DOUBLE) AS mean_gray
+    FROM documents
+    """,
+    "north star: REAL progressive-JPEG decode (SOF2 spectral "
+    "selection; multi-scan coefficient accumulation, EOBn run coding; "
+    "closed-form oracle via the uniform-block synth twin)",
+)
+
+
+# ---------------------------------------------------------------------------
 # 197. warc_record_roundtrip — Common Crawl ingestion format: each doc
 # wrapped as a gzip-member WARC/1.0 response record (the .warc.gz
 # convention that makes crawl shards splittable) and parsed back with
@@ -12914,8 +12951,13 @@ _PRIORITY: tuple[str, ...] = (
     # variant swap); after this window runs green, no registry query's
     # newest driver evidence predates r8 (19 r8 rows remain for the
     # r14 rotation, counting the displaced event_trigram_topk).
+    # jpeg_progressive_decode_features is NEW in r13 (the fourth
+    # from-scratch compressed codec) — a brand-new query always takes
+    # a window slot on arrival (doc_quality displaced to the r14 pool,
+    # which holds its green r8 row).
     "source_overlap_matrix",
     "variant_props_stats",
+    "jpeg_progressive_decode_features",
     "image_decode_features",
     "video_decode_features",
     "jpeg_decode_features",
@@ -12963,7 +13005,6 @@ _PRIORITY: tuple[str, ...] = (
     "customers_with_urgent_orders",
     "doc_chunking",
     "doc_language_id",
-    "doc_quality",
 )
 
 _PRIORITY_R12: tuple[str, ...] = (

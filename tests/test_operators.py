@@ -1372,6 +1372,103 @@ def test_bloom_prefilter_semi_join_equals_plain(spark):
         assert got == plain
 
 
+def test_jpeg_progressive_spectral_band_decode(spark):
+    # The synth twin's AC band is all-zero (one EOBn run), so this test
+    # hand-ENCODES a single-block progressive payload whose AC scan
+    # exercises every other symbol class — in-band (run, size)
+    # coefficients, a ZRL 16-zero run, and the final EOB — and checks
+    # the decoded mean against an independent numpy IDCT of the same
+    # coefficient vector.
+    import struct
+
+    import numpy as np
+
+    from biodiversity_data_ingestion_spark.operators import multimodal as M
+
+    dc_codes = M._jpeg_canonical_codes(M._JPEG_DC_BITS, M._JPEG_DC_VALS)
+    ac_codes = M._jpeg_canonical_codes(M._JPEG_PROG_AC_BITS, M._JPEG_PROG_AC_VALS)
+
+    def put_sym(wr, codes, sym, val=None, size=0):
+        code, ln = codes[sym]
+        wr.put(code, ln)
+        if size:
+            t, amp = M._jpeg_amplitude(val)
+            assert t == size
+            wr.put(amp, t)
+
+    # DC scan: one block, dc = -16 (t=5)
+    wr = M._JpegBitWriter()
+    t, amp = M._jpeg_amplitude(-16)
+    code, ln = dc_codes[t]
+    wr.put(code, ln)
+    wr.put(amp, t)
+    dc_scan = wr.flush()
+
+    # AC scan over [1, 63]: zz[1]=1 (0x01), skip 1 -> zz[3]=-1 (0x11),
+    # ZRL (k 4..19), skip 2 -> zz[22]=1 (0x21), then EOB0
+    wr = M._JpegBitWriter()
+    put_sym(wr, ac_codes, 0x01, 1, 1)
+    put_sym(wr, ac_codes, 0x11, -1, 1)
+    put_sym(wr, ac_codes, 0xF0)
+    put_sym(wr, ac_codes, 0x21, 1, 1)
+    put_sym(wr, ac_codes, 0x00)
+    ac_scan = wr.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    payload = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        + seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00]) + bytes(M._JPEG_DC_BITS) + bytes(M._JPEG_DC_VALS))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+        + dc_scan
+        + seg(0xC4, bytes([0x10]) + bytes(M._JPEG_PROG_AC_BITS)
+              + bytes(M._JPEG_PROG_AC_VALS))
+        + seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+        + ac_scan
+        + b"\xff\xd9"
+    )
+
+    df = spark.createDataFrame([(0, bytearray(payload))], "doc_id long, payload binary")
+    row = M.decode_jpeg_progressive_features(df, "doc_id").first()
+    assert (row["width"], row["height"], row["n_scans"]) == (8, 8, 2)
+
+    # independent reference: same zigzag placement, dequantize (q=1),
+    # orthonormal IDCT, level shift, clip/round — straight numpy
+    zz = np.zeros(64)
+    zz[0], zz[1], zz[3], zz[22] = -16, 1, -1, 1
+    coef = np.zeros(64)
+    coef[M._JPEG_ZIGZAG] = zz
+    k = np.arange(8)
+    C = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) * np.where(
+        k[:, None] == 0, np.sqrt(1 / 8), np.sqrt(2 / 8)
+    )
+    block = C.T @ coef.reshape(8, 8) @ C
+    want = float(np.clip(np.round(block + 128), 0, 255).mean())
+    assert row["mean_gray"] == want
+
+
+def test_jpeg_progressive_equals_baseline_decode(spark):
+    # cross-codec invariant: the baseline and progressive synth twins
+    # share the same content formula, so decoding each with its own
+    # from-scratch entropy coder must agree bit-for-bit on dims and
+    # mean — two independent coding paths, one answer
+    from biodiversity_data_ingestion_spark.operators import multimodal as M
+
+    base = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+    b = {r["doc_id"]: r for r in M.decode_jpeg_features(
+        M.synth_jpeg_payload(base, "doc_id"), "doc_id").collect()}
+    p = {r["doc_id"]: r for r in M.decode_jpeg_progressive_features(
+        M.synth_jpeg_progressive_payload(base, "doc_id"), "doc_id").collect()}
+    for did in range(24):
+        assert (b[did]["width"], b[did]["height"], b[did]["mean_gray"]) == (
+            p[did]["width"], p[did]["height"], p[did]["mean_gray"]
+        )
+        assert p[did]["n_scans"] == 2
+
+
 def test_variant_props_malformed_json_quarantines(spark, tmp_path):
     # the pathological tier, VARIANT edition: a real event stream always
     # carries some garbage props strings. Strict parse_json raises on
@@ -1504,6 +1601,8 @@ def test_truncated_payloads_quarantine_across_all_codecs(spark):
         ("gif", M.synth_gif_payload, M.decode_gif_features, True),
         ("jpeg", M.synth_jpeg_payload, M.decode_jpeg_features, False),
         ("jpeg444", M.synth_jpeg444_payload, M.decode_jpeg444_features, False),
+        ("jpeg_prog", M.synth_jpeg_progressive_payload,
+         M.decode_jpeg_progressive_features, False),
     ]
     for name, synth, dec, tail_tolerant in cases:
         payload = bytes(synth(base, "doc_id").select("payload").first()[0])
@@ -1663,6 +1762,22 @@ def test_corrupt_headers_quarantine_across_all_codecs(spark):
         ("jpeg444", M.synth_jpeg444_payload, M.decode_jpeg444_features, [
             ("bad SOI", lambda p: pack("<B", 1, 0xD7), "null"),
             ("SOF dims huge", lambda p: sof_pack(p, 0xFFFF), "null"),
+        ]),
+        ("jpeg_prog", M.synth_jpeg_progressive_payload,
+         M.decode_jpeg_progressive_features, [
+            ("bad SOI", lambda p: pack("<B", 1, 0xD7), "null"),
+            # SOF2 body layout matches SOF0 — reuse sof_pack against
+            # the 0xFFC2 marker by patching the search target
+            ("SOF2 dims=0", lambda p: pack(
+                ">HH", bytes(p).index(b"\xff\xc2") + 5, 0, 0), "null"),
+            # the allocation-bomb case, progressive edition: the DC
+            # scan's entropy capacity must bound the grid BEFORE
+            # allocation
+            ("SOF2 dims huge", lambda p: pack(
+                ">HH", bytes(p).index(b"\xff\xc2") + 5, 0xFFFF, 0xFFFF),
+             "null"),
+            ("SOF2 precision=12", lambda p: pack(
+                "<B", bytes(p).index(b"\xff\xc2") + 4, 12), "null"),
         ]),
     ]
 
