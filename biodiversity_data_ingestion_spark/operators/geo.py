@@ -140,13 +140,25 @@ def buffer_wkt(
     from ..functions.st import buffer_ring_wkt
 
     la = F.col(lat).cast("double")
+    lo = F.col(lon).cast("double")
+    r = F.col(radius_m).try_cast("double")
     wkt = buffer_ring_wkt(
         F.col(lat), F.col(lon), F.col(radius_m), n_vertices, min_radius_m
     )
+    inf = F.lit(float("inf"))
+    # Non-finite lon or radius must quarantine to NULL, not pass the
+    # guard: greatest(NaN, 100) is NaN under Spark's NaN-is-largest
+    # ordering and inf propagates through the ring math, so either one
+    # emits a garbage "POLYGON ((NaN Infinity, ..." row. (NaN/inf lat is
+    # already rejected by the between().)
     valid = (
         la.isNotNull()
-        & F.col(lon).cast("double").isNotNull()
-        & F.col(radius_m).try_cast("double").isNotNull()
+        & lo.isNotNull()
+        & ~F.isnan(lo)
+        & (F.abs(lo) != inf)
+        & r.isNotNull()
+        & ~F.isnan(r)
+        & (F.abs(r) != inf)
         & la.between(-89.0, 89.0)
     )
     return df.withColumn(out_col, F.when(valid, wkt))
@@ -310,8 +322,16 @@ def convex_hull_range_km2(
     )
 
     def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        lo = np.radians(pdf[lon].to_numpy(dtype=np.float64))
-        la = np.radians(pdf[lat].to_numpy(dtype=np.float64))
+        lo_raw = pdf[lon].to_numpy(dtype=np.float64)
+        la_raw = pdf[lat].to_numpy(dtype=np.float64)
+        # Quarantine non-finite coordinates (NULL/NaN/inf) instead of
+        # letting them poison the whole group: NaN survives np.unique
+        # (NaN != NaN), rides into the hull, and yields the
+        # self-inconsistent row (range_km2=NULL, n_points counting the
+        # garbage) — same class as the r12 WAV bug.
+        ok = np.isfinite(lo_raw) & np.isfinite(la_raw)
+        lo = np.radians(lo_raw[ok])
+        la = np.radians(la_raw[ok])
         x = EARTH_RADIUS_M * lo
         y = EARTH_RADIUS_M * np.sin(la)
         pts = np.column_stack([x, y])
@@ -411,8 +431,25 @@ def convex_hull_fixed_point(
     )
 
     def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        x = np.rint(pdf[lon].to_numpy(dtype=np.float64) * scale).astype(np.int64)
-        y = np.rint(pdf[lat].to_numpy(dtype=np.float64) * scale).astype(np.int64)
+        xraw = pdf[lon].to_numpy(dtype=np.float64)
+        yraw = pdf[lat].to_numpy(dtype=np.float64)
+        # Quarantine garbage coordinates BEFORE quantization: NaN casts
+        # to INT64_MIN under .astype(int64), planting a fake dominant
+        # hull vertex whose shoelace products then WRAP int64 — the
+        # group's "exact" metrics come back plausible but wrong
+        # (observed: 4/4/110000 vs the true 3/3/10000). The magnitude
+        # bound (|deg| <= 1e4, 55x the WGS84 range) keeps every
+        # quantized coordinate <= 1e6 so the int64 shoelace can never
+        # overflow (products <= 2e12, summed over <= millions of hull
+        # vertices stays < 2^63).
+        ok = (
+            np.isfinite(xraw)
+            & np.isfinite(yraw)
+            & (np.abs(xraw) <= 1e4)
+            & (np.abs(yraw) <= 1e4)
+        )
+        x = np.rint(xraw[ok] * scale).astype(np.int64)
+        y = np.rint(yraw[ok] * scale).astype(np.int64)
         pts = np.unique(np.column_stack([x, y]), axis=0)
         hull = _hull_int(pts, assume_unique=True)
         m = len(hull)

@@ -12954,7 +12954,15 @@ _PRIORITY: tuple[str, ...] = (
     # jpeg_progressive_decode_features is NEW in r13 (the fourth
     # from-scratch compressed codec) — a brand-new query always takes
     # a window slot on arrival (doc_quality displaced to the r14 pool,
-    # which holds its green r8 row).
+    # which holds its green r8 row). Late-r13 pathological-geo fixes
+    # changed buffer_wkt's validity guard and both hull kernels'
+    # garbage-coordinate quarantine (output identical on finite
+    # coordinates — all testdata — but the kernels' bytes changed), so
+    # uncertainty_buffer_wkt + species_range_hull_exact join the
+    # changed block; doc_chunking + doc_language_id displaced to the
+    # r14 pool, which holds their green r8 rows.
+    "uncertainty_buffer_wkt",
+    "species_range_hull_exact",
     "source_overlap_matrix",
     "variant_props_stats",
     "jpeg_progressive_decode_features",
@@ -13003,8 +13011,6 @@ _PRIORITY: tuple[str, ...] = (
     "copurchase_kcore",
     "customer_record_linkage",
     "customers_with_urgent_orders",
-    "doc_chunking",
-    "doc_language_id",
 )
 
 _PRIORITY_R12: tuple[str, ...] = (

@@ -1578,6 +1578,122 @@ def test_pathological_documents_never_crash(spark):
     assert not any(2 in p for p in sem)
 
 
+def test_pathological_coordinates_quarantine_geo_kernels(spark):
+    # The geo leg of the pathological-input tier (the probe class that
+    # found the SimHash, WAV, BMP and JPEG bugs): a 100 TB occurrence
+    # corpus always carries NULL/NaN/inf coordinates and garbage radii.
+    # Contract per kernel: garbage rows quarantine (NULL output or
+    # exclusion from the group metric) — never a raise, never a
+    # silently-wrong or self-inconsistent row. Three real bugs fixed
+    # when this test was written (geo.py): (1) buffer_wkt passed
+    # NaN/inf radius+lon through its validity guard and emitted
+    # "POLYGON ((NaN Infinity, ..." WKT; (2) convex_hull_fixed_point
+    # cast NaN to INT64_MIN, planting a fake dominant hull vertex whose
+    # shoelace products wrapped int64 into plausible-but-wrong exact
+    # metrics; (3) convex_hull_range_km2 emitted the self-inconsistent
+    # (range_km2=NULL, n_points counting the garbage) row.
+    from biodiversity_data_ingestion_spark.functions.st import st_within
+    from biodiversity_data_ingestion_spark.operators.geo import (
+        buffer_wkt,
+        convex_hull_fixed_point,
+        convex_hull_range_km2,
+        grid_zonal_stats,
+        point_in_polygons_filter,
+        zone_annotation,
+    )
+
+    nan, inf = float("nan"), float("inf")
+
+    # buffer_wkt: every garbage combination -> NULL, valid row -> clean WKT
+    buf = spark.createDataFrame(
+        [
+            (1, 10.0, 20.0, nan),
+            (2, 10.0, 20.0, inf),
+            (3, 10.0, 20.0, -inf),
+            (4, nan, 20.0, 500.0),
+            (5, 10.0, nan, 500.0),
+            (6, 10.0, inf, 500.0),
+            (7, 89.5, 20.0, 500.0),  # outside the +-89 tangent-plane domain
+            (8, None, 20.0, 500.0),
+            (9, 10.0, 20.0, None),
+            (10, 10.0, 20.0, 500.0),
+        ],
+        "id LONG, lat DOUBLE, lon DOUBLE, radius_m DOUBLE",
+    )
+    got = {r["id"]: r["uncertainty_geom_wkt"]
+           for r in buffer_wkt(buf, "lat", "lon", "radius_m").collect()}
+    assert all(got[i] is None for i in range(1, 10)), got
+    assert got[10].startswith("POLYGON ((") and "NaN" not in got[10] and "Infinity" not in got[10]
+
+    # hull kernels: garbage rows in a group change NOTHING vs the clean
+    # subset; an all-garbage group degrades to the explicit empty metric
+    pts = [
+        ("sp", 10.0, 10.0), ("sp", 10.0, 11.0), ("sp", 11.0, 10.5),
+        ("sp", nan, 10.2), ("sp", 10.2, inf), ("sp", None, 10.3),
+        ("sp", 1.0e17, 10.4),  # finite but quantization-overflowing
+        ("junk", nan, nan), ("junk", inf, -inf),
+    ]
+    dirty = spark.createDataFrame(pts, "g STRING, lat DOUBLE, lon DOUBLE")
+    clean = spark.createDataFrame(pts[:3], "g STRING, lat DOUBLE, lon DOUBLE")
+
+    fp = {r["g"]: (r["n_pts"], r["hull_vertices"], r["area2_fp"])
+          for r in convex_hull_fixed_point(dirty, "g").collect()}
+    fp_clean = {r["g"]: (r["n_pts"], r["hull_vertices"], r["area2_fp"])
+                for r in convex_hull_fixed_point(clean, "g").collect()}
+    assert fp["sp"] == fp_clean["sp"] == (3, 3, 10000)
+    assert fp["junk"] == (0, 0, 0)
+
+    km = {r["g"]: (r["range_km2"], r["n_points"])
+          for r in convex_hull_range_km2(dirty, "g").collect()}
+    km_clean = {r["g"]: (r["range_km2"], r["n_points"])
+                for r in convex_hull_range_km2(clean, "g").collect()}
+    # the float path quarantines non-finite only (1e17 deg stays, as in
+    # the reference's float kernel); self-consistency is the contract:
+    # a non-NULL area whenever n_points counts anything
+    assert km["sp"][0] is not None and km["sp"][1] == 4.0
+    assert km_clean["sp"] == (km_clean["sp"][0], 3.0) and km_clean["sp"][0] is not None
+    assert km["junk"] == (0.0, 0.0)
+
+    # point-in-polygon: garbage points are NOT inside (both kernels
+    # agree with shapely's within=False on invalid geometry); the numpy
+    # kernel and the unrolled ST_ expression stay bitwise-equal on them
+    square = [(-1.0, -1.0), (1.0, -1.0), (1.0, 1.0), (-1.0, 1.0)]
+    pp = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, nan, 0.0), (3, 0.0, nan), (4, inf, 0.0),
+         (5, 0.0, -inf), (6, None, 0.0), (7, 0.5, 0.5)],
+        "id LONG, lat DOUBLE, lon DOUBLE",
+    )
+    inside_ids = {r["id"] for r in
+                  point_in_polygons_filter(spark, pp, [square]).collect()}
+    assert inside_ids == {1, 7}
+    st_ids = {r["id"] for r in
+              pp.where(st_within(F.col("lat"), F.col("lon"), square)).collect()}
+    assert st_ids == inside_ids
+
+    # zone annotation: garbage points hit no zone (empty array), no raise
+    zones = [{"polygon": square, "value": "z1"}]
+    za = {r["id"]: r["zone_values"]
+          for r in zone_annotation(spark, pp, zones).collect()}
+    assert za[1] == ["z1"] and za[2] == [] and za[4] == [] and za[6] == []
+
+    # zonal stats: NaN coordinates propagate to a NULL/NaN mean (NULL-in
+    # -> NULL-out, never a partial row), row count preserved, no raise
+    zs = grid_zonal_stats(pp, "lat", "lon", "lat", ["bio1"]).collect()
+    assert len(zs) == 7
+    vals = {r["id"]: r["clim_bio1"] for r in zs}
+    assert vals[1] == vals[1]
+    assert vals[2] is None or vals[2] != vals[2]  # Arrow lands NaN as NULL
+
+    # centroid anti-join (P9 grid-blocked haversine): only provably-close
+    # points drop; garbage coordinates survive for the upstream P7
+    # range filters to reject — and the NaN grid-cell cast must not
+    # raise under ANSI (floor(NaN) casts to NULL cell, joins nothing)
+    cents = spark.createDataFrame([(0.0, 0.0)], "c_lat DOUBLE, c_lon DOUBLE")
+    kept = {r["id"] for r in
+            cleaning.centroid_distance_filter(pp, cents).collect()}
+    assert kept == {2, 3, 4, 5, 6, 7}  # only 1 sits within 5 km of (0,0)
+
+
 def test_truncated_payloads_quarantine_across_all_codecs(spark):
     # The realistic 100 TB corruption class: a VALID header with the
     # body cut mid-stream (failed upload, truncated blob). Contract,
