@@ -82,7 +82,14 @@ def asof_join(
         F.struct(*left.columns).alias("_l"),
         F.lit(1).alias("_side"),
     )
-    r = right.select(
+    # NULL-key / NULL-ts right rows can never satisfy the as-of
+    # predicate (key = key AND right_ts <= left_ts is NULL on either),
+    # but Spark's NULLS-FIRST ascending sort would place them at the
+    # head of the window where last(ignoreNulls) happily matches them
+    # to every left row — silently diverging from the SQL formulation.
+    # Quarantine them here; left rows always pass through (no match ->
+    # NULL payload, the LEFT-join contract).
+    r = right.where(F.col(key).isNotNull() & F.col(right_ts).isNotNull()).select(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_t"),
         F.col(tie_col).alias("_tie"),

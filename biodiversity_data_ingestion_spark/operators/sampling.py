@@ -31,9 +31,18 @@ def threshold_hex(fraction: float) -> str:
 
 
 def hash_hex(key: Column, seed: str) -> Column:
-    """First 8 hex chars of md5('<seed>:' || key) — the selection hash."""
+    """First 8 hex chars of md5('<seed>:' || key) — the selection hash.
+
+    NULL keys hash to NULL (F.concat propagates NULL exactly like SQL
+    ``||``), so a NULL-keyed row is never selected and splits send it to
+    the 'train'/otherwise branch. The previous concat_ws SKIPPED the
+    NULL, hashing every NULL-keyed row to the constant md5('<seed>') —
+    a sample would then keep or drop ALL of them together by seed
+    accident, silently diverging from the ``selection_sql`` mirror
+    (where ``'<seed>:' || NULL`` is NULL and the row always drops).
+    """
     return F.substring(
-        F.md5(F.concat_ws(":", F.lit(seed), key.cast("string"))), 1, _HEX_WIDTH
+        F.md5(F.concat(F.lit(seed + ":"), key.cast("string"))), 1, _HEX_WIDTH
     )
 
 

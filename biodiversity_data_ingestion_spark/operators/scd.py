@@ -34,8 +34,15 @@ def scd2_compress(
     (a value superseded in the same instant was never valid); those are
     dropped so each key's history tiles the timeline without degenerate
     rows — found by the point-in-time hypothesis property.
+
+    NULL-timestamp observations are quarantined up front: an untimed
+    observation has no place on a validity timeline, and engines
+    DISAGREE on where it would sort (Spark ascending is NULLS FIRST,
+    DuckDB NULLS LAST), so letting it through silently yields a
+    different history per engine.
     """
     w = Window.partitionBy(key).orderBy(ts_col, tiebreak)
+    df = df.where(F.col(ts_col).isNotNull())
     changed = df.withColumn("__prev", F.lag(value_col).over(w)).where(
         F.col("__prev").isNull() | (F.col(value_col) != F.col("__prev"))
     )

@@ -4876,7 +4876,10 @@ def _weighted_doc_sample(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     # uniform in (0,1] from the first 8 md5 hex chars (+1 avoids u=0)
     u = (
-        F.conv(F.substring(F.md5(F.concat_ws(":", F.lit("ws"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        # F.concat (not concat_ws): NULL ids must hash to NULL exactly
+        # like the oracle's 'ws:' || id — concat_ws SKIPS the NULL and
+        # hashes the bare seed (see operators/sampling.hash_hex)
+        F.conv(F.substring(F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
         .cast("double")
         + F.lit(1.0)
     ) / F.lit(float(16**8))
@@ -5133,8 +5136,10 @@ _register(
     _user_value_scd2,
     """
     WITH pu AS (
+        -- ts IS NOT NULL mirrors scd2_compress's untimed-observation
+        -- quarantine (engines disagree on NULL sort order)
         SELECT user_id, ts, event_id, round(value, 2) AS value
-        FROM events WHERE event_type = 'purchase'),
+        FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL),
     ch AS (
         SELECT user_id, ts, event_id, value,
                lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
@@ -12960,9 +12965,25 @@ _PRIORITY: tuple[str, ...] = (
     # coordinates — all testdata — but the kernels' bytes changed), so
     # uncertainty_buffer_wkt + species_range_hull_exact join the
     # changed block; doc_chunking + doc_language_id displaced to the
-    # r14 pool, which holds their green r8 rows.
+    # r14 pool, which holds their green r8 rows. The NULL-key salted-md5
+    # alignment (operators/sampling.hash_hex + the weighted_doc_sample
+    # builder now concat, not concat_ws — output identical on non-NULL
+    # keys, all testdata) adds its three dependent queries to the block;
+    # copurchase_kcore, customer_record_linkage and
+    # customers_with_urgent_orders displaced to the r14 pool, which
+    # holds their green r8 rows. The NULL-garbage quarantines in
+    # asof_join (NULL-key/ts right rows matched under NULLS FIRST) and
+    # scd2_compress (untimed observations sort differently per engine)
+    # add their two queries; brand_price_percentiles and
+    # contrastive_negatives displaced to the r14 pool with green r8
+    # rows.
     "uncertainty_buffer_wkt",
     "species_range_hull_exact",
+    "corpus_split_counts",
+    "stratified_doc_sample",
+    "weighted_doc_sample",
+    "asof_prior_purchase",
+    "user_value_scd2",
     "source_overlap_matrix",
     "variant_props_stats",
     "jpeg_progressive_decode_features",
@@ -13006,11 +13027,6 @@ _PRIORITY: tuple[str, ...] = (
     "user_props_map",
     "bm25_doc_retrieval",
     "bpe_pair_merge",
-    "brand_price_percentiles",
-    "contrastive_negatives",
-    "copurchase_kcore",
-    "customer_record_linkage",
-    "customers_with_urgent_orders",
 )
 
 _PRIORITY_R12: tuple[str, ...] = (

@@ -148,6 +148,49 @@ def test_stratified_sample_respects_per_stratum_fractions(spark):
     assert 100 < by["b"] < 300  # ~20% of 1000
 
 
+def test_null_key_sampling_matches_sql_mirror(spark):
+    # The engine-portability contract of hash sampling is that
+    # `_selected` and `selection_sql` pick IDENTICAL rows — including
+    # NULL keys. The bug this pins against: concat_ws SKIPS a NULL key,
+    # so every NULL-keyed row hashed to the constant md5('<seed>') and
+    # the whole NULL class was kept or dropped together by seed
+    # accident, while the SQL mirror ('<seed>:' || NULL -> NULL) always
+    # drops it. Contract now: NULL keys are never sampled, and splits
+    # route them to 'train'.
+    import duckdb
+
+    rows = [(None, "a"), (None, "b")] + [(str(i), "c") for i in range(40)]
+    df = spark.createDataFrame(rows, "k string, v string")
+    for frac in (0.1, 0.5, 0.9):
+        got = sorted(
+            r["k"] for r in sampling.deterministic_sample(df, "k", frac).collect()
+        )
+        assert None not in got
+        con = duckdb.connect()
+        vals = ", ".join(
+            f"({'NULL' if k is None else repr(k)})" for k, _ in rows
+        )
+        want = sorted(
+            r[0] for r in con.execute(
+                f"SELECT k FROM (VALUES {vals}) t(k) "
+                f"WHERE {sampling.selection_sql('k', 's42', frac)}"
+            ).fetchall()
+        )
+        assert got == want, (frac, got, want)
+
+    split = {(r["k"], r["split"])
+             for r in sampling.train_test_split(df, "k", 0.5).collect()
+             if r["k"] is None}
+    assert split == {(None, "train")}
+    # fraction 1.0 short-circuits to TRUE on BOTH sides (no hash), so a
+    # NULL key in a keep-everything stratum survives; any hashed
+    # fraction drops it — mirrored by selection_sql's TRUE/FALSE paths
+    strat = {r["v"] for r in sampling.stratified_hash_sample(
+        df, "k", "v", {"a": 1.0, "b": 0.5, "c": 0.5}
+    ).where(F.col("k").isNull()).collect()}
+    assert strat == {"a"}
+
+
 def test_sampling_predicate_is_shuffle_free(spark):
     df = spark.range(0, 100).withColumnRenamed("id", "k")
     plan = sampling.deterministic_sample(df, "k", 0.5)._jdf.queryExecution().executedPlan().toString()

@@ -1694,6 +1694,50 @@ def test_pathological_coordinates_quarantine_geo_kernels(spark):
     assert kept == {2, 3, 4, 5, 6, 7}  # only 1 sits within 5 km of (0,0)
 
 
+def test_pathological_timestamps_quarantine_temporal_operators(spark):
+    # The temporal leg of the pathological-input tier: NULL keys and
+    # NULL timestamps through the as-of join and SCD2 compression.
+    # Contract (matching the SQL formulations of both oracles): a NULL
+    # key or NULL right-timestamp can never satisfy the as-of predicate
+    # (equality/inequality with NULL is NULL), and an untimed
+    # observation never enters a validity timeline. Bugs fixed when this
+    # was written: asof_join's NULLS-FIRST window sort let a NULL-ts or
+    # NULL-key right row MATCH every left row as the "earliest" state;
+    # scd2_compress sorted NULL ts first (DuckDB sorts it last),
+    # yielding a different history per engine.
+    from biodiversity_data_ingestion_spark.operators.scd import scd2_compress
+
+    left = spark.createDataFrame(
+        [(1, "u1", 100), (2, "u1", None), (3, None, 100), (4, "u2", 100)],
+        "event_id LONG, user_id STRING, ts LONG",
+    )
+    right = spark.createDataFrame(
+        [(10, "u1", 50, 5.0), (11, "u1", None, 6.0), (12, None, 40, 7.0),
+         (13, "u2", None, 8.0)],
+        "event_id LONG, user_id STRING, ts LONG, value DOUBLE",
+    )
+    out = {r["event_id"]: r["asof_event_id"]
+           for r in joins.asof_join(left, right, "user_id", "ts", "ts",
+                                    tie_col="event_id").collect()}
+    # click 1: only the timed u1 purchase (10) matches; the NULL-ts u1
+    # row (11) and NULL-key row (12) never do. click 2 (NULL ts), click
+    # 3 (NULL key) and click 4 (whose only candidate is untimed) all
+    # keep NULL — every left row survives (LEFT-join contract).
+    assert out == {1: 10, 2: None, 3: None, 4: None}
+
+    obs = spark.createDataFrame(
+        [("u1", 1, 1, "a"), ("u1", None, 2, "b"), ("u1", 5, 3, "c"),
+         ("u2", None, 4, "x")],
+        "user_id STRING, ts LONG, event_id LONG, value STRING",
+    )
+    hist = {(r["user_id"], r["valid_from"], r["valid_to"], r["value"])
+            for r in scd2_compress(obs, "user_id", "ts", "value",
+                                   tiebreak="event_id").collect()}
+    # the untimed 'b' observation is quarantined (not a phantom first
+    # row); u2's only observation is untimed, so u2 has no history
+    assert hist == {("u1", 1, 5, "a"), ("u1", 5, None, "c")}
+
+
 def test_truncated_payloads_quarantine_across_all_codecs(spark):
     # The realistic 100 TB corruption class: a VALID header with the
     # body cut mid-stream (failed upload, truncated blob). Contract,
