@@ -405,3 +405,45 @@ def test_minhash_lsh_subset_exact_any_band_count(
     # subset with exact scores (LSH may miss pairs, never invent them)
     for k, v in got.items():
         assert want.get(k) == v, (k, v, want.get(k))
+
+
+_asof_ts = st.one_of(st.none(), st.integers(0, 20))
+_asof_rows = st.lists(
+    st.tuples(st.sampled_from(["u1", "u2", None]), _asof_ts),
+    min_size=0,
+    max_size=16,
+)
+
+
+@given(clicks=_asof_rows, purchases=_asof_rows)
+@settings(**_SETTINGS)
+def test_asof_join_equals_naive_replay_with_nulls(spark_prop, clicks, purchases):
+    # as-of contract vs a naive per-left scan, INCLUDING the NULL
+    # quarantine: a NULL-key or NULL-ts right row never matches (SQL
+    # inequality semantics), NULL-key/ts left rows survive with a NULL
+    # payload, ties break by max event_id
+    from biodiversity_data_ingestion_spark.operators.joins import asof_join
+
+    lrows = [(i, u, t) for i, (u, t) in enumerate(clicks)]
+    rrows = [(100 + i, u, t) for i, (u, t) in enumerate(purchases)]
+    left = spark_prop.createDataFrame(
+        lrows or [(0, "u1", 1)], "event_id LONG, user_id STRING, ts LONG"
+    )
+    right = spark_prop.createDataFrame(
+        rrows or [(100, "u1", 1)], "event_id LONG, user_id STRING, ts LONG"
+    )
+    got = {
+        r["event_id"]: r["asof_event_id"]
+        for r in asof_join(left, right, "user_id", "ts", "ts",
+                           tie_col="event_id").collect()
+    }
+    want = {}
+    for eid, u, t in (lrows or [(0, "u1", 1)]):
+        cand = [
+            (rt, rid)
+            for rid, ru, rt in (rrows or [(100, "u1", 1)])
+            if u is not None and ru == u and rt is not None
+            and t is not None and rt <= t
+        ]
+        want[eid] = max(cand)[1] if cand else None
+    assert got == want
