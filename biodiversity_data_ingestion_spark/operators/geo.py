@@ -438,15 +438,19 @@ def convex_hull_fixed_point(
         # hull vertex whose shoelace products then WRAP int64 — the
         # group's "exact" metrics come back plausible but wrong
         # (observed: 4/4/110000 vs the true 3/3/10000). The magnitude
-        # bound (|deg| <= 1e4, 55x the WGS84 range) keeps every
-        # quantized coordinate <= 1e6 so the int64 shoelace can never
-        # overflow (products <= 2e12, summed over <= millions of hull
-        # vertices stays < 2^63).
+        # bound is derived from `scale` so every QUANTIZED coordinate
+        # stays <= 1e6 (at the default scale=100 that is |deg| <= 1e4,
+        # 55x the WGS84 range) and the int64 shoelace can never
+        # overflow: products <= 2e12, summed over <= millions of hull
+        # vertices stays < 2^63. A literal 1e4 here would re-open the
+        # silent-wrap hole for larger scales (e.g. scale=1e6 quantizes
+        # |1e4| deg to |1e10|, whose cross-products exceed 2^63).
+        max_abs = 1e6 / scale
         ok = (
             np.isfinite(xraw)
             & np.isfinite(yraw)
-            & (np.abs(xraw) <= 1e4)
-            & (np.abs(yraw) <= 1e4)
+            & (np.abs(xraw) <= max_abs)
+            & (np.abs(yraw) <= max_abs)
         )
         x = np.rint(xraw[ok] * scale).astype(np.int64)
         y = np.rint(yraw[ok] * scale).astype(np.int64)

@@ -12976,9 +12976,12 @@ _PRIORITY: tuple[str, ...] = (
     # scd2_compress (untimed observations sort differently per engine)
     # add their two queries; brand_price_percentiles and
     # contrastive_negatives displaced to the r14 pool with green r8
-    # rows.
+    # rows. species_range_hull (rows-only — its kernel changed with the
+    # exact twin's) also joins, displacing bpe_pair_merge (green r8
+    # row).
     "uncertainty_buffer_wkt",
     "species_range_hull_exact",
+    "species_range_hull",
     "corpus_split_counts",
     "stratified_doc_sample",
     "weighted_doc_sample",
@@ -13026,7 +13029,6 @@ _PRIORITY: tuple[str, ...] = (
     "user_first_last_events",
     "user_props_map",
     "bm25_doc_retrieval",
-    "bpe_pair_merge",
 )
 
 _PRIORITY_R12: tuple[str, ...] = (

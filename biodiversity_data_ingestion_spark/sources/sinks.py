@@ -92,13 +92,21 @@ def write_index_table(
     are last-writer-wins per ``_id``; reproduce deterministically by
     keeping the top row per id under ``order`` (callers pass the arrival
     or version ordering; default keeps max of a monotonic ingest column
-    named '_seq' if present, else arbitrary-but-single row per id)."""
+    named '_seq' if present, else arbitrary-but-single row per id).
+
+    NULL-id documents have no identity to collide on, so they all
+    survive — ES auto-generates a unique ``_id`` for id-less bulk
+    index ops. (The window dedup alone would group NULLs together and
+    silently collapse N distinct id-less documents to one row.)"""
     if order is None:
         if "_seq" in df.columns:
             order = [F.col("_seq").desc()]
         else:
             order = [F.lit(1).asc()]
-    deduped = keep_min_by(df, [id_col], order)
+    keyed = df.where(F.col(id_col).isNotNull())
+    deduped = keep_min_by(keyed, [id_col], order).unionByName(
+        df.where(F.col(id_col).isNull())
+    )
     deduped.write.mode("overwrite").parquet(path)
 
 
@@ -248,13 +256,19 @@ def write_webdataset_shards(
     meta_cols = list(meta_cols or [])
     os.makedirs(out_dir, exist_ok=True)
 
-    keyed = df.select(
+    # NULL-key samples are quarantined: a member has no name without a
+    # key (they would all collide on a literal "None.txt" inside a
+    # shard), and concat_ws's NULL-skip would hash them all to the
+    # constant md5('wds') — the same NULL-key class fixed in
+    # operators/sampling.hash_hex. concat (NULL-propagating) keeps the
+    # rank expression aligned with the convention there.
+    keyed = df.where(F.col(key_col).isNotNull()).select(
         F.col(key_col).cast("string").alias("_key"),
         F.col(text_col).cast("string").alias("_text"),
         F.to_json(F.struct(*[F.col(c) for c in meta_cols])).alias("_meta")
         if meta_cols
         else F.lit("{}").alias("_meta"),
-    ).withColumn("_rk", F.md5(F.concat_ws(":", F.lit("wds"), F.col("_key"))))
+    ).withColumn("_rk", F.md5(F.concat(F.lit("wds:"), F.col("_key"))))
     w = Window.orderBy("_rk", "_key")
     sharded = keyed.withColumn(
         "_shard",

@@ -1643,6 +1643,21 @@ def test_pathological_coordinates_quarantine_geo_kernels(spark):
     assert fp["sp"] == fp_clean["sp"] == (3, 3, 10000)
     assert fp["junk"] == (0, 0, 0)
 
+    # the quarantine bound scales with the quantization: at scale=1e6
+    # (micro-degrees) coordinates are admitted only up to |1| deg —
+    # quantized magnitude stays <= 1e6 so the int64 shoelace cannot
+    # wrap at ANY scale argument (a literal 1e4-degree bound would
+    # re-open the silent-wrap hole at this scale). The unit right
+    # triangle quantizes exactly: area2 = 1e6 * 1e6.
+    tri = spark.createDataFrame(
+        [("t", 0.0, 0.0), ("t", 0.0, 1.0), ("t", 1.0, 0.0),
+         ("t", 2.0, 0.5), ("t", nan, 0.5)],  # 2 deg > 1e6/scale -> dropped
+        "g STRING, lat DOUBLE, lon DOUBLE",
+    )
+    big = convex_hull_fixed_point(tri, "g", scale=10**6).collect()[0]
+    assert (big["n_pts"], big["hull_vertices"], big["area2_fp"]) == (
+        3, 3, 10**6 * 10**6)
+
     km = {r["g"]: (r["range_km2"], r["n_points"])
           for r in convex_hull_range_km2(dirty, "g").collect()}
     km_clean = {r["g"]: (r["range_km2"], r["n_points"])

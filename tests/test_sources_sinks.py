@@ -45,6 +45,18 @@ def test_write_index_table_last_writer_wins(spark, tmp_path):
     got = {(r["doc_id"], r["payload"]) for r in spark.read.parquet(out).collect()}
     assert got == {(1, "new"), (2, "only")}
 
+    # NULL-id docs have no identity to collide on: ALL survive (ES
+    # auto-generates _id for id-less bulk ops; the window dedup alone
+    # would silently collapse them to one arbitrary row)
+    with_null = spark.createDataFrame(
+        [(1, "old", 1), (1, "new", 2), (None, "a", 1), (None, "b", 2)],
+        "doc_id INT, payload STRING, _seq INT",
+    )
+    out2 = str(tmp_path / "index2")
+    sinks.write_index_table(with_null, out2, "doc_id")
+    got2 = {(r["doc_id"], r["payload"]) for r in spark.read.parquet(out2).collect()}
+    assert got2 == {(1, "new"), (None, "a"), (None, "b")}
+
 
 def test_versioned_write_swap_and_cleanup(spark, tmp_path):
     base = str(tmp_path / "versions")
@@ -571,6 +583,26 @@ def test_webdataset_shards_roundtrip_and_determinism(spark, tmp_path):
         h1 = hashlib.md5(open(r.path, "rb").read()).hexdigest()
         h2 = hashlib.md5(open(f"{out2}/{fname}", "rb").read()).hexdigest()
         assert h1 == h2
+
+    # NULL-key samples are quarantined: a member has no name without a
+    # key (they would all collide on "None.txt" within a shard, and the
+    # old concat_ws rank hashed them all to the constant md5('wds'))
+    import pyspark.sql.functions as F
+
+    out3 = str(tmp_path / "w3")
+    with_null = docs.select(
+        F.when(F.col("doc_id") % 7 == 0, None)
+        .otherwise(F.col("doc_id")).alias("doc_id"),
+        "text",
+    )
+    n_keyed = with_null.where(F.col("doc_id").isNotNull()).count()
+    m3 = write_webdataset_shards(
+        with_null, out3, "doc_id", "text", samples_per_shard=40
+    ).collect()
+    assert sum(r.n_samples for r in m3) == n_keyed < n_docs
+    for r in m3:
+        with tarfile.open(r.path) as tar:
+            assert all(not m.name.startswith("None.") for m in tar.getmembers())
 
 
 def test_orc_roundtrip_and_pushdown(spark, tmp_path):
