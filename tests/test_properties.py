@@ -447,3 +447,56 @@ def test_asof_join_equals_naive_replay_with_nulls(spark_prop, clicks, purchases)
         ]
         want[eid] = max(cand)[1] if cand else None
     assert got == want
+
+
+_rj_ts = st.one_of(st.none(), st.integers(0, 7200))
+_rj_rows = st.lists(
+    st.tuples(st.sampled_from(["u1", "u2"]), _rj_ts), min_size=0, max_size=12
+)
+
+
+@given(
+    lrows=_rj_rows,
+    rrows=_rj_rows,
+    before=st.integers(0, 3600),
+    after=st.integers(0, 600),
+    binsec=st.sampled_from([None, 60, 777, 3600]),
+)
+@settings(**_SETTINGS)
+def test_range_join_binned_equals_brute_interval(
+    spark_prop, lrows, rrows, before, after, binsec
+):
+    # the binned fan-out (bucket span arithmetic, negative bins near
+    # epoch 0, non-divisor bin widths) must reproduce the brute
+    # interval predicate exactly; NULL timestamps never pair (inner
+    # semantics — explode of a NULL sequence drops the left row, a
+    # NULL right bucket matches nothing)
+    from biodiversity_data_ingestion_spark.operators.joins import (
+        range_join_binned,
+    )
+
+    L = [(i, u, t) for i, (u, t) in enumerate(lrows)]
+    R = [(100 + i, u, t) for i, (u, t) in enumerate(rrows)]
+    left = spark_prop.createDataFrame(
+        [(i, u, t) for i, u, t in L] or [(0, "u1", 0)],
+        "event_id LONG, user_id STRING, ts_i LONG",
+    ).selectExpr("event_id", "user_id", "to_timestamp(ts_i) AS ts")
+    right = spark_prop.createDataFrame(
+        [(i, u, t) for i, u, t in R] or [(100, "u1", 0)],
+        "event_id LONG, user_id STRING, ts_i LONG",
+    ).selectExpr("event_id", "user_id", "to_timestamp(ts_i) AS ts")
+    got = {
+        (r["event_id"], r["r_event_id"])
+        for r in range_join_binned(
+            left, right, "user_id", "ts", "ts", before, after,
+            bin_seconds=binsec,
+        ).collect()
+    }
+    want = {
+        (li, ri)
+        for li, lu, lt in (L or [(0, "u1", 0)])
+        for ri, ru, rt in (R or [(100, "u1", 0)])
+        if lt is not None and rt is not None and lu == ru
+        and lt - before <= rt <= lt + after
+    }
+    assert got == want
