@@ -500,3 +500,48 @@ def test_range_join_binned_equals_brute_interval(
         and lt - before <= rt <= lt + after
     }
     assert got == want
+
+
+@given(
+    base=st.dictionaries(st.integers(0, 6), st.integers(0, 99), max_size=6),
+    ups=st.dictionaries(st.integers(0, 6), st.integers(0, 99), max_size=6),
+    dels=st.sets(st.integers(0, 6), max_size=3),
+    n_null_base=st.integers(0, 2),
+    n_null_ups=st.integers(0, 2),
+)
+@settings(**_SETTINGS)
+def test_upsert_merge_equals_merge_semantics(
+    spark_prop, base, ups, dels, n_null_base, n_null_ups
+):
+    # SQL MERGE replay: updates win on key collision, unmatched base
+    # survives, unmatched updates insert, delete-flagged matched keys
+    # vanish; NULL keys never match (each NULL-key row on either side
+    # passes through / inserts independently)
+    from biodiversity_data_ingestion_spark.operators.joins import upsert_merge
+
+    brows = [(k, v) for k, v in base.items()] + [
+        (None, 1000 + i) for i in range(n_null_base)
+    ]
+    urows = [(k, v, k in dels) for k, v in ups.items()] + [
+        (None, 2000 + i, False) for i in range(n_null_ups)
+    ]
+    bdf = spark_prop.createDataFrame(
+        brows or [(0, 0)], "k INT, v INT"
+    )
+    udf = spark_prop.createDataFrame(
+        urows or [(0, 0, False)], "k INT, v INT, del BOOLEAN"
+    )
+    got = sorted(
+        ((r["k"], r["v"]) for r in upsert_merge(bdf, udf, "k", delete_col="del").collect()),
+        key=lambda t: (t[0] is None, t),
+    )
+    eb = dict(brows or [(0, 0)])
+    eu = {k: v for k, v, _ in (urows or [(0, 0, False)])}
+    edel = {k for k, _, d in (urows or [(0, 0, False)]) if d}
+    merged = {**{k: v for k, v in eb.items() if k is not None},
+              **{k: v for k, v in eu.items() if k is not None}}
+    want = [(k, v) for k, v in merged.items() if k not in edel]
+    want += [(None, v) for k, v in (brows or [(0, 0)]) if k is None]
+    want += [(None, v) for k, v, d in (urows or [(0, 0, False)]) if k is None and not d]
+    want = sorted(want, key=lambda t: (t[0] is None, t))
+    assert got == want
