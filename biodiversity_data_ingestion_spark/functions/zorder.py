@@ -35,17 +35,37 @@ __all__ = [
 ]
 
 
+def _nan_nulled(col: str) -> Column:
+    """``col`` as double with NaN mapped to NULL — NaN has no position
+    on the curve, and it must not reach the min/max bounds either:
+    NaN is the LARGEST double under Spark ordering, so one NaN row
+    would poison ``__zmax_`` (rng = NaN), collapse every row's cell to
+    the same value, and silently destroy the whole column's layout
+    contribution (a performance cliff, not a correctness break)."""
+    v = F.col(col).cast("double")
+    return F.when(~F.isnan(v), v)
+
+
 def _scaled_cell(col: str, bits: int) -> Column:
     """Normalize ``col`` into an integer cell in [0, 2**bits) using the
-    broadcast ``__zmin_/__zmax_`` bounds columns."""
+    broadcast ``__zmin_/__zmax_`` bounds columns. NULL/NaN values take
+    the TOP cell explicitly — they have no position, so they cluster
+    in one corner of the curve (one file range absorbs them) instead
+    of scattering."""
     mn = F.col(f"__zmin_{col}").cast("double")
     mx = F.col(f"__zmax_{col}").cast("double")
     rng = mx - mn
-    frac = (F.col(col).cast("double") - mn) / rng
+    v = _nan_nulled(col)
+    frac = (v - mn) / rng
     cell = F.floor(frac * F.lit(float(1 << bits))).cast("long")
+    top = F.lit((1 << bits) - 1).cast("long")
+    # branch order matters: the missing-value and rng==0 guards must
+    # fire BEFORE `frac` is evaluated — CaseWhen short-circuits per
+    # row, and dividing by rng=0 raises [DIVIDE_BY_ZERO] under ANSI
     return (
-        F.when(rng == 0, F.lit(0).cast("long"))
-        .otherwise(F.least(cell, F.lit((1 << bits) - 1)))
+        F.when(v.isNull(), top)
+        .when(rng == 0, F.lit(0).cast("long"))
+        .otherwise(F.least(cell, top))
     )
 
 
@@ -64,7 +84,10 @@ def add_zorder_column(
     aggs = [
         agg
         for c in cols
-        for agg in (F.min(c).alias(f"__zmin_{c}"), F.max(c).alias(f"__zmax_{c}"))
+        for agg in (
+            F.min(_nan_nulled(c)).alias(f"__zmin_{c}"),
+            F.max(_nan_nulled(c)).alias(f"__zmax_{c}"),
+        )
     ]
     bounds = df.agg(*aggs)
     joined = df.crossJoin(F.broadcast(bounds))

@@ -73,3 +73,37 @@ def test_zorder_layout_skips_files_single_sort_cannot(spark, tmp_path):
     assert back.agg(F.sum("x"), F.sum("y")).first() == df.agg(
         F.sum("x"), F.sum("y")
     ).first()
+
+
+def test_zorder_nan_rows_cannot_poison_the_layout(spark):
+    # NaN is the LARGEST double under Spark ordering, so before the
+    # _nan_nulled bounds guard a single NaN row poisoned __zmax_
+    # (rng = NaN), collapsed EVERY row's cell to the same value, and
+    # silently destroyed the whole column's layout contribution.
+    # Contract: clean rows' Morton keys are bit-identical with or
+    # without planted garbage; NULL/NaN rows take the top cell
+    # (clustered in one curve corner); a constant column (rng == 0)
+    # must not raise [DIVIDE_BY_ZERO] under ANSI.
+    from pyspark.sql import functions as F
+
+    from biodiversity_data_ingestion_spark.functions.zorder import (
+        add_zorder_column,
+    )
+
+    rows = [(i, float(i), float(i % 10)) for i in range(100)]
+    clean = spark.createDataFrame(rows, "id LONG, a DOUBLE, b DOUBLE")
+    dirty = spark.createDataFrame(
+        rows + [(900, float("nan"), 5.0), (901, None, 5.0)],
+        "id LONG, a DOUBLE, b DOUBLE",
+    )
+    zc = {r["id"]: r["_z"] for r in add_zorder_column(clean, ["a", "b"], bits=8).collect()}
+    zd = {r["id"]: r["_z"] for r in add_zorder_column(dirty, ["a", "b"], bits=8).collect()}
+    assert all(zc[i] == zd[i] for i in range(100))
+    assert len(set(zc.values())) == 100  # the layout still discriminates
+    assert zd[900] == zd[901]  # missing values cluster deterministically
+
+    const = spark.createDataFrame(
+        [(1, 7.0, 2.0), (2, 7.0, 3.0)], "id LONG, a DOUBLE, b DOUBLE"
+    )
+    got = {r["id"]: r["_z"] for r in add_zorder_column(const, ["a", "b"], bits=4).collect()}
+    assert got[1] != got[2]  # the varying column still separates rows
