@@ -4884,7 +4884,12 @@ def _weighted_doc_sample(spark, sf_dir):
         + F.lit(1.0)
     ) / F.lit(float(16**8))
     w = F.col("n_chars").cast("double")  # weight: longer docs more likely
-    key = F.round(F.pow(u, F.lit(1.0) / w), 9)
+    # try_divide: a zero-weight (empty) doc must yield a NULL key and
+    # rank last, exactly like the oracle (DuckDB 1.0/0 -> NULL ->
+    # pow(u, NULL) -> NULL, NULLS LAST under DESC in both engines) —
+    # a plain division RAISES [DIVIDE_BY_ZERO] under ANSI, so ONE empty
+    # document would kill the whole sampling job
+    key = F.round(F.pow(u, F.try_divide(F.lit(1.0), w)), 9)
     return (
         docs.select("doc_id", "n_chars", key.alias("sample_key"))
         .orderBy(F.desc("sample_key"), "doc_id")
@@ -5528,9 +5533,16 @@ def _user_time_weighted_value(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_intervals"),
             F.round(
-                F.sum(F.col("value").cast("decimal(18,2)") * F.col("dt_us"))
-                .cast("double")
-                / F.sum("dt_us").cast("double"),
+                # try_divide: a user whose intervals are ALL zero-length
+                # (same-timestamp events — routine in real streams) has
+                # sum(dt_us) = 0; plain division raises [DIVIDE_BY_ZERO]
+                # under ANSI, while the oracle's SQL division yields
+                # NULL and the HAVING drops the user — align on NULL
+                F.try_divide(
+                    F.sum(F.col("value").cast("decimal(18,2)") * F.col("dt_us"))
+                    .cast("double"),
+                    F.sum("dt_us").cast("double"),
+                ),
                 4,
             ).alias("twa_value"),
         )
@@ -11226,8 +11238,12 @@ def _price_ks_drift(spark, sf_dir):
     wt = Window.partitionBy("o_orderpriority")
     cum = byv.select(
         "o_orderpriority",
-        (F.sum("c95").over(wc) / F.sum("c95").over(wt)).alias("cdf95"),
-        (F.sum("c96").over(wc) / F.sum("c96").over(wt)).alias("cdf96"),
+        # try_divide: a priority with orders in only ONE of the two
+        # years has a zero column total; plain division raises under
+        # ANSI while the oracle's SQL division yields NULL (the ks max
+        # then NULL-propagates identically in both engines)
+        F.try_divide(F.sum("c95").over(wc), F.sum("c95").over(wt)).alias("cdf95"),
+        F.try_divide(F.sum("c96").over(wc), F.sum("c96").over(wt)).alias("cdf96"),
     )
     return cum.groupBy("o_orderpriority").agg(
         F.round(F.max(F.abs(F.col("cdf95") - F.col("cdf96"))), 6).alias("ks")
@@ -12987,6 +13003,15 @@ _PRIORITY: tuple[str, ...] = (
     "weighted_doc_sample",
     "asof_prior_purchase",
     "user_value_scd2",
+    # Zero-denominator try_divide fixes (unreachable on testdata —
+    # sum(dt_us) > 0 and both years populated per priority — but the
+    # builders' bytes changed): user_time_weighted_value +
+    # price_ks_drift join (the latter was r8-stale anyway);
+    # bm25_doc_retrieval (green r8 row) and user_props_map (r6 row —
+    # the ONE r6-stale query this window no longer refreshes; it leads
+    # the r14 rotation) displaced.
+    "user_time_weighted_value",
+    "price_ks_drift",
     "source_overlap_matrix",
     "variant_props_stats",
     "jpeg_progressive_decode_features",
@@ -13027,8 +13052,6 @@ _PRIORITY: tuple[str, ...] = (
     "two_level_distinct",
     "user_event_entropy",
     "user_first_last_events",
-    "user_props_map",
-    "bm25_doc_retrieval",
 )
 
 _PRIORITY_R12: tuple[str, ...] = (

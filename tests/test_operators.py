@@ -1709,6 +1709,107 @@ def test_pathological_coordinates_quarantine_geo_kernels(spark):
     assert kept == {2, 3, 4, 5, 6, 7}  # only 1 sits within 5 km of (0,0)
 
 
+def test_weighted_sample_zero_weight_docs_quarantine(spark, tmp_path):
+    # the pathological tier, weighted-sampling edition: an empty doc
+    # (n_chars = 0) made the Efraimidis-Spirakis key's 1/w RAISE
+    # [DIVIDE_BY_ZERO] under ANSI — one empty document killed the whole
+    # sampling job, while the oracle (DuckDB 1.0/0 -> NULL) kept
+    # running. Contract: zero/NULL-weight docs get a NULL key and rank
+    # last (never sampled while enough weighted docs exist); parity
+    # checked bitwise on the planted fixture.
+    import duckdb
+
+    from biodiversity_data_ingestion_spark.plans.queries import QUERIES
+
+    from .oracle_harness import compare
+
+    rows = [(i, f"doc {i} text", 10 + i, "en", "src0") for i in range(60)]
+    rows += [(100, "", 0, "en", "src0"), (101, None, None, "en", "src0")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, n_chars long, lang string, source string"
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    spec = QUERIES["weighted_doc_sample"]
+    out = spec["builder"](spark, str(tmp_path))  # must not raise
+    got = {r["doc_id"] for r in out.collect()}
+    assert 100 not in got and 101 not in got and len(got) == 50
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet/*.parquet'"
+    )
+    res = compare("weighted_zero_weight", out, con, spec["oracle"])
+    assert res.ok, res.problems
+
+
+def test_zero_denominator_queries_quarantine(spark, tmp_path):
+    # the pathological tier, zero-denominator edition (the class the
+    # r12 zero-norm cosine fix opened): data-dependent denominators
+    # that are legitimately zero on real streams must NULL out like
+    # the SQL oracle, not raise [DIVIDE_BY_ZERO] under ANSI. Two fixed
+    # sites: user_time_weighted_value (a user whose events all share
+    # one timestamp has sum(dt_us) = 0) and price_ks_drift (a priority
+    # with orders in only one of the compared years has a zero column
+    # total). Parity checked bitwise on planted fixtures.
+    import duckdb
+
+    from biodiversity_data_ingestion_spark.plans.queries import QUERIES
+
+    from .oracle_harness import compare
+
+    ev_rows = [
+        # user 10: two events at the SAME instant -> one zero-length
+        # interval, sum(dt_us) = 0 -> NULL twa, user dropped
+        (1, "2024-01-01 00:00:00", 10, "click", 5.0, None),
+        (2, "2024-01-01 00:00:00", 10, "click", 7.0, None),
+        # user 11: a normal pair -> twa = first value
+        (3, "2024-01-01 00:00:00", 11, "click", 4.0, None),
+        (4, "2024-01-01 01:00:00", 11, "click", 9.0, None),
+    ]
+    spark.createDataFrame(
+        ev_rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    spec = QUERIES["user_time_weighted_value"]
+    out = spec["builder"](spark, str(tmp_path))  # must not raise
+    got = {r["user_id"]: r["twa_value"] for r in out.collect()}
+    assert got == {11: 4.0}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet/*.parquet'"
+    )
+    res = compare("twa_zero_duration", out, con, spec["oracle"])
+    assert res.ok, res.problems
+
+    # ks drift: priority 'A' has 1995 orders only -> zero 1996 total
+    o_rows = [
+        (1, "A", 100.0, "1995-03-01"), (2, "A", 200.0, "1995-04-01"),
+        (3, "B", 100.0, "1995-03-01"), (4, "B", 150.0, "1996-03-01"),
+        (5, "B", 250.0, "1996-04-01"),
+    ]
+    spark.createDataFrame(
+        o_rows, "o_orderkey long, o_orderpriority string, "
+        "o_totalprice double, o_orderdate string"
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spec2 = QUERIES["price_ks_drift"]
+    out2 = spec2["builder"](spark, str(tmp_path))  # must not raise
+    ks = {r["o_orderpriority"]: r["ks"] for r in out2.collect()}
+    assert ks["B"] is not None
+
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet/*.parquet'"
+    )
+    res2 = compare("ks_single_year_priority", out2, con, spec2["oracle"])
+    assert res2.ok, res2.problems
+
+
 def test_pathological_timestamps_quarantine_temporal_operators(spark):
     # The temporal leg of the pathological-input tier: NULL keys and
     # NULL timestamps through the as-of join and SCD2 compression.
