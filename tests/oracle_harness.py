@@ -31,6 +31,21 @@ TABLES = (
 )
 
 
+def duckdb_con_raw() -> duckdb.DuckDBPyConnection:
+    """A bare connection with the engine-parity pins but NO table views
+    — for planted-fixture tests that register their own views. Pins
+    pre-1.1 division semantics (x/0.0 -> NULL): DuckDB >= 1.1 defaults
+    ieee_floating_point_ops=true, where x/0.0 -> inf, inverting both
+    the zero-norm cosine nulls-last parity and the zero-denominator
+    quarantine contracts."""
+    con = duckdb.connect()
+    try:
+        con.execute("SET ieee_floating_point_ops = false")
+    except duckdb.Error:
+        pass
+    return con
+
+
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     # Zero-norm cosine parity (operators/similarity.py::cosine) relies

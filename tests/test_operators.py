@@ -374,16 +374,12 @@ def test_zero_norm_embeddings_null_not_crash(spark):
         tail_nulls = [r["cos_sim"] is None for r in ranked]
         assert tail_nulls == sorted(tail_nulls)  # non-null block, then NULLs
 
-    # bitwise side-by-side with the oracle engine on the same frame.
-    # Pin pre-1.1 division semantics (x/0.0 -> NULL) — DuckDB >= 1.1
-    # defaults ieee_floating_point_ops=true, where x/0.0 -> inf would
-    # rank FIRST under ORDER BY cos DESC and invert the parity this
-    # test exists to assert (see oracle_harness.duckdb_con).
-    con = duckdb.connect()
-    try:
-        con.execute("SET ieee_floating_point_ops = false")
-    except duckdb.Error:
-        pass
+    # bitwise side-by-side with the oracle engine on the same frame
+    # (duckdb_con_raw pins pre-1.1 x/0.0 -> NULL semantics — inf would
+    # rank FIRST under ORDER BY cos DESC and invert this parity)
+    from .oracle_harness import duckdb_con_raw
+
+    con = duckdb_con_raw()
     con.register("emb", pd.DataFrame(rows, columns=["vec_id", "label", "embedding"]))
     res = compare(
         "zero_norm_cosine_topk",
@@ -1503,7 +1499,9 @@ def test_variant_props_malformed_json_quarantines(spark, tmp_path):
            for r in out.collect()}
     assert got == {"click": (4, 16, 9, 2), "view": (2, None, None, 0)}
 
-    con = duckdb.connect()
+    from .oracle_harness import duckdb_con_raw
+
+    con = duckdb_con_raw()
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet/*.parquet'"
     )
@@ -1735,7 +1733,9 @@ def test_weighted_sample_zero_weight_docs_quarantine(spark, tmp_path):
     got = {r["doc_id"] for r in out.collect()}
     assert 100 not in got and 101 not in got and len(got) == 50
 
-    con = duckdb.connect()
+    from .oracle_harness import duckdb_con_raw
+
+    con = duckdb_con_raw()
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet/*.parquet'"
     )
@@ -1779,7 +1779,9 @@ def test_zero_denominator_queries_quarantine(spark, tmp_path):
     got = {r["user_id"]: r["twa_value"] for r in out.collect()}
     assert got == {11: 4.0}
 
-    con = duckdb.connect()
+    from .oracle_harness import duckdb_con_raw
+
+    con = duckdb_con_raw()
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet/*.parquet'"
     )

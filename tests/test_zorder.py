@@ -84,12 +84,6 @@ def test_zorder_nan_rows_cannot_poison_the_layout(spark):
     # without planted garbage; NULL/NaN rows take the top cell
     # (clustered in one curve corner); a constant column (rng == 0)
     # must not raise [DIVIDE_BY_ZERO] under ANSI.
-    from pyspark.sql import functions as F
-
-    from biodiversity_data_ingestion_spark.functions.zorder import (
-        add_zorder_column,
-    )
-
     rows = [(i, float(i), float(i % 10)) for i in range(100)]
     clean = spark.createDataFrame(rows, "id LONG, a DOUBLE, b DOUBLE")
     dirty = spark.createDataFrame(
