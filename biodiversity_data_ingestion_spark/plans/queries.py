@@ -1619,7 +1619,7 @@ _register(
            count(*) AS n_events, count(DISTINCT user_id) AS n_users,
            CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
                AS sum_value
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
     "engine extension §2.9: watermarked tumbling-window streaming agg == batch result",
 )
@@ -2075,7 +2075,8 @@ _register(
     "event_sliding_windows",
     _event_sliding,
     """
-    WITH x AS (SELECT date_trunc('hour', ts) AS h, event_type, value FROM events),
+    WITH x AS (SELECT date_trunc('hour', ts) AS h, event_type, value
+               FROM events WHERE ts IS NOT NULL),
     w AS (
         SELECT h AS window_start, event_type, value FROM x
         UNION ALL
@@ -2102,7 +2103,7 @@ _register(
     "user_sessions",
     _user_sessions,
     """
-    WITH o AS (SELECT user_id, ts, value FROM events),
+    WITH o AS (SELECT user_id, ts, value FROM events WHERE ts IS NOT NULL),
     m AS (
         SELECT *, CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
@@ -5930,7 +5931,7 @@ _register(
     WITH c AS (
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(*) AS n_events
-        FROM events GROUP BY 1, 2)
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
     SELECT window_start, event_type, n_events,
            CAST(row_number() OVER (PARTITION BY window_start
                                    ORDER BY n_events DESC, event_type)
@@ -8319,7 +8320,7 @@ _register(
         SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
                        date_trunc('hour', ts)]) AS window_start,
                event_type, value
-        FROM events)
+        FROM events WHERE ts IS NOT NULL)
     SELECT window_start, event_type, count(*) AS n_events,
            CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
                AS sum_value
@@ -11070,11 +11071,15 @@ _register(
     "stream_dynamic_gap_sessions",
     _stream_dynamic_gap_sessions,
     """
-    WITH o AS (SELECT user_id, ts, value FROM events),
+    WITH o AS (SELECT user_id, ts, value FROM events WHERE ts IS NOT NULL),
     m AS (
+        -- coalesce: a NULL user (unknown tenant) sessions with the
+        -- DEFAULT 10-minute gap, mirroring the state kernel's NULL-key
+        -- policy (the bare expression is NULL for a NULL user, which
+        -- would silently never split the NULL-user stream)
         SELECT *, CASE WHEN lag(ts) OVER w IS NULL
                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
-                            >= (5 + (user_id % 3) * 5) * 60000000
+                            >= coalesce((5 + (user_id % 3) * 5), 10) * 60000000
                        THEN 1 ELSE 0 END AS new_sess
         FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)),
     s AS (
@@ -13012,6 +13017,25 @@ _PRIORITY: tuple[str, ...] = (
     # the r14 rotation) displaced.
     "user_time_weighted_value",
     "price_ks_drift",
+    # Streaming garbage tier (late r13): untimed-event quarantine in
+    # the shared window/session builders + six mirrored oracles, the
+    # Spark-written sentinel (real code-path change on testdata), the
+    # 5-field state schema (nn non-null counter) and the NULL-user
+    # session policy. The four evidence-heaviest join the block
+    # (kernel/state/sentinel + shared-oracle representatives):
+    # stream_stateful_sessions, stream_dynamic_gap_sessions,
+    # stream_event_window, user_sessions. The other four changed
+    # queries (event_sliding_windows, stream_sliding_windows,
+    # stream_windowed_topk, stream_user_sessions) carry identity-on-
+    # testdata one-line filters, are green in the local full sweep AND
+    # the standing tests/test_stream_garbage.py tier, and lead the r14
+    # rotation. Displaced (all r6 rows, r14 leads):
+    # supplier_shipping_coverage, two_level_distinct,
+    # user_event_entropy, user_first_last_events.
+    "stream_stateful_sessions",
+    "stream_dynamic_gap_sessions",
+    "stream_event_window",
+    "user_sessions",
     "source_overlap_matrix",
     "variant_props_stats",
     "jpeg_progressive_decode_features",
@@ -13048,10 +13072,6 @@ _PRIORITY: tuple[str, ...] = (
     "stream_distinct_pairs",
     "stream_full_outer_join",
     "stream_left_outer_join",
-    "supplier_shipping_coverage",
-    "two_level_distinct",
-    "user_event_entropy",
-    "user_first_last_events",
 )
 
 _PRIORITY_R12: tuple[str, ...] = (

@@ -424,19 +424,21 @@ def run_stream_dedup_within_watermark_over_events(
 
 
 def _merge_session_items(items: list[list], gap_us: int) -> list[list]:
-    """Gaps-and-islands interval merge over [start_us, end_us, n, sum]
-    items (point events are [ts, ts, 1, v]): sort by bounds, coalesce
-    consecutive items whose start is within ``gap_us`` of the running
-    session's end. Module-level so the cross-batch late-data semantics
-    of ``stateful_sessions`` are unit-testable without a stream."""
+    """Gaps-and-islands interval merge over [start_us, end_us, *sums]
+    items (point events are [ts, ts, 1, v, ...]): sort by bounds,
+    coalesce consecutive items whose start is within ``gap_us`` of the
+    running session's end; every payload slot from index 2 on is an
+    additive accumulator. Module-level so the cross-batch late-data
+    semantics of ``stateful_sessions`` are unit-testable without a
+    stream."""
     items = sorted(items, key=lambda it: (it[0], it[1]))
     sessions: list[list] = []
     for it in items:
         if sessions and it[0] - sessions[-1][1] < gap_us:
             s = sessions[-1]
             s[1] = max(s[1], it[1])
-            s[2] += it[2]
-            s[3] += it[3]
+            for j in range(2, len(s)):
+                s[j] += it[j]
         else:
             sessions.append(list(it))
     return sessions
@@ -481,13 +483,15 @@ def stateful_sessions(
     The callable runs executor-side per group, so it must be a cheap
     pure function of the key (closure over a broadcast dict is fine).
 
-    STATE-SCHEMA BREAK (round 9): ``sv`` in the stateStructType changed
-    from ``double`` (raw dollars) to ``long`` (exact integer cents). A
-    stream restarted from a checkpoint written by the pre-change schema
-    will fail or misread its state — production deployments of
+    STATE-SCHEMA BREAKS: round 9 changed ``sv`` from ``double`` (raw
+    dollars) to ``long`` (exact integer cents); round 13 appended
+    ``nn long`` (count of NON-NULL values, so an all-NULL-value session
+    emits a NULL sum exactly like the SQL oracle). A stream restarted
+    from a checkpoint written by a pre-change schema will fail or
+    misread its state — production deployments of
     stream_stateful_sessions / stream_dynamic_gap_sessions must start
     from a FRESH checkpoint directory (or a bumped checkpoint path)
-    after upgrading across that change. The bounded-replay runners in
+    after upgrading across either change. The bounded-replay runners in
     this repo always stage into a new temp dir, so they are unaffected.
     """
     from pyspark.sql import functions as F
@@ -503,21 +507,35 @@ def stateful_sessions(
             "session_start": pd.Timestamp(s[0], unit="us"),
             "user_id": user_id,
             "n_events": s[2],
-            "sum_value": s[3] / 100.0,
+            # SQL sum semantics: a session whose values are ALL NULL has
+            # a NULL sum (n tracks rows, s[4] tracks non-null values) —
+            # exactly what the shared gaps-and-islands oracle and the
+            # built-in session_window agg both produce
+            "sum_value": s[3] / 100.0 if s[4] > 0 else None,
         }
 
     def fn(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         user_id = key[0]
-        # int() guards against numpy scalars leaking out of the Arrow
-        # key tuple into state timestamps (JSON-serialized by the
-        # GroupState bridge, which rejects np.int64)
-        g_us = (
-            int(gap_minutes_for_key(key)) * 60_000_000
-            if gap_minutes_for_key is not None
-            else gap_us
-        )
+        # a NULL grouping key reaches the kernel as NaN (Arrow key
+        # tuple); SQL window partitioning groups NULL users into ONE
+        # session stream, so the kernel must process the group — with
+        # the DEFAULT gap (a per-key gap function of a NULL key is
+        # undefined; the oracle mirrors via coalesce(gap_expr, default))
+        # and a NULL user_id in the emitted rows
+        if user_id is None or (isinstance(user_id, float) and user_id != user_id):
+            user_id = None
+            g_us = gap_us
+        else:
+            # int() guards against numpy scalars leaking out of the
+            # Arrow key tuple into state timestamps (JSON-serialized by
+            # the GroupState bridge, which rejects np.int64)
+            g_us = (
+                int(gap_minutes_for_key(key)) * 60_000_000
+                if gap_minutes_for_key is not None
+                else gap_us
+            )
         if state.hasTimedOut:
             s = list(state.get)
             state.remove()
@@ -545,18 +563,25 @@ def stateful_sessions(
         # half-to-even like builtins.round, so the cents are identical
         # to the previous per-row int(round(val * 100)).
         us_arr = (batch["ts"].astype("int64") // 1000).tolist()
+        vna = batch["value"].isna().to_numpy()
         vals = batch["value"].astype("float64").to_numpy()
-        # fail loudly on NaN/inf: .astype('int64') would silently map
-        # non-finite floats to an undefined int64 (typically INT64_MIN)
-        # and corrupt session sums, where the old per-row
-        # int(round(float(v) * 100)) raised ValueError (r10 ADVICE)
-        if not np.isfinite(vals).all():
+        # NULL values follow SQL sum semantics (row counted, value
+        # skipped — the shared oracle's sum(CAST(value AS DECIMAL))
+        # does exactly that); genuinely non-finite DATA values still
+        # fail loudly: .astype('int64') would silently map them to an
+        # undefined int64 (typically INT64_MIN) and corrupt session
+        # sums, where the old per-row int(round(float(v) * 100))
+        # raised ValueError (r10 ADVICE)
+        if not np.isfinite(vals[~vna]).all():
             raise ValueError(
                 "stateful_sessions: non-finite value(s) in batch; "
                 "event values must be finite"
             )
-        cents = (vals * 100).round().astype("int64").tolist()
-        items.extend([u, u, 1, c] for u, c in zip(us_arr, cents))
+        cents = np.where(vna, 0.0, vals * 100).round().astype("int64").tolist()
+        nn = (~vna).astype("int64").tolist()
+        items.extend(
+            [u, u, 1, c, k] for u, c, k in zip(us_arr, cents, nn)
+        )
         sessions = _merge_session_items(items, g_us)
         wm_us = state.getCurrentWatermarkMs() * 1000
         closed, open_ = sessions[:-1], sessions[-1]
@@ -575,7 +600,7 @@ def stateful_sessions(
     out = keyed.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType=payload_schema,
-        stateStructType="start_us long, end_us long, n long, sv long",
+        stateStructType="start_us long, end_us long, n long, sv long, nn long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
@@ -601,14 +626,12 @@ def _stage_events_with_sentinel(
     import tempfile
     import time as _time
 
-    import pyarrow as pa
     import pyarrow.parquet as pq
 
     src = os.path.join(sf_dir, "events.parquet")
     stage = tempfile.mkdtemp(prefix="bdi_sess_stage_")
     dst = os.path.join(stage, "00_events.parquet")
     shutil.copyfile(src, dst)
-    schema = pq.read_schema(src).remove_metadata()
     # max(ts) from parquet ROW-GROUP STATISTICS — metadata only, zero
     # data pages read. The previous implementation materialized the
     # full ts column on the driver (pq.read_table + Python max), which
@@ -625,14 +648,27 @@ def _stage_events_with_sentinel(
             if col.path_in_schema != "ts":
                 continue
             st = col.statistics
-            if st is None or not st.has_min_max:
+            # st.max can be None even when has_min_max claims truth
+            # (e.g. an all-NULL ts chunk) — treat it like missing stats
+            if st is None or not st.has_min_max or st.max is None:
                 stats_ok = False
                 break
             tmax = st.max if tmax is None else max(tmax, st.max)
         if not stats_ok:
             break
     if tmax is None or not stats_ok:
-        tmax = max(pq.read_table(src, columns=["ts"])["ts"].to_pylist())
+        # NULL event times must not reach the Python max() (None >
+        # Timestamp is a TypeError — one untimed row killed the whole
+        # staged replay); they carry no watermark information anyway
+        ts_vals = [
+            v
+            for v in pq.read_table(src, columns=["ts"])["ts"].to_pylist()
+            if v is not None
+        ]
+        # a corpus with ZERO timed events stages an arbitrary sentinel:
+        # the stream flushes no real sessions and the (ts IS NOT NULL)
+        # oracle is equally empty
+        tmax = max(ts_vals) if ts_vals else pd.Timestamp("2000-01-01")
     # a corpus carrying garbage timestamps near the TIMESTAMP(NANOS)
     # ceiling (year 2262 — malformed logs commonly hold year-9999
     # junk that clamps there) would make this add raise an opaque
@@ -665,21 +701,41 @@ def _stage_events_with_sentinel(
                 "TIMESTAMP(NANOS) ceiling (2262-04-11); filter or cap "
                 "malformed far-future timestamps upstream"
             ) from None
-    sentinel = pa.Table.from_pylist(
-        [
-            {
-                "event_id": -1,
-                "ts": sentinel_ts,
-                "user_id": _SENTINEL_USER,
-                "event_type": "__sentinel__",
-                "value": 0.0,
-                "props": None,
-            }
-        ],
-        schema=schema,
+    # Write the sentinel THROUGH SPARK against the staged file's own
+    # Spark-visible schema. A pyarrow-written sentinel reproduces the
+    # source's ARROW schema but not necessarily its PARQUET physical
+    # type: an INT96-timestamp source (Spark's default writer shape)
+    # reads back as TIMESTAMP while a pyarrow ns-sentinel lands as
+    # TIMESTAMP(NANOS) INT64 — which the session's nanosAsLong flag
+    # surfaces as LONG, and the mixed-type stage kills the stream with
+    # PARQUET_COLUMN_DATA_TYPE_MISMATCH. Spark-writing the row from the
+    # staged file's schema is uniform for every on-disk ts shape.
+    import glob as _glob
+
+    batch_schema = spark.read.parquet(dst).schema
+    ts_field = batch_schema["ts"].dataType.typeName()
+    ts_value = (
+        int(pd.Timestamp(sentinel_ts).value)  # nanos long on nanosAsLong tables
+        if ts_field == "long"
+        else pd.Timestamp(sentinel_ts).to_pydatetime()
+    )
+    row = {
+        "event_id": -1,
+        "ts": ts_value,
+        "user_id": _SENTINEL_USER,
+        "event_type": "__sentinel__",
+        "value": 0.0,
+        "props": None,
+    }
+    sent_dir = os.path.join(stage, "_sentinel_write")
+    (
+        spark.createDataFrame([tuple(row[f.name] for f in batch_schema)], batch_schema)
+        .coalesce(1)
+        .write.parquet(sent_dir)
     )
     spath = os.path.join(stage, "01_sentinel.parquet")
-    pq.write_table(sentinel, spath)
+    shutil.move(_glob.glob(os.path.join(sent_dir, "part-*.parquet"))[0], spath)
+    shutil.rmtree(sent_dir)
     now = _time.time()
     os.utime(dst, (now - 60, now - 60))
     os.utime(spath, (now, now))
@@ -711,7 +767,12 @@ def run_stream_stateful_sessions_over_events(
         .parquet(stage)
     )
     keyed = (
-        stream.withWatermark("ts", "1 minute")
+        # untimed events quarantine BEFORE the state machine: unlike the
+        # built-in windowed aggs (which silently drop NULL event times at
+        # the watermark), the grouped-map state kernel would receive the
+        # NULL and crash comparing None > Timestamp
+        stream.where(F.col("ts").isNotNull())
+        .withWatermark("ts", "1 minute")
         .select("user_id", "ts", "value")
     )
     out_schema = StructType(
@@ -730,7 +791,9 @@ def run_stream_stateful_sessions_over_events(
         import shutil
 
         shutil.rmtree(stage, ignore_errors=True)
-    return drained.where(F.col("user_id") != F.lit(_SENTINEL_USER))
+    # eqNullSafe: the NULL-user session must SURVIVE this filter (SQL
+    # window partitioning emits it; plain != would NULL it away)
+    return drained.where(~F.col("user_id").eqNullSafe(F.lit(_SENTINEL_USER)))
 
 
 def run_stream_dynamic_gap_sessions_over_events(
@@ -762,7 +825,11 @@ def run_stream_dynamic_gap_sessions_over_events(
         .option("maxFilesPerTrigger", "1")
         .parquet(stage)
     )
-    keyed = stream.withWatermark("ts", "1 minute").select("user_id", "ts", "value")
+    keyed = (
+        stream.where(F.col("ts").isNotNull())  # see the fixed-gap runner
+        .withWatermark("ts", "1 minute")
+        .select("user_id", "ts", "value")
+    )
     out_schema = StructType(
         [
             StructField("session_start", TimestampType()),
@@ -783,7 +850,9 @@ def run_stream_dynamic_gap_sessions_over_events(
         import shutil
 
         shutil.rmtree(stage, ignore_errors=True)
-    return drained.where(F.col("user_id") != F.lit(_SENTINEL_USER))
+    # eqNullSafe: the NULL-user session must SURVIVE this filter (SQL
+    # window partitioning emits it; plain != would NULL it away)
+    return drained.where(~F.col("user_id").eqNullSafe(F.lit(_SENTINEL_USER)))
 
 
 def _stage_events_chunks(sf_dir: str, n_chunks: int = 2) -> str:

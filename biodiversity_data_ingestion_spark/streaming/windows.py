@@ -29,9 +29,14 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
     """Tumbling event-time window aggregation (works on batch AND
     streaming DataFrames — same logical plan, Catalyst picks the
     stateful physical operator under readStream)."""
-    src = events
+    # Untimed events cannot be windowed: a NULL event time would be
+    # silently DROPPED by the streaming watermark operator but kept (as
+    # a NULL window group) by the same plan run in batch — the one
+    # place batch and stream results could diverge. Quarantine up front
+    # so the builder means the same thing under both execution modes.
+    src = events.where(F.col("ts").isNotNull())
     if events.isStreaming:
-        src = events.withWatermark("ts", watermark)
+        src = src.withWatermark("ts", watermark)
     return (
         src.groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
@@ -53,7 +58,8 @@ def sliding_event_counts(events: DataFrame, duration: str = "2 hours",
                          slide: str = "1 hour", watermark: str = "4 hours") -> DataFrame:
     """Sliding event-time windows (each event lands in duration/slide
     windows). State keyed by (window, type) — bounded by time range."""
-    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    src = events.where(F.col("ts").isNotNull())  # see windowed_event_counts
+    src = src.withWatermark("ts", watermark) if events.isStreaming else src
     return (
         src.groupBy(F.window("ts", duration, slide).alias("w"), "event_type")
         .agg(
@@ -69,7 +75,8 @@ def session_event_counts(events: DataFrame, gap: str = "10 minutes",
     """Per-user session windows: a session extends while consecutive
     events arrive within `gap`; state is one open session per user,
     closed by the watermark in streaming mode."""
-    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    src = events.where(F.col("ts").isNotNull())  # see windowed_event_counts
+    src = src.withWatermark("ts", watermark) if events.isStreaming else src
     return (
         src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
