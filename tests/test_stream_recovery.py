@@ -380,13 +380,15 @@ def test_quality_gated_write_quarantines_bad_batches(spark, tmp_path):
     ]
 
 
-def test_sentinel_staging_near_timestamp_ceiling(tmp_path):
+def test_sentinel_staging_near_timestamp_ceiling(spark, tmp_path):
     # A corpus with garbage far-future timestamps (year-9999 junk clamps
     # at the TIMESTAMP(NANOS) ceiling, year 2262) used to make the
     # sentinel add raise an opaque pandas OutOfBoundsDatetime mid-stage.
     # Contract now: fall back to a 1-day margin when the default does
     # not fit; raise a CLEAR error only when max(ts) is within 1 day of
-    # the ceiling. Pure staging logic — no Spark session needed.
+    # the ceiling. (The sentinel row is Spark-written from the staged
+    # file's own schema since the streaming garbage tier, so the
+    # session fixture is needed for the write path.)
     import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -429,7 +431,7 @@ def test_sentinel_staging_near_timestamp_ceiling(tmp_path):
     near = pd.Timestamp.max - pd.Timedelta(days=100)
     with _warnings.catch_warnings(record=True) as caught:
         _warnings.simplefilter("always")
-        stage = _stage_events_with_sentinel(None, stage_dir(near))
+        stage = _stage_events_with_sentinel(spark, stage_dir(near))
     assert any(
         issubclass(w.category, RuntimeWarning)
         and "sentinel margin degraded" in str(w.message)
@@ -444,13 +446,13 @@ def test_sentinel_staging_near_timestamp_ceiling(tmp_path):
 
     at_edge = pd.Timestamp.max - pd.Timedelta(hours=2)
     with _pytest.raises(ValueError, match="headroom above max"):
-        _stage_events_with_sentinel(None, stage_dir(at_edge))
+        _stage_events_with_sentinel(spark, stage_dir(at_edge))
 
     # ordinary data: default margin unchanged, and NO degradation warn
     normal = pd.Timestamp("2024-06-01 12:00:00")
     with _warnings.catch_warnings(record=True) as caught:
         _warnings.simplefilter("always")
-        stage = _stage_events_with_sentinel(None, stage_dir(normal))
+        stage = _stage_events_with_sentinel(spark, stage_dir(normal))
     assert not any(
         "sentinel margin degraded" in str(w.message) for w in caught
     ), "ordinary data must not warn"
