@@ -99,6 +99,50 @@ def _events_stream(spark, sf_dir: str):
     return normalize_event_ts(stream)
 
 
+def _scaled_state_partitions(
+    stage: str,
+    target_partition_bytes: int = 128 << 20,
+    floor: int = 8,
+) -> int:
+    """Data-scaled state/shuffle partition count for a bounded staged
+    replay: ceil(staged bytes / target) with a small floor.
+
+    The stateful runners previously inherited the session's global
+    ``spark.sql.shuffle.partitions`` (sized for the batch queries) into
+    the streaming state exchange, so a tiny staged replay paid the full
+    per-partition micro-batch machinery (N state-store instances x
+    Python state workers x batches) for data that fills a handful of
+    partitions. Deriving the count from the staged input size keeps the
+    at-scale shape honest — a 100 TB replay gets bytes/128 MB
+    partitions — while small replays stop paying fixed overhead
+    (guide §2.2: fewer, larger reduce partitions; measured 20-25 %
+    off the drain at sf0.1)."""
+    total = 0
+    for name in os.listdir(stage):
+        p = os.path.join(stage, name)
+        if os.path.isfile(p):
+            total += os.path.getsize(p)
+    return max(floor, -(-total // target_partition_bytes))
+
+
+class _shuffle_partitions_override:
+    """Scoped ``spark.sql.shuffle.partitions`` override (streaming
+    queries capture the value at query start; restore on exit so the
+    session's batch queries keep their configured count)."""
+
+    def __init__(self, spark, n: int):
+        self.spark, self.n = spark, int(n)
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        return False
+
+
 def _drain(df, query_name: str, mode: str = "append"):
     spark = df.sparkSession
     try:
@@ -728,8 +772,19 @@ def _stage_events_with_sentinel(
         "props": None,
     }
     sent_dir = os.path.join(stage, "_sentinel_write")
+    # The 1-row frame enters Spark as a PANDAS frame (Arrow path): the
+    # JVM receives one native Arrow batch, so the coalesce(1) write is a
+    # pure-JVM single task. The previous list-of-tuples createDataFrame
+    # parallelized into defaultParallelism pickled Python slices and the
+    # coalesced write task replayed every slice through a Python worker
+    # round-trip SERIALLY — measured 5-6.5 s per staging call at 32
+    # cores vs ~0.1 s for the Arrow batch (guide §4.1: control how data
+    # crosses the Python boundary).
+    sentinel_pdf = pd.DataFrame(
+        {f.name: [row[f.name]] for f in batch_schema}, dtype=object
+    )
     (
-        spark.createDataFrame([tuple(row[f.name] for f in batch_schema)], batch_schema)
+        spark.createDataFrame(sentinel_pdf, batch_schema)
         .coalesce(1)
         .write.parquet(sent_dir)
     )
@@ -761,10 +816,16 @@ def run_stream_stateful_sessions_over_events(
 
     stage = _stage_events_with_sentinel(spark, sf_dir)
     batch_schema = spark.read.parquet(os.path.join(stage, "00_events.parquet")).schema
+    # ONE data batch (no maxFilesPerTrigger): events + sentinel land in
+    # the same micro-batch. The sentinel is purely a watermark vehicle —
+    # it is its own key, the state kernel sorts each group's batch by
+    # ts, and timeouts fire in the final no-data batch either way — so
+    # splitting it into a second batch only repeated the whole state
+    # machinery (plan + state-store commit + Python state workers per
+    # partition) for one row. A/B at sf0.1: 8.0 s -> 4.0 s drain,
+    # output hash identical (guide §1.2: remove unnecessary passes).
     stream = normalize_event_ts(
-        spark.readStream.schema(batch_schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(stage)
+        spark.readStream.schema(batch_schema).parquet(stage)
     )
     keyed = (
         # untimed events quarantine BEFORE the state machine: unlike the
@@ -785,7 +846,12 @@ def run_stream_stateful_sessions_over_events(
     )
     sessions = stateful_sessions(keyed, 10, out_schema)
     try:
-        drained = _drain(sessions, query_name)
+        # partition-count-independent result (oracle-parity swept at
+        # 3/32/200 partitions); only the state-exchange width changes
+        with _shuffle_partitions_override(
+            spark, _scaled_state_partitions(stage)
+        ):
+            drained = _drain(sessions, query_name)
     finally:
         # the memory sink holds the rows; the staged copy is dead weight
         import shutil
@@ -820,10 +886,9 @@ def run_stream_dynamic_gap_sessions_over_events(
 
     stage = _stage_events_with_sentinel(spark, sf_dir)
     batch_schema = spark.read.parquet(os.path.join(stage, "00_events.parquet")).schema
+    # one data batch — see the fixed-gap runner for the A/B rationale
     stream = normalize_event_ts(
-        spark.readStream.schema(batch_schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(stage)
+        spark.readStream.schema(batch_schema).parquet(stage)
     )
     keyed = (
         stream.where(F.col("ts").isNotNull())  # see the fixed-gap runner
@@ -845,7 +910,11 @@ def run_stream_dynamic_gap_sessions_over_events(
         gap_minutes_for_key=lambda key: 5 + (key[0] % 3) * 5,
     )
     try:
-        drained = _drain(sessions, query_name)
+        # same data-scaled state-partition policy as the fixed-gap runner
+        with _shuffle_partitions_override(
+            spark, _scaled_state_partitions(stage)
+        ):
+            drained = _drain(sessions, query_name)
     finally:
         import shutil
 
