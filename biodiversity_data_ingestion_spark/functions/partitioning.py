@@ -81,6 +81,38 @@ def global_row_number(
     )
 
 
+def scaled_shuffle_partitions(
+    paths,
+    target_partition_bytes: int = 128 << 20,
+    floor: int = 8,
+) -> int:
+    """Shuffle/state partition count derived from INPUT SIZE instead of
+    a session constant: ceil(total bytes / target) with a small floor.
+
+    ``spark.sql.shuffle.partitions`` is sized for the whole session; a
+    job over one small table inherits it and pays per-partition fixed
+    overhead for partitions that hold a few KB each, while a huge input
+    would underfill at the same constant. Deriving the count from the
+    bytes actually being processed is the scale-adaptive policy the
+    optimization guide prescribes (§2.2: size partitions to 100 MB-1 GB)
+    — at 100 TB this yields thousands of partitions, on testdata a
+    handful. ``paths`` is an iterable of files and/or directories
+    (directories are summed one level deep — the staged-replay layout).
+    """
+    import os as _os
+
+    total = 0
+    for p in paths:
+        if _os.path.isdir(p):
+            for name in _os.listdir(p):
+                q = _os.path.join(p, name)
+                if _os.path.isfile(q):
+                    total += _os.path.getsize(q)
+        elif _os.path.isfile(p):
+            total += _os.path.getsize(p)
+    return max(floor, -(-total // target_partition_bytes))
+
+
 def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
     """Round-robin repartition to cluster parallelism iff the plan
     currently has fewer partitions than that.

@@ -117,12 +117,11 @@ def _scaled_state_partitions(
     partitions — while small replays stop paying fixed overhead
     (guide §2.2: fewer, larger reduce partitions; measured 20-25 %
     off the drain at sf0.1)."""
-    total = 0
-    for name in os.listdir(stage):
-        p = os.path.join(stage, name)
-        if os.path.isfile(p):
-            total += os.path.getsize(p)
-    return max(floor, -(-total // target_partition_bytes))
+    from ..functions.partitioning import scaled_shuffle_partitions
+
+    return scaled_shuffle_partitions(
+        [stage], target_partition_bytes=target_partition_bytes, floor=floor
+    )
 
 
 class _shuffle_partitions_override:

@@ -114,19 +114,44 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_ts(stream)
 
 
-def _drain_to_memory_table(spark: SparkSession, agg: DataFrame, query_name: str) -> DataFrame:
+def _drain_to_memory_table(
+    spark: SparkSession,
+    agg: DataFrame,
+    query_name: str,
+    sf_dir: str | None = None,
+) -> DataFrame:
+    """Drain a bounded streaming aggregate into a memory table.
+
+    When ``sf_dir`` is given, the streaming state/shuffle partition
+    count is derived from the events table's on-disk size for the
+    duration of the query (same data-scaled policy as the stateful
+    runners — see functions.partitioning.scaled_shuffle_partitions;
+    results are partition-count independent, only the state-exchange
+    width changes)."""
+    from .stateful import _shuffle_partitions_override
+    from ..functions.partitioning import scaled_shuffle_partitions
+
     try:
         spark.catalog.dropTempView(query_name)
     except Exception:
         pass
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout=300)
+
+    def _start_and_drain():
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=300)
+
+    if sf_dir is not None:
+        n = scaled_shuffle_partitions([f"{sf_dir}/events.parquet"])
+        with _shuffle_partitions_override(spark, n):
+            _start_and_drain()
+    else:
+        _start_and_drain()
     return spark.table(query_name)
 
 
@@ -143,7 +168,8 @@ def run_stream_over_events(
     :func:`run_stream_append_to_files` (append mode, durable sink,
     watermark-finalized windows, bounded state)."""
     return _drain_to_memory_table(
-        spark, windowed_event_counts(events_stream(spark, sf_dir)), query_name
+        spark, windowed_event_counts(events_stream(spark, sf_dir)), query_name,
+        sf_dir=sf_dir,
     )
 
 
@@ -196,7 +222,8 @@ def run_stream_sessions_over_events(
     Drained over the bounded replay, the result must equal the batch
     gaps-and-islands aggregation (the user_sessions oracle)."""
     return _drain_to_memory_table(
-        spark, session_event_counts(events_stream(spark, sf_dir)), query_name
+        spark, session_event_counts(events_stream(spark, sf_dir)), query_name,
+        sf_dir=sf_dir,
     )
 
 
@@ -207,7 +234,8 @@ def run_stream_sliding_over_events(
     (duration 2h, slide 1h: every event lands in two windows; state
     keyed by (window, type), bounded by time range x types)."""
     return _drain_to_memory_table(
-        spark, sliding_event_counts(events_stream(spark, sf_dir)), query_name
+        spark, sliding_event_counts(events_stream(spark, sf_dir)), query_name,
+        sf_dir=sf_dir,
     )
 
 
@@ -224,7 +252,8 @@ def run_stream_windowed_topk_over_events(
     from pyspark.sql import Window as W
 
     agg = _drain_to_memory_table(
-        spark, windowed_event_counts(events_stream(spark, sf_dir)), query_name
+        spark, windowed_event_counts(events_stream(spark, sf_dir)), query_name,
+        sf_dir=sf_dir,
     )
     w = W.partitionBy("window_start").orderBy(
         F.desc("n_events"), "event_type"
@@ -262,4 +291,4 @@ def run_stream_static_enrichment_over_events(
         # not deterministic for double sums (see plans/_q1)
         dec_sum("value").alias("sum_value"),
     )
-    return _drain_to_memory_table(spark, enriched, query_name)
+    return _drain_to_memory_table(spark, enriched, query_name, sf_dir=sf_dir)
