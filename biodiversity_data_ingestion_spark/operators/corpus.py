@@ -117,7 +117,14 @@ def connected_components(
         .persist()
     )
     # convergence aggregate carries the non-root count as a second
-    # scalar over the same scan — the free broadcast-gate bound
+    # scalar over the same scan — the free broadcast-gate bound.
+    # NOTE (r14): broadcasting the per-round label frontier (as pagerank/
+    # hits/LPA do under the drop-list gate) was tried and REVERTED — the
+    # frontier is the full O(nodes) label table rebuilt every round, and
+    # the per-round broadcast build serialized a consistent +0.5-0.9 s
+    # onto dedup_components across 3 A/B process-pairs; the edges-side
+    # shuffle it saves is already co-partitioned round over round, so
+    # there was nothing to win back.
     conv_agg = [
         F.sum("component"),
         F.sum((F.col("node") != F.col("component")).cast("long")),
@@ -681,6 +688,14 @@ def pagerank(
     # ceiling, plain shuffle join and AQE strategizes (the generic
     # 100 TB path, where ranks are O(nodes) and cannot broadcast).
     hint_ranks = n_nodes <= DROP_LIST_BROADCAST_ROWS
+    if hint_ranks:
+        # under the same gate, broadcast the (<= |nodes|)-row degree
+        # table into the per-round rank join and the per-round contrib
+        # result into the rank rebuild: the rank frontier and the node
+        # table (both checkpointed RDDs) then never re-shuffle — the
+        # only per-round exchange left is the contribution groupBy
+        # (guide §2.4: remove shuffles outright)
+        deg = F.broadcast(deg)
     ranks = nodes.select(
         "node", F.lit(scale // n_nodes).cast("long").alias("r")
     ).localCheckpoint(eager=False)
@@ -704,7 +719,11 @@ def pagerank(
             )
         )
         ranks = (
-            nodes.join(contribs, "node", "left")
+            nodes.join(
+                F.broadcast(contribs) if hint_ranks else contribs,
+                "node",
+                "left",
+            )
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
@@ -777,9 +796,19 @@ def k_core(
             .agg(F.count(F.lit(1)).alias("d"))
         )
         keep = deg.where(F.col("d") >= k).select("node")
+        # keep has at most 2*n_edges rows (one per endpoint), and
+        # n_edges is already counted each round for convergence — a free
+        # broadcast gate (same ceiling as gated_anti_join). Broadcasting
+        # the survivor set means the edge table never re-shuffles: the
+        # per-round exchanges drop from three (degree groupBy + two
+        # semi-join repartitions of cur) to the degree groupBy alone.
+        keep_u = keep.select(F.col("node").alias("u"))
+        keep_v = keep.select(F.col("node").alias("v"))
+        if 2 * n_edges <= DROP_LIST_BROADCAST_ROWS:
+            keep_u, keep_v = F.broadcast(keep_u), F.broadcast(keep_v)
         nxt = (
-            cur.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
-            .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
+            cur.join(keep_u, "u", "left_semi")
+            .join(keep_v, "v", "left_semi")
             .localCheckpoint(eager=False)
         )
         n_next = nxt.count()
@@ -897,7 +926,10 @@ def hits(
             F.coalesce(F.sum("raw"), F.lit(0)).cast("long").alias("l1")
         )
         out = (
-            nodes.join(raw, "node", "left")
+            # raw is <= |nodes| rows of (node, sum): under the same gate
+            # as the frontier broadcast, build it as the hash side so the
+            # checkpointed node table never re-shuffles per half-round
+            nodes.join(F.broadcast(raw) if hint else raw, "node", "left")
             .crossJoin(F.broadcast(norm))
             .select(
                 "node",
@@ -997,16 +1029,31 @@ def label_propagation(
             .groupBy(F.col("e_src"), F.col("label"))
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        w = Window.partitionBy("e_src").orderBy(
-            F.desc("cnt"), F.asc("label")
-        )
+        # argmax as a struct MAX instead of a row_number window: max
+        # count, ties toward the SMALLEST label == max of (cnt, -label)
+        # — identical winner (labels are non-null bigints), but the
+        # aggregate partially combines map-side and skips the window's
+        # per-partition sort, so the second exchange carries one row per
+        # node instead of one per (node, label) (guide §2.3: aggregate
+        # before you shuffle).
         winner = (
-            counts.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") == 1)
-            .select(F.col("e_src").alias("node"), F.col("label").alias("new_label"))
+            counts.groupBy("e_src")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+                ).alias("m")
+            )
+            .select(
+                F.col("e_src").alias("node"),
+                (-F.col("m.nl")).alias("new_label"),
+            )
         )
+        # broadcast the winner under the same gate as the frontier: the
+        # label table (a checkpointed RDD) then never re-shuffles
         labels = (
-            labels.join(winner, "node", "left")
+            labels.join(
+                F.broadcast(winner) if hint else winner, "node", "left"
+            )
             .select(
                 "node",
                 F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
