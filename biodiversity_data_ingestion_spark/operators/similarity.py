@@ -424,17 +424,42 @@ def kmeans_lloyd(
 
     assigned = None
     for it in range(n_iter):
-        scored = vecs.crossJoin(F.broadcast(cents)).select(
+        # r14: the k-row centroid table folds into ONE row holding an
+        # array of (cluster, cvec) structs, and the argmin becomes a
+        # pure PROJECTION (array_min over a transform — struct
+        # comparison orders by d then c, identical to the former
+        # min-over-rows semantics, same integer arithmetic, bit-exact).
+        # The former shape (crossJoin(broadcast(cents)) + groupBy(vid))
+        # materialized k rows per vector and re-shuffled the whole
+        # (vid, v) table every iteration just to take the k-way min;
+        # now the only per-iteration exchange is the centroid update's
+        # map-side-combinable groupBy (guide §2.4: remove shuffles
+        # outright). A/B at sf0.1: kmeans_clusters (k=8, n_iter=4)
+        # 4.92 -> 3.79 s best-of-4 on the clean pair (4.07 -> 2.95 over
+        # 17 interleaved samples), result hashes identical.
+        cents_row = cents.agg(
+            F.collect_list(F.struct("cluster", "cvec")).alias("_cents")
+        )
+        assigned = vecs.crossJoin(F.broadcast(cents_row)).select(
             "vid",
             "v",
-            F.struct(
-                sq_l2_int(F.col("v"), F.col("cvec")).alias("d"),
-                F.col("cluster").alias("c"),
-            ).alias("dc"),
+            F.array_min(
+                F.transform(
+                    F.col("_cents"),
+                    lambda cc: F.struct(
+                        sq_l2_int(F.col("v"), cc["cvec"]).alias("d"),
+                        cc["cluster"].alias("c"),
+                    ),
+                )
+            )["c"].alias("cluster"),
         )
-        assigned = scored.groupBy("vid").agg(
-            F.min("dc")["c"].alias("cluster"), F.first("v").alias("v")
-        )
+        if it == n_iter - 1 and not return_centroids:
+            # the post-final-assign centroid update is consumed only by
+            # return_centroids callers (PQ codebooks); skipping it for
+            # assignment-only callers drops one full assign+update pass
+            # — dead-code elimination, the trajectory up to the final
+            # assignment is untouched
+            break
         cents = (
             assigned.select("cluster", F.posexplode("v").alias("dim", "val"))
             .groupBy("cluster", "dim")
