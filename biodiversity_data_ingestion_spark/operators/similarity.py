@@ -349,6 +349,50 @@ def quantize_vec(col: Column, scale: int = KMEANS_SCALE) -> Column:
     )
 
 
+def _sq_l2_dec(a: Column, b: Column) -> Column:
+    """Exact decimal integer squared-L2 between quantized vectors.
+
+    decimal accumulation: quantized coords can reach ~2^31 for
+    out-of-envelope inputs (unit vectors are ~2^24), and a bigint
+    square would overflow under ANSI mode. decimal(18,0) holds any
+    |diff| < 1e18, the square fits decimal(37,0), and the running sum
+    decimal(38,0) — all exact integers, so the min-comparison (and the
+    SQL oracle's HUGEINT sum) agree bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x - y).cast("decimal(18,0)")
+            * (x - y).cast("decimal(18,0)"),
+        ),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, d: acc + d,
+    )
+
+
+def _argmin_cluster(v: Column, cents_arr: Column) -> Column:
+    """Nearest-centroid id: argmin of exact squared-L2 with cluster-id
+    tie-break, over a (cluster, cvec) struct-array column (the one-row
+    broadcast fold of a centroid table). array_min over structs orders
+    by d then c — identical to a min-over-rows of the same struct."""
+    return F.array_min(
+        F.transform(
+            cents_arr,
+            lambda cc: F.struct(
+                _sq_l2_dec(v, cc["cvec"]).alias("d"),
+                cc["cluster"].alias("c"),
+            ),
+        )
+    )["c"]
+
+
+def _cents_as_row(cents: DataFrame, alias: str = "_cents") -> DataFrame:
+    """Fold a k-row centroid table into ONE row holding the
+    (cluster, cvec) struct array — the broadcast-projection argmin's
+    input (see kmeans_lloyd)."""
+    return cents.agg(F.collect_list(F.struct("cluster", "cvec")).alias(alias))
+
+
 def kmeans_lloyd(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -356,6 +400,7 @@ def kmeans_lloyd(
     k: int = 8,
     n_iter: int = 5,
     return_centroids: bool = False,
+    return_assign_centroids: bool = False,
 ):
     """Deterministic FIXED-POINT Lloyd k-means over an embedding column.
 
@@ -388,7 +433,13 @@ def kmeans_lloyd(
     ``return_centroids=True`` returns (assignments, centroids) where
     centroids is the post-final-assign update (cluster, cvec) with
     cvec the KMEANS_SCALE-denominated integer coordinates — the
-    code/codebook pair product quantization consumes.
+    code/codebook pair product quantization consumes. With
+    ``return_assign_centroids=True`` returns (assign_cents, centroids)
+    INSTEAD — assign_cents being the (checkpointed) centroid table the
+    final assignment used — and never materializes the assignments:
+    a caller that re-derives assignments as a projection
+    (:func:`_argmin_cluster` over the folded assign_cents — bit-exact
+    by construction) skips one full assign-pass job per call.
     """
     vecs = corpus.select(
         F.col(id_col).alias("vid"), quantize_vec(F.col(vec_col)).alias("v")
@@ -403,63 +454,37 @@ def kmeans_lloyd(
         .localCheckpoint()
     )
 
-    def sq_l2_int(a: Column, b: Column) -> Column:
-        # exact decimal accumulation: quantized coords can reach ~2^31
-        # for out-of-envelope inputs (unit vectors are ~2^24), and a
-        # bigint square would overflow under ANSI mode. decimal(18,0)
-        # holds any |diff| < 1e18, the square fits decimal(37,0), and
-        # the running sum decimal(38,0) — all exact integers, so the
-        # min-comparison (and the SQL oracle's HUGEINT sum) agree
-        # bit-for-bit.
-        return F.aggregate(
-            F.zip_with(
-                a,
-                b,
-                lambda x, y: (x - y).cast("decimal(18,0)")
-                * (x - y).cast("decimal(18,0)"),
-            ),
-            F.lit(0).cast("decimal(38,0)"),
-            lambda acc, d: acc + d,
-        )
-
     assigned = None
+    assign_cents = None
     for it in range(n_iter):
         # r14: the k-row centroid table folds into ONE row holding an
         # array of (cluster, cvec) structs, and the argmin becomes a
-        # pure PROJECTION (array_min over a transform — struct
-        # comparison orders by d then c, identical to the former
-        # min-over-rows semantics, same integer arithmetic, bit-exact).
-        # The former shape (crossJoin(broadcast(cents)) + groupBy(vid))
-        # materialized k rows per vector and re-shuffled the whole
-        # (vid, v) table every iteration just to take the k-way min;
-        # now the only per-iteration exchange is the centroid update's
-        # map-side-combinable groupBy (guide §2.4: remove shuffles
-        # outright). A/B at sf0.1: kmeans_clusters (k=8, n_iter=4)
-        # 4.92 -> 3.79 s best-of-4 on the clean pair (4.07 -> 2.95 over
-        # 17 interleaved samples), result hashes identical.
-        cents_row = cents.agg(
-            F.collect_list(F.struct("cluster", "cvec")).alias("_cents")
-        )
-        assigned = vecs.crossJoin(F.broadcast(cents_row)).select(
+        # pure PROJECTION (_argmin_cluster — array_min over a
+        # transform; struct comparison orders by d then c, identical to
+        # the former min-over-rows semantics, same integer arithmetic,
+        # bit-exact). The former shape (crossJoin(broadcast(cents)) +
+        # groupBy(vid)) materialized k rows per vector and re-shuffled
+        # the whole (vid, v) table every iteration just to take the
+        # k-way min; now the only per-iteration exchange is the
+        # centroid update's map-side-combinable groupBy (guide §2.4:
+        # remove shuffles outright). A/B at sf0.1: kmeans_clusters
+        # (k=8, n_iter=4) 4.92 -> 3.79 s best-of-4 on the clean pair
+        # (4.07 -> 2.95 over 17 interleaved samples), result hashes
+        # identical.
+        assigned = vecs.crossJoin(F.broadcast(_cents_as_row(cents))).select(
             "vid",
             "v",
-            F.array_min(
-                F.transform(
-                    F.col("_cents"),
-                    lambda cc: F.struct(
-                        sq_l2_int(F.col("v"), cc["cvec"]).alias("d"),
-                        cc["cluster"].alias("c"),
-                    ),
-                )
-            )["c"].alias("cluster"),
+            _argmin_cluster(F.col("v"), F.col("_cents")).alias("cluster"),
         )
-        if it == n_iter - 1 and not return_centroids:
-            # the post-final-assign centroid update is consumed only by
-            # return_centroids callers (PQ codebooks); skipping it for
-            # assignment-only callers drops one full assign+update pass
-            # — dead-code elimination, the trajectory up to the final
-            # assignment is untouched
-            break
+        if it == n_iter - 1:
+            assign_cents = cents
+            if not return_centroids and not return_assign_centroids:
+                # the post-final-assign centroid update is consumed
+                # only by return_centroids callers (PQ codebooks);
+                # skipping it for assignment-only callers drops one
+                # dead assign+update pass — the trajectory up to the
+                # final assignment is untouched
+                break
         cents = (
             assigned.select("cluster", F.posexplode("v").alias("dim", "val"))
             .groupBy("cluster", "dim")
@@ -474,6 +499,10 @@ def kmeans_lloyd(
         # the chained multi-round plan re-scans vecs per level and
         # serializes its nested broadcasts inside one job — 3.7 s vs
         # 3.2 s at sf0.1. Per-round checkpoints win.
+    if return_assign_centroids:
+        # the caller re-derives assignments as a projection (bit-exact
+        # by construction) — never pay the materialization job
+        return assign_cents, cents
     # materialize the final assignment (ids only, vectors dropped
     # first): consumers like SemDeDup and IVF reference the clustering
     # from BOTH sides of a self-join, and an unmaterialized assignment
@@ -641,7 +670,6 @@ def pq_adc_topk(
     width_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
     width = width_row["d"] // n_subspaces
 
-    coded = corpus.select(F.col(id_col).alias("vec_id"))
     tables = []
     qv = queries.select(
         F.col(id_col).alias("query_id"), quantize_vec(F.col(vec_col)).alias("qv")
@@ -664,17 +692,32 @@ def pq_adc_topk(
             vec_col="sv",
             k=codes_per_subspace,
             n_iter=n_iter,
-            return_centroids=True,
+            return_assign_centroids=True,
         )
 
     with ThreadPoolExecutor(max_workers=n_subspaces) as pool:
         trained = list(pool.map(_train, range(n_subspaces)))
 
+    # r14: codes are computed INLINE as projections against the
+    # broadcast assign-step centroid arrays — the former shape joined
+    # n_subspaces materialized assignment tables back onto the corpus
+    # by vec_id (a 4-deep SortMergeJoin chain: 4 Exchanges + 3 sorts of
+    # O(corpus) rows in the plan), purely to re-attach values that are
+    # a pure function of the vector itself. quantize_vec is elementwise
+    # so quantize(slice(x)) == slice(quantize(x)), and _argmin_cluster
+    # is the identical decimal arithmetic the kmeans assign step runs —
+    # codes are bit-equal to the materialized assignments they replace
+    # (guide §2.4: remove shuffles outright; §8: never shuffle the
+    # payload to attach a value derivable from it).
+    # per-row decimal argmin x n_subspaces is CPU-bound; fan_out lifts
+    # the scan to cluster parallelism when the parquet split count is
+    # below it (no-op at scale — same guard as cosine_topk)
+    scored = fan_out(corpus).select(
+        F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col)).alias("_xq")
+    )
     for s in range(n_subspaces):
-        assign, cents = trained[s]
-        coded = coded.join(
-            assign.withColumnRenamed("cluster", f"code_{s}"), "vec_id"
-        )
+        acents, cents = trained[s]
+        scored = scored.crossJoin(F.broadcast(_cents_as_row(acents, f"_ac{s}")))
         # query -> centroid integer sq-L2 per (subspace, code): the ADC
         # lookup table slice (queries x codes rows, kilobytes)
         qslice = qv.select(
@@ -705,10 +748,31 @@ def pq_adc_topk(
                 dist.alias(f"d_{s}"),
             )
         )
-    # fold the per-subspace lookups into one map-side sum per (query, vec)
-    scored = coded.crossJoin(
-        F.broadcast(qv.select("query_id"))
-    )
+    # derive the per-subspace codes in one projection over the single
+    # corpus scan, MATERIALIZED once (vec_id + n_subspaces 1-byte-range
+    # codes — the PQ code table itself): without the barrier Catalyst
+    # collapses the argmin projections into the downstream ADC join
+    # conditions, re-evaluating the decimal argmin per (vec, query)
+    # pair inside BroadcastNestedLoopJoins (observed in the plan). The
+    # former shape materialized n_subspaces full assignment tables and
+    # re-attached them with a 4-deep SortMergeJoin chain (4 Exchanges +
+    # 3 sorts of O(corpus) rows) after 4 separate assign passes; one
+    # narrow checkpoint over ONE corpus pass replaces all of that.
+    # Local sf0.1 timing is a wash (bests 2.8-4.9 s overlap across 10
+    # A/B process-pairs — the fused pass serializes what the thread
+    # pool used to overlap), but at scale this removes three corpus
+    # passes and five corpus-sized exchanges. Then fold the
+    # per-subspace lookups into one map-side sum per (query, vec).
+    coded = scored.select(
+        "vec_id",
+        *[
+            _argmin_cluster(sub(F.col("_xq"), s, width), F.col(f"_ac{s}")).alias(
+                f"code_{s}"
+            )
+            for s in range(n_subspaces)
+        ],
+    ).localCheckpoint()
+    scored = coded.crossJoin(F.broadcast(qv.select("query_id")))
     total = None
     for s in range(n_subspaces):
         t = tables[s].select("query_id", f"code_{s}", f"d_{s}")
