@@ -242,11 +242,22 @@ def main() -> None:
     # regression against every prior BENCH_r{N}. Round-over-round
     # comparability wins; load brackets below + the A/B-in-one-process
     # rule (NOTES.md) remain the defense against ambient-load noise.
+    # r14: probe cadence 10 -> 5 queries (the r13 verdict's
+    # between-probe blindspot: contention SHIFTED between probe points
+    # in every r13 run). Each query additionally records which probe
+    # block it ran in, so `queries_normalized_local` below can divide
+    # by the median of the probes BRACKETING that block instead of the
+    # global run median — the per-block figure tracks contention that
+    # moves mid-run. Query timing methodology itself is unchanged
+    # (same consecutive best-of-3, same noop sink, same order).
+    _CAL_EVERY = 5
     timings: dict[str, float] = {}
     all_reps: dict[str, list[float]] = {}
+    block_of: dict[str, int] = {}
     for qi, name in enumerate(HEADLINE):
-        if qi and qi % 10 == 0:
+        if qi and qi % _CAL_EVERY == 0:
             cal_times.append(_calibrate(spark))
+        block_of[name] = len(cal_times) - 1
         best = None
         reps = []
         for _ in range(3):
@@ -262,6 +273,12 @@ def main() -> None:
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
     cal_times.append(_calibrate(spark))
     cal = statistics.median(cal_times)
+    # per-block divisor: median of the probe just before and just after
+    # the query's block (the two measurements closest in time)
+    local_cal = {
+        n: statistics.median(cal_times[b : b + 2])
+        for n, b in block_of.items()
+    }
 
     # FIELD ORDER MATTERS: the round artifact keeps only the LAST ~2000
     # chars of this line (r11's "value" was already truncated away), so
@@ -294,6 +311,13 @@ def main() -> None:
             # raw seconds only within one run (r12 verdict #2)
             "queries_normalized": {
                 n: round(t / cal, 2) for n, t in timings.items()
+            },
+            # r14: same figure but divided by the median of the two
+            # probes BRACKETING the query's 5-query block — robust to
+            # contention that shifts between blocks (read this one
+            # when calibration_spread > ~1.3)
+            "queries_normalized_local": {
+                n: round(t / local_cal[n], 2) for n, t in timings.items()
             },
             "sf": sf,
             "value": round(sum(timings.values()), 3),
