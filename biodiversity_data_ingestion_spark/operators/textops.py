@@ -105,6 +105,8 @@ def text_features(
     text: str,
     keep: tuple[str, ...] = (),
     words_col: str | None = None,
+    n_chars_col: str | None = None,
+    n_punct_col: str | None = None,
 ) -> DataFrame:
     """One-pass fusion of language_id + quality_score: identical output
     columns, computed from a single scan with shared tokenization.
@@ -121,10 +123,17 @@ def text_features(
 
     ``words_col`` optionally supplies a pre-computed
     tokenize(lower(text)) array (the tokenize-once pipeline pattern —
-    same Column tree, so values are unchanged); raw ``text`` is still
-    required for the punctuation ratio.
+    same Column tree, so values are unchanged); raw ``text`` is then
+    still required for the punctuation ratio UNLESS ``n_chars_col`` /
+    ``n_punct_col`` additionally supply pre-computed ``length(text)``
+    and ``length(text) - length(regexp_replace(text, '[^\\w\\s]', ''))``
+    — with all three supplied the raw text column need not be in ``df``
+    at all, so a pipeline cache can hold two longs instead of the full
+    document (guide §2.3: narrower types / project before the
+    exchange). The ratio arithmetic sees the same integers either way,
+    so values (and oracle hashes) are bit-identical.
     """
-    t = F.col(text)
+    t = F.col(text) if text in df.columns else None
     words = F.col(words_col) if words_col else tokenize(F.lower(t))
     counts = {lang: _count_in(words, vocab) for lang, vocab in _LANG_MARKERS.items()}
     best = None
@@ -133,12 +142,17 @@ def text_features(
         best = pair if best is None else F.when(pair["score"] > best["score"], pair).otherwise(best)
     n_words = F.size(words)
     stop = counts["en"]
-    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_chars = F.col(n_chars_col) if n_chars_col else F.length(t)
+    n_punct = (
+        F.col(n_punct_col)
+        if n_punct_col
+        else F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    )
     mean_wlen = F.round(
         F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w)) / n_words, 4
     )
     stop_ratio = F.round(stop / n_words, 4)
-    punct_ratio = F.round(n_punct / F.greatest(F.length(t), F.lit(1)), 4)
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4)
     score = F.round(
         F.when(n_words >= 5, F.lit(1.0)).otherwise(F.lit(0.0))
         * (F.lit(1.0) - punct_ratio)

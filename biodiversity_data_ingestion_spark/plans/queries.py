@@ -8155,9 +8155,18 @@ def _corpus_curation_pipeline(spark, sf_dir):
     # computed a single time and cached (persist materializes inside
     # the first branch's job). Values are bit-identical to the
     # per-branch expressions — same Column tree.
+    # r14: the cache no longer holds raw text — the only consumer of it
+    # was the punctuation ratio, whose two inputs (length(text) and the
+    # punct count) are computed at cache-fill time into two LONGs
+    # instead (guide §2.3: cache/shuffle narrow metadata, not payloads;
+    # same integers reach the ratio, so values are bit-identical).
+    t = F.col("text")
     tok = fan_out(docs).select(
-        "doc_id", "source", "text",
-        tokenize(F.lower(F.col("text"))).alias("_words"),
+        "doc_id", "source",
+        tokenize(F.lower(t)).alias("_words"),
+        F.length(t).alias("_n_chars"),
+        (F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", "")))
+        .alias("_n_punct"),
     ).persist()
     pairs = dedup.ngram_jaccard_pairs(
         tok, "doc_id", "text", n=3, threshold=0.5, words_col="_words"
@@ -8177,7 +8186,8 @@ def _corpus_curation_pipeline(spark, sf_dir):
     # list is broadcast only when provably small — see
     # corpus.gated_anti_join for the 100 TB rationale.
     feats = textops.text_features(
-        tok, "doc_id", "text", keep=("source",), words_col="_words"
+        tok, "doc_id", "text", keep=("source",), words_col="_words",
+        n_chars_col="_n_chars", n_punct_col="_n_punct",
     ).select("doc_id", "source", "predicted_lang", "n_words", "quality")
     kept = corpus.gated_anti_join(feats, losers, "doc_id", drop_count=n_losers).where(
         (F.col("quality") >= 0.4) & (F.col("n_words") >= 5)

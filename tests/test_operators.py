@@ -767,6 +767,44 @@ def test_text_features_fusion_matches_joins(spark):
     assert fused == joined
 
 
+def test_text_features_precomputed_punct_matches_text_path(spark):
+    # r14 narrow-cache path: supplying pre-computed tokenize/length/
+    # punct columns (so the raw text column is absent from the cached
+    # frame) must be row-identical to the text-column path — the
+    # corpus_curation_pipeline relies on this to cache two longs
+    # instead of the full document
+    from pyspark.sql import functions as F
+
+    from biodiversity_data_ingestion_spark.functions.textfn import tokenize
+    from biodiversity_data_ingestion_spark.operators import textops
+    from biodiversity_data_ingestion_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(300)
+    t = F.col("text")
+    narrow = docs.select(
+        "doc_id", "source",
+        tokenize(F.lower(t)).alias("_words"),
+        F.length(t).alias("_n_chars"),
+        (F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", "")))
+        .alias("_n_punct"),
+    )
+    assert "text" not in narrow.columns
+    got = {
+        tuple(r)
+        for r in textops.text_features(
+            narrow, "doc_id", "text", keep=("source",), words_col="_words",
+            n_chars_col="_n_chars", n_punct_col="_n_punct",
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in textops.text_features(
+            docs, "doc_id", "text", keep=("source",)
+        ).collect()
+    }
+    assert got == want
+
+
 def test_st_within_matches_ray_cast_kernel(spark):
     # the unrolled pure-expression ray cast must agree with the numpy
     # kernel on every grid point — including a NON-convex ring, which
