@@ -696,11 +696,20 @@ def pagerank(
         # only per-round exchange left is the contribution groupBy
         # (guide §2.4: remove shuffles outright)
         deg = F.broadcast(deg)
+    # r14: pre-partition the per-round edge cache by the key the rounds
+    # need — gated, the contribution groupBy key (the broadcast sender
+    # join preserves partitioning, so the last per-round |edges|
+    # exchange disappears and rounds run exchange-free); ungated, the
+    # sender join key (the SMJ then exchanges only the O(nodes) side
+    # per round). One exchange paid once replaces one per round (guide
+    # §2.4). persist, not localCheckpoint: LogicalRDD under AQE reports
+    # UnknownPartitioning, InMemoryRelation preserves the partitioning.
+    e_r = e.repartition("e_dst" if hint_ranks else "e_src").persist()
     ranks = nodes.select(
         "node", F.lit(scale // n_nodes).cast("long").alias("r")
     ).localCheckpoint(eager=False)
     base = (den - num) * scale // (den * n_nodes)
-    for _ in range(n_iter):
+    for it in range(n_iter):
         with_deg = ranks.join(
             deg, ranks["node"] == deg["deg_node"], "left"
         ).drop("deg_node")
@@ -708,7 +717,7 @@ def pagerank(
         if hint_ranks:
             senders = F.broadcast(senders)
         contribs = (
-            senders.join(e, F.col("node") == F.col("e_src"))
+            senders.join(e_r, F.col("node") == F.col("e_src"))
             .groupBy(F.col("e_dst").alias("node"))
             .agg(F.sum(F.expr("r div out_deg")).alias("contrib"))
         )
@@ -734,8 +743,12 @@ def pagerank(
                     " AS BIGINT)"
                 ).alias("r"),
             )
-            .localCheckpoint(eager=False)
+            # final round EAGER so the edge cache can be released below
+            # (an exchange-free round's last stage otherwise runs at
+            # consume time, after the unpersist, and recomputes e_r)
+            .localCheckpoint(eager=(it == n_iter - 1))
         )
+    e_r.unpersist()
     return ranks.select(
         "node", (F.col("r") / F.lit(float(scale))).alias("rank")
     )
@@ -941,6 +954,17 @@ def hits(
         )
         return out.localCheckpoint(eager=False) if checkpoint else out
 
+    # r14 NOTE (measured, 6/6 alternating fresh-process pairs — do not
+    # retry blind): pre-partitioning the edge table by e_dst via
+    # repartition + persist (the label_propagation / pagerank change)
+    # was tried here and REVERTED. HITS alternates the grouping key per
+    # half-round (auth groups by e_dst, hub by e_src), so a single-key
+    # cache makes only half the halves exchange-free while every half
+    # pays the columnar cache read, and the exchange-free halves lose
+    # map-side partial combining on a power-law key (the hot-authority
+    # partition aggregates raw edge rows alone). OLD bests
+    # 8.45/5.09/4.84/4.29/5.69/5.10 vs NEW 10.80/7.31/6.37/7.06/6.94/
+    # 7.41 on purchase_hits_scores at sf0.1.
     hubs = nodes.select(
         "node", F.lit(scale // n_nodes).cast("long").alias("h")
     ).localCheckpoint(eager=False)
@@ -1019,10 +1043,24 @@ def label_propagation(
             "node", F.col("node").cast("long").alias("community")
         )
     hint = n_nodes <= DROP_LIST_BROADCAST_ROWS
+    # r14: pre-partition the edge cache by the key every round GROUPS on
+    # (gated: the broadcast join preserves partitioning, so both
+    # per-round aggregates — (e_src, label) counts and the per-node
+    # winner — reuse it and the rounds run EXCHANGE-FREE) or, above the
+    # gate, by the key every round JOINS on (the labels join then
+    # exchanges only the O(nodes) side). One |edges| exchange paid once
+    # replaces one-to-two per round (guide §2.4: operations keyed the
+    # same way share one exchange). persist — NOT localCheckpoint —
+    # because LogicalRDD under AQE reports UnknownPartitioning
+    # (AdaptiveSparkPlanExec never overrides outputPartitioning), while
+    # InMemoryRelation preserves the cached plan's partitioning;
+    # verified empirically on this build (plan: zero Exchange above the
+    # InMemoryTableScan in the gated round).
+    e = e.repartition("e_src" if hint else "e_dst").persist()
     labels = nodes.select(
         "node", F.col("node").cast("long").alias("label")
     ).localCheckpoint(eager=False)
-    for _ in range(n_iter):
+    for it in range(n_iter):
         f = F.broadcast(labels) if hint else labels
         counts = (
             e.join(f, F.col("e_dst") == F.col("node"))
@@ -1058,6 +1096,11 @@ def label_propagation(
                 "node",
                 F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
             )
-            .localCheckpoint(eager=False)
+            # final round EAGER so the edge cache can be released below
+            # (an exchange-free round's last stage otherwise runs at
+            # consume time, after the unpersist, and recomputes e);
+            # intermediate rounds stay lazy as before
+            .localCheckpoint(eager=(it == n_iter - 1))
         )
+    e.unpersist()
     return labels.select("node", F.col("label").alias("community"))

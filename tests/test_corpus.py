@@ -975,3 +975,40 @@ def test_label_propagation_empty_graph(spark):
     out = label_propagation(empty, n_iter=2)
     assert out.columns == ["node", "community"]
     assert out.count() == 0
+
+
+def test_graph_iteratives_gate_regimes_identical(spark, monkeypatch):
+    # r14: label_propagation / pagerank pre-partition the per-round
+    # edge cache by a REGIME-DEPENDENT key (gated: the round's groupBy
+    # key, so rounds run exchange-free; ungated: the round's join key).
+    # Pin that both regimes walk the identical integer trajectory — the
+    # partitioning choice must never leak into results.
+    from biodiversity_data_ingestion_spark.operators import corpus
+
+    half = [
+        (1, 2), (2, 3), (1, 3),
+        (5, 6), (6, 7), (5, 7),
+        (3, 4), (4, 5),
+    ]
+    sym = half + [(b, a) for a, b in half]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+
+    gated_lpa = sorted(
+        (r["node"], r["community"])
+        for r in corpus.label_propagation(edges, n_iter=3).collect()
+    )
+    gated_pr = sorted(
+        (r["node"], r["rank"])
+        for r in corpus.pagerank(edges, n_iter=3).collect()
+    )
+    monkeypatch.setattr(corpus, "DROP_LIST_BROADCAST_ROWS", 0)
+    ungated_lpa = sorted(
+        (r["node"], r["community"])
+        for r in corpus.label_propagation(edges, n_iter=3).collect()
+    )
+    ungated_pr = sorted(
+        (r["node"], r["rank"])
+        for r in corpus.pagerank(edges, n_iter=3).collect()
+    )
+    assert gated_lpa == ungated_lpa
+    assert gated_pr == ungated_pr
