@@ -26,6 +26,7 @@ cap so a hot term cannot quadratically load one reducer.
 
 from __future__ import annotations
 
+import os
 import warnings
 
 from pyspark.sql import DataFrame, Window
@@ -646,6 +647,12 @@ def pagerank(
     Returns (node, rank) with rank = fixed/SCALE as double (exact:
     fixed < 2^53 and SCALE is a representable power of ten, so the
     division is correctly rounded identically everywhere).
+
+    EXECUTION NOTE: this builder is EAGER, not a lazy plan — the
+    final round's localCheckpoint(eager=True) runs all ``n_iter``
+    rounds at call time (required so the pre-partitioned edge cache
+    can be released before returning). Callers composing plans should
+    expect the work to happen here, not at the first action.
     """
     num, den, scale = damping_num, damping_den, PAGERANK_SCALE
     # materialize the edge list ONCE: it feeds nodes, out-degrees AND
@@ -709,46 +716,51 @@ def pagerank(
         "node", F.lit(scale // n_nodes).cast("long").alias("r")
     ).localCheckpoint(eager=False)
     base = (den - num) * scale // (den * n_nodes)
-    for it in range(n_iter):
-        with_deg = ranks.join(
-            deg, ranks["node"] == deg["deg_node"], "left"
-        ).drop("deg_node")
-        senders = with_deg.where(F.col("out_deg").isNotNull())
-        if hint_ranks:
-            senders = F.broadcast(senders)
-        contribs = (
-            senders.join(e_r, F.col("node") == F.col("e_src"))
-            .groupBy(F.col("e_dst").alias("node"))
-            .agg(F.sum(F.expr("r div out_deg")).alias("contrib"))
-        )
-        dangling = (
-            with_deg.where(F.col("out_deg").isNull())
-            .agg(
-                F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dangling_r")
+    try:
+        for it in range(n_iter):
+            with_deg = ranks.join(
+                deg, ranks["node"] == deg["deg_node"], "left"
+            ).drop("deg_node")
+            senders = with_deg.where(F.col("out_deg").isNotNull())
+            if hint_ranks:
+                senders = F.broadcast(senders)
+            contribs = (
+                senders.join(e_r, F.col("node") == F.col("e_src"))
+                .groupBy(F.col("e_dst").alias("node"))
+                .agg(F.sum(F.expr("r div out_deg")).alias("contrib"))
             )
-        )
-        ranks = (
-            nodes.join(
-                F.broadcast(contribs) if hint_ranks else contribs,
-                "node",
-                "left",
+            dangling = (
+                with_deg.where(F.col("out_deg").isNull())
+                .agg(
+                    F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dangling_r")
+                )
             )
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                F.expr(
-                    f"CAST({base}"
-                    f" + ({num} * (coalesce(contrib, 0)"
-                    f"             + dangling_r div {n_nodes})) div {den}"
-                    " AS BIGINT)"
-                ).alias("r"),
+            ranks = (
+                nodes.join(
+                    F.broadcast(contribs) if hint_ranks else contribs,
+                    "node",
+                    "left",
+                )
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node",
+                    F.expr(
+                        f"CAST({base}"
+                        f" + ({num} * (coalesce(contrib, 0)"
+                        f"             + dangling_r div {n_nodes})) div {den}"
+                        " AS BIGINT)"
+                    ).alias("r"),
+                )
+                # final round EAGER so the edge cache can be released below
+                # (an exchange-free round's last stage otherwise runs at
+                # consume time, after the unpersist, and recomputes e_r)
+                .localCheckpoint(eager=(it == n_iter - 1))
             )
-            # final round EAGER so the edge cache can be released below
-            # (an exchange-free round's last stage otherwise runs at
-            # consume time, after the unpersist, and recomputes e_r)
-            .localCheckpoint(eager=(it == n_iter - 1))
-        )
-    e_r.unpersist()
+    finally:
+        # exception-safe release (r14 ADVICE): a throw mid-loop or in
+        # the eager final checkpoint must not leak the |edges| cache for
+        # the life of the SparkSession
+        e_r.unpersist()
     return ranks.select(
         "node", (F.col("r") / F.lit(float(scale))).alias("rank")
     )
@@ -917,12 +929,41 @@ def hits(
         )
     hint = n_nodes <= DROP_LIST_BROADCAST_ROWS
 
+    # r15 experiment (VERDICT r14 #1): the r14 SINGLE-key edge cache was
+    # reverted 6/6 because HITS alternates its grouping key per
+    # half-round. The two-sided form keeps one pre-partitioned persisted
+    # cache PER KEY, so every half-round reuses a matching partitioning:
+    # gated, each half groups on its cache's key exchange-free (the
+    # frontier broadcast preserves partitioning); ungated, each half's
+    # SMJ exchanges only the O(nodes) frontier side. Variant "2" salts
+    # the cache partitioning and two-levels the aggregate so
+    # exchange-free halves keep distributed combining on a hot key
+    # (guide §2.5). Env-gated for the alternating fresh-process A/B.
+    _variant = os.environ.get("BDI_HITS_EDGE_CACHE", "0")
+    _salt_n = 16
+    e_by_dst = e_by_src = None
+    if _variant == "1":
+        e_by_dst = e.repartition("e_dst").persist()
+        e_by_src = e.repartition("e_src").persist()
+    elif _variant == "2":
+        e_by_dst = (
+            e.withColumn("salt", F.pmod(F.xxhash64("e_src"), F.lit(_salt_n)))
+            .repartition("e_dst", "salt")
+            .persist()
+        )
+        e_by_src = (
+            e.withColumn("salt", F.pmod(F.xxhash64("e_dst"), F.lit(_salt_n)))
+            .repartition("e_src", "salt")
+            .persist()
+        )
+
     def _half(
         frontier: DataFrame,
         score: str,
         out_key: str,
         in_key: str,
         checkpoint: bool,
+        eager: bool = False,
     ):
         """One half-round: push `score` along edges from `out_key` to
         `in_key`, L1-normalize onto the full node set. Only the HUB
@@ -930,11 +971,31 @@ def hits(
         the hub half that follows), so truncating lineage there would
         double the checkpoint jobs for a fixed depth-2 plan chain."""
         f = F.broadcast(frontier) if hint else frontier
-        raw = (
-            f.join(e, F.col("node") == F.col(out_key))
-            .groupBy(F.col(in_key).alias("node"))
-            .agg(F.sum(score).alias("raw"))
-        )
+        if e_by_dst is not None:
+            # gated: pick the cache partitioned by this half's GROUPING
+            # key (broadcast joins preserve it -> groupBy exchange-free);
+            # ungated: by this half's JOIN key (SMJ exchanges only the
+            # O(nodes) frontier side)
+            pick = in_key if hint else out_key
+            edge = e_by_dst if pick == "e_dst" else e_by_src
+        else:
+            edge = e
+        j = f.join(edge, F.col("node") == F.col(out_key))
+        if _variant == "2":
+            # two-level aggregate: level 1 groups by (key, salt) — a
+            # subset-satisfied partitioning, exchange-free over the
+            # cache; level 2 exchanges <= salt_n rows per node (integer
+            # sums, so the split is exact)
+            raw = (
+                j.groupBy(F.col(in_key).alias("node"), F.col("salt"))
+                .agg(F.sum(score).alias("raw1"))
+                .groupBy("node")
+                .agg(F.sum("raw1").alias("raw"))
+            )
+        else:
+            raw = j.groupBy(F.col(in_key).alias("node")).agg(
+                F.sum(score).alias("raw")
+            )
         norm = raw.agg(
             F.coalesce(F.sum("raw"), F.lit(0)).cast("long").alias("l1")
         )
@@ -952,32 +1013,41 @@ def hits(
                 ).alias(score),
             )
         )
-        return out.localCheckpoint(eager=False) if checkpoint else out
+        return out.localCheckpoint(eager=eager) if checkpoint else out
 
-    # r14 NOTE (measured, 6/6 alternating fresh-process pairs — do not
-    # retry blind): pre-partitioning the edge table by e_dst via
-    # repartition + persist (the label_propagation / pagerank change)
-    # was tried here and REVERTED. HITS alternates the grouping key per
-    # half-round (auth groups by e_dst, hub by e_src), so a single-key
-    # cache makes only half the halves exchange-free while every half
-    # pays the columnar cache read, and the exchange-free halves lose
-    # map-side partial combining on a power-law key (the hot-authority
-    # partition aggregates raw edge rows alone). OLD bests
-    # 8.45/5.09/4.84/4.29/5.69/5.10 vs NEW 10.80/7.31/6.37/7.06/6.94/
-    # 7.41 on purchase_hits_scores at sf0.1.
+    # r14 NOTE (measured, 6/6 alternating fresh-process pairs): a
+    # SINGLE-key pre-partitioned edge cache (the label_propagation /
+    # pagerank change) was tried here and REVERTED — it serves only half
+    # the half-rounds while every half pays the columnar cache read. The
+    # r15 two-sided variant above is the follow-up the r14 verdict asked
+    # to measure. OLD bests 8.45/5.09/4.84/4.29/5.69/5.10 vs single-key
+    # NEW 10.80/7.31/6.37/7.06/6.94/7.41 on purchase_hits_scores at
+    # sf0.1.
+    _caches = [c for c in (e_by_dst, e_by_src) if c is not None]
     hubs = nodes.select(
         "node", F.lit(scale // n_nodes).cast("long").alias("h")
     ).localCheckpoint(eager=False)
     auths = None
-    for i in range(n_iter):
-        # the final round's auth frame feeds the returned join, so it
-        # gets the lineage truncation the intermediate ones skip
-        auths = _half(
-            hubs, "h", "e_src", "e_dst", checkpoint=(i == n_iter - 1)
-        ).withColumnRenamed("h", "a")
-        hubs = _half(
-            auths, "a", "e_dst", "e_src", checkpoint=True
-        ).withColumnRenamed("a", "h")
+    try:
+        for i in range(n_iter):
+            last = i == n_iter - 1
+            # the final round's auth frame feeds the returned join, so
+            # it gets the lineage truncation the intermediate ones skip;
+            # with edge caches in play the final halves are EAGER so the
+            # caches can be released before returning (an exchange-free
+            # half's last stage otherwise runs at consume time, after
+            # the unpersist, and recomputes the cache)
+            auths = _half(
+                hubs, "h", "e_src", "e_dst",
+                checkpoint=last, eager=last and bool(_caches),
+            ).withColumnRenamed("h", "a")
+            hubs = _half(
+                auths, "a", "e_dst", "e_src",
+                checkpoint=True, eager=last and bool(_caches),
+            ).withColumnRenamed("a", "h")
+    finally:
+        for c in _caches:
+            c.unpersist()
     return (
         hubs.join(auths, "node")
         .select(
@@ -1023,6 +1093,12 @@ def label_propagation(
     but the left join keeps the semantics total) retain their label.
 
     Returns (node, community) — community = the propagated label.
+
+    EXECUTION NOTE: this builder is EAGER, not a lazy plan — the
+    final round's localCheckpoint(eager=True) runs all ``n_iter``
+    rounds at call time (required so the pre-partitioned edge cache
+    can be released before returning). Callers composing plans should
+    expect the work to happen here, not at the first action.
     """
     if n_iter < 1:
         raise ValueError("label_propagation: n_iter must be >= 1")
@@ -1060,47 +1136,52 @@ def label_propagation(
     labels = nodes.select(
         "node", F.col("node").cast("long").alias("label")
     ).localCheckpoint(eager=False)
-    for it in range(n_iter):
-        f = F.broadcast(labels) if hint else labels
-        counts = (
-            e.join(f, F.col("e_dst") == F.col("node"))
-            .groupBy(F.col("e_src"), F.col("label"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        # argmax as a struct MAX instead of a row_number window: max
-        # count, ties toward the SMALLEST label == max of (cnt, -label)
-        # — identical winner (labels are non-null bigints), but the
-        # aggregate partially combines map-side and skips the window's
-        # per-partition sort, so the second exchange carries one row per
-        # node instead of one per (node, label) (guide §2.3: aggregate
-        # before you shuffle).
-        winner = (
-            counts.groupBy("e_src")
-            .agg(
-                F.max(
-                    F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
-                ).alias("m")
+    try:
+        for it in range(n_iter):
+            f = F.broadcast(labels) if hint else labels
+            counts = (
+                e.join(f, F.col("e_dst") == F.col("node"))
+                .groupBy(F.col("e_src"), F.col("label"))
+                .agg(F.count(F.lit(1)).alias("cnt"))
             )
-            .select(
-                F.col("e_src").alias("node"),
-                (-F.col("m.nl")).alias("new_label"),
+            # argmax as a struct MAX instead of a row_number window: max
+            # count, ties toward the SMALLEST label == max of (cnt, -label)
+            # — identical winner (labels are non-null bigints), but the
+            # aggregate partially combines map-side and skips the window's
+            # per-partition sort, so the second exchange carries one row per
+            # node instead of one per (node, label) (guide §2.3: aggregate
+            # before you shuffle).
+            winner = (
+                counts.groupBy("e_src")
+                .agg(
+                    F.max(
+                        F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+                    ).alias("m")
+                )
+                .select(
+                    F.col("e_src").alias("node"),
+                    (-F.col("m.nl")).alias("new_label"),
+                )
             )
-        )
-        # broadcast the winner under the same gate as the frontier: the
-        # label table (a checkpointed RDD) then never re-shuffles
-        labels = (
-            labels.join(
-                F.broadcast(winner) if hint else winner, "node", "left"
+            # broadcast the winner under the same gate as the frontier: the
+            # label table (a checkpointed RDD) then never re-shuffles
+            labels = (
+                labels.join(
+                    F.broadcast(winner) if hint else winner, "node", "left"
+                )
+                .select(
+                    "node",
+                    F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+                )
+                # final round EAGER so the edge cache can be released below
+                # (an exchange-free round's last stage otherwise runs at
+                # consume time, after the unpersist, and recomputes e);
+                # intermediate rounds stay lazy as before
+                .localCheckpoint(eager=(it == n_iter - 1))
             )
-            .select(
-                "node",
-                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
-            )
-            # final round EAGER so the edge cache can be released below
-            # (an exchange-free round's last stage otherwise runs at
-            # consume time, after the unpersist, and recomputes e);
-            # intermediate rounds stay lazy as before
-            .localCheckpoint(eager=(it == n_iter - 1))
-        )
-    e.unpersist()
+    finally:
+        # exception-safe release (r14 ADVICE): a throw mid-loop or in
+        # the eager final checkpoint must not leak the |edges| cache for
+        # the life of the SparkSession
+        e.unpersist()
     return labels.select("node", F.col("label").alias("community"))

@@ -134,6 +134,15 @@ def text_features(
     so values (and oracle hashes) are bit-identical.
     """
     t = F.col(text) if text in df.columns else None
+    if t is None and not (words_col and n_chars_col and n_punct_col):
+        # without the raw text, EVERY derived input must be precomputed;
+        # otherwise F.lower(None)/F.length(None) below raises an opaque
+        # TypeError at plan build (r14 verdict robustness nit)
+        raise ValueError(
+            f"text_features: column {text!r} is not in the frame; "
+            "supply words_col, n_chars_col AND n_punct_col when the "
+            "raw text column is absent"
+        )
     words = F.col(words_col) if words_col else tokenize(F.lower(t))
     counts = {lang: _count_in(words, vocab) for lang, vocab in _LANG_MARKERS.items()}
     best = None

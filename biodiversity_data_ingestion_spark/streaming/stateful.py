@@ -127,7 +127,15 @@ def _scaled_state_partitions(
 class _shuffle_partitions_override:
     """Scoped ``spark.sql.shuffle.partitions`` override (streaming
     queries capture the value at query start; restore on exit so the
-    session's batch queries keep their configured count)."""
+    session's batch queries keep their configured count).
+
+    CONCURRENCY NOTE (r14 verdict #4): ``spark.conf`` is SESSION-global,
+    not thread-local — inside the ``with`` block any OTHER query planned
+    on the same session picks up the overridden count. The bench/entry
+    drivers run queries serially, so this is safe there; callers running
+    queries concurrently in one session must serialize around this
+    scope (or plan concurrent work on ``spark.newSession()``, whose conf
+    is independent)."""
 
     def __init__(self, spark, n: int):
         self.spark, self.n = spark, int(n)

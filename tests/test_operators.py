@@ -805,6 +805,24 @@ def test_text_features_precomputed_punct_matches_text_path(spark):
     assert got == want
 
 
+def test_text_features_missing_text_without_precomputed_raises(spark):
+    # r14 verdict robustness nit: when the raw text column is absent the
+    # operator must fail with a CLEAR contract error unless ALL derived
+    # inputs (words/n_chars/n_punct) are precomputed — not an opaque
+    # TypeError from F.lower(None) deep in plan construction
+    import pytest
+
+    from biodiversity_data_ingestion_spark.operators import textops
+
+    narrow = spark.createDataFrame(
+        [(1, ["a", "b"])], "doc_id long, _words array<string>"
+    )
+    with pytest.raises(ValueError, match="text_features.*absent"):
+        textops.text_features(narrow, "doc_id", "text", words_col="_words")
+    with pytest.raises(ValueError, match="text_features.*absent"):
+        textops.text_features(narrow, "doc_id", "text")
+
+
 def test_st_within_matches_ray_cast_kernel(spark):
     # the unrolled pure-expression ray cast must agree with the numpy
     # kernel on every grid point — including a NON-convex ring, which
