@@ -26,7 +26,6 @@ cap so a hot term cannot quadratically load one reducer.
 
 from __future__ import annotations
 
-import os
 import warnings
 
 from pyspark.sql import DataFrame, Window
@@ -899,14 +898,22 @@ def hits(
         h_raw(u) = sum over out-edges (u,v) of a(v)
         h(u)     = (h_raw(u) * SCALE) div sum_u(h_raw)
 
-    Shuffles: one groupBy per half-round keyed on the receiving node
-    (size = |edges|); the L1 norms are 1-row aggregates broadcast via
-    cross join, never collected. Rank frontiers are broadcast into the
-    edge joins when the node table provably fits (same gate as
+    Shuffles: the |edges| table is pre-partitioned ONCE per grouping key
+    (two persisted caches, r15 — see the comment at the build site), so
+    each half-round's groupBy reuses a matching partitioning instead of
+    re-exchanging |edges|; the L1 norms are 1-row aggregates broadcast
+    via cross join, never collected. Rank frontiers are broadcast into
+    the edge joins when the node table provably fits (same gate as
     pagerank); lineage flattened per round with lazy localCheckpoint.
 
     Returns (node, hub, auth) with fixed/SCALE as double (exact: both
     fit 2^53 and SCALE is a power of ten).
+
+    EXECUTION NOTE: this builder is EAGER, not a lazy plan — the final
+    round's localCheckpoint(eager=True) runs all ``n_iter`` rounds at
+    call time (required so the edge caches can be released before
+    returning), same contract as :func:`pagerank` /
+    :func:`label_propagation`.
     """
     if n_iter < 1:
         raise ValueError("hits: n_iter must be >= 1")
@@ -929,33 +936,30 @@ def hits(
         )
     hint = n_nodes <= DROP_LIST_BROADCAST_ROWS
 
-    # r15 experiment (VERDICT r14 #1): the r14 SINGLE-key edge cache was
-    # reverted 6/6 because HITS alternates its grouping key per
-    # half-round. The two-sided form keeps one pre-partitioned persisted
-    # cache PER KEY, so every half-round reuses a matching partitioning:
-    # gated, each half groups on its cache's key exchange-free (the
-    # frontier broadcast preserves partitioning); ungated, each half's
-    # SMJ exchanges only the O(nodes) frontier side. Variant "2" salts
-    # the cache partitioning and two-levels the aggregate so
-    # exchange-free halves keep distributed combining on a hot key
-    # (guide §2.5). Env-gated for the alternating fresh-process A/B.
-    _variant = os.environ.get("BDI_HITS_EDGE_CACHE", "0")
-    _salt_n = 16
-    e_by_dst = e_by_src = None
-    if _variant == "1":
-        e_by_dst = e.repartition("e_dst").persist()
-        e_by_src = e.repartition("e_src").persist()
-    elif _variant == "2":
-        e_by_dst = (
-            e.withColumn("salt", F.pmod(F.xxhash64("e_src"), F.lit(_salt_n)))
-            .repartition("e_dst", "salt")
-            .persist()
-        )
-        e_by_src = (
-            e.withColumn("salt", F.pmod(F.xxhash64("e_dst"), F.lit(_salt_n)))
-            .repartition("e_src", "salt")
-            .persist()
-        )
+    # r15 (VERDICT r14 #1): TWO-SIDED pre-partitioned edge caches. The
+    # r14 SINGLE-key cache was reverted 6/6 pairs because HITS
+    # alternates its grouping key per half-round, so one key served only
+    # half the halves while every half paid the cache read. Keeping one
+    # persisted cache PER KEY lets every half-round reuse a matching
+    # partitioning (guide §2.4): gated, each half groups on its cache's
+    # key EXCHANGE-FREE (the broadcast frontier join preserves
+    # partitioning — subplans plans/r15/hits_{auth,hub}half_gated_*:
+    # 1 Exchange -> 0 per half); ungated (the 100 TB regime), each
+    # half's SMJ pre-partitions the |edges| side by the JOIN key, so
+    # only the O(nodes) frontier exchanges per half (subplans
+    # plans/r15/hits_*_ungated_*: the |edges| exchange moves into the
+    # paid-once cache build) — 6 per-run |edges| exchanges traded for 2.
+    # A/B at sf0.1 (5 pairs, 3/5, medians 4.23 vs 4.02) and 10x sf1
+    # (4 pairs, 2/4) is FLAT locally — kept on the structural argument,
+    # the r14 change-3/5 precedent. A salted two-level variant (cache
+    # partitioned by (key, salt), two-stage sum to keep distributed
+    # combining on a hot key, guide §2.5) was measured 3/3 pairs ~2.4x
+    # WORSE at sf0.1 (medians 4.54 vs 11.08 — an extra per-half exchange
+    # on a uniform-degree graph buys nothing) and dropped; the gate
+    # bounds the exchange-free-regime graph at DROP_LIST_BROADCAST_ROWS
+    # nodes, which caps how bad one hot partition can get.
+    e_by_dst = e.repartition("e_dst").persist()
+    e_by_src = e.repartition("e_src").persist()
 
     def _half(
         frontier: DataFrame,
@@ -971,31 +975,17 @@ def hits(
         the hub half that follows), so truncating lineage there would
         double the checkpoint jobs for a fixed depth-2 plan chain."""
         f = F.broadcast(frontier) if hint else frontier
-        if e_by_dst is not None:
-            # gated: pick the cache partitioned by this half's GROUPING
-            # key (broadcast joins preserve it -> groupBy exchange-free);
-            # ungated: by this half's JOIN key (SMJ exchanges only the
-            # O(nodes) frontier side)
-            pick = in_key if hint else out_key
-            edge = e_by_dst if pick == "e_dst" else e_by_src
-        else:
-            edge = e
-        j = f.join(edge, F.col("node") == F.col(out_key))
-        if _variant == "2":
-            # two-level aggregate: level 1 groups by (key, salt) — a
-            # subset-satisfied partitioning, exchange-free over the
-            # cache; level 2 exchanges <= salt_n rows per node (integer
-            # sums, so the split is exact)
-            raw = (
-                j.groupBy(F.col(in_key).alias("node"), F.col("salt"))
-                .agg(F.sum(score).alias("raw1"))
-                .groupBy("node")
-                .agg(F.sum("raw1").alias("raw"))
-            )
-        else:
-            raw = j.groupBy(F.col(in_key).alias("node")).agg(
-                F.sum(score).alias("raw")
-            )
+        # gated: pick the cache partitioned by this half's GROUPING
+        # key (broadcast joins preserve it -> groupBy exchange-free);
+        # ungated: by this half's JOIN key (SMJ exchanges only the
+        # O(nodes) frontier side)
+        pick = in_key if hint else out_key
+        edge = e_by_dst if pick == "e_dst" else e_by_src
+        raw = (
+            f.join(edge, F.col("node") == F.col(out_key))
+            .groupBy(F.col(in_key).alias("node"))
+            .agg(F.sum(score).alias("raw"))
+        )
         norm = raw.agg(
             F.coalesce(F.sum("raw"), F.lit(0)).cast("long").alias("l1")
         )
@@ -1015,15 +1005,6 @@ def hits(
         )
         return out.localCheckpoint(eager=eager) if checkpoint else out
 
-    # r14 NOTE (measured, 6/6 alternating fresh-process pairs): a
-    # SINGLE-key pre-partitioned edge cache (the label_propagation /
-    # pagerank change) was tried here and REVERTED — it serves only half
-    # the half-rounds while every half pays the columnar cache read. The
-    # r15 two-sided variant above is the follow-up the r14 verdict asked
-    # to measure. OLD bests 8.45/5.09/4.84/4.29/5.69/5.10 vs single-key
-    # NEW 10.80/7.31/6.37/7.06/6.94/7.41 on purchase_hits_scores at
-    # sf0.1.
-    _caches = [c for c in (e_by_dst, e_by_src) if c is not None]
     hubs = nodes.select(
         "node", F.lit(scale // n_nodes).cast("long").alias("h")
     ).localCheckpoint(eager=False)
@@ -1033,21 +1014,23 @@ def hits(
             last = i == n_iter - 1
             # the final round's auth frame feeds the returned join, so
             # it gets the lineage truncation the intermediate ones skip;
-            # with edge caches in play the final halves are EAGER so the
-            # caches can be released before returning (an exchange-free
-            # half's last stage otherwise runs at consume time, after
-            # the unpersist, and recomputes the cache)
+            # the final halves are EAGER so the edge caches can be
+            # released before returning (an exchange-free half's last
+            # stage otherwise runs at consume time, after the unpersist,
+            # and recomputes the cache)
             auths = _half(
                 hubs, "h", "e_src", "e_dst",
-                checkpoint=last, eager=last and bool(_caches),
+                checkpoint=last, eager=last,
             ).withColumnRenamed("h", "a")
             hubs = _half(
                 auths, "a", "e_dst", "e_src",
-                checkpoint=True, eager=last and bool(_caches),
+                checkpoint=True, eager=last,
             ).withColumnRenamed("a", "h")
     finally:
-        for c in _caches:
-            c.unpersist()
+        # exception-safe release (the r14 ADVICE pattern): a throw
+        # mid-loop must not leak the |edges| caches
+        e_by_dst.unpersist()
+        e_by_src.unpersist()
     return (
         hubs.join(auths, "node")
         .select(
