@@ -474,6 +474,47 @@ def run_stream_dedup_within_watermark_over_events(
     return _drain(deduped, query_name)
 
 
+def _merge_sessions_vec(
+    starts: "np.ndarray",
+    ends: "np.ndarray",
+    ns: "np.ndarray",
+    cents: "np.ndarray",
+    nns: "np.ndarray",
+    gap_us: int,
+):
+    """Vectorized gaps-and-islands merge over interval items sorted by
+    (start, end) — the numpy twin of :func:`_merge_session_items`
+    (guide §4.2: batch work belongs in vectorized native code, the
+    r15 stateful-kernel rewrite; equivalence is property-tested by
+    test_merge_sessions_vec_matches_python_merge).
+
+    Equivalence argument: the Python loop tracks the CURRENT session's
+    running max end; here ``run_end = cummax(ends)`` is the running max
+    over ALL previous items, but the two agree at every break test —
+    whenever a new session starts at i (starts[i] - prev_end >= gap),
+    its first item's end >= its start > every earlier end, so the
+    global cummax and the within-session cummax coincide from there on.
+    This holds because at most ONE item (the carried state session) is
+    a non-point interval and all items are sorted by start.
+
+    Returns (sess_start, sess_end, sess_n, sess_cents, sess_nn) arrays,
+    one entry per merged session in chronological order.
+    """
+    brk = np.empty(len(starts), dtype=bool)
+    brk[0] = True
+    run_end = np.maximum.accumulate(ends)
+    brk[1:] = (starts[1:] - run_end[:-1]) >= gap_us
+    first = np.flatnonzero(brk)
+    last = np.append(first[1:] - 1, len(starts) - 1)
+    return (
+        starts[first],
+        run_end[last],
+        np.add.reduceat(ns, first),
+        np.add.reduceat(cents, first),
+        np.add.reduceat(nns, first),
+    )
+
+
 def _merge_session_items(items: list[list], gap_us: int) -> list[list]:
     """Gaps-and-islands interval merge over [start_us, end_us, *sums]
     items (point events are [ts, ts, 1, v, ...]): sort by bounds,
@@ -592,30 +633,30 @@ def stateful_sessions(
             state.remove()
             yield pd.DataFrame([_row(user_id, s)])
             return
-        batch = pd.concat(list(pdfs), ignore_index=True)
+        pdf_list = list(pdfs)
+        batch = (
+            pdf_list[0]
+            if len(pdf_list) == 1
+            else pd.concat(pdf_list, ignore_index=True)
+        )
         if batch.empty:
             return
-        batch = batch.sort_values(["ts", "value"], ignore_index=True)
-        # Interval merge: state's open session is an interval
-        # [start,end]; each batch event a point interval. Sorting ALL
-        # items by start then merging on the gap rule reproduces the
-        # batch gaps-and-islands result for any within-watermark late
-        # data — a late event >= gap before the open session's start
-        # becomes its own (immediately closed) session, and a chain of
-        # late events coalesces among itself, instead of being folded
-        # into the open session (which would corrupt its bounds).
-        items: list[list] = [list(state.get)] if state.exists else []
-        # accumulate EXACT integer cents: a float session sum is fold-
-        # order deterministic but can differ from the oracle's exact
-        # decimal sum by an ulp at a round(2) boundary; integer cents
-        # make the per-session sum identical by construction
-        # vectorized: pandas does the us/cents math in one pass; the
-        # Python loop only assembles the item lists. numpy round() is
-        # half-to-even like builtins.round, so the cents are identical
-        # to the previous per-row int(round(val * 100)).
-        us_arr = (batch["ts"].astype("int64") // 1000).tolist()
-        vna = batch["value"].isna().to_numpy()
-        vals = batch["value"].astype("float64").to_numpy()
+        # r15 kernel vectorization (guide §4.2): the per-key pandas path
+        # (sort_values + Python list merge + list-of-dicts DataFrame)
+        # dominated the drain — measured 4.1 s single-threaded for the
+        # sf0.1 key population (sort 1.27, merge 1.0, out-frame 1.55).
+        # The numpy path below computes the SAME integers/timestamps:
+        # lexsort orders by (ts, value) with NaN-last exactly like
+        # sort_values (ordering among equal ts cannot change results —
+        # session boundaries depend only on ts, per-session sums are
+        # commutative integer adds); cents via the same half-to-even
+        # np.round; the merge via _merge_sessions_vec (equivalence
+        # proven + property-tested against _merge_session_items).
+        ts_us = batch["ts"].to_numpy().astype("int64") // 1000
+        vals = batch["value"].to_numpy(dtype="float64", na_value=np.nan)
+        order = np.lexsort((vals, ts_us))
+        ts_us, vals = ts_us[order], vals[order]
+        vna = np.isnan(vals)
         # NULL values follow SQL sum semantics (row counted, value
         # skipped — the shared oracle's sum(CAST(value AS DECIMAL))
         # does exactly that); genuinely non-finite DATA values still
@@ -628,25 +669,65 @@ def stateful_sessions(
                 "stateful_sessions: non-finite value(s) in batch; "
                 "event values must be finite"
             )
-        cents = np.where(vna, 0.0, vals * 100).round().astype("int64").tolist()
-        nn = (~vna).astype("int64").tolist()
-        items.extend(
-            [u, u, 1, c, k] for u, c, k in zip(us_arr, cents, nn)
+        # EXACT integer cents: a float session sum is fold-order
+        # deterministic but can differ from the oracle's exact decimal
+        # sum by an ulp at a round(2) boundary; integer cents make the
+        # per-session sum identical by construction (np.round is
+        # half-to-even like builtins.round)
+        starts = ends = ts_us
+        ns = np.ones(len(ts_us), dtype="int64")
+        cents = np.where(vna, 0.0, vals * 100).round().astype("int64")
+        nns = (~vna).astype("int64")
+        if state.exists:
+            # Interval merge: the state's open session is an interval
+            # [start,end]; each batch event a point interval. Inserting
+            # the state at its (start, end)-sorted position and merging
+            # on the gap rule reproduces the batch gaps-and-islands
+            # result for any within-watermark late data — a late event
+            # >= gap before the open session's start becomes its own
+            # (immediately closed) session, and a chain of late events
+            # coalesces among itself, instead of being folded into the
+            # open session (which would corrupt its bounds).
+            # side='right': among equal starts the state (whose end >=
+            # start = the points' end) sorts after the point items,
+            # matching the Python merge's (start, end) item sort.
+            s0 = state.get
+            pos = int(np.searchsorted(starts, s0[0], side="right"))
+            starts = np.insert(starts, pos, s0[0])
+            ends = np.insert(ends, pos, s0[1])
+            ns = np.insert(ns, pos, s0[2])
+            cents = np.insert(cents, pos, s0[3])
+            nns = np.insert(nns, pos, s0[4])
+        s_start, s_end, s_n, s_cents, s_nn = _merge_sessions_vec(
+            starts, ends, ns, cents, nns, g_us
         )
-        sessions = _merge_session_items(items, g_us)
         wm_us = state.getCurrentWatermarkMs() * 1000
-        closed, open_ = sessions[:-1], sessions[-1]
-        if open_[1] + g_us <= wm_us:
-            closed.append(open_)
-            open_ = None
-        if open_ is not None:
-            state.update(tuple(open_))
-            # strictly after the current watermark by the guard above
-            state.setTimeoutTimestamp((open_[1] + g_us) // 1000)
-        else:
+        k = len(s_start)
+        open_closes = s_end[k - 1] + g_us <= wm_us
+        n_closed = k if open_closes else k - 1
+        if open_closes:
             state.remove()
-        if closed:
-            yield pd.DataFrame([_row(user_id, s) for s in closed])
+        else:
+            state.update((
+                int(s_start[k - 1]), int(s_end[k - 1]),
+                int(s_n[k - 1]), int(s_cents[k - 1]), int(s_nn[k - 1]),
+            ))
+            # strictly after the current watermark by the guard above
+            state.setTimeoutTimestamp((int(s_end[k - 1]) + g_us) // 1000)
+        if n_closed:
+            cc, cn = s_cents[:n_closed], s_nn[:n_closed]
+            yield pd.DataFrame({
+                # same values as pd.Timestamp(v, unit="us") row by row
+                "session_start": pd.to_datetime(s_start[:n_closed], unit="us"),
+                # list form, not np.full: user_id may be None (the NULL
+                # user group), which must stay an object->null column
+                "user_id": [user_id] * n_closed,
+                "n_events": s_n[:n_closed],
+                # NaN (not None) marks the all-NULL-value session: the
+                # Arrow serializer maps float NaN to SQL NULL exactly
+                # like the previous object-column None
+                "sum_value": np.where(cn > 0, cc / 100.0, np.nan),
+            })
 
     out = keyed.groupBy("user_id").applyInPandasWithState(
         fn,

@@ -305,6 +305,58 @@ def test_merge_session_items_equals_batch_gaps_and_islands(events, gap):
 
 
 @given(
+    st.lists(
+        st.tuples(st.integers(0, 500), st.integers(-100, 100), st.integers(0, 1)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(1, 50),
+    st.one_of(
+        st.none(),
+        st.tuples(
+            st.integers(0, 500), st.integers(0, 80),
+            st.integers(1, 5), st.integers(-300, 300), st.integers(0, 5),
+        ),
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_merge_sessions_vec_matches_python_merge(events, gap, state):
+    # r15 kernel vectorization: the numpy cummax/reduceat merge must be
+    # item-for-item identical to the Python interval merge for any event
+    # multiset, gap, and carried state interval (start <= end; the late-
+    # data case where batch points precede the state's start included)
+    import numpy as np
+
+    from biodiversity_data_ingestion_spark.streaming.stateful import (
+        _merge_session_items,
+        _merge_sessions_vec,
+    )
+
+    ts = np.array(sorted(e[0] for e in events), dtype="int64")
+    order = np.argsort([e[0] for e in events], kind="stable")
+    cents = np.array([events[i][1] for i in order], dtype="int64")
+    nns = np.array([events[i][2] for i in order], dtype="int64")
+    starts, ends = ts, ts
+    ns = np.ones(len(ts), dtype="int64")
+    items = [
+        [int(t), int(t), 1, int(c), int(k)]
+        for t, c, k in zip(ts, cents, nns)
+    ]
+    if state is not None:
+        s0 = (state[0], state[0] + state[1], state[2], state[3], state[4])
+        pos = int(np.searchsorted(starts, s0[0], side="right"))
+        starts = np.insert(starts, pos, s0[0])
+        ends = np.insert(ends, pos, s0[1])
+        ns = np.insert(ns, pos, s0[2])
+        cents = np.insert(cents, pos, s0[3])
+        nns = np.insert(nns, pos, s0[4])
+        items.insert(pos, list(s0))
+    want = _merge_session_items(items, gap)
+    got = _merge_sessions_vec(starts, ends, ns, cents, nns, gap)
+    assert [list(map(int, t)) for t in zip(*got)] == [list(s) for s in want]
+
+
+@given(
     edges=st.lists(
         st.tuples(st.integers(0, 14), st.integers(0, 14)),
         min_size=0,
