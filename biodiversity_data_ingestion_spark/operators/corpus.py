@@ -655,13 +655,21 @@ def pagerank(
     """
     num, den, scale = damping_num, damping_den, PAGERANK_SCALE
     # materialize the edge list ONCE: it feeds nodes, out-degrees AND
-    # every iteration's contribution join — without the checkpoint an
+    # every iteration's contribution join — without a materialization an
     # expensive edge construction (e.g. the quadratic basket-pair
     # explode of the co-purchase graph) re-executes per consumer per
-    # round (measured 10.8 s -> ~7 s at sf0.1)
+    # round (measured 10.8 s -> ~7 s at sf0.1).
+    # r15: the materialization IS the pre-partitioned per-round cache
+    # (optimistically keyed for the gated regime; re-keyed below if the
+    # gate fails) instead of an intermediate localCheckpoint — the
+    # checkpoint stored |edges| rows DESERIALIZED for the loop's
+    # lifetime (the §5 memory term: an 8 GB-heap sf1 run OOM'd in
+    # exactly this unroll) and cost one extra full materialization
+    # layer. A/B alternating fresh processes: sf0.1 4/5 pairs (medians
+    # 3.73 -> 3.47), 10x sf1 3/3 pairs (medians 16.9 -> 8.1).
     e = edges.select(
         F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
-    ).localCheckpoint()
+    ).repartition("e_dst").persist()
     nodes = (
         e.select(F.col("e_src").alias("node"))
         .unionByName(e.select(F.col("e_dst").alias("node")))
@@ -676,6 +684,7 @@ def pagerank(
     if n_nodes == 0:
         # empty graph: no nodes, no ranks — and no division by zero in
         # the plan literals below
+        e.unpersist()
         return nodes.select(
             "node", F.lit(None).cast("double").alias("rank")
         )
@@ -710,7 +719,16 @@ def pagerank(
     # per round). One exchange paid once replaces one per round (guide
     # §2.4). persist, not localCheckpoint: LogicalRDD under AQE reports
     # UnknownPartitioning, InMemoryRelation preserves the partitioning.
-    e_r = e.repartition("e_dst" if hint_ranks else "e_src").persist()
+    # r15: the gated key IS the build cache above; the ungated fallback
+    # re-keys from the in-memory cache (columnar read + one exchange,
+    # cheaper than re-running the raw edge build) and releases the
+    # mis-keyed one eagerly.
+    if hint_ranks:
+        e_r = e
+    else:
+        e_r = e.repartition("e_src").persist()
+        e_r.count()
+        e.unpersist()
     ranks = nodes.select(
         "node", F.lit(scale // n_nodes).cast("long").alias("r")
     ).localCheckpoint(eager=False)
@@ -918,17 +936,24 @@ def hits(
     if n_iter < 1:
         raise ValueError("hits: n_iter must be >= 1")
     scale = HITS_SCALE
-    e = edges.select(
+    # r15: the first cache doubles as THE edge materialization (no
+    # intermediate localCheckpoint — the checkpoint stored |edges| rows
+    # deserialized for the loop's lifetime and cost one extra
+    # materialization layer; same cache-first shape as pagerank /
+    # label_propagation, measured there 3/3 sf1 pairs); nodes and the
+    # second cache both read it.
+    e_by_dst = edges.select(
         F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
-    ).localCheckpoint()
+    ).repartition("e_dst").persist()
     nodes = (
-        e.select(F.col("e_src").alias("node"))
-        .unionByName(e.select(F.col("e_dst").alias("node")))
+        e_by_dst.select(F.col("e_src").alias("node"))
+        .unionByName(e_by_dst.select(F.col("e_dst").alias("node")))
         .distinct()
         .localCheckpoint()
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
+        e_by_dst.unpersist()
         return nodes.select(
             "node",
             F.lit(None).cast("double").alias("hub"),
@@ -958,8 +983,10 @@ def hits(
     # on a uniform-degree graph buys nothing) and dropped; the gate
     # bounds the exchange-free-regime graph at DROP_LIST_BROADCAST_ROWS
     # nodes, which caps how bad one hot partition can get.
-    e_by_dst = e.repartition("e_dst").persist()
-    e_by_src = e.repartition("e_src").persist()
+    # (e_by_dst is the build materialization above; the src-keyed twin
+    # fills from it — a columnar read + one exchange, never a second
+    # run of the raw edge build.)
+    e_by_src = e_by_dst.repartition("e_src").persist()
 
     def _half(
         frontier: DataFrame,
@@ -1085,9 +1112,18 @@ def label_propagation(
     """
     if n_iter < 1:
         raise ValueError("label_propagation: n_iter must be >= 1")
+    # r15: fill the pre-partitioned per-round cache DIRECTLY from the
+    # raw edge build (optimistically keyed for the gated regime; re-
+    # keyed below if the gate fails), and derive nodes/count from the
+    # cache — drops the intermediate localCheckpoint, which stored
+    # |edges| rows DESERIALIZED for the loop's lifetime (the §5 memory
+    # term: an 8 GB-heap sf1 run OOM'd in exactly this unroll) and cost
+    # one extra full materialization layer. A/B alternating fresh
+    # processes: sf0.1 4/5 pairs (medians 3.42 -> 3.32), 10x sf1 3/3
+    # pairs (medians 22.0 -> 15.3).
     e = edges.select(
         F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
-    ).localCheckpoint()
+    ).repartition("e_src").persist()
     nodes = (
         e.select(F.col("e_src").alias("node"))
         .unionByName(e.select(F.col("e_dst").alias("node")))
@@ -1098,6 +1134,7 @@ def label_propagation(
     if n_nodes == 0:
         # cast matches the non-empty path (labels init as long): the
         # output schema must not depend on whether the input was empty
+        e.unpersist()
         return nodes.select(
             "node", F.col("node").cast("long").alias("community")
         )
@@ -1115,7 +1152,15 @@ def label_propagation(
     # InMemoryRelation preserves the cached plan's partitioning;
     # verified empirically on this build (plan: zero Exchange above the
     # InMemoryTableScan in the gated round).
-    e = e.repartition("e_src" if hint else "e_dst").persist()
+    # r15: the gated key IS the build cache above; the ungated fallback
+    # re-keys from the in-memory cache (columnar read + one exchange,
+    # cheaper than re-running the raw edge build) and releases the
+    # mis-keyed one eagerly.
+    if not hint:
+        e2 = e.repartition("e_dst").persist()
+        e2.count()
+        e.unpersist()
+        e = e2
     labels = nodes.select(
         "node", F.col("node").cast("long").alias("label")
     ).localCheckpoint(eager=False)
