@@ -155,6 +155,25 @@ def connected_components(
             # extra checkpoint job but bounds plan growth past the
             # common-case convergence horizon
             new_labels = new_labels.localCheckpoint(eager=False)
+        # r15 (guide §1.2, r14 verdict #7): past the expected near-dup
+        # convergence horizon (_CKPT_AFTER — clique-shaped graphs fix in
+        # round 1), the convergence aggregate runs every SECOND round,
+        # halving per-round job count on adversarial-diameter graphs.
+        # Valid because sum(labels) is monotone non-increasing and
+        # strictly decreases whenever any label changes: equality across
+        # TWO rounds proves both were identity rounds. Identity rounds
+        # are idempotent on the min-fold, so running up to one extra
+        # changes no row. The last allowed round always checks (the
+        # n_non_root contract).
+        check = (
+            rnd < _CKPT_AFTER
+            or (rnd - _CKPT_AFTER) % 2 == 1
+            or rnd == max_iter - 1
+        )
+        if not check:
+            labels.unpersist()
+            labels = new_labels
+            continue
         new_sum, new_non_root = new_labels.agg(*conv_agg).first()
         # successor materialized — the parent cache can go
         labels.unpersist()
@@ -837,7 +856,16 @@ def k_core(
     )
     n_edges = cur.count()
     converged = n_edges == 0
-    for _ in range(max_rounds):
+    # r15 (guide §1.2, r14 verdict #7): past the expected convergence
+    # horizon, the per-round edge count runs every SECOND round — the
+    # edge set shrinks monotonically, so equality across two rounds
+    # proves both removed nothing (converged), and an extra identity
+    # peel changes no row. On skipped rounds the broadcast gate uses the
+    # previous (larger) count — a conservative bound, it can only
+    # UNDER-broadcast. The last allowed round always counts, keeping the
+    # convergence-honesty warning exact.
+    _CHECK_HORIZON = 2
+    for rnd in range(max_rounds):
         if n_edges == 0:
             converged = True
             break
@@ -849,9 +877,9 @@ def k_core(
         )
         keep = deg.where(F.col("d") >= k).select("node")
         # keep has at most 2*n_edges rows (one per endpoint), and
-        # n_edges is already counted each round for convergence — a free
-        # broadcast gate (same ceiling as gated_anti_join). Broadcasting
-        # the survivor set means the edge table never re-shuffles: the
+        # n_edges is counted on checked rounds anyway — a free broadcast
+        # gate (same ceiling as gated_anti_join). Broadcasting the
+        # survivor set means the edge table never re-shuffles: the
         # per-round exchanges drop from three (degree groupBy + two
         # semi-join repartitions of cur) to the degree groupBy alone.
         keep_u = keep.select(F.col("node").alias("u"))
@@ -863,8 +891,15 @@ def k_core(
             .join(keep_v, "v", "left_semi")
             .localCheckpoint(eager=False)
         )
-        n_next = nxt.count()
         cur = nxt
+        check = (
+            rnd < _CHECK_HORIZON
+            or (rnd - _CHECK_HORIZON) % 2 == 1
+            or rnd == max_rounds - 1
+        )
+        if not check:
+            continue
+        n_next = nxt.count()
         if n_next == n_edges:
             converged = True
             break  # stable: every endpoint already has degree >= k
