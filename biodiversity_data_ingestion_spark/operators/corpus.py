@@ -84,14 +84,22 @@ def connected_components(
     """
     e = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     edges = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    # r15 cache-first (same shape as pagerank/LPA/hits): one exchange
+    # keyed on "s" IS the materialization — HashPartitioning(s)
+    # satisfies the dedup aggregate's ClusteredDistribution([s, d])
+    # (subset rule), so the optional distinct rides the same exchange,
+    # and the seed-fold groupBy(s) below runs EXCHANGE-FREE over the
+    # cache. Replaces the localCheckpoint, which stored |edges| rows
+    # deserialized for the loop's lifetime (§5) behind an extra
+    # materialization layer. Serialized columnar level per the measured
+    # r15 probe (196 vs 323 MB, fill faster, reads flat).
+    edges = edges.repartition("s")
     if dedup_edges:
         # duplicate edges don't change any min-fold, but they multiply
         # the per-round join fan-out; callers whose pair list is already
-        # unique (every groupBy-produced pair graph) skip this exchange
+        # unique (every groupBy-produced pair graph) skip this dedup
         edges = edges.distinct()
-    # edges are read by EVERY round's join: localCheckpoint truncates
-    # the (possibly expensive) pair-generation lineage once
-    edges = edges.localCheckpoint()
+    edges = edges.persist(_EDGE_CACHE_LEVEL)
     # The label frontier persists() for the first rounds and
     # localCheckpoints from round _CKPT_AFTER on. Why the split: in
     # this Spark build localCheckpoint(eager=False) still runs its job
@@ -132,62 +140,67 @@ def connected_components(
     ]
     _CKPT_AFTER = 2  # rounds on the fast persist path before truncating
     prev_sum, n_non_root = labels.agg(*conv_agg).first()
-    for rnd in range(max_iter):
-        neighbor_labels = edges.join(
-            labels.withColumnRenamed("node", "d"), "d"
-        ).select(F.col("s").alias("node"), "component")
-        new_labels = (
-            labels.unionByName(neighbor_labels)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-        )
-        if pointer_jump:
-            parent = new_labels.select(
-                F.col("node").alias("component"), F.col("component").alias("_root")
+    try:
+        for rnd in range(max_iter):
+            neighbor_labels = edges.join(
+                labels.withColumnRenamed("node", "d"), "d"
+            ).select(F.col("s").alias("node"), "component")
+            new_labels = (
+                labels.unionByName(neighbor_labels)
+                .groupBy("node")
+                .agg(F.min("component").alias("component"))
             )
-            new_labels = new_labels.join(parent, "component").select(
-                "node", F.col("_root").alias("component")
+            if pointer_jump:
+                parent = new_labels.select(
+                    F.col("node").alias("component"), F.col("component").alias("_root")
+                )
+                new_labels = new_labels.join(parent, "component").select(
+                    "node", F.col("_root").alias("component")
+                )
+            if rnd < _CKPT_AFTER:
+                new_labels = new_labels.persist()
+            else:
+                # truncates the logical plan (LogicalRDD leaf); costs the
+                # extra checkpoint job but bounds plan growth past the
+                # common-case convergence horizon
+                new_labels = new_labels.localCheckpoint(eager=False)
+            # r15 (guide §1.2, r14 verdict #7): past the expected near-dup
+            # convergence horizon (_CKPT_AFTER — clique-shaped graphs fix in
+            # round 1), the convergence aggregate runs every SECOND round,
+            # halving per-round job count on adversarial-diameter graphs.
+            # Valid because sum(labels) is monotone non-increasing and
+            # strictly decreases whenever any label changes: equality across
+            # TWO rounds proves both were identity rounds. Identity rounds
+            # are idempotent on the min-fold, so running up to one extra
+            # changes no row. The last allowed round always checks (the
+            # n_non_root contract).
+            check = (
+                rnd < _CKPT_AFTER
+                or (rnd - _CKPT_AFTER) % 2 == 1
+                or rnd == max_iter - 1
             )
-        if rnd < _CKPT_AFTER:
-            new_labels = new_labels.persist()
-        else:
-            # truncates the logical plan (LogicalRDD leaf); costs the
-            # extra checkpoint job but bounds plan growth past the
-            # common-case convergence horizon
-            new_labels = new_labels.localCheckpoint(eager=False)
-        # r15 (guide §1.2, r14 verdict #7): past the expected near-dup
-        # convergence horizon (_CKPT_AFTER — clique-shaped graphs fix in
-        # round 1), the convergence aggregate runs every SECOND round,
-        # halving per-round job count on adversarial-diameter graphs.
-        # Valid because sum(labels) is monotone non-increasing and
-        # strictly decreases whenever any label changes: equality across
-        # TWO rounds proves both were identity rounds. Identity rounds
-        # are idempotent on the min-fold, so running up to one extra
-        # changes no row. The last allowed round always checks (the
-        # n_non_root contract).
-        check = (
-            rnd < _CKPT_AFTER
-            or (rnd - _CKPT_AFTER) % 2 == 1
-            or rnd == max_iter - 1
-        )
-        if not check:
+            if not check:
+                labels.unpersist()
+                labels = new_labels
+                continue
+            new_sum, new_non_root = new_labels.agg(*conv_agg).first()
+            # successor materialized — the parent cache can go
             labels.unpersist()
-            labels = new_labels
-            continue
-        new_sum, new_non_root = new_labels.agg(*conv_agg).first()
-        # successor materialized — the parent cache can go
+            labels, n_non_root = new_labels, new_non_root
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+        # flatten the returned plan: downstream consumers embed the labels
+        # in bigger trees (anti-joins, window keep-best), and a persisted
+        # frame still carries its full lineage in the plan (breaking the
+        # per-query exchange budgets and re-optimizing the loop's tree on
+        # every consumer). The checkpoint job just reads the cache — cheap.
+        final = labels.localCheckpoint()  # eager: materialized before unpersist
         labels.unpersist()
-        labels, n_non_root = new_labels, new_non_root
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
-    # flatten the returned plan: downstream consumers embed the labels
-    # in bigger trees (anti-joins, window keep-best), and a persisted
-    # frame still carries its full lineage in the plan (breaking the
-    # per-query exchange budgets and re-optimizing the loop's tree on
-    # every consumer). The checkpoint job just reads the cache — cheap.
-    final = labels.localCheckpoint()  # eager: materialized before unpersist
-    labels.unpersist()
+    finally:
+        # exception-safe release (the r14 ADVICE pattern): the edge
+        # cache must not outlive the call
+        edges.unpersist()
     if return_non_root_count:
         return final, int(n_non_root or 0)
     return final
